@@ -1,0 +1,169 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-derived macro queries, adapted to the fixture columns (the
+  * testdata star schema lacks partsupp and several lineitem/orders
+  * columns — see FIXTURES.md). Query shapes follow the reference's
+  * benchmark set (reference: presto-benchto-benchmarks/src/main/
+  * resources/sql/presto/tpch/q01.sql…q22.sql); each is written
+  * DataFrame-first so Catalyst handles pushdown/join-selection.
+  */
+object TpchLike {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // q01 — pricing summary report: scan-filter + hash aggregate.
+    // Partial aggregation happens map-side; only 6 groups shuffle.
+    Qdef(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // q06 — forecasting revenue change: pure scan-filter-agg; all three
+    // predicates push to the parquet reader.
+    Qdef(
+      "q06_forecast_revenue",
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // q03 — shipping priority: 3-way join, group, deterministic top-10
+    // (revenue desc, orderkey asc tiebreak). customer is the small side →
+    // broadcast; lineitem⋈orders shuffles on orderkey.
+    Qdef(
+      "q03_shipping_priority",
+      """SELECT l_orderkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // q05 — local supplier volume: 6-way star join; region/nation broadcast,
+    // the customer-nation = supplier-nation equality is the join residual.
+    Qdef(
+      "q05_local_supplier_volume",
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc)
+    },
+
+    // q10 — returned item reporting: join + group + deterministic top-20.
+    Qdef(
+      "q10_returned_items",
+      """SELECT c_custkey, c_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+  )
+}
