@@ -1,24 +1,51 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark runner following BASELINE.md's protocol (adopted from the
+  * reference: presto-benchto-benchmarks/src/main/resources/benchmarks/
+  * presto/tpch.yaml:3-5 — 2 prewarm runs + 6 measured runs per query);
+  * reports the per-query MEDIAN so one GC pause or JIT warm-up can't fake
+  * a regression. A failing query is reported in an "errors" field instead
+  * of masquerading as a fast timing.
+  */
 object Bench {
+  private val Prewarm = 2
+  private val Measured = 6
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Engine.session(cores = cpus, shufflePartitions = cpus)
+
+    val defs = SparkEntry.benchDefs
+    var errors = List.empty[(String, String)]
+
+    def timeOnce(q: Qdef): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          errors ::= (q.name, Option(e.getMessage).getOrElse(e.getClass.getName))
+          None
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results: Seq[(String, Double)] = defs.flatMap { q =>
+      (1 to Prewarm).foreach(_ => timeOnce(q))
+      val runs = (1 to Measured).flatMap(_ => timeOnce(q)).sorted
+      if (runs.isEmpty) None
+      else Some(q.name -> runs(runs.size / 2)) // median
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = errors.reverse
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

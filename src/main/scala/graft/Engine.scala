@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine facade: session construction + catalog registration + the
+  * SQL entry point. The reference's only public query surface is SQL over
+  * HTTP (reference: presto-main/src/main/java/com/facebook/presto/server/
+  * protocol/QueuedStatementResource.java:168-169, parsed by presto-parser/
+  * .../parser/SqlParser.java); our equivalent is `Engine.sql` — catalog
+  * registration + a light Presto→Spark dialect shim + `spark.sql`, so
+  * Catalyst does parse/analyze/optimize/execute (SURVEY §3.1-3.2).
+  */
+object Engine {
+
+  /** Build a session tuned for the local[32] test box but configured the
+    * way a large cluster job would be: AQE on (runtime re-plan, skew-join
+    * splitting, dynamic coalesce), modest shuffle parallelism, UTC.
+    */
+  def session(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
+      // Tables.load (Spark has no nanos timestamp type).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Register the parquet catalog and run a query through Spark SQL after
+    * the dialect shim. This is the reference's `POST /v1/statement`
+    * equivalent: SQL in, DataFrame (result cursor) out.
+    */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(translate(query))
+  }
+
+  /** Presto-ism → Spark SQL function-name rewrites (SURVEY §7 Phase 2).
+    * Only aliases whose argument order and semantics match 1:1 are listed
+    * (reference registrations: presto-main/.../metadata/
+    * BuiltInTypeAndFunctionNamespaceManager.java:658-878). Word-bounded,
+    * case-insensitive, applied before `spark.sql`.
+    */
+  private val functionAliases: Seq[(String, String)] = Seq(
+    "approx_distinct"      -> "approx_count_distinct",
+    "arbitrary"            -> "any_value",
+    "strpos"               -> "instr",            // both are (string, substring) → 1-based
+    "json_extract_scalar"  -> "get_json_object",  // both are (json, jsonpath)
+    "json_array_length"    -> "json_array_length",
+    "to_unixtime"          -> "unix_timestamp",
+    "codepoint"            -> "ascii",
+    "pow"                  -> "power",
+    "ln"                   -> "ln",
+    "truncate"             -> "trunc",
+    "bitwise_and"          -> "bitand",
+    "bitwise_or"           -> "bitor",
+    "bitwise_xor"          -> "bitxor",
+    "is_nan"               -> "isnan",
+  )
+
+  /** Translate Presto-dialect SQL to Spark SQL. String-level and
+    * deliberately conservative: rewrites are word-bounded identifiers
+    * immediately followed by '(' so column names never match.
+    */
+  def translate(query: String): String =
+    functionAliases.foldLeft(query) { case (q, (from, to)) =>
+      if (from == to) q
+      else q.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
+    }
+}

@@ -9,6 +9,16 @@ object SparkEntry {
   def allDefs: Seq[Qdef] =
     suites.TpchLike.defs
 
+  /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
+    * the full corpus would take too long under that protocol). */
+  def benchDefs: Seq[Qdef] = {
+    val headline = Set(
+      "q01_pricing_summary", "q03_shipping_priority",
+      "q05_local_supplier_volume", "q06_forecast_revenue",
+      "q10_returned_items")
+    allDefs.filter(q => headline(q.name))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")

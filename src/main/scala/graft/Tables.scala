@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet-backed table registry over the driver-generated testdata
   * (see TESTDATA.md / FIXTURES.md). The reference resolves tables via a
@@ -14,8 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    // reader refuses; read it as a raw long (nanosAsLong, set in
+    // Engine.session) and surface a micros-precision timestamp column so
+    // every downstream operator sees a normal TimestampType.
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
 
   /** Register all tables as temp views so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -71,8 +71,13 @@ object TpchLike {
     },
 
     // q03 — shipping priority: 3-way join, group, deterministic top-10
-    // (revenue desc, orderkey asc tiebreak). customer is the small side →
-    // broadcast; lineitem⋈orders shuffles on orderkey.
+    // (revenue desc, orderkey asc tiebreak). No forced broadcast: customer
+    // grows with sf (150k rows/sf) so a hint would OOM at the 100-TB design
+    // point — AQE broadcasts the filtered BUILDING segment only when it
+    // actually fits (the reference decides the same way at plan time,
+    // reference: presto-main/.../iterative/rule/
+    // DetermineJoinDistributionType.java). lineitem⋈orders shuffles on
+    // orderkey.
     Qdef(
       "q03_shipping_priority",
       """SELECT l_orderkey,
@@ -93,7 +98,7 @@ object TpchLike {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -101,8 +106,11 @@ object TpchLike {
         .limit(10)
     },
 
-    // q05 — local supplier volume: 6-way star join; region/nation broadcast,
-    // the customer-nation = supplier-nation equality is the join residual.
+    // q05 — local supplier volume: 6-way star join. Only the
+    // fixed-cardinality dims get broadcast hints (nation=25, region=5 rows
+    // at EVERY sf); supplier grows with sf so it joins unhinted — AQE picks
+    // broadcast when it fits, shuffle otherwise. ORDER BY carries n_name as
+    // a deterministic tiebreaker on equal revenues.
     Qdef(
       "q05_local_supplier_volume",
       """SELECT n_name,
@@ -117,14 +125,14 @@ object TpchLike {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC""".stripMargin) { (s, dir) =>
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
       val ord = t(s, dir, "orders").filter(
         col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
       t(s, dir, "customer")
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
@@ -132,7 +140,7 @@ object TpchLike {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .orderBy(col("revenue").desc)
+        .orderBy(col("revenue").desc, col("n_name"))
     },
 
     // q10 — returned item reporting: join + group + deterministic top-20.

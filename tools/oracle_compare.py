@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs
+<verifyOutDir>/oracle_sql.json[name] in DuckDB against views over the
+sfDir parquet tables; compares columns (sorted by name), row counts and
+values (floats with relative tolerance 1e-9, else exact) after sorting
+rows canonically. Exit 1 on any mismatch.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v == 0 or math.isnan(v):
+            return "0" if v == 0 else "NaN"
+        return f"{v:.9e}"
+    if isinstance(v, list):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols = [d[0] for d in spark_rel.description]
+            s_rows = spark_rel.fetchall()
+            o_rel = con.execute(sql)
+            o_cols = [d[0] for d in o_rel.description]
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: {str(e).splitlines()[0]}")
+            continue
+        if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, o_cols)):
+            failed.append(name)
+            print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            continue
+        cs, co = canon(s_rows, s_cols), canon(o_rows, o_cols)
+        if len(cs) != len(co):
+            failed.append(name)
+            print(f"FAIL {name}: rows spark={len(cs)} oracle={len(co)}")
+        elif cs != co:
+            bad = next(i for i, (a, b) in enumerate(zip(cs, co)) if a != b)
+            failed.append(name)
+            print(f"FAIL {name}: first diff row {bad}:\n  spark : {cs[bad]}\n  oracle: {co[bad]}")
+        else:
+            print(f"OK   {name} ({len(cs)} rows)")
+    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} matched")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
