@@ -25,7 +25,7 @@ def canon_cell(v):
     if isinstance(v, float):
         if v == 0 or math.isnan(v):
             return "0" if v == 0 else "NaN"
-        return f"{v:.9e}"
+        return f"{v:.6e}"
     if isinstance(v, list):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return str(v)
