@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** All capability queries, grouped by suite (SURVEY.md §2 coverage). */
   def allDefs: Seq[Qdef] =
-    suites.TpchLike.defs ++ suites.TpchMore.defs
+    suites.TpchLike.defs ++ suites.TpchMore.defs ++
+      suites.Windows.defs ++ suites.Aggregates.defs
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */
