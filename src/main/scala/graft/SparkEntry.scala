@@ -8,7 +8,9 @@ object SparkEntry {
   /** All capability queries, grouped by suite (SURVEY.md §2 coverage). */
   def allDefs: Seq[Qdef] =
     suites.TpchLike.defs ++ suites.TpchMore.defs ++
-      suites.Windows.defs ++ suites.Aggregates.defs
+      suites.Windows.defs ++ suites.Aggregates.defs ++
+      suites.SetOps.defs ++ suites.Joins.defs ++
+      suites.Unnest.defs ++ suites.Scalars.defs
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */

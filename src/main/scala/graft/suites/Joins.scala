@@ -1,0 +1,129 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-flavor corpus (SURVEY §2.3) beyond what the TPC-H shapes cover:
+  * right/full outer, cross, non-equi residuals, null-aware NOT IN, and
+  * IN-as-projected-boolean. Reference operators: presto-main/.../operator/
+  * LookupJoinOperator.java + LookupOuterOperator.java (outer),
+  * NestedLoopJoinOperator.java (cross/theta), HashSemiJoinOperator.java
+  * (semi with projected boolean); 158 reference tests in
+  * presto-tests/.../AbstractTestJoinQueries.java.
+  */
+object Joins {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // RIGHT OUTER: every nation survives, nations without suppliers get
+    // NULL-extended rows (counted via the c_count=0 trick).
+    Qdef(
+      "j01_right_outer",
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+        |FROM supplier
+        |RIGHT JOIN nation ON s_nationkey = n_nationkey AND s_acctbal > 9000
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey") && col("s_acctbal") > 9000,
+          "right")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("n_name")
+    },
+
+    // FULL OUTER of two aggregates — both unmatched sides preserved.
+    Qdef(
+      "j02_full_outer",
+      """SELECT coalesce(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+        |           WHERE s_acctbal > 9900 GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") > 9900)
+        .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nk") === col("s_nk"), "full")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nk"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nk")
+    },
+
+    // CROSS JOIN (cartesian of two small derived tables).
+    Qdef(
+      "j03_cross_join",
+      """SELECT r_name, st
+        |FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) statuses
+        |ORDER BY r_name, st""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").select("r_name")
+        .crossJoin(t(s, dir, "orders").select(col("o_orderstatus").as("st")).distinct())
+        .orderBy("r_name", "st")
+    },
+
+    // Equi join + non-equi residual (s_acctbal > c_acctbal stays a join
+    // filter, reference: presto-main/.../operator/JoinFilterFunction.java).
+    Qdef(
+      "j04_non_equi_residual",
+      """SELECT n_name, count(*) AS richer_pairs
+        |FROM supplier
+        |JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal + 9000
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "customer"),
+          col("s_nationkey") === col("c_nationkey") &&
+          col("s_acctbal") > col("c_acctbal") + 9000)
+        .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("richer_pairs"))
+        .orderBy("n_name")
+    },
+
+    // Null-aware NOT IN: one NULL in the subquery list makes every NOT IN
+    // evaluate UNKNOWN → zero rows. The DataFrame side encodes the same
+    // null-aware anti join by hand (match-if-equal-or-null), which is what
+    // Spark's NullAwareAntiJoin and the reference's planner both produce
+    // (reference: presto-main/.../iterative/rule/
+    // TransformUncorrelatedInPredicateSubqueryToSemiJoin.java).
+    Qdef(
+      "j05_null_aware_not_in",
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |WHERE l_suppkey NOT IN (SELECT nullif(s_suppkey, 3) FROM supplier)""".stripMargin) { (s, dir) =>
+      val sub = t(s, dir, "supplier")
+        .select(nullif(col("s_suppkey"), lit(3)).as("maybe_key"))
+      t(s, dir, "lineitem")
+        .join(sub, col("l_suppkey") === col("maybe_key") || col("maybe_key").isNull,
+          "left_anti")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Semi join projected as a boolean column instead of a filter
+    // (reference: HashSemiJoinOperator.java emits the match flag).
+    Qdef(
+      "j06_semi_projected_flag",
+      """SELECT o_orderkey,
+        |       o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |         AS rich_customer
+        |FROM orders
+        |WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("rich_key")).distinct()
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .join(rich, col("o_custkey") === col("rich_key"), "left")
+        .select(col("o_orderkey"), col("rich_key").isNotNull.as("rich_customer"))
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,292 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function corpus (SURVEY §2.8) — string, regex, LIKE, date/time,
+  * math, conditional/TRY, JSON, crypto digests, array + HOFs, casts.
+  * Reference: 460 @ScalarFunction methods under presto-main/.../operator/
+  * scalar/ (StringFunctions.java, DateTimeFunctions.java,
+  * MathFunctions.java, JsonFunctions.java, …). Where DuckDB's surface
+  * syntax differs (regex flags, list functions, digests) the oracle is
+  * DuckDB-dialect and the Spark side uses the native equivalent.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // String functions over part names (reference: StringFunctions.java).
+    Qdef(
+      "f01_string_fns",
+      """SELECT p_partkey,
+        |  length(p_name) AS name_len,
+        |  upper(p_name) AS uname,
+        |  lower(p_brand) AS lbrand,
+        |  substr(p_name, 1, 4) AS prefix,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  reverse(p_type) AS rev_type,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR(8)), 3, '0') AS padded_size,
+        |  trim('  pad  ') AS trimmed
+        |FROM part
+        |WHERE p_partkey < 30
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").filter(col("p_partkey") < 30)
+        .select(
+          col("p_partkey"),
+          length(col("p_name")).as("name_len"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          substring(col("p_name"), 1, 4).as("prefix"),
+          regexp_replace(col("p_name"), lit(" "), lit("_")).as("snake"),
+          reverse(col("p_type")).as("rev_type"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          lpad(col("p_size").cast("string"), 3, "0").as("padded_size"),
+          trim(lit("  pad  ")).as("trimmed"))
+        .orderBy("p_partkey")
+    },
+
+    // Regex: extract + global replace (DuckDB needs the 'g' flag Spark
+    // applies implicitly — dialects differ, so duckOnly oracle).
+    // Reference: JoniRegexpFunctions.java.
+    Qdef.duckOnly(
+      "f02_regex",
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  length(regexp_replace(text, '[aeiou]', '', 'g')) AS consonant_len,
+        |  CAST(regexp_matches(text, 'data|table') AS BOOLEAN) AS mentions_data
+        |FROM documents
+        |WHERE doc_id < 20
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          length(regexp_replace(col("text"), lit("[aeiou]"), lit(""))).as("consonant_len"),
+          col("text").rlike("data|table").as("mentions_data"))
+        .orderBy("doc_id")
+    },
+
+    // LIKE with prefix / suffix / infix / underscore patterns
+    // (reference: LikeFunctions.java — compiled automaton; Spark codegen).
+    Qdef(
+      "f03_like",
+      """SELECT
+        |  count(*) FILTER (WHERE p_name LIKE 'red%') AS red_prefix,
+        |  count(*) FILTER (WHERE p_name LIKE '%bolt') AS bolt_suffix,
+        |  count(*) FILTER (WHERE p_name LIKE '%gear%') AS gear_infix,
+        |  count(*) FILTER (WHERE p_brand LIKE 'Brand#_') AS single_digit_brand,
+        |  count(*) FILTER (WHERE p_name NOT LIKE '%o%') AS no_o
+        |FROM part""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .agg(
+          count_if(col("p_name").like("red%")).as("red_prefix"),
+          count_if(col("p_name").like("%bolt")).as("bolt_suffix"),
+          count_if(col("p_name").like("%gear%")).as("gear_infix"),
+          count_if(col("p_brand").like("Brand#_")).as("single_digit_brand"),
+          count_if(!col("p_name").like("%o%")).as("no_o"))
+    },
+
+    // Date/time functions (reference: DateTimeFunctions.java — 95 fns;
+    // the shared-dialect slice avoids format-pattern dialects).
+    Qdef(
+      "f04_datetime",
+      """SELECT
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_mm,
+        |  CAST(day(o_orderdate) AS INT) AS order_dd,
+        |  count(*) AS cnt
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY order_month, order_dd""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          year(col("o_orderdate")).cast("bigint").as("order_year"),
+          month(col("o_orderdate")).cast("int").as("order_mm"),
+          dayofmonth(col("o_orderdate")).cast("int").as("order_dd"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("order_month", "order_dd")
+    },
+
+    // Math functions (reference: MathFunctions.java — 110 fns).
+    Qdef(
+      "f05_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_diff,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(power(l_quantity, 2), 2) AS qty_sq,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  round(log10(l_extendedprice), 6) AS price_log10,
+        |  round(exp(l_discount), 6) AS disc_exp,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+        |  CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
+        |  greatest(l_quantity, 25.0) AS qty_hi,
+        |  least(l_quantity, 25.0) AS qty_lo
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_diff"),
+          ceil(col("l_extendedprice")).cast("bigint").as("price_ceil"),
+          floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
+          round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+          round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          round(log10(col("l_extendedprice")), 6).as("price_log10"),
+          round(exp(col("l_discount")), 6).as("disc_exp"),
+          (col("l_orderkey") % 7).cast("bigint").as("key_mod"),
+          signum(col("l_discount") - 0.05).cast("int").as("disc_sign"),
+          greatest(col("l_quantity"), lit(25.0)).as("qty_hi"),
+          least(col("l_quantity"), lit(25.0)).as("qty_lo"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Conditionals: CASE / coalesce / nullif / TRY_CAST (error→NULL, the
+    // TRY semantics — reference: scalar/TryFunction.java, TryCastFunction.java).
+    Qdef(
+      "f06_conditional",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS size_class,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  TRY_CAST(o_orderpriority AS INT) AS prio_num,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit
+        |FROM orders
+        |WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("size_class"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_or_open"),
+          col("o_orderpriority").try_cast("int").as("prio_num"),
+          substring(col("o_orderpriority"), 1, 1).try_cast("int").as("prio_digit"))
+        .orderBy("o_orderkey")
+    },
+
+    // JSON extraction from the events props column (reference:
+    // JsonFunctions.java — json_extract_scalar ≍ get_json_object; DuckDB
+    // spells it json_extract_string).
+    Qdef.duckOnly(
+      "f07_json",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |  CAST(count(json_extract_string(props, '$.missing')) AS BIGINT) AS missing_cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("int")).cast("bigint").as("k_sum"),
+          count(get_json_object(col("props"), "$.missing")).as("missing_cnt"))
+        .orderBy("event_type")
+    },
+
+    // Crypto digests (reference: VarbinaryFunctions.java — md5, sha256;
+    // Spark spells sha256 as sha2(x, 256)).
+    Qdef.duckOnly(
+      "f08_digests",
+      """SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+        |FROM documents WHERE doc_id < 10
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          sha2(col("text"), 256).as("text_sha256"))
+        .orderBy("doc_id")
+    },
+
+    // Array functions on a real array column: cardinality, 1-based
+    // subscript, element sum (reference: ArrayFunctions + SURVEY §1.2 —
+    // Presto arrays are 1-based, so element_at on both sides).
+    Qdef.duckOnly(
+      "f09_array_fns",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
+        |  round(CAST(embedding[64] AS DOUBLE), 4) AS last_v,
+        |  round(CAST(list_sum(embedding) AS DOUBLE), 4) AS v_sum,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS v_max
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_v"),
+          round(element_at(col("embedding"), 64).cast("double"), 4).as("last_v"),
+          round(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 4)
+            .as("v_sum"),
+          round(array_max(col("embedding")).cast("double"), 4).as("v_max"))
+        .orderBy("vec_id")
+    },
+
+    // Higher-order functions: transform / filter / exists over arrays
+    // (reference: ArrayTransformFunction.java, ArrayFilterFunction.java —
+    // lambdas, SURVEY §2.2).
+    Qdef.duckOnly(
+      "f10_higher_order",
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+        |  round(CAST(list_sum(list_transform(embedding, x -> abs(x))) AS DOUBLE), 4)
+        |    AS l1_norm,
+        |  CAST(len(list_filter(embedding, x -> abs(x) > 0.2)) > 0 AS BOOLEAN)
+        |    AS has_large
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .select(
+          col("vec_id"),
+          size(expr("filter(embedding, x -> x > 0)")).as("n_positive"),
+          round(expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, x) -> a + x)"), 4)
+            .as("l1_norm"),
+          expr("exists(embedding, x -> abs(x) > 0.2)").as("has_large"))
+        .orderBy("vec_id")
+    },
+
+    // Casts & coercions (reference: per-type operator files, DecimalCasts
+    // .java; double→int is avoided — Presto/Spark truncate, DuckDB rounds).
+    Qdef(
+      "f11_casts",
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR(20)) AS key_str,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(o_totalprice AS DECIMAL(18, 2)) AS price_dec,
+        |  CAST('123' AS INT) AS parsed_int,
+        |  CAST(CAST(o_orderkey AS SMALLINT) AS INT) AS narrow_key
+        |FROM orders
+        |WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          lit("123").cast("int").as("parsed_int"),
+          col("o_orderkey").cast("smallint").cast("int").as("narrow_key"))
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,110 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-function corpus (SURVEY §2.9): VALUES, UNNEST (arrays, WITH
+  * ORDINALITY), word explode, sequence, TABLESAMPLE. Reference operators:
+  * presto-main/.../operator/ValuesOperator.java, operator/unnest/
+  * UnnestOperator.java (+ ArrayUnnester), scalar/SequenceFunction.java,
+  * planner/plan/SampleNode.java:41-44.
+  */
+object Unnest {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // Inline literal rows (VALUES) — LocalRelation, no scan at all.
+    Qdef(
+      "u01_values",
+      """SELECT id, name, id * 2 AS doubled
+        |FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("id", "name")
+        .withColumn("doubled", col("id") * 2)
+        .orderBy("id")
+    },
+
+    // UNNEST WITH ORDINALITY over a real array column (1-based index on
+    // both engines; Spark's posexplode is 0-based → +1).
+    Qdef.duckOnly(
+      "u02_unnest_ordinality",
+      """SELECT vec_id, i, round(v, 4) AS val
+        |FROM (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 3) u
+        |ORDER BY vec_id, i""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(
+          col("vec_id"), (col("pos") + 1).as("i"),
+          round(col("v").cast("double"), 4).as("val"))
+        .orderBy("vec_id", "i")
+    },
+
+    // Split-and-explode: word frequencies over documents (the UNNEST-of-
+    // split idiom every text pipeline uses).
+    Qdef.duckOnly(
+      "u03_word_explode",
+      """SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) words
+        |WHERE w <> ''
+        |GROUP BY w
+        |ORDER BY cnt DESC, w
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(20)
+    },
+
+    // sequence() → rows (Presto: UNNEST(sequence(a,b)); Spark:
+    // explode(sequence()); DuckDB: generate_series).
+    Qdef.duckOnly(
+      "u04_sequence",
+      """SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS x""") { (s, dir) =>
+      s.range(1, 11).select(col("id").as("x"))
+    },
+
+    // TABLESAMPLE BERNOULLI — inherently nondeterministic, so the check is
+    // a property: the sampled fraction lands within generous bounds and
+    // never exceeds the population (reference rewrite: presto-main/.../
+    // iterative/rule/ImplementBernoulliSampleAsFilter.java).
+    Qdef(
+      "u05_tablesample_bounds",
+      "SELECT true AS frac_ok, true AS subset_ok") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val total = li.count()
+      val sampled = li.sample(withReplacement = false, fraction = 0.1, seed = 42).count()
+      val frac = sampled.toDouble / total
+      import s.implicits._
+      Seq((frac > 0.05 && frac < 0.2, sampled <= total))
+        .toDF("frac_ok", "subset_ok")
+    },
+
+    // Multi-array zip: dot product via zip_with + aggregate HOFs — the
+    // arrays_zip form of UNNEST(a, b) (reference: operator/unnest/
+    // UnnestOperator.java multi-channel path).
+    Qdef.duckOnly(
+      "u06_zip_dot_product",
+      """SELECT vec_id, round(list_dot_product(embedding, embedding), 4) AS sqnorm
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .select(
+          col("vec_id"),
+          round(
+            expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"),
+            4).as("sqnorm"))
+        .orderBy("vec_id")
+    }
+  )
+}
