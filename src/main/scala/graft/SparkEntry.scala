@@ -10,7 +10,9 @@ object SparkEntry {
     suites.TpchLike.defs ++ suites.TpchMore.defs ++
       suites.Windows.defs ++ suites.Aggregates.defs ++
       suites.SetOps.defs ++ suites.Joins.defs ++
-      suites.Unnest.defs ++ suites.Scalars.defs
+      suites.Unnest.defs ++ suites.Scalars.defs ++
+      suites.Dedup.defs ++ suites.Similarity.defs ++
+      suites.TextAnalysis.defs
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */

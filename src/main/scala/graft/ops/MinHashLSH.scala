@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded-LSH near-duplicate detection, built scale-first:
+  * signatures are computed per-row inside whole-stage codegen (no
+  * explode of shingle×hash rows), candidate generation shuffles on the
+  * band key only, and exact-Jaccard verification touches candidate pairs
+  * only — never all pairs. At 100 TB this is the standard
+  * shingle→minhash→band→bucket-join pipeline; nothing here is O(n²).
+  *
+  * The sensql reference has no near-dup operator (its closest relative is
+  * set-similarity via cosine_similarity over sparse maps, reference:
+  * presto-main/.../operator/scalar/MathFunctions.java cosineSimilarity);
+  * this is one of the north-star LLM-pipeline extensions (SURVEY §7
+  * Phase 5).
+  */
+object MinHashLSH {
+
+  /** Distinct word n-gram shingles of a text column. Out-of-range
+    * positions pad with '' so 1-2-word documents still shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    require(n == 3, "word-trigram shingles only (matches the oracle)")
+    val w = split(text, " ")
+    array_distinct(expr(
+      s"""transform(sequence(1, greatest(size(split(${text.toString}, ' ')) - 2, 1)),
+         |  i -> concat(try_element_at(split(${text.toString}, ' '), i), '_',
+         |              coalesce(try_element_at(split(${text.toString}, ' '), i + 1), ''), '_',
+         |              coalesce(try_element_at(split(${text.toString}, ' '), i + 2), '')))
+         |""".stripMargin))
+  }
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
+    * One array column per row — computed in codegen, no shuffle. */
+  def signature(shingleCol: Column, numHashes: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+         |  i -> array_min(transform(__sh, s -> xxhash64(s, i))))
+         |""".stripMargin.replace("__sh", shingleCol.toString))
+
+  /** Candidate near-dup pairs of (idCol, textCol) rows: docs sharing at
+    * least one LSH band. rows=2 with numHashes=128 → 64 bands; the miss
+    * probability for a true Jaccard-0.8 pair is (1-0.8²)^64 ≈ 1e-28 —
+    * deterministic in practice, and fixed seeds make reruns identical. */
+  def candidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__sh", shingles(col("__text")))
+      .withColumn("__sig", signature(col("__sh"), numHashes))
+    val bands = withSig.select(
+      col("__id"),
+      explode(expr(
+        s"""transform(sequence(0, ${numBands - 1}),
+           |  j -> named_struct(
+           |    'band_idx', j,
+           |    'band_val', xxhash64(${(0 until rowsPerBand).map(r =>
+                  s"try_element_at(__sig, $rowsPerBand * j + ${r + 1})").mkString(", ")}, j)))
+           |""".stripMargin)).as("b"))
+      .select(col("__id"), col("b.band_idx"), col("b.band_val"))
+    val a = bands.select(col("__id").as("id1"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("__id").as("id2"), col("band_idx").as("bi2"),
+      col("band_val").as("bv2"))
+    a.join(b,
+        col("band_idx") === col("bi2") && col("band_val") === col("bv2") &&
+        col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Verified near-duplicates: LSH candidates whose EXACT shingle Jaccard
+    * meets the threshold. The exact check runs only on candidates. */
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, numHashes: Int = 128): DataFrame = {
+    val cands = candidatePairs(df, idCol, textCol, numHashes)
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
+    val left = sh.select(col("__id").as("id1"), col("__sh").as("sh1"))
+    val right = sh.select(col("__id").as("id2"), col("__sh").as("sh2"))
+    cands.join(left, "id1").join(right, "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

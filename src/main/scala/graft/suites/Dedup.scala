@@ -1,0 +1,118 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import graft.ops.{MinHashLSH, SimHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication corpus over `documents` (north-star LLM-pipeline ops,
+  * SURVEY §7 Phase 5): exact dedup, MinHash+LSH near-dup, SimHash
+  * fingerprints, n-gram Jaccard. Everything is shuffle-on-key — no
+  * all-pairs joins, no driver-side collects.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // Exact dedup: hash-groupBy on a normalization key, keep min doc_id.
+    // kept_id_sum is a deterministic checksum of WHICH rows survived.
+    Qdef(
+      "d01_exact_dedup",
+      """SELECT count(*) AS n_groups,
+        |  CAST(sum(keep_id) AS BIGINT) AS kept_id_sum,
+        |  CAST(sum(dupes) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT min(doc_id) AS keep_id, count(*) AS dupes
+        |  FROM documents
+        |  GROUP BY md5(lower(substr(text, 1, 30)))
+        |) g""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(lower(substring(col("text"), 1, 30))).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dupes"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum("keep_id").cast("bigint").as("kept_id_sum"),
+          sum("dupes").cast("bigint").as("n_docs"))
+    },
+
+    // MinHash + banded LSH near-duplicates, verified by exact shingle
+    // Jaccard ≥ 0.5. The oracle brute-forces all pairs (fine at sf0.01);
+    // the engine only ever examines LSH candidates.
+    Qdef.duckOnly(
+      "d02_minhash_near_dup",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |    i -> w[i] || '_' || coalesce(w[i+1], '') || '_' || coalesce(w[i+2], ''))) AS t
+        |  FROM sp)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.t, b.t))) >= 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      MinHashLSH.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    // SimHash fingerprints with a dialect-neutral md5-derived hash family
+    // — bit-for-bit verifiable by the oracle.
+    Qdef.duckOnly(
+      "d03_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |  WHERE doc_id < 50),
+        |sums AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+        (1 to SimHash.Bits).map(j =>
+          s"    sum(CASE WHEN strpos('89abcdef', substr(md5(tok), $j, 1)) > 0" +
+            s" THEN 1 ELSE -1 END) AS b$j").mkString(",\n") +
+        """
+        |  FROM toks WHERE tok <> '' GROUP BY doc_id)
+        |SELECT doc_id, """.stripMargin +
+        (1 to SimHash.Bits).map(j =>
+          s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString(" || ") +
+        """ AS simhash
+        |FROM sums ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      SimHash.signatures(
+          t(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Character n-gram Jaccard on a bounded pair set (same source bucket)
+    // — the exact-similarity primitive near-dup pipelines verify with.
+    Qdef.duckOnly(
+      "d04_ngram_jaccard",
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |      i -> substr(text, i, 3))) AS grams
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+        |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("source"),
+          array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("grams"))
+      val a = g.select(col("doc_id").as("id1"), col("source").as("src1"),
+        col("grams").as("g1"))
+      val b = g.select(col("doc_id").as("id2"), col("source").as("src2"),
+        col("grams").as("g2"))
+      a.join(b, col("src1") === col("src2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("g1"), col("g2"))).cast("double") /
+            size(array_union(col("g1"), col("g2"))), 6).as("jac"))
+        .orderBy("id1", "id2")
+    }
+  )
+}
