@@ -12,7 +12,7 @@ object SparkEntry {
       suites.SetOps.defs ++ suites.Joins.defs ++
       suites.Unnest.defs ++ suites.Scalars.defs ++
       suites.Dedup.defs ++ suites.Similarity.defs ++
-      suites.TextAnalysis.defs
+      suites.TextAnalysis.defs ++ suites.Streaming.defs
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */

@@ -1,0 +1,113 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import graft.ops.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus over `events` (SURVEY §2.10): a REAL Structured
+  * Streaming path (readStream → watermark → window/dedup → memory sink,
+  * Trigger.AvailableNow) for tumbling windows and stateful dedup, plus
+  * batch session/sliding windows. Each result is verified against an
+  * independent batch computation in DuckDB over the same parquet.
+  */
+object Streaming {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // Tumbling 1-day windows with a 1-hour watermark, executed by the
+    // streaming engine (StateStore-backed aggregation); oracle re-derives
+    // the windows with time_bucket. Both are epoch-aligned.
+    Qdef.duckOnly(
+      "st01_tumbling_window",
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       event_type, count(*) AS cnt
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin) { (s, dir) =>
+      val stream = StreamingOps.streamEvents(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamingOps.runToCompletion(stream, s)
+        .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    },
+
+    // Stateful streaming dedup on event_id within the watermark, then a
+    // per-type count — equals batch COUNT(DISTINCT event_id) semantics.
+    Qdef(
+      "st02_stream_dedup",
+      """SELECT event_type, count(DISTINCT event_id) AS n_unique
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+      ) { (s, dir) =>
+      val stream = StreamingOps.streamEvents(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+      StreamingOps.runToCompletion(stream, s)
+        .orderBy("event_type")
+    },
+
+    // Session windows (30-minute gap) per user — Spark's session_window
+    // operator vs a gaps-and-islands reconstruction in the oracle.
+    Qdef.duckOnly(
+      "st03_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+        |              >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").filter(col("user_id") < 20)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("n_events").cast("bigint").as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Sliding windows (1 day, 12-hour slide): every event lands in exactly
+    // two windows; the oracle unions the two alignments explicitly.
+    Qdef.duckOnly(
+      "st04_sliding_window",
+      """WITH expanded AS (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)),
+        |      time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP))
+        |        - INTERVAL '12 hours']) AS w_start,
+        |    event_type
+        |  FROM events)
+        |SELECT w_start, event_type, count(*) AS cnt
+        |FROM expanded
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }
+  )
+}
