@@ -28,6 +28,12 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
       // Tables.load (Spark has no nanos timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The fixtures are single smallish files; the 128 MB default makes
+      // every scan ONE task and the whole query single-threaded. 4 MB
+      // splits spread scans across cores — the same knob that sizes scan
+      // tasks against executor memory at the 100 TB design point.
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${512 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

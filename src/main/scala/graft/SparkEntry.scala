@@ -20,7 +20,11 @@ object SparkEntry {
     val headline = Set(
       "q01_pricing_summary", "q03_shipping_priority",
       "q05_local_supplier_volume", "q06_forecast_revenue",
-      "q10_returned_items")
+      "q10_returned_items",
+      // round-3 additions: joins/aggs/windows + LLM-pipeline ops
+      "q09_product_profit", "q13_customer_distribution", "q18_large_orders",
+      "q21_waiting_supplier", "w08_topn_per_group", "a01_distinct_aggs",
+      "d02_minhash_near_dup", "v01_cosine_topk")
     allDefs.filter(q => headline(q.name))
   }
 

@@ -4,17 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded-LSH near-duplicate detection, built scale-first:
-  * signatures are computed per-row inside whole-stage codegen (no
-  * explode of shingle×hash rows), candidate generation shuffles on the
-  * band key only, and exact-Jaccard verification touches candidate pairs
-  * only — never all pairs. At 100 TB this is the standard
-  * shingle→minhash→band→bucket-join pipeline; nothing here is O(n²).
+  * signatures are computed once per row and PERSISTED before fan-out
+  * (without the boundary, Catalyst's CollapseProject inlines the
+  * signature expression into every band — a 64× recompute), candidate
+  * generation shuffles on the band key only, and exact-Jaccard
+  * verification touches candidate pairs only — never all pairs. At
+  * 100 TB this is the standard shingle→minhash→band→bucket-join
+  * pipeline (persist becomes a checkpoint to reliable storage);
+  * nothing here is O(n²).
   *
   * The sensql reference has no near-dup operator (its closest relative is
-  * set-similarity via cosine_similarity over sparse maps, reference:
-  * presto-main/.../operator/scalar/MathFunctions.java cosineSimilarity);
-  * this is one of the north-star LLM-pipeline extensions (SURVEY §7
-  * Phase 5).
+  * cosine_similarity over sparse maps, reference: presto-main/.../
+  * operator/scalar/MathFunctions.java cosineSimilarity); this is one of
+  * the north-star LLM-pipeline extensions (SURVEY §7 Phase 5).
   */
 object MinHashLSH {
 
@@ -22,7 +24,6 @@ object MinHashLSH {
     * positions pad with '' so 1-2-word documents still shingle. */
   def shingles(text: Column, n: Int = 3): Column = {
     require(n == 3, "word-trigram shingles only (matches the oracle)")
-    val w = split(text, " ")
     array_distinct(expr(
       s"""transform(sequence(1, greatest(size(split(${text.toString}, ' ')) - 2, 1)),
          |  i -> concat(try_element_at(split(${text.toString}, ' '), i), '_',
@@ -39,19 +40,34 @@ object MinHashLSH {
          |  i -> array_min(transform(__sh, s -> xxhash64(s, i))))
          |""".stripMargin.replace("__sh", shingleCol.toString))
 
-  /** Candidate near-dup pairs of (idCol, textCol) rows: docs sharing at
+  /** (__id, __sh, __sig) with signatures materialized exactly once:
+    * round-robin repartition spreads the CPU-heavy signature computation
+    * across cores (single-file inputs otherwise scan as one task), and
+    * persist() is the lineage barrier that stops downstream projections
+    * from re-inlining the expensive expressions. */
+  def prepare(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // Shingles BEFORE the repartition: the shuffle materializes the array,
+    // so the signature lambda reads it instead of re-deriving split()+
+    // distinct per hash index (CollapseProject would otherwise inline it).
+    df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
+      .repartition(parallelism)
+      .withColumn("__sig", signature(col("__sh"), numHashes))
+      .select("__id", "__sh", "__sig")
+      .persist()
+  }
+
+  /** Candidate near-dup pairs from a prepare()d frame: docs sharing at
     * least one LSH band. rows=2 with numHashes=128 → 64 bands; the miss
     * probability for a true Jaccard-0.8 pair is (1-0.8²)^64 ≈ 1e-28 —
     * deterministic in practice, and fixed seeds make reruns identical. */
   def candidatePairs(
-      df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128, rowsPerBand: Int = 2): DataFrame = {
+      prepared: DataFrame, numHashes: Int = 128,
+      rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val withSig = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sh", shingles(col("__text")))
-      .withColumn("__sig", signature(col("__sh"), numHashes))
-    val bands = withSig.select(
+    val bands = prepared.select(
       col("__id"),
       explode(expr(
         s"""transform(sequence(0, ${numBands - 1}),
@@ -72,14 +88,15 @@ object MinHashLSH {
   }
 
   /** Verified near-duplicates: LSH candidates whose EXACT shingle Jaccard
-    * meets the threshold. The exact check runs only on candidates. */
+    * meets the threshold. The exact check runs only on candidates and
+    * reuses the persisted shingle sets. */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 128): DataFrame = {
-    val cands = candidatePairs(df, idCol, textCol, numHashes)
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
-    val left = sh.select(col("__id").as("id1"), col("__sh").as("sh1"))
-    val right = sh.select(col("__id").as("id2"), col("__sh").as("sh2"))
+    val prepared = prepare(df, idCol, textCol, numHashes)
+    val cands = candidatePairs(prepared, numHashes)
+    val left = prepared.select(col("__id").as("id1"), col("__sh").as("sh1"))
+    val right = prepared.select(col("__id").as("id2"), col("__sh").as("sh2"))
     cands.join(left, "id1").join(right, "id2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions (the optimizer-test layer of SURVEY §5,
+  * mirroring the reference's plan matchers in presto-main/.../sql/planner/
+  * assertions/): pushdown, column pruning, TopN fusion, window group
+  * limits, and no accidental cartesian products in the LSH pipeline.
+  */
+class PlanSpec extends QueryAssertions {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q06: filters push into the parquet scan") {
+    val plan = planOf(run("q06_forecast_revenue"))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_shipdate"), "shipdate filter should be pushed")
+  }
+
+  test("q06: scan schema is pruned to referenced columns") {
+    val plan = planOf(run("q06_forecast_revenue"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_tax"), s"l_tax must be pruned: $readSchema")
+    assert(!readSchema.contains("l_returnflag"), s"l_returnflag must be pruned: $readSchema")
+  }
+
+  test("q03: ORDER BY + LIMIT fuses into TakeOrderedAndProject") {
+    val plan = planOf(run("q03_shipping_priority"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("w08: rank filter fuses into WindowGroupLimit") {
+    val plan = planOf(run("w08_topn_per_group"))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("d02: LSH near-dup plan has no cartesian product") {
+    val plan = planOf(run("d02_minhash_near_dup"))
+    assert(!plan.contains("CartesianProduct"), "all-pairs join would sink at scale")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidates must come from the band-key equi join")
+  }
+
+  test("q01: aggregation is partial before the exchange") {
+    val plan = planOf(run("q01_pricing_summary"))
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0, plan.take(2000))
+    assert(plan.contains("partial_sum") || plan.contains("merge_sum"),
+      "map-side partial aggregation expected")
+  }
+}
