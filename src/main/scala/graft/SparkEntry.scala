@@ -13,7 +13,8 @@ object SparkEntry {
       suites.Unnest.defs ++ suites.Scalars.defs ++
       suites.Dedup.defs ++ suites.Similarity.defs ++
       suites.TextAnalysis.defs ++ suites.Streaming.defs ++
-      suites.Ordering.defs ++ suites.Storage.defs ++ suites.Udfs.defs
+      suites.Ordering.defs ++ suites.Storage.defs ++ suites.Udfs.defs ++
+      suites.Extras.defs
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */

@@ -1,0 +1,148 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 items: TRY semantics (error→NULL), bitwise scalar
+  * operators, URL extraction, exact-when-small approx_most_frequent,
+  * min/max(x, n), and reduce_agg-style folding.
+  */
+object Extras {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // TRY semantics: division by zero and bad casts become NULL instead of
+    // failing the query (reference: presto-main/.../operator/scalar/
+    // TryFunction.java + TryCastFunction.java; Spark: try_* under ANSI).
+    Qdef(
+      "e01_try_semantics",
+      """SELECT
+        |  count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |             ELSE o_totalprice / (o_orderkey % 3) END) AS n_div_ok,
+        |  count(TRY_CAST(o_orderpriority AS DOUBLE)) AS n_cast_ok,
+        |  round(sum(coalesce(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |             ELSE o_totalprice / (o_orderkey % 3) END, 0)), 2) AS div_sum
+        |FROM orders
+        |WHERE o_orderkey < 3000""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .agg(
+          count(lit(1)).as("n"),
+          count(try_divide(col("o_totalprice"), col("o_orderkey") % 3)).as("n_div_ok"),
+          count(col("o_orderpriority").try_cast("double")).as("n_cast_ok"),
+          round(sum(coalesce(
+            try_divide(col("o_totalprice"), col("o_orderkey") % 3), lit(0))), 2)
+            .as("div_sum"))
+    },
+
+    // Bitwise scalar operators (reference: presto-main/.../operator/
+    // scalar/BitwiseFunctions.java — 20 fns; Spark: &,|,^,shifts).
+    Qdef(
+      "e02_bitwise_scalars",
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+        |  CAST(o_orderkey | 4096 AS BIGINT) AS k_or,
+        |  CAST((o_orderkey | 5) - (o_orderkey & 5) AS BIGINT) AS k_xor,
+        |  CAST(o_orderkey * 4 AS BIGINT) AS k_shl2,
+        |  CAST(floor(o_orderkey / 8) AS BIGINT) AS k_shr3
+        |FROM orders
+        |WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .selectExpr(
+          "o_orderkey",
+          "CAST(o_orderkey & 255 AS BIGINT) AS k_and",
+          "CAST(o_orderkey | 4096 AS BIGINT) AS k_or",
+          "CAST(o_orderkey ^ 5 AS BIGINT) AS k_xor",
+          "CAST(shiftleft(o_orderkey, 2) AS BIGINT) AS k_shl2",
+          "CAST(shiftright(o_orderkey, 3) AS BIGINT) AS k_shr3")
+        .orderBy("o_orderkey")
+    },
+
+    // URL extraction (reference: presto-main/.../operator/scalar/
+    // UrlFunctions.java; Spark parse_url vs a regex oracle).
+    Qdef.duckOnly(
+      "e03_url_functions",
+      """SELECT url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '://([^/:?#]+)', 1) AS host,
+        |  regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, 'q=([^&#]+)', 1) AS q_param
+        |FROM (
+        |  SELECT 'https://example.com/search?q=spark&lang=en' AS url
+        |  UNION ALL SELECT 'http://data.org/docs/index.html?q=dedup'
+        |  UNION ALL SELECT 'https://host.io/a/b/c') urls
+        |ORDER BY url""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq("https://example.com/search?q=spark&lang=en",
+        "http://data.org/docs/index.html?q=dedup",
+        "https://host.io/a/b/c").toDF("url")
+        .selectExpr(
+          "url",
+          "lower(parse_url(url, 'PROTOCOL')) AS proto",
+          "parse_url(url, 'HOST') AS host",
+          "parse_url(url, 'PATH') AS path",
+          "coalesce(parse_url(url, 'QUERY', 'q'), '') AS q_param")
+        .orderBy("url")
+    },
+
+    // approx_most_frequent via space-saving (reference: presto-main/.../
+    // operator/aggregation/approxmostfrequent/): with capacity ≥ #distinct
+    // the sketch is EXACT, so the oracle can check it with plain SQL.
+    Qdef(
+      "e04_approx_most_frequent",
+      """SELECT o_orderpriority AS k, count(*) AS cnt
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY cnt DESC, k
+        |LIMIT 3""".stripMargin) { (s, dir) =>
+      graft.functions.ApproxMostFrequent.topK(
+        t(s, dir, "orders"), col("o_orderpriority"), k = 3, capacity = 8)
+    },
+
+    // min(x, n) / max(x, n) — the n-smallest/largest values as sorted
+    // arrays (reference: MinNAggregationFunction.java + TypedHeap.java),
+    // surfaced as joined strings for comparison.
+    Qdef.duckOnly(
+      "e05_min_max_n",
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(o_totalprice))[1:3], ',') AS min3,
+        |  array_to_string(list_reverse_sort(list(o_totalprice))[1:3], ',') AS max3
+        |FROM (SELECT o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        |      FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), round(col("o_totalprice"), 2).as("p"))
+        .groupBy("o_orderstatus")
+        .agg(
+          concat_ws(",", slice(array_sort(collect_list(col("p"))), 1, 3)).as("min3"),
+          concat_ws(",", slice(reverse(array_sort(collect_list(col("p")))), 1, 3))
+            .as("max3"))
+        .orderBy("o_orderstatus")
+    },
+
+    // reduce_agg analog: fold a collected group through a lambda
+    // (reference: ReduceAggregationFunction.java) — log-domain product,
+    // verifiable via the exp∘sum∘ln identity.
+    Qdef(
+      "e06_reduce_agg",
+      """SELECT l_returnflag,
+        |  round(exp(sum(ln(1 + l_discount))), 6) AS discount_product
+        |FROM lineitem
+        |WHERE l_orderkey < 500
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .groupBy("l_returnflag")
+        .agg(round(expr(
+          "exp(aggregate(collect_list(ln(1 + l_discount)), CAST(0 AS DOUBLE), (a, x) -> a + x))"),
+          6).as("discount_product"))
+        .orderBy("l_returnflag")
+    }
+  )
+}
