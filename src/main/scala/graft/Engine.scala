@@ -81,4 +81,35 @@ object Engine {
       if (from == to) q
       else q.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
     }
+
+  /** Presto/MySQL date_format tokens → java.time patterns (reference:
+    * presto-main/.../operator/scalar/DateTimeFunctions.java — Presto's
+    * date_format/date_parse speak the MySQL '%'-token dialect, Spark's
+    * date_format speaks java.time). Literal letters are quoted so they
+    * can't be misread as pattern letters.
+    */
+  private val mysqlTokens: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'c' -> "M", 'm' -> "MM", 'b' -> "MMM",
+    'M' -> "MMMM", 'd' -> "dd", 'e' -> "d", 'j' -> "DDD",
+    'a' -> "EEE", 'W' -> "EEEE",
+    'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'l' -> "h", 'p' -> "a",
+    'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS",
+    'T' -> "HH:mm:ss")
+
+  def prestoDateFormat(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '%' && i + 1 < pattern.length) {
+        val t = pattern.charAt(i + 1)
+        sb.append(mysqlTokens.getOrElse(t, if (t == '%') "%" else s"'$t'"))
+        i += 2
+      } else {
+        if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
 }

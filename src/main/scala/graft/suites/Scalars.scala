@@ -265,6 +265,25 @@ object Scalars {
         .orderBy("vec_id")
     },
 
+    // date_format through the MySQL-token dialect shim: the Presto pattern
+    // '%Y-%m-%d %H:%i:%s' runs as a java.time pattern on Spark and as
+    // strftime on DuckDB — three dialects, one result.
+    Qdef.duckOnly(
+      "f12_date_format_dialect",
+      """SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |  AS formatted, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders
+        |WHERE o_orderkey < 500
+        |GROUP BY 1
+        |ORDER BY formatted""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(date_format(col("o_orderdate"),
+          graft.Engine.prestoDateFormat("%Y-%m-%d %H:%i:%s")).as("formatted"))
+        .groupBy("formatted")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("formatted")
+    },
+
     // Casts & coercions (reference: per-type operator files, DecimalCasts
     // .java; double→int is avoided — Presto/Spark truncate, DuckDB rounds).
     Qdef(

@@ -25,4 +25,13 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.translate("SELECT json_extract_scalar (j, '$.a')")
       == "SELECT get_json_object(j, '$.a')")
   }
+
+  test("MySQL date tokens map to java.time patterns") {
+    assert(Engine.prestoDateFormat("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(Engine.prestoDateFormat("%H:%i:%s") == "HH:mm:ss")
+    assert(Engine.prestoDateFormat("%d %b %Y") == "dd MMM yyyy")
+    assert(Engine.prestoDateFormat("%Y%%") == "yyyy%")
+    // literal letters get quoted so java.time can't eat them
+    assert(Engine.prestoDateFormat("at %H") == "'a''t' HH")
+  }
 }
