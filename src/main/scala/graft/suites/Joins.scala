@@ -108,6 +108,40 @@ object Joins {
         .agg(count(lit(1)).as("n"))
     },
 
+    // LATERAL correlated derived table (reference: planner/plan/
+    // LateralJoinNode.java, grammar SqlBase.g4:327) — decorrelated to a
+    // pre-aggregated join on the DataFrame side, real LATERAL in the SQL.
+    Qdef(
+      "j07_lateral",
+      """SELECT n_name, top_bal
+        |FROM nation,
+        |LATERAL (SELECT max(s_acctbal) AS top_bal FROM supplier
+        |         WHERE s_nationkey = n_nationkey) t
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val topPerNation = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(max("s_acctbal").as("top_bal"))
+      broadcast(t(s, dir, "nation"))
+        .join(topPerNation, col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_name"), col("top_bal"))
+        .orderBy("n_name")
+    },
+
+    // Skewed-key aggregation via deterministic salting (ops.Salting):
+    // two-phase sum spreads each hot key over 16 reducers; result equals
+    // the plain GROUP BY the oracle runs.
+    Qdef(
+      "j08_salted_aggregation",
+      """SELECT event_type, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.ops.Salting.saltedSum(
+          t(s, dir, "events"), col("event_type"), col("value"), col("event_id"))
+        .select(col("__k").as("event_type"), round(col("total"), 2).as("total"))
+        .orderBy("event_type")
+    },
+
     // Semi join projected as a boolean column instead of a filter
     // (reference: HashSemiJoinOperator.java emits the match flag).
     Qdef(

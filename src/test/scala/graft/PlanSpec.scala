@@ -47,6 +47,24 @@ class PlanSpec extends QueryAssertions {
       "near-dup candidates must come from the band-key equi join")
   }
 
+  test("dynamic partition pruning fires on partitioned joins") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    SparkEntry.queries("q01_pricing_summary") // warm session
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim filter on a NON-join column: partition values aren't statically
+    // inferable, so pruning must come from a runtime (DPP) subquery.
+    val dim = orders
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 100000)
+      .select(col("o_orderstatus").as("st")).distinct()
+    val joined = fact.join(dim, col("o_orderstatus") === col("st"))
+      .agg(count(lit(1)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+  }
+
   test("q01: aggregation is partial before the exchange") {
     val plan = planOf(run("q01_pricing_summary"))
     val firstAgg = plan.indexOf("HashAggregate")
