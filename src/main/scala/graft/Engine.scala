@@ -34,6 +34,9 @@ object Engine {
       // tasks against executor memory at the 100 TB design point.
       .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${512 * 1024}")
+      // keep managed-table data out of the repo working tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -92,6 +92,37 @@ object Storage {
         .orderBy("o_orderstatus")
     },
 
+    // Bucketed co-located join (reference: the PARTITIONED distribution of
+    // sql/planner/SystemPartitioningHandle.java made durable): both sides
+    // bucketed 8 ways on the join key, so the join runs WITHOUT a shuffle
+    // — the plan shape `PlanSpec` asserts. At 100 TB, bucketing the fact
+    // table once amortizes the exchange across every downstream join.
+    Qdef(
+      "w07_bucketed_join",
+      """SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 5000
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+      val cust = t(s, dir, "customer")
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      s.sql("DROP TABLE IF EXISTS graft_b_customer")
+      ord.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/b_orders").mode(SaveMode.Overwrite)
+        .saveAsTable("graft_b_orders")
+      cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/b_customer").mode(SaveMode.Overwrite)
+        .saveAsTable("graft_b_customer")
+      s.table("graft_b_orders")
+        .join(s.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_nationkey")
+    },
+
     // INSERT INTO (append) semantics: two writes into the same table,
     // counts double.
     Qdef(

@@ -65,6 +65,22 @@ class PlanSpec extends QueryAssertions {
     assert(plan.contains("dynamicpruning"), plan.take(3000))
   }
 
+  test("bucketed join runs without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries("w07_bucketed_join")(spark, sfDir) // (re)creates tables
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+        .select("c_nationkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q01: aggregation is partial before the exchange") {
     val plan = planOf(run("q01_pricing_summary"))
     val firstAgg = plan.indexOf("HashAggregate")
