@@ -40,6 +40,7 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.DotProductFloat.register(spark)
     spark
   }
 

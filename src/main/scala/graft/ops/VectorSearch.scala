@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
 object VectorSearch {
 
   /** Cosine similarity between two equal-length float-array columns,
-    * accumulated in double, left-to-right (bit-reproducible). */
+    * accumulated in double, left-to-right (bit-reproducible). Uses the
+    * native codegen DotProductFloat expression (registered as graft_dot
+    * by Engine.session) — a primitive loop with no intermediate arrays. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: String, y: String) = expr(
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    def dot(x: String, y: String) = expr(s"graft_dot($x, $y)")
     val an = a.toString; val bn = b.toString
     dot(an, bn) / (sqrt(dot(an, an)) * sqrt(dot(bn, bn)))
   }
