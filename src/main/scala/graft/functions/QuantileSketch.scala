@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{udaf, udf}
+
+/** Behavior-compatible quantile digest (reference: presto-main/.../
+  * operator/aggregation/QuantileDigestAggregationFunction.java + scalar
+  * value_at_quantile in QuantileDigestFunctions.java; SURVEY §1.2 —
+  * behavior, not bytes). State is a fixed array of log-spaced bin counts
+  * over positive doubles — deterministic, mergeable by vector addition
+  * (the property that ships digests across exchanges), with relative
+  * value error bounded by the bin ratio (~1.5% at 1024 bins over
+  * [1e-6, 1e12]).
+  *
+  *   qdigest_agg(x)                   → binary digest (aggregate)
+  *   merge_qdigest(digest)            → binary digest (merge aggregate)
+  *   value_at_quantile(digest, q)     → double        (scalar)
+  */
+object QuantileSketch {
+
+  val Bins = 1024
+  private val LogMin = math.log(1e-6)
+  private val LogMax = math.log(1e12)
+  private val Step = (LogMax - LogMin) / Bins
+
+  private def binOf(x: Double): Int = {
+    val clamped = math.min(math.max(x, 1e-6), 1e12)
+    math.min(((math.log(clamped) - LogMin) / Step).toInt, Bins - 1)
+  }
+
+  /** Geometric midpoint of a bin — the returned quantile value. */
+  private def binValue(i: Int): Double =
+    math.exp(LogMin + (i + 0.5) * Step)
+
+  def valueAtQuantile(counts: Array[Long], q: Double): Double = {
+    val total = counts.sum
+    if (total == 0) return Double.NaN
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var acc = 0L
+    var i = 0
+    while (i < Bins) {
+      acc += counts(i)
+      if (acc >= target) return binValue(i)
+      i += 1
+    }
+    binValue(Bins - 1)
+  }
+
+  class QdigestAgg extends Aggregator[Double, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](Bins)
+    def reduce(b: Array[Long], a: Double): Array[Long] = {
+      b(binOf(a)) += 1; b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < Bins) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  class MergeQdigestAgg extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](Bins)
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      if (a != null) { var i = 0; while (i < Bins) { b(i) += a(i); i += 1 } }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < Bins) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("qdigest_agg", udaf(new QdigestAgg, Encoders.scalaDouble))
+    spark.udf.register("merge_qdigest", udaf(new MergeQdigestAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
+    spark.udf.register("value_at_quantile",
+      udf((d: Seq[Long], q: Double) =>
+        if (d == null) Double.NaN else valueAtQuantile(d.toArray, q)))
+  }
+}

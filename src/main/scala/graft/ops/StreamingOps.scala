@@ -32,17 +32,33 @@ object StreamingOps {
     else raw
   }
 
-  /** Run a streaming aggregation to completion over the available data
-    * and return the final result (memory sink, complete mode). */
-  def runToCompletion(df: DataFrame, spark: SparkSession): DataFrame = {
+  /** Run a streaming query to completion over the available data and
+    * return the final result (memory sink; complete mode for
+    * aggregations, append for joins/projections). */
+  def runToCompletion(
+      df: DataFrame, spark: SparkSession,
+      mode: String = "complete"): DataFrame = {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Run a stream through foreachBatch into parquet (the production sink
+    * pattern: per-microbatch exactly-once file commits). */
+  def runToParquet(df: DataFrame, outDir: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }

@@ -88,6 +88,49 @@ object Streaming {
         .orderBy("user_id")
     },
 
+    // Stream-stream inner join with watermarked state: purchases within
+    // 30 minutes after a click by the same user. Both sides are real
+    // streams; the time-bound condition lets the state store evict.
+    Qdef(
+      "st05_stream_stream_join",
+      """SELECT count(*) AS n_pairs
+        |FROM events c
+        |JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30' MINUTE""".stripMargin) { (s, dir) =>
+      val clicks = StreamingOps.streamEvents(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = StreamingOps.streamEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("cu = pu AND purchase_ts >= click_ts" +
+          " AND purchase_ts < click_ts + INTERVAL '30' MINUTE"))
+      StreamingOps.runToCompletion(joined, s, mode = "append")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // foreachBatch sink: stream filtered events into parquet files (the
+    // exactly-once microbatch commit pattern), verify by reading back.
+    Qdef(
+      "st06_foreachbatch_sink",
+      """SELECT event_type, count(*) AS cnt
+        |FROM events
+        |WHERE value > 50
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+      StreamingOps.runToParquet(
+        StreamingOps.streamEvents(s, dir).filter(col("value") > 50), out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+
     // Sliding windows (1 day, 12-hour slide): every event lands in exactly
     // two windows; the oracle unions the two alignments explicitly.
     Qdef.duckOnly(

@@ -14,6 +14,7 @@ object Udfs {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.registerAll(s)
     graft.functions.HyperLogLog.registerAll(s)
+    graft.functions.QuantileSketch.registerAll(s)
     Tables.load(s, dir, name)
   }
 
@@ -92,6 +93,31 @@ object Udfs {
         .select(col("l_returnflag"),
           (abs(col("est") - col("exact")) <= col("exact") * 0.05).as("card_ok"))
         .orderBy("l_returnflag")
+    },
+
+    // qdigest behavior: build per-status digests, merge WITHOUT raw data,
+    // read quantiles off the merged digest; the log-spaced bins bound
+    // relative error at ~2%, so the oracle checks against the exact
+    // percentile with a 5% band.
+    Qdef(
+      "c05_qdigest_merge",
+      """SELECT true AS p50_ok, true AS p90_ok
+        |FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val perStatus = ord.groupBy("o_orderstatus")
+        .agg(expr("qdigest_agg(o_totalprice)").as("qd"))
+      val merged = perStatus
+        .agg(expr("merge_qdigest(qd)").as("qd"))
+        .select(
+          expr("value_at_quantile(qd, 0.5)").as("est50"),
+          expr("value_at_quantile(qd, 0.9)").as("est90"))
+      val exact = ord.agg(
+        expr("percentile(o_totalprice, 0.5)").as("ex50"),
+        expr("percentile(o_totalprice, 0.9)").as("ex90"))
+      merged.join(broadcast(exact))
+        .select(
+          (abs(col("est50") - col("ex50")) <= col("ex50") * 0.05).as("p50_ok"),
+          (abs(col("est90") - col("ex90")) <= col("ex90") * 0.05).as("p90_ok"))
     }
   )
 }
