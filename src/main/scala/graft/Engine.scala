@@ -20,6 +20,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -81,6 +81,18 @@ class PlanSpec extends QueryAssertions {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("CountIfRewrite: count(CASE WHEN p THEN 1 END) becomes a filtered count") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sfDir, "orders")
+      .agg(count(when(col("o_totalprice") > 100000, 1)).as("big"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("count(1) FILTER"), optimized.take(1500))
+    // and the rewrite preserves the answer
+    val expected = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 100000).count()
+    assert(df.head().getLong(0) == expected)
+  }
+
   test("q01: aggregation is partial before the exchange") {
     val plan = planOf(run("q01_pricing_summary"))
     val firstAgg = plan.indexOf("HashAggregate")
