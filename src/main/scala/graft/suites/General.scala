@@ -163,6 +163,42 @@ object General {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Correlated EXISTS under a disjunction (forces an existence-join
+    // rather than a plain semi join).
+    Qdef(
+      "g10_exists_in_disjunction",
+      """SELECT count(*) AS n
+        |FROM customer c
+        |WHERE c_acctbal > 9999
+        |   OR EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)""".stripMargin) { (s, dir) =>
+      val bigCust = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("bk")).distinct()
+      t(s, dir, "customer")
+        .join(bigCust, col("c_custkey") === col("bk"), "left")
+        .filter(col("c_acctbal") > 9999 || col("bk").isNotNull)
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Interval arithmetic on timestamps (day and month units).
+    Qdef(
+      "g11_interval_arithmetic",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL '3' DAY AS DATE) AS due_date,
+        |  CAST(o_orderdate - INTERVAL '1' MONTH AS DATE) AS prior_month
+        |FROM orders
+        |WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL '3' DAY")).cast("date").as("due_date"),
+          (col("o_orderdate") - expr("INTERVAL '1' MONTH")).cast("date")
+            .as("prior_month"))
+        .orderBy("o_orderkey")
+    },
+
     // Ordinal GROUP BY / ORDER BY references.
     Qdef(
       "g09_ordinal_refs",
