@@ -284,6 +284,61 @@ object Scalars {
         .orderBy("formatted")
     },
 
+    // Map functions: construct, keys/values, subscript, concat
+    // (reference: Map*.java — cardinality/keys/values/element_at/concat).
+    Qdef.duckOnly(
+      "f13_map_functions",
+      """SELECT o_orderkey,
+        |  'prio,status' AS keys_sorted,
+        |  o_orderpriority || ',' || o_orderstatus AS vals_by_key,
+        |  o_orderstatus AS status_val,
+        |  3 AS n_after_concat
+        |FROM orders
+        |WHERE o_orderkey < 50
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 50)
+        .withColumn("m", map(
+          lit("status"), col("o_orderstatus"),
+          lit("prio"), col("o_orderpriority")))
+        .select(
+          col("o_orderkey"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"),
+          concat_ws(",", expr("transform(array_sort(map_keys(m)), k -> element_at(m, k))"))
+            .as("vals_by_key"),
+          element_at(col("m"), "status").as("status_val"),
+          size(map_concat(col("m"), map(lit("extra"), lit("x"))))
+            .as("n_after_concat"))
+        .orderBy("o_orderkey")
+    },
+
+    // Array set operations against a literal vocabulary (reference:
+    // ArrayIntersectFunction/ArrayUnionFunction/ArrayExceptFunction).
+    Qdef.duckOnly(
+      "f14_array_set_ops",
+      """WITH l AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents WHERE doc_id < 30)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_intersect(toks, ['the','a','data','table'])), ',')
+        |    AS common_words,
+        |  CAST(len(list_distinct(list_concat(toks, ['zzz_new']))) AS INT) AS n_union,
+        |  CAST(len(list_filter(toks, x -> NOT list_contains(['the','a','data','table'], x)))
+        |    AS INT) AS n_except,
+        |  CAST(list_contains(toks, 'data') AS BOOLEAN) AS has_data
+        |FROM l
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 30)
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+        .withColumn("vocab", array(lit("the"), lit("a"), lit("data"), lit("table")))
+        .select(
+          col("doc_id"),
+          concat_ws(",", array_sort(array_intersect(col("toks"), col("vocab"))))
+            .as("common_words"),
+          size(array_union(col("toks"), array(lit("zzz_new")))).as("n_union"),
+          size(array_except(col("toks"), col("vocab"))).as("n_except"),
+          array_contains(col("toks"), "data").as("has_data"))
+        .orderBy("doc_id")
+    },
+
     // Casts & coercions (reference: per-type operator files, DecimalCasts
     // .java; double→int is avoided — Presto/Spark truncate, DuckDB rounds).
     Qdef(
