@@ -131,6 +131,40 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    // Custom stateful operator: per-user running (count, max) via
+    // mapGroupsWithState — the KeyValueGroupedDataset custom-state API
+    // (SURVEY §intro bullet on Structured Streaming state; the reference
+    // has no stateful runtime at all). Update-mode memory sink; with
+    // AvailableNow the final update per key equals the batch aggregate.
+    Qdef(
+      "st07_map_groups_with_state",
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events
+        |WHERE user_id < 30
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+      val ds = graft.ops.StreamingOps.streamEvents(s, dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Double)]
+      val updated = ds.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+          var (n, m) = state.getOption.getOrElse((0L, Double.MinValue))
+          rows.foreach { case (_, v) => n += 1; m = math.max(m, v) }
+          state.update((n, m))
+          (user, n, m)
+        }
+        .toDF("user_id", "n_events", "max_value")
+      val name = "st07_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = updated.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id")
+    },
+
     // Sliding windows (1 day, 12-hour slide): every event lands in exactly
     // two windows; the oracle unions the two alignments explicitly.
     Qdef.duckOnly(

@@ -90,6 +90,31 @@ object Unnest {
         .toDF("frac_ok", "subset_ok")
     },
 
+    // Multi-argument UNNEST with ordinality: UNNEST(a, b) rows via
+    // arrays_zip + posexplode (reference: operator/unnest/
+    // UnnestOperator.java multi-channel path; DuckDB zips parallel
+    // unnests positionally).
+    Qdef.duckOnly(
+      "u07_multi_unnest",
+      """SELECT vec_id, i, round(v1, 4) AS v1, round(v2, 4) AS v2
+        |FROM (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v1,
+        |    CAST(unnest(list_reverse(embedding)) AS DOUBLE) AS v2
+        |  FROM embeddings WHERE vec_id < 3) u
+        |ORDER BY vec_id, i""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .withColumn("z",
+          arrays_zip(col("embedding"), reverse(col("embedding")).as("rev")))
+        .select(col("vec_id"), posexplode(col("z")).as(Seq("pos", "pair")))
+        .select(
+          col("vec_id"), (col("pos") + 1).as("i"),
+          round(col("pair.embedding").cast("double"), 4).as("v1"),
+          round(col("pair.rev").cast("double"), 4).as("v2"))
+        .orderBy("vec_id", "i")
+    },
+
     // Multi-array zip: dot product via zip_with + aggregate HOFs — the
     // arrays_zip form of UNNEST(a, b) (reference: operator/unnest/
     // UnnestOperator.java multi-channel path).
