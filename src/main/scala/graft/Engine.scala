@@ -79,13 +79,19 @@ object Engine {
 
   /** Translate Presto-dialect SQL to Spark SQL. String-level and
     * deliberately conservative: rewrites are word-bounded identifiers
-    * immediately followed by '(' so column names never match.
+    * immediately followed by '(' so column names never match, and
+    * single-quoted string literals are left untouched (split on quotes:
+    * even segments are code, odd segments are literal text — doubled ''
+    * escapes produce empty segments and keep the parity correct).
     */
   def translate(query: String): String =
-    functionAliases.foldLeft(query) { case (q, (from, to)) =>
-      if (from == to) q
-      else q.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
-    }
+    query.split("'", -1).zipWithIndex.map { case (part, i) =>
+      if (i % 2 != 0) part
+      else functionAliases.foldLeft(part) { case (q, (from, to)) =>
+        if (from == to) q
+        else q.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
+      }
+    }.mkString("'")
 
   /** Presto/MySQL date_format tokens → java.time patterns (reference:
     * presto-main/.../operator/scalar/DateTimeFunctions.java — Presto's

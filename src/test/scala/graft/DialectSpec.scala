@@ -26,6 +26,13 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT get_json_object(j, '$.a')")
   }
 
+  test("string literals are never rewritten") {
+    assert(Engine.translate("SELECT strpos(a, 'strpos(x)') FROM t")
+      == "SELECT instr(a, 'strpos(x)') FROM t")
+    assert(Engine.translate("SELECT 'it''s arbitrary(1)' FROM t")
+      == "SELECT 'it''s arbitrary(1)' FROM t")
+  }
+
   test("MySQL date tokens map to java.time patterns") {
     assert(Engine.prestoDateFormat("%Y-%m-%d") == "yyyy-MM-dd")
     assert(Engine.prestoDateFormat("%H:%i:%s") == "HH:mm:ss")
