@@ -199,6 +199,31 @@ object General {
         .orderBy("o_orderkey")
     },
 
+    // q11 shape — group share of a grand total (scalar subquery used in
+    // both projection and HAVING).
+    Qdef(
+      "g12_value_share",
+      """SELECT p_brand,
+        |  round(sum(p_retailprice), 2) AS brand_value,
+        |  round(sum(p_retailprice) / (SELECT sum(p_retailprice) FROM part), 6)
+        |    AS share
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING sum(p_retailprice) > (SELECT 0.01 * sum(p_retailprice) FROM part)
+        |ORDER BY brand_value DESC, p_brand""".stripMargin) { (s, dir) =>
+      val total = t(s, dir, "part").agg(sum("p_retailprice").as("grand"))
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(sum("p_retailprice").as("bv"))
+        .join(broadcast(total))
+        .filter(col("bv") > col("grand") * 0.01)
+        .select(
+          col("p_brand"),
+          round(col("bv"), 2).as("brand_value"),
+          round(col("bv") / col("grand"), 6).as("share"))
+        .orderBy(col("brand_value").desc, col("p_brand"))
+    },
+
     // Ordinal GROUP BY / ORDER BY references.
     Qdef(
       "g09_ordinal_refs",

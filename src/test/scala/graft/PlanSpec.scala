@@ -93,6 +93,18 @@ class PlanSpec extends QueryAssertions {
     assert(df.head().getLong(0) == expected)
   }
 
+  test("same-spec window functions collapse into one Window operator") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val df = Tables.load(spark, sfDir, "orders")
+      .select(rank().over(w).as("r"), dense_rank().over(w).as("d"),
+        row_number().over(w).as("rn"))
+    val windows = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("+- Window"))
+    assert(windows == 1, s"expected one collapsed Window operator, got $windows")
+  }
+
   test("q01: aggregation is partial before the exchange") {
     val plan = planOf(run("q01_pricing_summary"))
     val firstAgg = plan.indexOf("HashAggregate")
