@@ -1,0 +1,118 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Edge-semantics conformance entries — the places engines classically
+  * diverge: NULL join keys, NULL grouping keys, decimal aggregation,
+  * unicode strings, aggregates over empty input. (Reference tests these
+  * across presto-tests/.../AbstractTestQueries.java and
+  * AbstractTestJoinQueries.java null-key cases.)
+  */
+object Conformance {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // NULL join keys never match (SQL equality is UNKNOWN), but LEFT JOIN
+    // still preserves the row.
+    Qdef(
+      "n01_null_join_keys",
+      """SELECT
+        |  count(*) AS n_left_rows,
+        |  count(s_suppkey) AS n_matched,
+        |  count(*) FILTER (WHERE maybe_key IS NULL) AS n_null_keys
+        |FROM (
+        |  SELECT nullif(c_nationkey, 3) AS maybe_key, c_custkey
+        |  FROM customer WHERE c_custkey < 300) c
+        |LEFT JOIN supplier ON maybe_key = s_nationkey AND s_acctbal > 9000""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(nullif(col("c_nationkey"), lit(3)).as("maybe_key"), col("c_custkey"))
+      c.join(t(s, dir, "supplier"),
+          col("maybe_key") === col("s_nationkey") && col("s_acctbal") > 9000, "left")
+        .agg(
+          count(lit(1)).as("n_left_rows"),
+          count(col("s_suppkey")).as("n_matched"),
+          count_if(col("maybe_key").isNull).as("n_null_keys"))
+    },
+
+    // NULL grouping keys form ONE group (SQL GROUP BY treats NULLs as
+    // equal — unlike join equality).
+    Qdef(
+      "n02_null_group_key",
+      """SELECT coalesce(CAST(nullif(c_nationkey, 3) AS VARCHAR(10)), 'NULL') AS k,
+        |  count(*) AS cnt
+        |FROM customer
+        |WHERE c_nationkey IN (2, 3, 4)
+        |GROUP BY nullif(c_nationkey, 3)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_nationkey").isin(2, 3, 4))
+        .groupBy(nullif(col("c_nationkey"), lit(3)).as("gk"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("gk").cast("string"), lit("NULL")).as("k"), col("cnt"))
+        .orderBy("k")
+    },
+
+    // Decimal aggregation path (exact arithmetic internally; surfaced as
+    // DOUBLE so the cross-engine schema agrees).
+    Qdef(
+      "n03_decimal_sum",
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total_dec,
+        |  CAST(avg(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS avg_dec
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_dec"),
+          avg(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("avg_dec"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Unicode literals: length/substr/upper/reverse count CHARACTERS, not
+    // bytes, on both engines.
+    Qdef(
+      "n04_unicode_strings",
+      """SELECT s,
+        |  length(s) AS n_chars,
+        |  upper(s) AS up,
+        |  substr(s, 2, 3) AS mid,
+        |  reverse(s) AS rev
+        |FROM (VALUES ('héllo'), ('über'), ('naïve'), ('日本語abc')) AS t(s)
+        |ORDER BY s""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq("héllo", "über", "naïve", "日本語abc").toDF("s")
+        .select(
+          col("s"),
+          length(col("s")).as("n_chars"),
+          upper(col("s")).as("up"),
+          substring(col("s"), 2, 3).as("mid"),
+          reverse(col("s")).as("rev"))
+        .orderBy("s")
+    },
+
+    // Aggregates over EMPTY input: global aggregation yields one row
+    // (count 0, NULL sums); grouped aggregation yields zero rows.
+    Qdef(
+      "n05_empty_input_aggs",
+      """SELECT
+        |  count(*) AS n,
+        |  sum(o_totalprice) AS s,
+        |  min(o_orderdate) AS mn,
+        |  max(o_orderkey) AS mx
+        |FROM orders
+        |WHERE o_orderkey < 0""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 0)
+        .agg(
+          count(lit(1)).as("n"),
+          sum("o_totalprice").as("s"),
+          min("o_orderdate").as("mn"),
+          max("o_orderkey").as("mx"))
+    }
+  )
+}
