@@ -280,6 +280,27 @@ object Aggregates {
         .orderBy("o_orderstatus")
     },
 
+    // EXACT percentiles (continuous interpolation): Spark percentile ==
+    // DuckDB quantile_cont by definition (reference exposes the same via
+    // qdigest-backed approx_percentile; the exact form anchors it).
+    Qdef.duckOnly(
+      "a14_exact_percentiles",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4)  AS p90
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    },
+
     // count_if + null-aware counting: NULLIF manufactures NULLs, count(col)
     // skips them, avg ignores them (Presto/Spark/DuckDB agree).
     Qdef(

@@ -224,6 +224,36 @@ object General {
         .orderBy(col("brand_value").desc, col("p_brand"))
     },
 
+    // Time-series gap fill: a generated date spine LEFT JOINed to daily
+    // counts, missing days surfaced as zero (sequence→rows + outer join —
+    // the idiom behind every "fill the gaps" dashboard query).
+    Qdef.duckOnly(
+      "g13_gap_fill",
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+        |    DATE '1996-01-31', INTERVAL '1 day')) AS DATE) AS d),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT spine.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin) { (s, dir) =>
+      val spine = s.sql(
+        "SELECT explode(sequence(DATE '1996-01-01', DATE '1996-01-31', INTERVAL '1' DAY)) AS d")
+      val daily = t(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-02-01 00:00:00").cast("timestamp"))
+        .groupBy(col("o_orderdate").cast("date").as("od"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, col("d") === col("od"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).cast("bigint").as("n_orders"))
+        .orderBy("d")
+    },
+
     // Ordinal GROUP BY / ORDER BY references.
     Qdef(
       "g09_ordinal_refs",
