@@ -85,6 +85,49 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // End-to-end training-data pipeline: quality filter → exact dedup →
+    // LSH near-dup removal (drop the higher doc_id of each verified pair)
+    // → per-language corpus stats. The oracle replays the same pipeline
+    // with brute-force pair search; every stage is shuffle-on-key on the
+    // engine side.
+    Qdef.duckOnly(
+      "d05_training_pipeline",
+      """WITH quality AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_words
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 100),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |      i -> string_split(text, ' ')[i] || '_' ||
+        |           coalesce(string_split(text, ' ')[i+1], '') || '_' ||
+        |           coalesce(string_split(text, ' ')[i+2], ''))) AS t
+        |  FROM quality),
+        |dupes AS (
+        |  SELECT DISTINCT b.doc_id AS drop_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.t, b.t))) >= 0.5)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM quality
+        |WHERE doc_id NOT IN (SELECT drop_id FROM dupes)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val quality = t(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .filter(col("n_words").between(20, 100))
+      val dupes = MinHashLSH.nearDuplicates(quality, "doc_id", "text", 0.5)
+        .select(col("id2").as("drop_id")).distinct()
+      quality
+        .join(dupes, col("doc_id") === col("drop_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("total_chars"))
+        .orderBy("lang")
+    },
+
     // Character n-gram Jaccard on a bounded pair set (same source bucket)
     // — the exact-similarity primitive near-dup pipelines verify with.
     Qdef.duckOnly(
