@@ -27,7 +27,7 @@ object SparkEntry {
       // round-3 additions: joins/aggs/windows + LLM-pipeline ops
       "q09_product_profit", "q13_customer_distribution", "q18_large_orders",
       "q21_waiting_supplier", "w08_topn_per_group", "a01_distinct_aggs",
-      "d02_minhash_near_dup", "v01_cosine_topk")
+      "d02_minhash_near_dup", "d05_training_pipeline", "v01_cosine_topk")
     allDefs.filter(q => headline(q.name))
   }
 
