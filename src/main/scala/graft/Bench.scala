@@ -26,7 +26,10 @@ object Bench {
       try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch {
         case e: Throwable =>
-          errors ::= (q.name, Option(e.getMessage).getOrElse(e.getClass.getName))
+          // one error entry per query — repeated failures would otherwise
+          // emit duplicate JSON keys
+          if (!errors.exists(_._1 == q.name))
+            errors ::= (q.name, Option(e.getMessage).getOrElse(e.getClass.getName))
           None
       }
     }

@@ -1,0 +1,268 @@
+package graft
+
+import scala.collection.mutable
+
+/** Presto-SQL → Spark-SQL translation. The reference's query surface is
+  * the full ANTLR grammar (reference: presto-parser/src/main/antlr4/com/
+  * facebook/presto/sql/parser/SqlBase.g4); Spark's parser covers almost
+  * all of it, so translation is a thin, literal-aware token rewrite over
+  * the places the dialects genuinely disagree:
+  *
+  *   - function names whose Spark spelling differs 1:1 (strpos→instr …);
+  *     `log`/`date_format`/`date_parse` route to graft-registered
+  *     functions because the argument order or token dialect differs
+  *     (reference: operator/scalar/MathFunctions.java:187 — Presto log is
+  *     (number, base); Spark's is (base, number)).
+  *   - `ARRAY[a, b]` literals → `array(a, b)` (SqlBase.g4 primaryExpression
+  *     ARRAY rule; Spark only parses the call form).
+  *   - `expr[i]` subscripts → `element_at(expr, i)`: Presto subscripts are
+  *     1-based for arrays and key-based for maps (reference: operator/
+  *     scalar/ArraySubscriptOperator.java), which is exactly
+  *     `element_at`'s contract; Spark's native `[]` is 0-based.
+  *   - double-quoted identifiers → backticks (SqlBase.g4 quotedIdentifier;
+  *     Spark reads double quotes as string literals).
+  *   - `TRY(expr)` passes through as a call to the graft-injected `try`
+  *     function (reference: sql/relational/optimizer/... TRY is special
+  *     form; Spark has no generic TRY).
+  *   - ORDER BY items with no explicit NULLS get ` NULLS LAST` injected:
+  *     Presto's default is NULLS LAST for BOTH directions (reference:
+  *     presto-main/.../sql/planner/PlannerUtils.java:40-52 — the
+  *     unspecified case falls through to *_NULLS_LAST), while Spark
+  *     defaults ASC to NULLS FIRST.
+  *
+  * Single-quoted literals (with '' escapes) are never rewritten.
+  */
+object Dialect {
+
+  /** Presto name → Spark (or graft-registered) name, applied only when the
+    * identifier is immediately followed by '('. Only 1:1 semantics here;
+    * anything needing arg reshuffling routes to a graft-registered
+    * function (reference registrations: presto-main/.../metadata/
+    * BuiltInTypeAndFunctionNamespaceManager.java:658-878).
+    */
+  val functionAliases: Map[String, String] = Map(
+    "approx_distinct"     -> "approx_count_distinct",
+    "arbitrary"           -> "any_value",
+    "strpos"              -> "instr",
+    "json_extract_scalar" -> "get_json_object",
+    "to_unixtime"         -> "unix_timestamp",
+    "codepoint"           -> "ascii",
+    "pow"                 -> "power",
+    "is_nan"              -> "isnan",
+    // Presto log(number, base) vs Spark log(base, number): arg swap done
+    // by the injected expression, not by string surgery.
+    "log"                 -> "presto_log",
+    // MySQL-'%'-token date dialect (DateTimeFunctions.java) → runtime
+    // token translation in the registered UDFs.
+    "date_format"         -> "presto_date_format",
+    "date_parse"          -> "presto_date_parse",
+  )
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Index just past a single-quoted literal starting at `start`
+    * (q(start) == '\''), honoring '' escapes. */
+  private def literalEnd(q: String, start: Int): Int = {
+    var i = start + 1
+    while (i < q.length) {
+      if (q(i) == '\'') {
+        if (i + 1 < q.length && q(i + 1) == '\'') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    q.length
+  }
+
+  private def nextNonSpace(q: String, from: Int): Int = {
+    var i = from
+    while (i < q.length && q(i).isWhitespace) i += 1
+    i
+  }
+
+  /** Start index in `out` of the trailing operand expression — the thing a
+    * `[` subscript applies to: a (possibly dotted) identifier, a
+    * backtick-quoted identifier, or a balanced (...) call including its
+    * function name. Quote-aware when balancing backwards. */
+  private def operandStart(out: StringBuilder): Int = {
+    var i = out.length - 1
+    while (i >= 0 && out(i).isWhitespace) i -= 1
+    if (i < 0) return 0
+    if (out(i) == ')') {
+      var depth = 0
+      var j = i
+      while (j >= 0) {
+        val c = out(j)
+        if (c == '\'') { // skip backwards over a literal
+          j -= 1
+          while (j >= 0 && out(j) != '\'') j -= 1
+        } else if (c == ')') depth += 1
+        else if (c == '(') {
+          depth -= 1
+          if (depth == 0) {
+            // include the callee name (and dots) before '('
+            var k = j - 1
+            while (k >= 0 && (isWordChar(out(k)) || out(k) == '.')) k -= 1
+            return k + 1
+          }
+        }
+        j -= 1
+      }
+      0
+    } else if (out(i) == '`') {
+      var j = i - 1
+      while (j >= 0 && out(j) != '`') j -= 1
+      // leading qualifier like tbl.`col`
+      var k = j - 1
+      while (k >= 0 && (isWordChar(out(k)) || out(k) == '.')) k -= 1
+      k + 1
+    } else {
+      var j = i
+      while (j >= 0 && (isWordChar(out(j)) || out(j) == '.')) j -= 1
+      j + 1
+    }
+  }
+
+  /** Main rewrite pass: literals copied verbatim, identifiers alias-mapped
+    * at call sites, ARRAY[..]→array(..), subscripts→element_at, double
+    * quotes→backticks. A bracket stack tracks which ']' closes what. */
+  private def rewrite(q: String): String = {
+    val out = new StringBuilder
+    // 'A' = ARRAY[ rewritten to array(; 'S' = subscript rewritten to
+    // element_at(; '(' = plain paren (kept so ']' matching stays honest)
+    val stack = mutable.ArrayDeque.empty[Char]
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c == '\'') {
+        val j = literalEnd(q, i)
+        out.append(q.substring(i, j)); i = j
+      } else if (c == '"') {
+        // double-quoted identifier ("" escapes a quote) → backticks
+        var j = i + 1
+        val ident = new StringBuilder
+        var done = false
+        while (j < q.length && !done) {
+          if (q(j) == '"') {
+            if (j + 1 < q.length && q(j + 1) == '"') { ident.append('"'); j += 2 }
+            else { done = true; j += 1 }
+          } else { ident.append(q(j)); j += 1 }
+        }
+        out.append('`').append(ident.toString.replace("`", "``")).append('`')
+        i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < q.length && isWordChar(q(j))) j += 1
+        val word = q.substring(i, j)
+        val lower = word.toLowerCase
+        val k = nextNonSpace(q, j)
+        if (lower == "array" && k < q.length && q(k) == '[') {
+          out.append("array(")
+          stack.prepend('A')
+          i = k + 1
+        } else if (k < q.length && q(k) == '(' && functionAliases.contains(lower)) {
+          out.append(functionAliases(lower)).append('(')
+          stack.prepend('(')
+          i = k + 1
+        } else { out.append(word); i = j }
+      } else if (c == '[') {
+        val ins = operandStart(out)
+        out.insert(ins, "element_at(")
+        out.append(", ")
+        stack.prepend('S')
+        i += 1
+      } else if (c == ']') {
+        if (stack.nonEmpty && (stack.head == 'A' || stack.head == 'S')) {
+          stack.removeHead()
+          out.append(')')
+        } else out.append(c)
+        i += 1
+      } else if (c == '(') {
+        stack.prepend('('); out.append(c); i += 1
+      } else if (c == ')') {
+        if (stack.nonEmpty && stack.head == '(') stack.removeHead()
+        out.append(c); i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Keywords that terminate an ORDER BY item list at its own depth. */
+  private val orderByTerminators = Set(
+    "limit", "offset", "fetch", "rows", "range", "groups", "window",
+    "union", "intersect", "except")
+
+  /** Append ` NULLS LAST` to every ORDER BY item that has no explicit
+    * NULLS clause, matching Presto's unspecified-case default
+    * (PlannerUtils.java falls through to *_NULLS_LAST for both ASC and
+    * DESC; Spark's bare-ASC default is NULLS FIRST). Works inside window
+    * specs and aggregate ORDER BY too — anywhere the keyword pair occurs
+    * outside a literal.
+    */
+  private def injectNullOrdering(q: String): String = {
+    // token stream with positions (word tokens + single chars), literal-aware
+    case class Tok(text: String, start: Int, end: Int)
+    val toks = mutable.ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c == '\'') { val j = literalEnd(q, i); toks += Tok("'lit'", i, j); i = j }
+      else if (c == '`') {
+        var j = i + 1
+        while (j < q.length && q(j) != '`') j += 1
+        toks += Tok("`id`", i, math.min(j + 1, q.length)); i = math.min(j + 1, q.length)
+      }
+      else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < q.length && isWordChar(q(j))) j += 1
+        toks += Tok(q.substring(i, j).toLowerCase, i, j); i = j
+      } else if (!c.isWhitespace) { toks += Tok(c.toString, i, i + 1); i += 1 }
+      else i += 1
+    }
+
+    // walk tokens; find "order" "by"; then split items at depth==d commas
+    val inserts = mutable.ArrayBuffer.empty[Int] // positions to insert " NULLS LAST"
+    var depth = 0
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.text == "(") { depth += 1; t += 1 }
+      else if (tok.text == ")") { depth -= 1; t += 1 }
+      else if (tok.text == "order" && t + 1 < toks.length && toks(t + 1).text == "by") {
+        val d = depth
+        var u = t + 2
+        var itemLastTok = -1 // index in toks of last token of current item
+        var itemHasNulls = false
+        def closeItem(): Unit = {
+          if (itemLastTok >= 0 && !itemHasNulls) inserts += toks(itemLastTok).end
+          itemLastTok = -1; itemHasNulls = false
+        }
+        var stop = false
+        while (u < toks.length && !stop) {
+          val tu = toks(u)
+          if (tu.text == "(") { depth += 1; itemLastTok = u; u += 1 }
+          else if (tu.text == ")") {
+            if (depth == d) { closeItem(); stop = true } // closes enclosing scope
+            else { depth -= 1; itemLastTok = u; u += 1 }
+          }
+          else if (depth == d && tu.text == ",") { closeItem(); u += 1 }
+          else if (depth == d && orderByTerminators.contains(tu.text)) { closeItem(); stop = true }
+          else {
+            if (depth == d && tu.text == "nulls") itemHasNulls = true
+            itemLastTok = u; u += 1
+          }
+        }
+        if (!stop) closeItem() // ran off the end of the query
+        t = u
+      } else t += 1
+    }
+
+    if (inserts.isEmpty) q
+    else {
+      val sb = new StringBuilder(q)
+      inserts.sorted.reverse.foreach(p => sb.insert(p, " NULLS LAST"))
+      sb.toString
+    }
+  }
+
+  def translate(query: String): String = injectNullOrdering(rewrite(query))
+}

@@ -41,8 +41,47 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.DotProductFloat.register(spark)
+    registerFunctions(spark)
     spark
+  }
+
+  /** Register the full graft function catalog on a session. Idempotent;
+    * `Engine.session` calls it so a bare `Engine.sql` user can reach every
+    * custom function (the reference exposes its whole registry to every
+    * query — BuiltInTypeAndFunctionNamespaceManager.java).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.DotProductFloat.register(spark)
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.functions.HyperLogLog.registerAll(spark)
+    graft.functions.QuantileSketch.registerAll(spark)
+
+    // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
+    // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —
+    // runtime token translation so non-literal format args work too.
+    spark.udf.register("presto_date_format",
+      (ts: java.sql.Timestamp, fmt: String) =>
+        if (ts == null || fmt == null) null
+        else java.time.format.DateTimeFormatter
+          .ofPattern(prestoDateFormat(fmt))
+          .format(ts.toLocalDateTime))
+    spark.udf.register("presto_date_parse",
+      (s: String, fmt: String) =>
+        if (s == null || fmt == null) null
+        else {
+          import java.time.temporal.ChronoField._
+          val b = new java.time.format.DateTimeFormatterBuilder()
+            .appendPattern(prestoDateFormat(fmt))
+            .parseDefaulting(YEAR_OF_ERA, 1970)
+            .parseDefaulting(MONTH_OF_YEAR, 1)
+            .parseDefaulting(DAY_OF_MONTH, 1)
+            .parseDefaulting(HOUR_OF_DAY, 0)
+            .parseDefaulting(MINUTE_OF_HOUR, 0)
+            .parseDefaulting(SECOND_OF_MINUTE, 0)
+            .parseDefaulting(NANO_OF_SECOND, 0)
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.from(b.toFormatter.parse(s)))
+        })
   }
 
   /** Register the parquet catalog and run a query through Spark SQL after
@@ -54,44 +93,11 @@ object Engine {
     spark.sql(translate(query))
   }
 
-  /** Presto-ism → Spark SQL function-name rewrites (SURVEY §7 Phase 2).
-    * Only aliases whose argument order and semantics match 1:1 are listed
-    * (reference registrations: presto-main/.../metadata/
-    * BuiltInTypeAndFunctionNamespaceManager.java:658-878). Word-bounded,
-    * case-insensitive, applied before `spark.sql`.
+  /** Translate Presto-dialect SQL to Spark SQL — see [[Dialect]] for the
+    * full rule list (function aliases, ARRAY literals, 1-based
+    * subscripts, quoted identifiers, TRY, NULLS LAST injection).
     */
-  private val functionAliases: Seq[(String, String)] = Seq(
-    "approx_distinct"      -> "approx_count_distinct",
-    "arbitrary"            -> "any_value",
-    "strpos"               -> "instr",            // both are (string, substring) → 1-based
-    "json_extract_scalar"  -> "get_json_object",  // both are (json, jsonpath)
-    "json_array_length"    -> "json_array_length",
-    "to_unixtime"          -> "unix_timestamp",
-    "codepoint"            -> "ascii",
-    "pow"                  -> "power",
-    "ln"                   -> "ln",
-    "truncate"             -> "trunc",
-    "bitwise_and"          -> "bitand",
-    "bitwise_or"           -> "bitor",
-    "bitwise_xor"          -> "bitxor",
-    "is_nan"               -> "isnan",
-  )
-
-  /** Translate Presto-dialect SQL to Spark SQL. String-level and
-    * deliberately conservative: rewrites are word-bounded identifiers
-    * immediately followed by '(' so column names never match, and
-    * single-quoted string literals are left untouched (split on quotes:
-    * even segments are code, odd segments are literal text — doubled ''
-    * escapes produce empty segments and keep the parity correct).
-    */
-  def translate(query: String): String =
-    query.split("'", -1).zipWithIndex.map { case (part, i) =>
-      if (i % 2 != 0) part
-      else functionAliases.foldLeft(part) { case (q, (from, to)) =>
-        if (from == to) q
-        else q.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
-      }
-    }.mkString("'")
+  def translate(query: String): String = Dialect.translate(query)
 
   /** Presto/MySQL date_format tokens → java.time patterns (reference:
     * presto-main/.../operator/scalar/DateTimeFunctions.java — Presto's
@@ -109,18 +115,31 @@ object Engine {
 
   def prestoDateFormat(pattern: String): String = {
     val sb = new StringBuilder
+    // Consecutive literal letters accumulate into ONE quoted run ('at',
+    // not 'a''t' — java.time reads the latter as a't, the '' being an
+    // escaped quote inside a single quoted section).
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      sb.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
     var i = 0
     while (i < pattern.length) {
       val c = pattern.charAt(i)
       if (c == '%' && i + 1 < pattern.length) {
         val t = pattern.charAt(i + 1)
-        sb.append(mysqlTokens.getOrElse(t, if (t == '%') "%" else s"'$t'"))
+        mysqlTokens.get(t) match {
+          case Some(p)            => flush(); sb.append(p)
+          case None if t == '%'   => flush(); sb.append('%')
+          case None               => lit.append(t)
+        }
         i += 2
       } else {
-        if (c.isLetter) sb.append('\'').append(c).append('\'') else sb.append(c)
+        if (c.isLetter) lit.append(c) else { flush(); sb.append(c) }
         i += 1
       }
     }
+    flush()
     sb.toString
   }
 }

@@ -22,7 +22,9 @@ object Tables {
     // every downstream operator sees a normal TimestampType.
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` (integral division) — col/1000L would go through double and
+      // lose exactness past 2^53 epoch-nanos.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -94,14 +94,22 @@ object MinHashLSH {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 128): DataFrame = {
     val prepared = prepare(df, idCol, textCol, numHashes)
-    val cands = candidatePairs(prepared, numHashes)
-    val left = prepared.select(col("__id").as("id1"), col("__sh").as("sh1"))
-    val right = prepared.select(col("__id").as("id2"), col("__sh").as("sh2"))
-    cands.join(left, "id1").join(right, "id2")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    try {
+      val cands = candidatePairs(prepared, numHashes)
+      val left = prepared.select(col("__id").as("id1"), col("__sh").as("sh1"))
+      val right = prepared.select(col("__id").as("id2"), col("__sh").as("sh2"))
+      val pairs = cands.join(left, "id1").join(right, "id2")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      // Materialize the (small) verified-pair set now so the big persisted
+      // signature frame can be released before returning — a persist with
+      // no matching release leaks a cached copy per invocation. At 100 TB
+      // this eager step is a checkpoint to reliable storage with the same
+      // explicit lifecycle.
+      pairs.localCheckpoint(eager = true)
+    } finally prepared.unpersist(blocking = false)
   }
 }

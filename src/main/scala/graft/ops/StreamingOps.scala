@@ -28,7 +28,7 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

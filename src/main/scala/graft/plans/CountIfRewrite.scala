@@ -37,6 +37,8 @@ object CountIfRewrite extends Rule[LogicalPlan] {
 
 /** Session-extension installer: `Engine.session` wires this in. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CountIfRewrite)
+    PrestoFunctions.registerAll(ext)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Presto functions Spark lacks, injected as NATIVE Catalyst expression
+  * builders (stay inside whole-stage codegen — no UDF boundary):
+  *
+  *   - `try(expr)` — Presto's TRY special form (reference: presto-main/
+  *     .../sql/relational/Expressions.java TRY; SqlBase.g4 primaryExpression)
+  *     → Catalyst [[TryEval]], the same null-on-error wrapper Spark's own
+  *     try_add/try_divide use.
+  *   - `bitwise_and/or/xor/not`, shifts (reference: presto-main/.../
+  *     operator/scalar/BitwiseFunctions.java — all BIGINT-typed) → the
+  *     corresponding Catalyst bit expressions over BIGINT casts.
+  *   - `truncate(x[, n])` (reference: operator/scalar/MathFunctions.java:
+  *     1193-1257 — round toward zero, optionally keeping n decimal digits)
+  *     → sign(x) * floor(|x| * 10^n) / 10^n.
+  *   - `presto_log(number, base)` (reference: MathFunctions.java:187 —
+  *     Presto's log takes the NUMBER first; Spark's log takes the base
+  *     first) → [[Logarithm]] with swapped args; [[Dialect]] rewrites
+  *     `log(` to `presto_log(`.
+  */
+object PrestoFunctions {
+
+  private type FD =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fd(name: String)(builder: Seq[Expression] => Expression): FD =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      builder)
+
+  private def long(e: Expression): Expression = Cast(e, LongType)
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** sign(x) * floor(|x| * 10^n) / 10^n — truncation toward zero. */
+  private def truncateExpr(x: Expression, n: Option[Expression]): Expression =
+    n match {
+      case None =>
+        Multiply(Signum(dbl(x)), Cast(Floor(Abs(dbl(x))), DoubleType))
+      case Some(nn) =>
+        val p = Pow(Literal(10.0), dbl(nn))
+        Multiply(
+          Signum(dbl(x)),
+          Divide(Cast(Floor(Multiply(Abs(dbl(x)), p)), DoubleType), p))
+    }
+
+  val all: Seq[FD] = Seq(
+    fd("try") { args => TryEval(args.head) },
+    fd("bitwise_and") { a => BitwiseAnd(long(a(0)), long(a(1))) },
+    fd("bitwise_or") { a => BitwiseOr(long(a(0)), long(a(1))) },
+    fd("bitwise_xor") { a => BitwiseXor(long(a(0)), long(a(1))) },
+    fd("bitwise_not") { a => BitwiseNot(long(a(0))) },
+    fd("bitwise_left_shift") { a => ShiftLeft(long(a(0)), Cast(a(1), IntegerType)) },
+    fd("bitwise_arithmetic_shift_right") { a =>
+      ShiftRight(long(a(0)), Cast(a(1), IntegerType)) },
+    fd("bitwise_logical_shift_right") { a =>
+      ShiftRightUnsigned(long(a(0)), Cast(a(1), IntegerType)) },
+    fd("truncate") {
+      case Seq(x)    => truncateExpr(x, None)
+      case Seq(x, n) => truncateExpr(x, Some(n))
+      case args => throw new IllegalArgumentException(
+        s"truncate expects 1 or 2 arguments, got ${args.length}")
+    },
+    fd("presto_log") { a => Logarithm(dbl(a(1)), dbl(a(0))) },
+  )
+
+  def registerAll(ext: SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
+}

@@ -127,12 +127,15 @@ object Extras {
     },
 
     // reduce_agg analog: fold a collected group through a lambda
-    // (reference: ReduceAggregationFunction.java) — log-domain product,
-    // verifiable via the exp∘sum∘ln identity.
+    // (reference: ReduceAggregationFunction.java). The fold sorts its
+    // input first (reduce_agg is only deterministic for commutative
+    // reducers; sorting makes the float sum order-stable) and the result
+    // stays in the log domain so round(…, 6) absorbs last-ulp noise —
+    // exp() of a large sum would amplify it past any rounding.
     Qdef(
       "e06_reduce_agg",
       """SELECT l_returnflag,
-        |  round(exp(sum(ln(1 + l_discount))), 6) AS discount_product
+        |  round(sum(ln(1 + l_discount)), 6) AS discount_log_sum
         |FROM lineitem
         |WHERE l_orderkey < 500
         |GROUP BY l_returnflag
@@ -140,8 +143,8 @@ object Extras {
       t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
         .groupBy("l_returnflag")
         .agg(round(expr(
-          "exp(aggregate(collect_list(ln(1 + l_discount)), CAST(0 AS DOUBLE), (a, x) -> a + x))"),
-          6).as("discount_product"))
+          "aggregate(array_sort(collect_list(ln(1 + l_discount))), CAST(0 AS DOUBLE), (a, x) -> a + x)"),
+          6).as("discount_log_sum"))
         .orderBy("l_returnflag")
     }
   )

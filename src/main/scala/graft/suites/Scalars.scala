@@ -346,7 +346,7 @@ object Scalars {
       """SELECT o_orderkey,
         |  CAST(o_orderkey AS VARCHAR(20)) AS key_str,
         |  CAST(o_orderdate AS DATE) AS odate,
-        |  CAST(o_totalprice AS DECIMAL(18, 2)) AS price_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS VARCHAR(32)) AS price_dec,
         |  CAST('123' AS INT) AS parsed_int,
         |  CAST(CAST(o_orderkey AS SMALLINT) AS INT) AS narrow_key
         |FROM orders
@@ -357,7 +357,7 @@ object Scalars {
           col("o_orderkey"),
           col("o_orderkey").cast("string").as("key_str"),
           col("o_orderdate").cast("date").as("odate"),
-          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_dec"),
           lit("123").cast("int").as("parsed_int"),
           col("o_orderkey").cast("smallint").cast("int").as("narrow_key"))
         .orderBy("o_orderkey")

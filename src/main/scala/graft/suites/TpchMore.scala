@@ -172,10 +172,10 @@ object TpchMore {
     Qdef(
       "q12_priority_by_status",
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
-        |           THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

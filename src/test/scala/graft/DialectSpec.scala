@@ -38,7 +38,52 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.prestoDateFormat("%H:%i:%s") == "HH:mm:ss")
     assert(Engine.prestoDateFormat("%d %b %Y") == "dd MMM yyyy")
     assert(Engine.prestoDateFormat("%Y%%") == "yyyy%")
-    // literal letters get quoted so java.time can't eat them
-    assert(Engine.prestoDateFormat("at %H") == "'a''t' HH")
+    // literal letters get quoted AS ONE RUN so java.time can't eat them
+    // ('a''t' would parse as a't — '' is an escaped quote, not a break)
+    assert(Engine.prestoDateFormat("at %H") == "'at' HH")
+  }
+
+  test("ARRAY literals become array() calls") {
+    assert(Engine.translate("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(Engine.translate("SELECT array[x, y][1]")
+      == "SELECT element_at(array(x, y), 1)")
+  }
+
+  test("subscripts become element_at (1-based arrays, key-based maps)") {
+    assert(Engine.translate("SELECT arr[1] FROM t") == "SELECT element_at(arr, 1) FROM t")
+    assert(Engine.translate("SELECT m['k'] FROM t") == "SELECT element_at(m, 'k') FROM t")
+    assert(Engine.translate("SELECT split(s, ',')[2] FROM t")
+      == "SELECT element_at(split(s, ','), 2) FROM t")
+    assert(Engine.translate("SELECT a[1][2] FROM t")
+      == "SELECT element_at(element_at(a, 1), 2) FROM t")
+  }
+
+  test("double-quoted identifiers become backticks") {
+    assert(Engine.translate("""SELECT "order key" FROM t""")
+      == "SELECT `order key` FROM t")
+  }
+
+  test("ORDER BY items get NULLS LAST injected (Presto default both directions)") {
+    assert(Engine.translate("SELECT * FROM t ORDER BY a")
+      == "SELECT * FROM t ORDER BY a NULLS LAST")
+    assert(Engine.translate("SELECT * FROM t ORDER BY a DESC, b LIMIT 5")
+      == "SELECT * FROM t ORDER BY a DESC NULLS LAST, b NULLS LAST LIMIT 5")
+    // explicit NULLS survives untouched
+    assert(Engine.translate("SELECT * FROM t ORDER BY a NULLS FIRST")
+      == "SELECT * FROM t ORDER BY a NULLS FIRST")
+    // window spec: items end at the frame clause
+    assert(Engine.translate("SELECT sum(x) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+      == "SELECT sum(x) OVER (PARTITION BY g ORDER BY ts NULLS LAST ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    // function call inside the sort item keeps its parens intact
+    assert(Engine.translate("SELECT * FROM t ORDER BY coalesce(a, b) DESC")
+      == "SELECT * FROM t ORDER BY coalesce(a, b) DESC NULLS LAST")
+  }
+
+  test("TRY and translated functions keep literals untouched") {
+    assert(Engine.translate("SELECT TRY(1/x) FROM t") == "SELECT TRY(1/x) FROM t")
+    assert(Engine.translate("SELECT log(x, 2) FROM t")
+      == "SELECT presto_log(x, 2) FROM t")
+    assert(Engine.translate("SELECT strpos(a, 'arr[1]') FROM t")
+      == "SELECT instr(a, 'arr[1]') FROM t")
   }
 }
