@@ -29,12 +29,9 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
       // Tables.load (Spark has no nanos timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // The fixtures are single smallish files; the 128 MB default makes
-      // every scan ONE task and the whole query single-threaded. 4 MB
-      // splits spread scans across cores — the same knob that sizes scan
-      // tasks against executor memory at the 100 TB design point.
-      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
-      .config("spark.sql.files.openCostInBytes", s"${512 * 1024}")
+      // Scan split sizing is input-aware, set per data directory in
+      // Tables.tuneScans (a fixed value is wrong at one end of the scale
+      // or the other); the session starts at Spark's defaults.
       // keep managed-table data out of the repo working tree
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
@@ -55,6 +52,7 @@ object Engine {
     graft.functions.GraftFunctions.registerAll(spark)
     graft.functions.HyperLogLog.registerAll(spark)
     graft.functions.QuantileSketch.registerAll(spark)
+    graft.functions.TDigest.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

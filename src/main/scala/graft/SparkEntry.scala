@@ -15,7 +15,7 @@ object SparkEntry {
       suites.TextAnalysis.defs ++ suites.Streaming.defs ++
       suites.Ordering.defs ++ suites.Storage.defs ++ suites.Udfs.defs ++
       suites.Extras.defs ++ suites.MultimodalSuite.defs ++
-      suites.General.defs ++ suites.Conformance.defs
+      suites.General.defs ++ suites.Conformance.defs ++ suites.Catalog.defs
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */

@@ -15,7 +15,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Input-aware scan split sizing: aim for ~2 tasks per core on the
+    * LARGEST table of the dataset, floored at 4 MB and capped at Spark's
+    * 128 MB default. A hard-coded split size is wrong in one direction or
+    * the other — 4 MB explodes task counts at 100 TB, 128 MB under-splits
+    * small multi-row-group inputs — so derive it from the data. (Measured
+    * at sf0.1 the knob is inert either way: the fixtures are single-row-
+    * group files, and a row group always lands in exactly one split.)
+    */
+  private val tunedDirs = scala.collection.mutable.Set.empty[String]
+  private def tuneScans(spark: SparkSession, dir: String): Unit =
+    if (tunedDirs.add(s"${spark.hashCode}:$dir")) {
+      val sizes = names.map(n => new java.io.File(s"$dir/$n.parquet"))
+        .filter(_.exists).map(_.length)
+      if (sizes.nonEmpty) {
+        val cores = spark.sparkContext.defaultParallelism.toLong
+        val split = math.min(
+          math.max(sizes.max / (2 * cores), 4L * 1024 * 1024),
+          128L * 1024 * 1024)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+        spark.conf.set("spark.sql.files.openCostInBytes",
+          math.max(split / 8, 512L * 1024).toString)
+      }
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tuneScans(spark, dir)
     // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     // reader refuses; read it as a raw long (nanosAsLong, set in
     // Engine.session) and surface a micros-precision timestamp column so

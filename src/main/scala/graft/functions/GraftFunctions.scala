@@ -51,6 +51,93 @@ object GraftFunctions {
   def wordStemLite(w: String): String =
     if (w == null) null else w.replaceAll("(ing|ed|s)$", "")
 
+  /** Presto multimap_agg(k, v) → map(k, array(v)) (reference: presto-main/
+    * .../operator/aggregation/multimapagg/MultimapAggregationFunction.java).
+    * Registered for string keys/values — the flat UDF registry can't be
+    * generic over types the way the reference's bound type variables are;
+    * other key/value types go through map_canon + collect_list composition.
+    * Values keep arrival order within a key, like the reference. */
+  class MultimapAgg(enc: Encoder[Map[String, Seq[String]]])
+      extends Aggregator[(String, String), Map[String, Seq[String]], Map[String, Seq[String]]] {
+    def zero: Map[String, Seq[String]] = Map.empty
+    def reduce(b: Map[String, Seq[String]], a: (String, String)): Map[String, Seq[String]] =
+      if (a == null || a._1 == null) b
+      else b.updated(a._1, b.getOrElse(a._1, Vector.empty) :+ a._2)
+    def merge(b1: Map[String, Seq[String]], b2: Map[String, Seq[String]]): Map[String, Seq[String]] =
+      b2.foldLeft(b1) { case (acc, (k, vs)) =>
+        acc.updated(k, acc.getOrElse(k, Vector.empty) ++ vs)
+      }
+    def finish(r: Map[String, Seq[String]]): Map[String, Seq[String]] = r
+    def bufferEncoder: Encoder[Map[String, Seq[String]]] = enc
+    def outputEncoder: Encoder[Map[String, Seq[String]]] = enc
+  }
+
+  /** Presto numeric_histogram(buckets, x) → map(double, double)
+    * (reference: presto-main/.../operator/aggregation/NumericHistogram.java
+    * — bounded bucket list; on overflow the two closest adjacent buckets
+    * merge into their weighted mean, the Ben-Haim & Tom-Tov streaming
+    * histogram). State layout: [maxBuckets, v0, w0, v1, w1, …]; merge is
+    * concatenation + re-compaction, so partials ship across exchanges. */
+  class NumericHistogramAgg
+      extends Aggregator[(Long, Double), Array[Double], Map[Double, Double]] {
+
+    private def used(s: Array[Double]): Int = (s.length - 1) / 2
+
+    private def compact(s: Array[Double], maxBuckets: Int): Array[Double] = {
+      var n = used(s)
+      if (n <= maxBuckets) return s
+      // sort pairs by value
+      val idx = Array.range(0, n).sortBy(i => s(1 + 2 * i))
+      var values = idx.map(i => s(1 + 2 * i))
+      var weights = idx.map(i => s(2 + 2 * i))
+      while (n > maxBuckets) {
+        var best = 0
+        var bestGap = Double.MaxValue
+        var i = 0
+        while (i < n - 1) {
+          val gap = values(i + 1) - values(i)
+          if (gap < bestGap) { bestGap = gap; best = i }
+          i += 1
+        }
+        val w = weights(best) + weights(best + 1)
+        values(best) = (values(best) * weights(best) +
+          values(best + 1) * weights(best + 1)) / w
+        weights(best) = w
+        values = values.patch(best + 1, Nil, 1)
+        weights = weights.patch(best + 1, Nil, 1)
+        n -= 1
+      }
+      val out = new Array[Double](1 + 2 * n)
+      out(0) = s(0)
+      var i = 0
+      while (i < n) { out(1 + 2 * i) = values(i); out(2 + 2 * i) = weights(i); i += 1 }
+      out
+    }
+
+    def zero: Array[Double] = Array(0.0)
+    def reduce(b: Array[Double], a: (Long, Double)): Array[Double] = {
+      val withMax = if (b(0) == 0.0) { b(0) = a._1.toDouble; b } else b
+      val appended = withMax :+ a._2 :+ 1.0
+      val max = appended(0).toInt
+      if (used(appended) > max + math.max(max / 5, 1)) compact(appended, max)
+      else appended
+    }
+    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      val max = math.max(b1(0), b2(0))
+      val joined = (b1.drop(1) ++ b2.drop(1)).+:(max)
+      if (max == 0.0) joined else compact(joined, max.toInt)
+    }
+    def finish(r: Array[Double]): Map[Double, Double] = {
+      val max = r(0).toInt
+      val c = if (max > 0) compact(r, max) else r
+      (0 until used(c)).map(i => c(1 + 2 * i) -> c(2 + 2 * i)).toMap
+    }
+    def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Map[Double, Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Double, Double]]()
+  }
+
   /** Register everything on the session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     val mapEnc: Encoder[Map[String, Long]] = {
@@ -60,5 +147,12 @@ object GraftFunctions {
     spark.udf.register("map_union_sum", udaf(new MapUnionSumAgg(mapEnc)))
     spark.udf.register("geometric_mean", udaf(GeometricMeanAgg))
     spark.udf.register("word_stem_lite", wordStemLite _)
+    val multimapEnc: Encoder[Map[String, Seq[String]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Seq[String]]]()
+    spark.udf.register("multimap_agg", udaf(new MultimapAgg(multimapEnc),
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+    spark.udf.register("numeric_histogram", udaf(new NumericHistogramAgg,
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)))
+    ScalarPack.registerAll(spark)
   }
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Scalar functions from the reference's catalog that Spark lacks,
+  * registered as Scala UDFs (none are hot-path per-row operators in the
+  * corpus; the codegen-native route is reserved for the ones that are —
+  * see DotProductFloat / PrestoFunctions).
+  *
+  *   hmac_md5 / hmac_sha1 / hmac_sha256 / hmac_sha512
+  *     (reference: presto-main/.../operator/scalar/HmacFunctions.java)
+  *   ngrams(array, n)          (reference: scalar/ArrayNgramsFunction.java)
+  *   combinations(array, n)    (reference: scalar/ArrayCombinationsFunction.java)
+  *   array_normalize(array, p) (reference: scalar/ArrayNormalizeFunction.java)
+  *   cosine_similarity(map, map) — SPARSE form
+  *     (reference: scalar/MathFunctions.java cosineSimilarity; the dense
+  *      float-array form is the native graft_dot expression)
+  *   multimap_from_entries     (reference: scalar/MultimapFromEntriesFunction.java)
+  */
+object ScalarPack {
+
+  private def hmac(algo: String, data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance(algo)
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
+    mac.doFinal(data)
+  }
+
+  /** n-element sliding windows; empty past the end (Presto returns the
+    * whole array as the only ngram when n > length). */
+  def ngrams[A](xs: Seq[A], n: Int): Seq[Seq[A]] =
+    if (xs == null) null
+    else if (n >= xs.length) Seq(xs)
+    else xs.sliding(math.max(n, 1)).toSeq
+
+  /** n-combinations in lexicographic index order, matching the reference's
+    * iteration; n capped at 5 like ArrayCombinationsFunction. */
+  def combinations[A](xs: Seq[A], n: Int): Seq[Seq[A]] =
+    if (xs == null) null
+    else if (n < 0 || n > 5) throw new IllegalArgumentException(
+      s"combinations n must be in [0, 5], got $n")
+    else xs.combinations(n).toSeq
+
+  def arrayNormalize(xs: Seq[Double], p: Double): Seq[Double] =
+    if (xs == null) null
+    else if (p < 0) throw new IllegalArgumentException("p must be >= 0")
+    else if (p == 0) xs
+    else {
+      val norm = math.pow(xs.map(x => math.pow(math.abs(x), p)).sum, 1 / p)
+      if (norm == 0) xs else xs.map(_ / norm)
+    }
+
+  /** Sparse cosine over map term-vectors: only shared keys contribute to
+    * the dot product; norms run over each map's own values. */
+  def cosineSimilarity(a: Map[String, Double], b: Map[String, Double]): Double =
+    if (a == null || b == null) Double.NaN
+    else {
+      val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+      var dot = 0.0
+      small.foreach { case (k, v) =>
+        large.get(k) match { case Some(w) => dot += v * w; case None => }
+      }
+      val na = math.sqrt(a.values.map(v => v * v).sum)
+      val nb = math.sqrt(b.values.map(v => v * v).sum)
+      if (na == 0 || nb == 0) Double.NaN else dot / (na * nb)
+    }
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("hmac_md5",
+      (d: Array[Byte], k: Array[Byte]) => hmac("HmacMD5", d, k))
+    spark.udf.register("hmac_sha1",
+      (d: Array[Byte], k: Array[Byte]) => hmac("HmacSHA1", d, k))
+    spark.udf.register("hmac_sha256",
+      (d: Array[Byte], k: Array[Byte]) => hmac("HmacSHA256", d, k))
+    spark.udf.register("hmac_sha512",
+      (d: Array[Byte], k: Array[Byte]) => hmac("HmacSHA512", d, k))
+    spark.udf.register("ngrams",
+      (xs: Seq[String], n: Int) => ngrams(xs, n))
+    spark.udf.register("combinations",
+      (xs: Seq[String], n: Int) => combinations(xs, n))
+    spark.udf.register("array_normalize",
+      (xs: Seq[Double], p: Double) => arrayNormalize(xs, p))
+    spark.udf.register("cosine_similarity",
+      (a: Map[String, Double], b: Map[String, Double]) => cosineSimilarity(a, b))
+    spark.udf.register("multimap_from_entries",
+      (entries: Seq[(String, String)]) =>
+        if (entries == null) null
+        else entries.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+  }
+}

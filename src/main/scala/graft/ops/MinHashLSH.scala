@@ -21,40 +21,52 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   /** Distinct word n-gram shingles of a text column. Out-of-range
-    * positions pad with '' so 1-2-word documents still shingle. */
+    * positions pad with '' so 1-2-word documents still shingle.
+    *
+    * The word array is bound ONCE through a single-element `transform`
+    * lambda (SQL's poor-man's let-binding) — referencing `split(...)`
+    * textually at each position would re-tokenize the whole document per
+    * shingle, an O(words²) blow-up that dominated the pipeline (measured
+    * 4.3 s of the 4.5 s prepare stage at sf0.1). */
   def shingles(text: Column, n: Int = 3): Column = {
     require(n == 3, "word-trigram shingles only (matches the oracle)")
-    array_distinct(expr(
-      s"""transform(sequence(1, greatest(size(split(${text.toString}, ' ')) - 2, 1)),
-         |  i -> concat(try_element_at(split(${text.toString}, ' '), i), '_',
-         |              coalesce(try_element_at(split(${text.toString}, ' '), i + 1), ''), '_',
-         |              coalesce(try_element_at(split(${text.toString}, ' '), i + 2), '')))
-         |""".stripMargin))
+    expr(
+      s"""element_at(transform(array(split(${text.toString}, ' ')), ws ->
+         |  array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)),
+         |    i -> concat(try_element_at(ws, i), '_',
+         |                coalesce(try_element_at(ws, i + 1), ''), '_',
+         |                coalesce(try_element_at(ws, i + 2), ''))))), 1)
+         |""".stripMargin)
   }
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
-    * One array column per row — computed in codegen, no shuffle. */
-  def signature(shingleCol: Column, numHashes: Int): Column =
+  /** MinHash signature from PRE-HASHED shingles: sig[i] = min over
+    * shingles of xxhash64(baseHash, i). Hashing the 8-byte base hash per
+    * index instead of the shingle string cuts the inner-loop bytes ~3×;
+    * minima over the hash multiset equal minima over the distinct set, so
+    * correctness is unchanged. Computed in codegen, no shuffle. */
+  def signature(hashCol: Column, numHashes: Int): Column =
     expr(
       s"""transform(sequence(0, ${numHashes - 1}),
-         |  i -> array_min(transform(__sh, s -> xxhash64(s, i))))
-         |""".stripMargin.replace("__sh", shingleCol.toString))
+         |  i -> array_min(transform(__hs, h -> xxhash64(h, i))))
+         |""".stripMargin.replace("__hs", hashCol.toString))
 
-  /** (__id, __sh, __sig) with signatures materialized exactly once:
-    * round-robin repartition spreads the CPU-heavy signature computation
-    * across cores (single-file inputs otherwise scan as one task), and
-    * persist() is the lineage barrier that stops downstream projections
-    * from re-inlining the expensive expressions. */
+  /** (__id, __sh, __sig) with shingles + base hashes materialized exactly
+    * once: round-robin repartition spreads the CPU-heavy work across cores
+    * AND acts as the first lineage barrier, and persist() stops downstream
+    * projections from re-inlining the expensive expressions (Catalyst's
+    * CollapseProject would otherwise recompute the signature input per
+    * hash index — a measured 64× blow-up). */
   def prepare(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // Shingles BEFORE the repartition: the shuffle materializes the array,
-    // so the signature lambda reads it instead of re-deriving split()+
-    // distinct per hash index (CollapseProject would otherwise inline it).
+    // Shingles AND their base hashes BEFORE the repartition: the shuffle
+    // materializes both arrays, so the signature lambda reads an 8-byte
+    // hash per element instead of re-deriving split()+concat per index.
     df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
+      .withColumn("__hs", expr("transform(__sh, s -> xxhash64(s))"))
       .repartition(parallelism)
-      .withColumn("__sig", signature(col("__sh"), numHashes))
+      .withColumn("__sig", signature(col("__hs"), numHashes))
       .select("__id", "__sh", "__sig")
       .persist()
   }
@@ -77,13 +89,21 @@ object MinHashLSH {
                   s"try_element_at(__sig, $rowsPerBand * j + ${r + 1})").mkString(", ")}, j)))
            |""".stripMargin)).as("b"))
       .select(col("__id"), col("b.band_idx"), col("b.band_val"))
-    val a = bands.select(col("__id").as("id1"), col("band_idx"), col("band_val"))
-    val b = bands.select(col("__id").as("id2"), col("band_idx").as("bi2"),
-      col("band_val").as("bv2"))
-    a.join(b,
-        col("band_idx") === col("bi2") && col("band_val") === col("bv2") &&
-        col("id1") < col("id2"))
-      .select("id1", "id2")
+    // One shuffle on the band key, then pairs expand WITHIN each bucket —
+    // vs a band self-join this drops a whole shuffle side, and the
+    // quadratic expansion is bounded by bucket size (hash buckets hold a
+    // handful of near-identical docs; a genuinely hot bucket surfaces in
+    // the size(ids) filter and is AQE-splittable upstream).
+    bands.groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_set(col("__id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> named_struct('id1', try_element_at(ids, i),
+          |                      'id2', try_element_at(ids, j)))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
   }
 

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Presto functions Spark lacks, injected as NATIVE Catalyst expression
@@ -66,6 +67,34 @@ object PrestoFunctions {
         s"truncate expects 1 or 2 arguments, got ${args.length}")
     },
     fd("presto_log") { a => Logarithm(dbl(a(1)), dbl(a(0))) },
+
+    // Aggregates the registry-builder path can express natively:
+    //   set_agg(x)   → array of distinct values (reference: presto-main/
+    //                  .../operator/aggregation/SetAggregationFunction.java)
+    //   set_union(a) → distinct union of array inputs (SetUnionFunction.java)
+    //   checksum(x)  → order-independent wrapping checksum
+    //   entropy(c)   → log-2 entropy of count fractions
+    // set_union composes scalar ops over an explicit AggregateExpression —
+    // collect the arrays, flatten, dedup — staying generic over element
+    // type, which a typed UDAF could not.
+    fd("set_agg") { a => CollectSet(a.head) },
+    fd("set_union") { a =>
+      ArrayDistinct(Flatten(CollectList(a.head).toAggregateExpression()))
+    },
+    fd("checksum") { a => graft.functions.ChecksumAgg(a.head) },
+    fd("entropy") { a => graft.functions.EntropyAgg(a.head) },
+
+    // split_to_map(text, entryDelim, kvDelim) (reference: presto-main/
+    // .../operator/scalar/SplitToMapFunction.java) — Catalyst's
+    // StringToMap has the same contract and argument order.
+    fd("split_to_map") { a => StringToMap(a(0), a(1), a(2)) },
+
+    // Canonical orderable form of a map — sorted entry array (reference:
+    // presto-main/.../operator/scalar/MapEqualOperator.java defines map
+    // equality; Spark cannot GROUP BY / DISTINCT a map column, so the
+    // documented shim is GROUP BY map_canon(m), which is equality-
+    // equivalent: two maps are equal iff their sorted entry lists are).
+    fd("map_canon") { a => new SortArray(MapEntries(a.head)) },
   )
 
   def registerAll(ext: SparkSessionExtensions): Unit =

@@ -1,0 +1,308 @@
+package graft.suites
+
+import graft.{Engine, Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Function-catalog completion corpus: the reference functions landed in
+  * round 4 — checksum / entropy / set_agg / set_union / multimap_agg /
+  * numeric_histogram (aggregates), hmac_* / ngrams / combinations /
+  * array_normalize / split_to_map / multimap_from_entries / sparse
+  * cosine_similarity (scalars), map_canon (map-as-grouping-key shim), and
+  * one reference benchto query run VERBATIM through the Presto-dialect
+  * `Engine.sql` facade.
+  */
+object Catalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    graft.functions.TDigest.registerAll(s)
+    Tables.load(s, dir, name)
+  }
+
+  val defs: Seq[Qdef] = Seq(
+
+    // checksum (reference: ChecksumAggregationFunction.java): the value is
+    // hash-dependent so no cross-engine oracle exists; the CONTRACT is
+    // order/partitioning independence (combine = wrapping add) and
+    // sensitivity to any value change. Both checked in one plan.
+    Qdef(
+      "k01_checksum",
+      "SELECT true AS stable_ok, true AS sensitive_ok") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val c1 = li.agg(expr("checksum(l_extendedprice)").as("c1"))
+      val c2 = li.repartition(64, col("l_partkey"))
+        .agg(expr("checksum(l_extendedprice)").as("c2"))
+      val c3 = li.agg(expr("checksum(l_extendedprice + 1.0)").as("c3"))
+      c1.join(broadcast(c2)).join(broadcast(c3))
+        .select(
+          (col("c1") === col("c2")).as("stable_ok"),
+          (col("c1") =!= col("c3")).as("sensitive_ok"))
+    },
+
+    // entropy (reference: EntropyAggregation.java): exact formula the
+    // oracle can replay — H = (ln ΣC − Σ c·ln c / ΣC) / ln 2 over the
+    // priority counts within each order status.
+    Qdef(
+      "k02_entropy",
+      """SELECT o_orderstatus,
+        |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6) AS prio_entropy
+        |FROM (
+        |  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS c
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("o_orderstatus")
+        .agg(round(expr("entropy(c)"), 6).as("prio_entropy"))
+        .orderBy("o_orderstatus")
+    },
+
+    // set_agg + set_union (reference: SetAggregationFunction.java /
+    // SetUnionFunction.java): per-group distinct arrays, then the distinct
+    // union of those arrays WITHOUT rescanning raw rows.
+    Qdef.duckOnly(
+      "k03_set_agg_union",
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT g.l_returnflag, g.statuses, u.all_statuses
+        |FROM g CROSS JOIN (
+        |  SELECT string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS all_statuses
+        |  FROM lineitem) u
+        |ORDER BY g.l_returnflag""".stripMargin) { (s, dir) =>
+      val perGroup = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("set_agg(l_linestatus)").as("st"))
+        .select(
+          col("l_returnflag"),
+          concat_ws(",", array_sort(col("st"))).as("statuses"),
+          col("st"))
+      val union = perGroup
+        .agg(expr("set_union(st)").as("u"))
+        .select(concat_ws(",", array_sort(col("u"))).as("all_statuses"))
+      perGroup.crossJoin(broadcast(union))
+        .select("l_returnflag", "statuses", "all_statuses")
+        .orderBy("l_returnflag")
+    },
+
+    // multimap_agg (reference: multimapagg/MultimapAggregationFunction
+    // .java): map(key → all values in arrival order); canonicalized to a
+    // sorted string because map ordering is undefined in both engines.
+    Qdef.duckOnly(
+      "k04_multimap_agg",
+      """SELECT string_agg(kv, ';' ORDER BY kv) AS mm
+        |FROM (
+        |  SELECT o_orderstatus || ':' ||
+        |    string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS kv
+        |  FROM orders GROUP BY o_orderstatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .agg(expr("multimap_agg(o_orderstatus, o_orderpriority)").as("m"))
+        .select(concat_ws(";",
+          array_sort(expr(
+            """transform(map_entries(m),
+              |  e -> concat(e.key, ':', concat_ws(',', array_sort(e.value))))
+              |""".stripMargin))).as("mm"))
+    },
+
+    // numeric_histogram (reference: NumericHistogram.java): bounded-bucket
+    // streaming histogram. Properties the oracle can state: bucket count
+    // bounded, total weight = row count exactly, weighted mean = exact
+    // mean (closest-pair merges preserve the weighted sum).
+    Qdef(
+      "k05_numeric_histogram",
+      "SELECT true AS buckets_ok, true AS weight_ok, true AS mean_ok") { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val h = ord.agg(
+        expr("numeric_histogram(10L, o_totalprice)").as("h"),
+        count(lit(1)).cast("double").as("n"),
+        avg("o_totalprice").as("mean"))
+      h.select(
+        (size(map_keys(col("h"))) <= 10).as("buckets_ok"),
+        (abs(expr("aggregate(map_values(h), 0D, (a, x) -> a + x)") - col("n"))
+          < lit(1e-6)).as("weight_ok"),
+        (abs(expr("aggregate(map_entries(h), 0D, (a, e) -> a + e.key * e.value)")
+          / col("n") - col("mean")) < abs(col("mean")) * 1e-9).as("mean_ok"))
+    },
+
+    // hmac_md5/sha1/sha256/sha512 (reference: HmacFunctions.java) against
+    // the published RFC 2202 / RFC 4231 test vectors — an exact literal
+    // oracle, no cross-engine hash needed.
+    Qdef(
+      "k06_hmac",
+      """SELECT
+        |  '9294727a3638bb1c13f48ef8158bfc9d' AS h_md5,
+        |  'b617318655057264e28bc0b6fb378c8ef146be00' AS h_sha1,
+        |  'b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7' AS h_sha256,
+        |  concat('87aa7cdea5ef619d4ff0b4241a1d6cb02379f4e2ce4ec2787ad0b305',
+        |         '45e17cdedaa833b7d6b8a702038b274eaea3f4e4be9d914eeb61f1702e696c203a126854')
+        |    AS h_sha512""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").limit(1)
+        .select(
+          lower(hex(expr(
+            "hmac_md5(CAST('Hi There' AS BINARY), unhex('0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b'))")))
+            .as("h_md5"),
+          lower(hex(expr(
+            "hmac_sha1(CAST('Hi There' AS BINARY), unhex('0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b'))")))
+            .as("h_sha1"),
+          lower(hex(expr(
+            "hmac_sha256(CAST('Hi There' AS BINARY), unhex('0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b'))")))
+            .as("h_sha256"),
+          lower(hex(expr(
+            "hmac_sha512(CAST('Hi There' AS BINARY), unhex('0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b0b'))")))
+            .as("h_sha512"))
+    },
+
+    // Array-function pack over fixed inputs with literal expected outputs
+    // (reference: ArrayNgramsFunction / ArrayCombinationsFunction /
+    // ArrayNormalizeFunction / SplitToMapFunction /
+    // MultimapFromEntriesFunction .java).
+    Qdef(
+      "k07_array_pack",
+      """SELECT
+        |  'a_b,b_c,c_d' AS ngrams2,
+        |  'a_b,a_c,a_d,b_c,b_d,c_d' AS combos2,
+        |  '0.6,0.8' AS normalized,
+        |  'a:1,b:2' AS smap,
+        |  'a:1|2,b:3' AS mm""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").limit(1)
+        .select(
+          concat_ws(",", expr(
+            "transform(ngrams(array('a','b','c','d'), 2), g -> concat_ws('_', g))"))
+            .as("ngrams2"),
+          concat_ws(",", expr(
+            "transform(combinations(array('a','b','c','d'), 2), g -> concat_ws('_', g))"))
+            .as("combos2"),
+          concat_ws(",", expr(
+            "transform(array_normalize(array(3D, 4D), 2D), v -> CAST(round(v, 4) AS STRING))"))
+            .as("normalized"),
+          concat_ws(",", array_sort(expr(
+            "transform(map_entries(split_to_map('a=1,b=2', ',', '=')), e -> concat(e.key, ':', e.value))")))
+            .as("smap"),
+          concat_ws(",", array_sort(expr(
+            """transform(
+              |  map_entries(multimap_from_entries(array(
+              |    named_struct('k', 'a', 'v', '1'),
+              |    named_struct('k', 'a', 'v', '2'),
+              |    named_struct('k', 'b', 'v', '3')))),
+              |  e -> concat(e.key, ':', concat_ws('|', e.value)))""".stripMargin)))
+            .as("mm"))
+    },
+
+    // Sparse cosine_similarity over map term-vectors — the reference's own
+    // similarity function (MathFunctions.java cosineSimilarity). Term
+    // frequencies of the first 4 documents, all 6 pairs, verified against
+    // a DuckDB join-based replay of the same formula.
+    Qdef.duckOnly(
+      "k08_cosine_sparse",
+      """WITH words AS (
+        |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE doc_id < 4)
+        |  GROUP BY doc_id, w),
+        |norms AS (
+        |  SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM words GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM (SELECT DISTINCT doc_id FROM words) a
+        |  JOIN (SELECT DISTINCT doc_id FROM words) b ON a.doc_id < b.doc_id),
+        |dots AS (
+        |  SELECT w1.doc_id AS id1, w2.doc_id AS id2, sum(w1.c * w2.c) AS dot
+        |  FROM words w1 JOIN words w2 ON w1.w = w2.w AND w1.doc_id < w2.doc_id
+        |  GROUP BY w1.doc_id, w2.doc_id)
+        |SELECT p.id1, p.id2,
+        |  round(coalesce(d.dot, 0) / (n1.nrm * n2.nrm), 6) AS cos_sim
+        |FROM pairs p
+        |LEFT JOIN dots d ON p.id1 = d.id1 AND p.id2 = d.id2
+        |JOIN norms n1 ON p.id1 = n1.doc_id
+        |JOIN norms n2 ON p.id2 = n2.doc_id
+        |ORDER BY p.id1, p.id2""".stripMargin) { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .filter(col("doc_id") < 4)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).cast("double").as("c"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("c")))).as("tf"))
+      val a = tf.select(col("doc_id").as("id1"), col("tf").as("tf1"))
+      val b = tf.select(col("doc_id").as("id2"), col("tf").as("tf2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(
+          col("id1"), col("id2"),
+          round(expr("cosine_similarity(tf1, tf2)"), 6).as("cos_sim"))
+        .orderBy("id1", "id2")
+    },
+
+    // GROUP BY a map column via the canonical sorted-entry form (reference:
+    // MapEqualOperator.java defines entry-wise map equality; Spark forbids
+    // map grouping keys, so map_canon(m) — sorted entries — is the
+    // documented equality-preserving shim).
+    Qdef(
+      "k09_map_groupby",
+      """SELECT concat('prio:', o_orderpriority, ',status:', o_orderstatus) AS m_key,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY m_key""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(expr(
+          "map('status', o_orderstatus, 'prio', o_orderpriority)").as("m"))
+        .groupBy(expr("map_canon(m)").as("mc"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          concat_ws(",", expr(
+            "transform(mc, e -> concat(e.key, ':', e.value))")).as("m_key"),
+          col("cnt"))
+        .orderBy("m_key")
+    },
+
+    // The reference's own benchmark query text, run VERBATIM through the
+    // Presto-dialect facade (reference: presto-benchto-benchmarks/src/
+    // main/resources/sql/presto/tpch/q01.sql — only the benchto
+    // ${database}.${schema}.${prefix} template and the fixture's l_
+    // column names substituted, which is benchto's own parameterization).
+    Qdef(
+      "k10_benchto_q01",
+      """SELECT
+        |  l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL '90' DAY
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT
+          |  l.l_returnflag,
+          |  l.l_linestatus,
+          |  sum(l.l_quantity)                                           AS sum_qty,
+          |  sum(l.l_extendedprice)                                      AS sum_base_price,
+          |  sum(l.l_extendedprice * (1 - l.l_discount))                 AS sum_disc_price,
+          |  sum(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)) AS sum_charge,
+          |  avg(l.l_quantity)                                           AS avg_qty,
+          |  avg(l.l_extendedprice)                                      AS avg_price,
+          |  avg(l.l_discount)                                           AS avg_disc,
+          |  count(*)                                                    AS count_order
+          |FROM
+          |  lineitem AS l
+          |WHERE
+          |  l.l_shipdate <= DATE '1998-12-01' - INTERVAL '90' DAY
+          |GROUP BY
+          |  l.l_returnflag,
+          |  l.l_linestatus
+          |ORDER BY
+          |  l.l_returnflag,
+          |  l.l_linestatus""".stripMargin)
+    }
+  )
+}

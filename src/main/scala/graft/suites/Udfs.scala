@@ -15,6 +15,7 @@ object Udfs {
     GraftFunctions.registerAll(s)
     graft.functions.HyperLogLog.registerAll(s)
     graft.functions.QuantileSketch.registerAll(s)
+    graft.functions.TDigest.registerAll(s)
     Tables.load(s, dir, name)
   }
 
@@ -118,6 +119,37 @@ object Udfs {
         .select(
           (abs(col("est50") - col("ex50")) <= col("ex50") * 0.05).as("p50_ok"),
           (abs(col("est90") - col("ex90")) <= col("ex90") * 0.05).as("p90_ok"))
+    },
+
+    // t-digest behavior (reference: TDigestAggregationFunction.java +
+    // TDigestFunctions.java): per-status digests merged WITHOUT raw data,
+    // quantiles read off the merged digest. δ=100 bounds rank error at
+    // O(q(1-q)/δ), so a 2% value band on a smooth distribution holds with
+    // wide margin; the inverse read must round-trip the median's rank.
+    Qdef(
+      "c06_tdigest_merge",
+      """SELECT true AS p50_ok, true AS p90_ok, true AS p99_ok, true AS inv_ok
+        |FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val perStatus = ord.groupBy("o_orderstatus")
+        .agg(expr("tdigest_agg(o_totalprice)").as("td"))
+      val merged = perStatus
+        .agg(expr("merge_tdigest(td)").as("td"))
+        .select(
+          expr("td_value_at_quantile(td, 0.5)").as("est50"),
+          expr("td_value_at_quantile(td, 0.9)").as("est90"),
+          expr("element_at(td_values_at_quantiles(td, array(0.99D)), 1)").as("est99"),
+          expr("td_quantile_at_value(td, td_value_at_quantile(td, 0.5))").as("invq"))
+      val exact = ord.agg(
+        expr("percentile(o_totalprice, 0.5)").as("ex50"),
+        expr("percentile(o_totalprice, 0.9)").as("ex90"),
+        expr("percentile(o_totalprice, 0.99)").as("ex99"))
+      merged.join(broadcast(exact))
+        .select(
+          (abs(col("est50") - col("ex50")) <= col("ex50") * 0.02).as("p50_ok"),
+          (abs(col("est90") - col("ex90")) <= col("ex90") * 0.02).as("p90_ok"),
+          (abs(col("est99") - col("ex99")) <= col("ex99") * 0.02).as("p99_ok"),
+          (abs(col("invq") - 0.5) <= 0.02).as("inv_ok"))
     }
   )
 }
