@@ -264,5 +264,13 @@ object Dialect {
     }
   }
 
-  def translate(query: String): String = injectNullOrdering(rewrite(query))
+  /** Presto `SET SESSION key = value` → Spark `SET key = value`
+    * (SqlBase.g4 setSession rule; Spark's SET takes the key directly).
+    * SHOW TABLES/COLUMNS/FUNCTIONS, DESCRIBE and EXPLAIN parse in both
+    * dialects and pass through untouched. */
+  private def rewriteStatement(q: String): String =
+    q.replaceFirst("(?i)^(\\s*)set\\s+session\\s+", "$1SET ")
+
+  def translate(query: String): String =
+    injectNullOrdering(rewrite(rewriteStatement(query)))
 }

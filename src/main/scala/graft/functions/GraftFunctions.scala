@@ -147,6 +147,7 @@ object GraftFunctions {
     spark.udf.register("map_union_sum", udaf(new MapUnionSumAgg(mapEnc)))
     spark.udf.register("geometric_mean", udaf(GeometricMeanAgg))
     spark.udf.register("word_stem_lite", wordStemLite _)
+    spark.udf.register("word_stem", Porter.stem _)
     val multimapEnc: Encoder[Map[String, Seq[String]]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Seq[String]]]()
     spark.udf.register("multimap_agg", udaf(new MultimapAgg(multimapEnc),

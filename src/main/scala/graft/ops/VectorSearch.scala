@@ -52,12 +52,14 @@ object VectorSearch {
   }
 
   /** Deterministic ±1 hyperplane matrix: sign(plane j, dim d) follows the
-    * high bit of a hex digit of md5("j_d") — public, reproducible,
-    * engine-independent. */
-  def planeSigns(planes: Int, dim: Int): Array[Array[Double]] = {
+    * high bit of a hex digit of md5("t_j_d") — public, reproducible,
+    * engine-independent. `table` seeds independent hash tables for
+    * multi-table LSH. */
+  def planeSigns(planes: Int, dim: Int, table: Int = 0): Array[Array[Double]] = {
     val md = MessageDigest.getInstance("MD5")
     Array.tabulate(planes, dim) { (j, d) =>
-      val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+      val key = if (table == 0) s"${j}_$d" else s"${table}_${j}_$d"
+      val hex = md.digest(key.getBytes("UTF-8"))
       if ((hex(0) & 0x80) != 0) 1.0 else -1.0
     }
   }
@@ -74,23 +76,49 @@ object VectorSearch {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates share the query's bucket or any bucket
-    * at hamming distance 1 (multiprobe). Returns same shape as cosineTopK. */
-  def annTopK(
+  /** Bucket assignments for one vector column across `tables` independent
+    * LSH tables: array of per-table bucket ids (0 until 2^planes). */
+  private def bucketsOf(
+      vec: Column, planes: Int, dim: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      bucketOf(vec, planeSigns(planes, dim, t))): _*)
+
+  /** Approximate top-k via multi-table sign-random-projection LSH:
+    * `tables` independent plane sets; a candidate qualifies by sharing the
+    * query's bucket — or any bucket at hamming distance 1 (multiprobe) —
+    * in ANY table. Multiple tables are the standard recall lever: a true
+    * neighbor is missed only if it misses in every table, so recall is
+    * 1-(1-r)^L for per-table recall r, while the scan fraction stays
+    * ≈ L·(1+planes)/2^planes. Corpus rows replicate once per table
+    * (the classic LSH space/recall trade); candidate dedup happens on
+    * (qid, nid) before scoring. Returns the cosineTopK shape. */
+  def annCandidates(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val signs = planeSigns(planes, dim)
+      planes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      .withColumn("nbucket", bucketOf(col("nv"), signs))
+      .withColumn("nb", bucketsOf(col("nv"), planes, dim, tables))
+      .select(col("nid"), col("nv"),
+        posexplode(col("nb")).as(Seq("nt", "nbucket")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("qbucket", bucketOf(col("qv"), signs))
-      // multiprobe: own bucket + each 1-bit flip
+      .withColumn("qb", bucketsOf(col("qv"), planes, dim, tables))
+      .select(col("qid"), col("qv"), posexplode(col("qb")).as(Seq("qt", "qbucket")))
+      // multiprobe: own bucket + each 1-bit flip, per table
       .withColumn("probe", explode(expr(
         s"array_union(array(qbucket), transform(sequence(0, ${planes - 1}), " +
           "j -> CAST(qbucket AS INT) ^ shiftleft(1, j)))")))
-    val scored = broadcast(q).join(c,
-        col("probe") === col("nbucket") && col("qid") =!= col("nid"))
+    broadcast(q).join(c,
+        col("qt") === col("nt") && col("probe") === col("nbucket") &&
+        col("qid") =!= col("nid"))
+      // a pair can match in several tables/probes — keep each pair once
+      .groupBy("qid", "nid")
+      .agg(first("qv").as("qv"), first("nv").as("nv"))
+  }
+
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = annCandidates(queries, corpus, idCol, vecCol, planes, dim, tables)
       .withColumn("score", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid"))

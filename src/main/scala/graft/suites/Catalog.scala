@@ -260,6 +260,34 @@ object Catalog {
         .orderBy("m_key")
     },
 
+    // Full Porter word_stem (reference: WordStemFunction.java wraps a
+    // Porter stemmer; the algorithm is Porter 1980). Verified against the
+    // paper's own step examples as an exact literal oracle — DuckDB's fts
+    // stem() is unavailable offline, and these vectors pin each rule
+    // family (plurals, eed/ed/ing, y→i, cvc e-restoration, double-cons
+    // undoubling incl. the l/s/z exceptions).
+    Qdef(
+      "k11_word_stem",
+      """SELECT * FROM (VALUES
+        |  ('caresses', 'caress'), ('ponies', 'poni'), ('ties', 'ti'),
+        |  ('cats', 'cat'), ('feed', 'feed'), ('agreed', 'agre'),
+        |  ('plastered', 'plaster'), ('motoring', 'motor'),
+        |  ('hopping', 'hop'), ('falling', 'fall'), ('hissing', 'hiss'),
+        |  ('fizzed', 'fizz'), ('filing', 'file'), ('happy', 'happi'),
+        |  ('sky', 'sky'), ('troubled', 'troubl')
+        |) AS t(word, stemmed)
+        |ORDER BY word""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.registerAll(s)
+      val words = Seq(
+        "caresses", "ponies", "ties", "cats", "feed", "agreed", "plastered",
+        "motoring", "hopping", "falling", "hissing", "fizzed", "filing",
+        "happy", "sky", "troubled")
+      import s.implicits._
+      words.toDF("word")
+        .select(col("word"), expr("word_stem(word)").as("stemmed"))
+        .orderBy("word")
+    },
+
     // The reference's own benchmark query text, run VERBATIM through the
     // Presto-dialect facade (reference: presto-benchto-benchmarks/src/
     // main/resources/sql/presto/tpch/q01.sql — only the benchto

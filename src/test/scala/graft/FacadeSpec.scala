@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `Engine.sql` facade as a USER sees it: a fresh `Engine.session`
+  * must expose every custom function and the utility-statement surface
+  * (reference: the full registry is visible to every query —
+  * presto-main/.../metadata/BuiltInTypeAndFunctionNamespaceManager.java;
+  * SHOW/EXPLAIN/SET SESSION from SqlBase.g4:36-135).
+  */
+class FacadeSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def dir = TestSpark.sfDir
+
+  private def one(sql: String): Any =
+    Engine.sql(spark, dir, sql).collect()(0).get(0)
+
+  test("custom aggregates resolve through bare Engine.sql") {
+    assert(one("SELECT cardinality(map_union_sum(m)) FROM (SELECT map('a', 1L) AS m)") == 1)
+    assert(one("SELECT round(geometric_mean(x), 4) FROM (VALUES (2.0), (8.0)) t(x)")
+      == 4.0)
+    val hll = one(
+      "SELECT hll_cardinality(merge_hll(h)) FROM (SELECT approx_set_agg(xxhash64(CAST(l_orderkey AS STRING))) AS h FROM lineitem)")
+    assert(hll.asInstanceOf[Long] > 0)
+    val q50 = one(
+      "SELECT value_at_quantile(qdigest_agg(o_totalprice), 0.5) FROM orders")
+    assert(q50.asInstanceOf[Double] > 0)
+    val t50 = one(
+      "SELECT td_value_at_quantile(tdigest_agg(o_totalprice), 0.5) FROM orders")
+    assert(t50.asInstanceOf[Double] > 0)
+    assert(one("SELECT checksum(x) = checksum(x + 0) FROM (VALUES (1L), (2L)) t(x)")
+      == true)
+    assert(one("SELECT round(entropy(c), 6) FROM (VALUES (1.0), (1.0)) t(c)") == 1.0)
+    assert(one("SELECT size(set_agg(x)) FROM (VALUES ('a'), ('a'), ('b')) t(x)") == 2)
+    assert(one(
+      "SELECT size(set_union(xs)) FROM (VALUES (array('a','b')), (array('b','c'))) t(xs)")
+      == 3)
+    assert(one(
+      "SELECT size(multimap_agg(k, v)) FROM (VALUES ('a', '1'), ('a', '2')) t(k, v)")
+      == 1)
+    assert(one(
+      "SELECT cardinality(numeric_histogram(4L, x)) <= 4 FROM (VALUES (1.0), (2.0), (9.0)) t(x)")
+      == true)
+  }
+
+  test("custom scalars resolve through bare Engine.sql") {
+    assert(one("SELECT word_stem('motoring')") == "motor")
+    assert(one("SELECT length(hex(hmac_sha256(CAST('x' AS BINARY), CAST('k' AS BINARY))))")
+      == 64)
+    assert(one("SELECT truncate(8.91)") == 8.0)
+    assert(one("SELECT truncate(-8.91)") == -8.0)
+    assert(one("SELECT truncate(123.456, 1)") == 123.4)
+    assert(one("SELECT bitwise_and(12, 10)") == 8L)
+    assert(one("SELECT log(8, 2)") == 3.0) // Presto log(number, base)
+    assert(one("SELECT cosine_similarity(map('a', 1.0D), map('a', 1.0D))") == 1.0)
+    assert(one("SELECT size(ngrams(array('a','b','c'), 2))") == 2)
+    assert(one("SELECT size(combinations(array('a','b','c'), 2))") == 3)
+    assert(one("SELECT cardinality(split_to_map('a=1,b=2', ',', '='))") == 2)
+  }
+
+  test("Presto-isms: TRY, ARRAY literal, 1-based subscript, date tokens") {
+    assert(one("SELECT TRY(CAST('x' AS INT))") == null)
+    assert(one("SELECT ARRAY[10, 20, 30][1]") == 10)
+    assert(one("SELECT date_format(TIMESTAMP '2001-02-03 04:05:06', '%Y-%m-%d %H:%i')")
+      == "2001-02-03 04:05")
+    assert(one("SELECT date_parse('2001-02-03', '%Y-%m-%d')").toString
+      .startsWith("2001-02-03"))
+  }
+
+  test("utility statements: SHOW / DESCRIBE / EXPLAIN / SET SESSION") {
+    val tables = Engine.sql(spark, dir, "SHOW TABLES")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(Tables.names.toSet.subsetOf(tables))
+    assert(Engine.sql(spark, dir, "SHOW COLUMNS IN orders").count() > 0)
+    assert(Engine.sql(spark, dir, "SHOW FUNCTIONS").count() > 100)
+    assert(Engine.sql(spark, dir, "DESCRIBE orders").count() > 0)
+    val plan = Engine.sql(spark, dir, "EXPLAIN SELECT count(*) FROM orders")
+      .collect()(0).getString(0)
+    assert(plan.contains("Physical Plan"))
+    Engine.sql(spark, dir, "SET SESSION spark.sql.shuffle.partitions = 8")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+  }
+}
