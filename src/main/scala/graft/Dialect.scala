@@ -159,6 +159,21 @@ object Dialect {
           out.append("array(")
           stack.prepend('A')
           i = k + 1
+        } else if ((lower == "date_add" || lower == "date_diff") &&
+            k < q.length && q(k) == '(' &&
+            { val m = nextNonSpace(q, k + 1); m < q.length && q(m) == '\'' }) {
+          // Presto 3-arg date_add('unit', n, ts) / date_diff('unit', a, b)
+          // (reference: DateTimeFunctions.java:428-542) → Spark's native
+          // timestampadd/timestampdiff, whose unit is an UNQUOTED
+          // identifier. Only fires when the first argument is a quoted
+          // literal, so Spark's 2-arg day-based date_add stays untouched.
+          val m = nextNonSpace(q, k + 1)
+          val end = literalEnd(q, m)
+          val unit = q.substring(m + 1, end - 1).toUpperCase
+          out.append(if (lower == "date_add") "timestampadd(" else "timestampdiff(")
+            .append(unit)
+          stack.prepend('(')
+          i = end
         } else if (k < q.length && q(k) == '(' && functionAliases.contains(lower)) {
           out.append(functionAliases(lower)).append('(')
           stack.prepend('(')

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
 
 /** Presto functions Spark lacks, injected as NATIVE Catalyst expression
   * builders (stay inside whole-stage codegen — no UDF boundary):
@@ -36,6 +36,7 @@ object PrestoFunctions {
 
   private def long(e: Expression): Expression = Cast(e, LongType)
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+
 
   /** sign(x) * floor(|x| * 10^n) / 10^n — truncation toward zero. */
   private def truncateExpr(x: Expression, n: Option[Expression]): Expression =
@@ -83,6 +84,25 @@ object PrestoFunctions {
     },
     fd("checksum") { a => graft.functions.ChecksumAgg(a.head) },
     fd("entropy") { a => graft.functions.EntropyAgg(a.head) },
+
+    // Datetime field functions where the NUMBERING differs (reference:
+    // DateTimeFunctions.java:77 — joda dayOfWeek is ISO Monday=1, while
+    // Spark's dayofweek is Sunday=1; Spark's weekday is Monday=0, so +1):
+    fd("day_of_week") { a => Add(WeekDay(a.head), Literal(1)) },
+    fd("dow") { a => Add(WeekDay(a.head), Literal(1)) },
+    fd("day_of_year") { a => DayOfYear(a.head) },
+    fd("doy") { a => DayOfYear(a.head) },
+    fd("week") { a => WeekOfYear(a.head) },
+    fd("week_of_year") { a => WeekOfYear(a.head) },
+    fd("year_of_week") { a => YearOfWeek(a.head) },
+    fd("yow") { a => YearOfWeek(a.head) },
+    fd("from_iso8601_date") { a => Cast(a.head, DateType) },
+    fd("from_iso8601_timestamp") { a => Cast(a.head, TimestampType) },
+
+    // (Presto's 3-arg date_add/date_diff are handled in [[graft.Dialect]]:
+    // Spark 4 ships its own 3-arg forms that the analyzer resolves ahead
+    // of injected functions, but they want the unit as an UNQUOTED
+    // identifier — so the dialect layer unquotes 'day' → DAY.)
 
     // split_to_map(text, entryDelim, kvDelim) (reference: presto-main/
     // .../operator/scalar/SplitToMapFunction.java) — Catalyst's

@@ -288,6 +288,82 @@ object Catalog {
         .orderBy("word")
     },
 
+    // Presto datetime dialect run through Engine.sql: ISO day_of_week
+    // (Monday=1 — Spark's dayofweek is Sunday=1, reference:
+    // DateTimeFunctions.java:77 joda dayOfWeek), doy/week fields, and the
+    // 3-arg date_add/date_diff forms. DuckDB's isodow/date_diff share
+    // Presto's conventions, giving an exact oracle.
+    Qdef.duckOnly(
+      "k12_datetime_dialect",
+      """SELECT o_orderkey,
+        |  CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        |  CAST(o_orderdate + INTERVAL '7' DAY AS TIMESTAMP) AS plus_week,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS BIGINT)
+        |    AS days_to_98
+        |FROM orders
+        |WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT o_orderkey,
+          |  day_of_week(o_orderdate) AS dow_iso,
+          |  doy(o_orderdate) AS doy,
+          |  week(o_orderdate) AS wk,
+          |  date_add('day', 7, o_orderdate) AS plus_week,
+          |  date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00')
+          |    AS days_to_98
+          |FROM orders
+          |WHERE o_orderkey < 100
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Two more reference benchto query texts VERBATIM through the facade
+    // (q06/q14 — the ones whose tables/columns all exist in the fixtures;
+    // only the benchto template and l_/p_ column names substituted).
+    Qdef(
+      "k13_benchto_q06",
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1994-01-01'
+        |  AND l_shipdate < DATE '1994-01-01' + INTERVAL '1' YEAR
+        |  AND l_discount BETWEEN .06 - 0.01 AND .06 + 0.01
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT
+          |  sum(l.l_extendedprice*l.l_discount) AS revenue
+          |FROM
+          |  lineitem l
+          |WHERE
+          |  l.l_shipdate >= DATE '1994-01-01'
+          |  AND l.l_shipdate < DATE '1994-01-01' + INTERVAL '1' YEAR
+          |  AND l.l_discount BETWEEN .06 - 0.01 AND .06 + 0.01
+          |  AND l.l_quantity < 24""".stripMargin)
+    },
+
+    Qdef(
+      "k14_benchto_q14",
+      """SELECT 100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1995-09-01'
+        |  AND l_shipdate < DATE '1995-09-01' + INTERVAL '1' MONTH""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT 100.00 * sum(CASE
+          |                    WHEN p.p_type LIKE 'PROMO%'
+          |                      THEN l.l_extendedprice * (1 - l.l_discount)
+          |                    ELSE 0
+          |                    END) / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue
+          |FROM
+          |  lineitem AS l,
+          |  part AS p
+          |WHERE
+          |  l.l_partkey = p.p_partkey
+          |  AND l.l_shipdate >= DATE '1995-09-01'
+          |  AND l.l_shipdate < DATE '1995-09-01' + INTERVAL '1' MONTH""".stripMargin)
+    },
+
     // The reference's own benchmark query text, run VERBATIM through the
     // Presto-dialect facade (reference: presto-benchto-benchmarks/src/
     // main/resources/sql/presto/tpch/q01.sql — only the benchto

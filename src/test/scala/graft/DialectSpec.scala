@@ -79,6 +79,22 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT * FROM t ORDER BY coalesce(a, b) DESC NULLS LAST")
   }
 
+  test("3-arg date_add/date_diff unquote the unit into timestampadd/diff") {
+    assert(Engine.translate("SELECT date_add('day', 7, ts) FROM t")
+      == "SELECT timestampadd(DAY, 7, ts) FROM t")
+    assert(Engine.translate("SELECT date_diff('month', a, b) FROM t")
+      == "SELECT timestampdiff(MONTH, a, b) FROM t")
+    // Spark's own 2-arg form (no quoted first arg) passes through
+    assert(Engine.translate("SELECT date_add(d, 7) FROM t")
+      == "SELECT date_add(d, 7) FROM t")
+  }
+
+  test("SET SESSION becomes SET") {
+    assert(Engine.translate("SET SESSION foo.bar = 7") == "SET foo.bar = 7")
+    assert(Engine.translate("SELECT 'set session x' FROM t")
+      == "SELECT 'set session x' FROM t")
+  }
+
   test("TRY and translated functions keep literals untouched") {
     assert(Engine.translate("SELECT TRY(1/x) FROM t") == "SELECT TRY(1/x) FROM t")
     assert(Engine.translate("SELECT log(x, 2) FROM t")
