@@ -122,20 +122,41 @@ object Dialect {
     }
   }
 
+  private val regexMeta = "\\^$.|?*+()[]{}"
+
+  /** Presto `split` takes a LITERAL delimiter (reference: presto-main/
+    * .../operator/scalar/StringFunctions.java split — Slice equality, no
+    * regex), Spark's takes a Java regex. A literal delimiter containing
+    * regex metacharacters is wrapped in \Q…\E when translated. (A
+    * delimiter containing the two-char sequence `\E` would break the
+    * quoting — not expressible this way, and not a realistic delimiter.) */
+  private def quoteRegexLiteral(body: String): String =
+    if (body.exists(regexMeta.contains(_)))
+      "\\\\Q" + body.replace("\\", "\\\\") + "\\\\E"
+    else body
+
+  /** Call/bracket frame: kind 'A' = ARRAY[ → array(, 'S' = subscript →
+    * element_at(, '(' = plain paren, 'p' = split( whose 2nd argument is a
+    * regex-position literal. `args` counts top-level commas seen. */
+  private final class Frame(val kind: Char) { var args: Int = 0 }
+
   /** Main rewrite pass: literals copied verbatim, identifiers alias-mapped
     * at call sites, ARRAY[..]→array(..), subscripts→element_at, double
-    * quotes→backticks. A bracket stack tracks which ']' closes what. */
+    * quotes→backticks. A frame stack tracks which ']' closes what and
+    * which literal sits in a regex argument position. */
   private def rewrite(q: String): String = {
     val out = new StringBuilder
-    // 'A' = ARRAY[ rewritten to array(; 'S' = subscript rewritten to
-    // element_at(; '(' = plain paren (kept so ']' matching stays honest)
-    val stack = mutable.ArrayDeque.empty[Char]
+    val stack = mutable.ArrayDeque.empty[Frame]
     var i = 0
     while (i < q.length) {
       val c = q(i)
       if (c == '\'') {
         val j = literalEnd(q, i)
-        out.append(q.substring(i, j)); i = j
+        if (stack.nonEmpty && stack.head.kind == 'p' && stack.head.args == 1) {
+          val body = q.substring(i + 1, j - 1)
+          out.append('\'').append(quoteRegexLiteral(body)).append('\'')
+        } else out.append(q.substring(i, j))
+        i = j
       } else if (c == '"') {
         // double-quoted identifier ("" escapes a quote) → backticks
         var j = i + 1
@@ -157,7 +178,11 @@ object Dialect {
         val k = nextNonSpace(q, j)
         if (lower == "array" && k < q.length && q(k) == '[') {
           out.append("array(")
-          stack.prepend('A')
+          stack.prepend(new Frame('A'))
+          i = k + 1
+        } else if (lower == "split" && k < q.length && q(k) == '(') {
+          out.append("split(")
+          stack.prepend(new Frame('p'))
           i = k + 1
         } else if ((lower == "date_add" || lower == "date_diff") &&
             k < q.length && q(k) == '(' &&
@@ -172,29 +197,33 @@ object Dialect {
           val unit = q.substring(m + 1, end - 1).toUpperCase
           out.append(if (lower == "date_add") "timestampadd(" else "timestampdiff(")
             .append(unit)
-          stack.prepend('(')
+          stack.prepend(new Frame('('))
           i = end
         } else if (k < q.length && q(k) == '(' && functionAliases.contains(lower)) {
           out.append(functionAliases(lower)).append('(')
-          stack.prepend('(')
+          stack.prepend(new Frame('('))
           i = k + 1
         } else { out.append(word); i = j }
       } else if (c == '[') {
         val ins = operandStart(out)
         out.insert(ins, "element_at(")
         out.append(", ")
-        stack.prepend('S')
+        stack.prepend(new Frame('S'))
         i += 1
       } else if (c == ']') {
-        if (stack.nonEmpty && (stack.head == 'A' || stack.head == 'S')) {
+        if (stack.nonEmpty && (stack.head.kind == 'A' || stack.head.kind == 'S')) {
           stack.removeHead()
           out.append(')')
         } else out.append(c)
         i += 1
       } else if (c == '(') {
-        stack.prepend('('); out.append(c); i += 1
+        stack.prepend(new Frame('(')); out.append(c); i += 1
       } else if (c == ')') {
-        if (stack.nonEmpty && stack.head == '(') stack.removeHead()
+        if (stack.nonEmpty && (stack.head.kind == '(' || stack.head.kind == 'p'))
+          stack.removeHead()
+        out.append(c); i += 1
+      } else if (c == ',') {
+        if (stack.nonEmpty) stack.head.args += 1
         out.append(c); i += 1
       } else { out.append(c); i += 1 }
     }

@@ -81,6 +81,16 @@ object ScalarPack {
       (xs: Seq[Double], p: Double) => arrayNormalize(xs, p))
     spark.udf.register("cosine_similarity",
       (a: Map[String, Double], b: Map[String, Double]) => cosineSimilarity(a, b))
+    // url_encode/url_decode (reference: UrlFunctions.java:151-169 — form
+    // escaping: space→+, "-_.*" safe; URLDecoder semantics on decode)
+    spark.udf.register("url_encode",
+      (s: String) =>
+        if (s == null) null
+        else java.net.URLEncoder.encode(s, "UTF-8"))
+    spark.udf.register("url_decode",
+      (s: String) =>
+        if (s == null) null
+        else java.net.URLDecoder.decode(s, "UTF-8"))
     spark.udf.register("multimap_from_entries",
       (entries: Seq[(String, String)]) =>
         if (entries == null) null

@@ -37,6 +37,9 @@ object PrestoFunctions {
   private def long(e: Expression): Expression = Cast(e, LongType)
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
 
+  private def parseUrl(url: Expression, part: String): Expression =
+    new ParseUrl(Seq(url, Literal(part)), false)
+
 
   /** sign(x) * floor(|x| * 10^n) / 10^n — truncation toward zero. */
   private def truncateExpr(x: Expression, n: Option[Expression]): Expression =
@@ -103,6 +106,27 @@ object PrestoFunctions {
     // Spark 4 ships its own 3-arg forms that the analyzer resolves ahead
     // of injected functions, but they want the unit as an UNQUOTED
     // identifier — so the dialect layer unquotes 'day' → DAY.)
+
+    // url_extract_* (reference: presto-main/.../operator/scalar/
+    // UrlFunctions.java) → Spark's ParseUrl with failOnError=false so a
+    // malformed URL yields NULL like the reference, not an ANSI error.
+    // PORT has no ParseUrl part — extracted from AUTHORITY.
+    fd("url_extract_protocol") { a => parseUrl(a.head, "PROTOCOL") },
+    fd("url_extract_host") { a => parseUrl(a.head, "HOST") },
+    fd("url_extract_path") { a => parseUrl(a.head, "PATH") },
+    fd("url_extract_query") { a => parseUrl(a.head, "QUERY") },
+    fd("url_extract_fragment") { a => parseUrl(a.head, "REF") },
+    fd("url_extract_port") { a =>
+      Cast(
+        new NullIf(
+          RegExpExtract(
+            parseUrl(a.head, "AUTHORITY"), Literal(":(\\d+)$"), Literal(1)),
+          Literal("")),
+        LongType)
+    },
+    fd("url_extract_parameter") { a =>
+      new ParseUrl(Seq(a(0), Literal("QUERY"), a(1)), false)
+    },
 
     // split_to_map(text, entryDelim, kvDelim) (reference: presto-main/
     // .../operator/scalar/SplitToMapFunction.java) — Catalyst's

@@ -288,6 +288,29 @@ object Catalog {
         .orderBy("word")
     },
 
+    // url_extract_* / url_encode / url_decode under their reference names
+    // (UrlFunctions.java), exercised THROUGH Engine.sql on a URL covering
+    // every component; exact literal oracle.
+    Qdef(
+      "k15_url_compat",
+      """SELECT
+        |  'https' AS proto, 'example.com' AS host, CAST(8080 AS BIGINT) AS prt,
+        |  '/a/b' AS pth, 'x=1&y=23' AS qry, 'frag' AS frg,
+        |  '23' AS param_y, 'a%2Fb+c' AS enc, 'a/b c' AS dec""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT
+          |  url_extract_protocol(u) AS proto,
+          |  url_extract_host(u) AS host,
+          |  url_extract_port(u) AS prt,
+          |  url_extract_path(u) AS pth,
+          |  url_extract_query(u) AS qry,
+          |  url_extract_fragment(u) AS frg,
+          |  url_extract_parameter(u, 'y') AS param_y,
+          |  url_encode('a/b c') AS enc,
+          |  url_decode('a%2Fb+c') AS dec
+          |FROM (SELECT 'https://example.com:8080/a/b?x=1&y=23#frag' AS u)""".stripMargin)
+    },
+
     // Presto datetime dialect run through Engine.sql: ISO day_of_week
     // (Monday=1 — Spark's dayofweek is Sunday=1, reference:
     // DateTimeFunctions.java:77 joda dayOfWeek), doy/week fields, and the

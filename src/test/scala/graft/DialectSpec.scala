@@ -89,6 +89,21 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT date_add(d, 7) FROM t")
   }
 
+  test("split literal delimiters with regex metachars get \\Q-quoted") {
+    assert(Engine.translate("SELECT split(s, '.') FROM t")
+      == "SELECT split(s, '\\\\Q.\\\\E') FROM t")
+    assert(Engine.translate("SELECT split(s, '|')[2] FROM t")
+      == "SELECT element_at(split(s, '\\\\Q|\\\\E'), 2) FROM t")
+    // plain delimiters stay byte-identical
+    assert(Engine.translate("SELECT split(s, ',') FROM t")
+      == "SELECT split(s, ',') FROM t")
+    assert(Engine.translate("SELECT split(s, ' ') FROM t")
+      == "SELECT split(s, ' ') FROM t")
+    // only the SECOND argument is the regex position
+    assert(Engine.translate("SELECT split(concat(a, '.'), 'x') FROM t")
+      == "SELECT split(concat(a, '.'), 'x') FROM t")
+  }
+
   test("SET SESSION becomes SET") {
     assert(Engine.translate("SET SESSION foo.bar = 7") == "SET foo.bar = 7")
     assert(Engine.translate("SELECT 'set session x' FROM t")

@@ -58,6 +58,11 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT cardinality(split_to_map('a=1,b=2', ',', '='))") == 2)
   }
 
+  test("split takes a literal delimiter like the reference") {
+    assert(one("SELECT split('a.b.c', '.')[2]") == "b")
+    assert(one("SELECT size(split('a|b|c', '|'))") == 3)
+  }
+
   test("Presto-isms: TRY, ARRAY literal, 1-based subscript, date tokens") {
     assert(one("SELECT TRY(CAST('x' AS INT))") == null)
     assert(one("SELECT ARRAY[10, 20, 30][1]") == 10)
