@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions.{udaf, udf}
   * value error bounded by the bin ratio (~1.5% at 1024 bins over
   * [1e-6, 1e12]).
   *
+  * DOMAIN CAVEAT (diverges from the reference, which digests any long/
+  * double): inputs OUTSIDE [1e-6, 1e12] — including zero and negatives —
+  * silently clamp to the nearest bin edge, so quantiles of mixed-sign or
+  * tiny data are wrong, not approximate. This digest is for positive
+  * measures (prices, sizes, latencies); for the full real line use
+  * [[TDigest]], whose centroids carry exact means.
+  *
   *   qdigest_agg(x)                   → binary digest (aggregate)
   *   merge_qdigest(digest)            → binary digest (merge aggregate)
   *   value_at_quantile(digest, q)     → double        (scalar)

@@ -112,4 +112,20 @@ class PlanSpec extends QueryAssertions {
     assert(plan.contains("partial_sum") || plan.contains("merge_sum"),
       "map-side partial aggregation expected")
   }
+
+  test("checksum/entropy: native DeclarativeAggregates run partial+final") {
+    import org.apache.spark.sql.functions.expr
+    val df = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("checksum(o_totalprice)"), expr("entropy(o_custkey)"))
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(plan.contains("partial_checksum") || plan.contains("merge_checksum"),
+      s"map-side partial checksum expected:\n${plan.take(2000)}")
+    assert(plan.contains("partial_entropy") || plan.contains("merge_entropy"),
+      s"map-side partial entropy expected:\n${plan.take(2000)}")
+    // DeclarativeAggregate stays inside whole-stage codegen (the tree
+    // rendering marks codegen stages with "*(n)")
+    assert(plan.contains("*(1) HashAggregate"),
+      s"partial aggregate must be inside a codegen stage:\n${plan.take(2000)}")
+  }
 }
