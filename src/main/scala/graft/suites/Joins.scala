@@ -158,6 +158,47 @@ object Joins {
         .join(rich, col("o_custkey") === col("rich_key"), "left")
         .select(col("o_orderkey"), col("rich_key").isNotNull.as("rich_customer"))
         .orderBy("o_orderkey")
+    },
+
+    // AS-OF join (ops/AsOfJoin): for every error event, the latest click
+    // by the same user at or before it — verified against DuckDB's native
+    // ASOF LEFT JOIN, whose inclusive-backward contract matches.
+    Qdef.duckOnly(
+      "j09_asof_join",
+      """SELECT e.event_id,
+        |  c.ts AS asof_ts, c.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error' AND user_id < 40) e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error" && col("user_id") < 40)
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOfJoin.asOf(
+          errors, clicks, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+        .select(col("event_id"), col("asof_ts"), col("asof_value"))
+        .orderBy("event_id")
+    },
+
+    // Range join with NO equi key (ops/RangeJoin): clicks that fall in
+    // the ±5-minute window around ANY error event, via time-bucketed
+    // equi-join + residual — never a nested-loop. The oracle replays the
+    // raw inequality join (fine at oracle scale, quadratic at ours).
+    Qdef.duckOnly(
+      "j10_range_join",
+      """SELECT CAST(count(DISTINCT c.event_id) AS BIGINT) AS clicks_near_errors
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT ts - INTERVAL 5 MINUTE AS s, ts + INTERVAL 5 MINUTE AS e
+        |      FROM events WHERE event_type = 'error') iv
+        |  ON c.ts BETWEEN iv.s AND iv.e""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val windows = ev.filter(col("event_type") === "error")
+        .select(
+          (col("ts") - expr("INTERVAL '5' MINUTE")).as("s"),
+          (col("ts") + expr("INTERVAL '5' MINUTE")).as("e"))
+      graft.ops.RangeJoin.pointInInterval(clicks, "ts", windows, "s", "e")
+        .agg(countDistinct("event_id").as("clicks_near_errors"))
     }
   )
 }

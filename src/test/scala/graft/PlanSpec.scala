@@ -47,6 +47,18 @@ class PlanSpec extends QueryAssertions {
       "near-dup candidates must come from the band-key equi join")
   }
 
+  test("j09/j10: as-of and range joins avoid nested-loop plans") {
+    val asof = planOf(run("j09_asof_join"))
+    assert(!asof.contains("CartesianProduct") &&
+      !asof.contains("BroadcastNestedLoopJoin"),
+      "as-of join must be one shuffle + window, not a join at all")
+    assert(asof.contains("Window"), "as-of match is a running window")
+    val range = planOf(run("j10_range_join"))
+    assert(!range.contains("CartesianProduct") &&
+      !range.contains("BroadcastNestedLoopJoin"),
+      s"range join must equi-join on time buckets:\n${range.take(2000)}")
+  }
+
   test("dynamic partition pruning fires on partitioned joins") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
