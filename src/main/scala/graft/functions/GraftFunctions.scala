@@ -138,6 +138,50 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Double, Double]]()
   }
 
+  /** Uniform k-sample as a BOTTOM-K HASH sketch (reference:
+    * operator/aggregation/ReservoirSampleFunction semantics — a uniform
+    * sample of k values — but deterministic instead of RNG-driven: keep
+    * the k values with the smallest xxhash64, which is a uniform sample
+    * when the hash is uniform). Deterministic makes it testable and
+    * idempotent across retries; bottom-k states merge by "union then keep
+    * k smallest", so partials ship across exchanges — at 100 TB the
+    * sample never touches a single node until the final k rows. */
+  class BottomKSampleAgg(enc: Encoder[(Int, Seq[(Long, String)])])
+      extends Aggregator[(String, Long), (Int, Seq[(Long, String)]), Seq[String]] {
+
+    /** Stable 64-bit hash of the value — the sampling "random" variate.
+      * First 8 md5 bytes, sign-flipped so SIGNED ordering equals unsigned
+      * (= lexicographic order of the md5 hex prefix, which lets any
+      * engine replay the exact sample: ORDER BY substr(md5(v),1,16)). */
+    private def hashOf(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(md).getLong ^ Long.MinValue
+    }
+
+    private def trim(s: Seq[(Long, String)], k: Int): Seq[(Long, String)] =
+      if (s.length <= k) s else s.sorted.take(k)
+
+    def zero: (Int, Seq[(Long, String)]) = (0, Vector.empty)
+    def reduce(b: (Int, Seq[(Long, String)]), a: (String, Long)): (Int, Seq[(Long, String)]) =
+      if (a == null || a._1 == null) b
+      else {
+        val k = if (b._1 > 0) b._1 else a._2.toInt
+        (k, trim(b._2 :+ ((hashOf(a._1), a._1)), k))
+      }
+    def merge(
+        b1: (Int, Seq[(Long, String)]),
+        b2: (Int, Seq[(Long, String)])): (Int, Seq[(Long, String)]) = {
+      val k = math.max(b1._1, b2._1)
+      if (k == 0) (0, Vector.empty) else (k, trim(b1._2 ++ b2._2, k))
+    }
+    def finish(r: (Int, Seq[(Long, String)])): Seq[String] =
+      r._2.sorted.map(_._2)
+    def bufferEncoder: Encoder[(Int, Seq[(Long, String)])] = enc
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Register everything on the session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     val mapEnc: Encoder[Map[String, Long]] = {
@@ -154,6 +198,10 @@ object GraftFunctions {
       Encoders.tuple(Encoders.STRING, Encoders.STRING)))
     spark.udf.register("numeric_histogram", udaf(new NumericHistogramAgg,
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)))
+    val bkEnc: Encoder[(Int, Seq[(Long, String)])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Seq[(Long, String)])]()
+    spark.udf.register("bottom_k_sample", udaf(new BottomKSampleAgg(bkEnc),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
     ScalarPack.registerAll(spark)
   }
 }

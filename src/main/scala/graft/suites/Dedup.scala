@@ -156,6 +156,25 @@ object Dedup {
           round(size(array_intersect(col("g1"), col("g2"))).cast("double") /
             size(array_union(col("g1"), col("g2"))), 6).as("jac"))
         .orderBy("id1", "id2")
+    },
+
+    // Deterministic uniform k-sample as a mergeable bottom-k hash sketch
+    // (training pipelines sample corpora constantly; RNG reservoirs can't
+    // be oracle-checked or retried idempotently — hash-ordering can).
+    // DuckDB replays the EXACT sample: the k values with the smallest
+    // md5 prefix. Input repartitioned 64 ways so the merge path is
+    // exercised, which must not change the result.
+    Qdef.duckOnly(
+      "d06_bottom_k_sample",
+      """SELECT CAST(doc_id AS VARCHAR) AS did
+        |FROM documents
+        |ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, dir, "documents")
+        .repartition(64)
+        .agg(expr("bottom_k_sample(CAST(doc_id AS STRING), 10L)").as("sample"))
+        .select(explode(col("sample")).as("did"))
     }
   )
 }

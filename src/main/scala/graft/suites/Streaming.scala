@@ -165,6 +165,34 @@ object Streaming {
       s.table(name).orderBy("user_id")
     },
 
+    // Mergeable sketch INSIDE the streaming engine: per-type t-digests
+    // built incrementally across micro-batches by the StateStore-backed
+    // streaming aggregation — the pattern that gives percentiles over an
+    // unbounded stream with bounded state. Property oracle: streamed p50
+    // within the digest's error band of the exact batch percentile.
+    Qdef(
+      "st08_stream_tdigest",
+      """SELECT event_type, true AS p50_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.functions.TDigest.registerAll(s)
+      val stream = StreamingOps.streamEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("tdigest_agg(value)").as("td"))
+      val streamed = StreamingOps.runToCompletion(stream, s)
+        .select(col("event_type"),
+          expr("td_value_at_quantile(td, 0.5)").as("est50"))
+      val exact = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"))
+        .agg(expr("percentile(value, 0.5)").as("ex50"))
+      streamed.join(exact, col("event_type") === col("et"))
+        .select(col("event_type"),
+          (abs(col("est50") - col("ex50")) <= abs(col("ex50")) * 0.02 + 0.01)
+            .as("p50_ok"))
+        .orderBy("event_type")
+    },
+
     // Sliding windows (1 day, 12-hour slide): every event lands in exactly
     // two windows; the oracle unions the two alignments explicitly.
     Qdef.duckOnly(
