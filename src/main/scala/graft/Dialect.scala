@@ -180,6 +180,29 @@ object Dialect {
           out.append("array(")
           stack.prepend(new Frame('A'))
           i = k + 1
+        } else if (lower == "limit" && {
+          val m = nextNonSpace(q, j)
+          var e = m
+          while (e < q.length && isWordChar(q(e))) e += 1
+          q.substring(m, e).equalsIgnoreCase("all") && {
+            // LIMIT ALL (SqlBase.g4 limit clause) = no limit in Presto;
+            // Spark doesn't parse it — drop both words.
+            i = e; true
+          }
+        }) {
+          // handled in the guard
+        } else if (lower == "decimal" && k < q.length && q(k) == '\'') {
+          // Presto typed literal DECIMAL 'd.dd' (SqlBase.g4 primaryExpression
+          // typeConstructor) → CAST with precision/scale read off the text.
+          val end = literalEnd(q, k)
+          val body = q.substring(k + 1, end - 1).trim
+          val digits = body.count(_.isDigit)
+          val scale = body.indexOf('.') match {
+            case -1 => 0
+            case d  => body.length - d - 1
+          }
+          out.append(s"CAST('$body' AS DECIMAL(${math.max(digits, 1)}, $scale))")
+          i = end
         } else if (lower == "split" && k < q.length && q(k) == '(') {
           out.append("split(")
           stack.prepend(new Frame('p'))

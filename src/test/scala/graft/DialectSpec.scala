@@ -104,6 +104,18 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT split(concat(a, '.'), 'x') FROM t")
   }
 
+  test("LIMIT ALL is dropped; DECIMAL literals become sized casts") {
+    assert(Engine.translate("SELECT * FROM t LIMIT ALL")
+      == "SELECT * FROM t ")
+    assert(Engine.translate("SELECT DECIMAL '12.345'")
+      == "SELECT CAST('12.345' AS DECIMAL(5, 3))")
+    assert(Engine.translate("SELECT DECIMAL '7'")
+      == "SELECT CAST('7' AS DECIMAL(1, 0))")
+    // a column named decimal_x or LIMIT with a number is untouched
+    assert(Engine.translate("SELECT decimal_x FROM t LIMIT 5")
+      == "SELECT decimal_x FROM t LIMIT 5")
+  }
+
   test("SET SESSION becomes SET") {
     assert(Engine.translate("SET SESSION foo.bar = 7") == "SET foo.bar = 7")
     assert(Engine.translate("SELECT 'set session x' FROM t")
