@@ -22,22 +22,30 @@ case class ChecksumAgg(child: Expression)
   private val Prime64 = 0x9E3779B185EBCA87L
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "checksum"
 
-  private lazy val sum = AttributeReference("sum", LongType, nullable = false)()
+  // NULL buffer = "no rows seen": like the reference's NullableLongState,
+  // an empty group checksums to NULL, not 0.
+  private lazy val sum = AttributeReference("sum", LongType, nullable = true)()
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sum)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(null, LongType))
   override lazy val updateExpressions: Seq[Expression] = Seq(
     Add(
-      sum,
+      Coalesce(Seq(sum, Literal(0L))),
       If(
         IsNull(child),
         Literal(Prime64),
         Multiply(new XxHash64(Seq(child)), Literal(Prime64), EvalMode.LEGACY)),
       EvalMode.LEGACY))
   override lazy val mergeExpressions: Seq[Expression] = Seq(
-    Add(sum.left, sum.right, EvalMode.LEGACY))
+    If(
+      IsNull(sum.left) && IsNull(sum.right),
+      Literal(null, LongType),
+      Add(
+        Coalesce(Seq(sum.left, Literal(0L))),
+        Coalesce(Seq(sum.right, Literal(0L))),
+        EvalMode.LEGACY)))
   override lazy val evaluateExpression: Expression = sum
 
   override protected def withNewChildInternal(newChild: Expression): ChecksumAgg =

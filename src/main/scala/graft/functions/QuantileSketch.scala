@@ -64,7 +64,9 @@ object QuantileSketch {
       while (i < Bins) { b1(i) += b2(i); i += 1 }
       b1
     }
-    def finish(r: Array[Long]): Array[Long] = r
+    // NULL for an empty digest (reference: empty-group qdigest is NULL)
+    def finish(r: Array[Long]): Array[Long] =
+      if (r.forall(_ == 0L)) null else r
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Long]] =
@@ -82,7 +84,8 @@ object QuantileSketch {
       while (i < Bins) { b1(i) += b2(i); i += 1 }
       b1
     }
-    def finish(r: Array[Long]): Array[Long] = r
+    def finish(r: Array[Long]): Array[Long] =
+      if (r.forall(_ == 0L)) null else r
     def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Long]] =
@@ -95,6 +98,7 @@ object QuantileSketch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
     spark.udf.register("value_at_quantile",
       udf((d: Seq[Long], q: Double) =>
-        if (d == null) Double.NaN else valueAtQuantile(d.toArray, q)))
+        if (d == null) null
+        else java.lang.Double.valueOf(valueAtQuantile(d.toArray, q))))
   }
 }

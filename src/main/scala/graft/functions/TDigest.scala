@@ -95,10 +95,13 @@ object TDigest {
     while (i + 1 < pairs.length) { add(s, pairs(i), pairs(i + 1)); i += 2 }
   }
 
-  /** Final serialized form: [n, sorted (mean, weight) pairs]. */
+  /** Final serialized form: [n, sorted (mean, weight) pairs]; NULL for an
+    * empty digest, matching the reference (an empty group's tdigest is
+    * NULL, not a zero-centroid blob). */
   private def finishState(s: Array[Double]): Array[Double] = {
     compress(s)
     val n = used(s)
+    if (n == 0) return null
     val out = new Array[Double](1 + 2 * n)
     out(0) = n.toDouble
     System.arraycopy(s, 1, out, 1, 2 * n)
@@ -202,14 +205,18 @@ object TDigest {
     spark.udf.register("tdigest_agg", udaf(new TDigestAgg, Encoders.scalaDouble))
     spark.udf.register("merge_tdigest", udaf(new MergeTDigestAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()))
+    // boxed returns so a NULL digest yields SQL NULL (reference scalar
+    // functions are null-propagating), not NaN
     spark.udf.register("td_value_at_quantile",
       udf((d: Seq[Double], q: Double) =>
-        if (d == null || d.isEmpty) Double.NaN else valueAtQuantile(d, q)))
+        if (d == null || d.isEmpty) null
+        else java.lang.Double.valueOf(valueAtQuantile(d, q))))
     spark.udf.register("td_values_at_quantiles",
       udf((d: Seq[Double], qs: Seq[Double]) =>
         if (d == null || d.isEmpty) null else qs.map(valueAtQuantile(d, _))))
     spark.udf.register("td_quantile_at_value",
       udf((d: Seq[Double], x: Double) =>
-        if (d == null || d.isEmpty) Double.NaN else quantileAtValue(d, x)))
+        if (d == null || d.isEmpty) null
+        else java.lang.Double.valueOf(quantileAtValue(d, x))))
   }
 }

@@ -113,6 +113,28 @@ object Conformance {
           sum("o_totalprice").as("s"),
           min("o_orderdate").as("mn"),
           max("o_orderkey").as("mx"))
+    },
+
+    // Empty-group semantics of the CUSTOM aggregates, matching the
+    // reference: checksum/tdigest/qdigest of no rows are NULL (nullable
+    // state never initialized), entropy is 0.0 (defined case), and the
+    // quantile scalars propagate the NULL digest.
+    Qdef(
+      "n06_empty_custom_aggs",
+      """SELECT
+        |  CAST(NULL AS BIGINT) AS cksum,
+        |  CAST(0.0 AS DOUBLE) AS ent,
+        |  CAST(NULL AS DOUBLE) AS td_p50,
+        |  CAST(NULL AS DOUBLE) AS qd_p50
+        |FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
+      graft.functions.TDigest.registerAll(s)
+      graft.functions.QuantileSketch.registerAll(s)
+      t(s, dir, "orders").filter(col("o_orderkey") < 0)
+        .agg(
+          expr("checksum(o_totalprice)").as("cksum"),
+          expr("entropy(o_totalprice)").as("ent"),
+          expr("td_value_at_quantile(tdigest_agg(o_totalprice), 0.5)").as("td_p50"),
+          expr("value_at_quantile(qdigest_agg(o_totalprice), 0.5)").as("qd_p50"))
     }
   )
 }
