@@ -53,6 +53,7 @@ object Engine {
     graft.functions.HyperLogLog.registerAll(spark)
     graft.functions.QuantileSketch.registerAll(spark)
     graft.functions.TDigest.registerAll(spark)
+    graft.functions.SetDigestSketch.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

@@ -16,6 +16,7 @@ object Udfs {
     graft.functions.HyperLogLog.registerAll(s)
     graft.functions.QuantileSketch.registerAll(s)
     graft.functions.TDigest.registerAll(s)
+    graft.functions.SetDigestSketch.registerAll(s)
     Tables.load(s, dir, name)
   }
 
@@ -150,6 +151,52 @@ object Udfs {
           (abs(col("est90") - col("ex90")) <= col("ex90") * 0.02).as("p90_ok"),
           (abs(col("est99") - col("ex99")) <= col("ex99") * 0.02).as("p99_ok"),
           (abs(col("invq") - 0.5) <= 0.02).as("inv_ok"))
+    },
+
+    // set_digest sketch API (reference: type/setdigest/SetDigest.java +
+    // SetDigestFunctions.java): token-set digests of two sources. Every
+    // fixture vocabulary fits the digest (exact path), so cardinality and
+    // intersection_cardinality must EQUAL the exact values, and the
+    // digest built by merging per-(source,lang) partials must equal the
+    // directly-built digest bit-for-bit (deterministic union-trim merge).
+    // jaccard_index uses the reference's m-bounded MinHash estimate —
+    // checked within a band of the true Jaccard. (The >MaxHashes overflow
+    // estimator path is unit-tested in SketchSpec.)
+    Qdef(
+      "c07_set_digest",
+      """SELECT true AS merge_ok, true AS card_ok, true AS inter_ok, true AS jac_ok
+        |FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      val direct = toks.groupBy("source")
+        .agg(expr("make_set_digest(tok)").as("d"))
+      val viaMerge = toks.groupBy("source", "lang")
+        .agg(expr("make_set_digest(tok)").as("pd"))
+        .groupBy("source")
+        .agg(expr("merge_set_digest(pd)").as("dm"))
+      val mergeOk = direct.join(viaMerge, "source")
+        .agg(min(col("d") === col("dm")).as("merge_ok"))
+      val d0 = direct.filter(col("source") === "src0").select(col("d").as("d0"))
+      val d1 = direct.filter(col("source") === "src1").select(col("d").as("d1"))
+      val exact = toks.filter(col("source") === "src0")
+        .agg(countDistinct("tok").as("n0"))
+      val exactSets = toks.filter(col("source") === "src0").select("tok").distinct()
+        .intersect(toks.filter(col("source") === "src1").select("tok").distinct())
+        .agg(count(lit(1)).as("n_inter"))
+      val exactUnion = toks.select("tok").distinct()
+        .agg(count(lit(1)).as("n_union"))
+      mergeOk
+        .crossJoin(broadcast(d0)).crossJoin(broadcast(d1))
+        .crossJoin(broadcast(exact)).crossJoin(broadcast(exactSets))
+        .crossJoin(broadcast(exactUnion))
+        .select(
+          col("merge_ok"),
+          (expr("set_digest_cardinality(d0)") === col("n0")).as("card_ok"),
+          (expr("intersection_cardinality(d0, d1)") === col("n_inter")).as("inter_ok"),
+          (abs(expr("jaccard_index(d0, d1)") -
+            col("n_inter").cast("double") / col("n_union")) <= 0.3).as("jac_ok"))
     }
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM sketch-math tests — the paths fixture-scale data can't reach:
+  * set-digest overflow (> MaxHashes distinct values) and t-digest
+  * compression bounds.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  test("set digest: overflow cardinality estimator within 5%") {
+    import graft.functions.SetDigestSketch
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Boolean, Seq[Long])]()
+    val agg = new SetDigestSketch.MakeSetDigestAgg(enc)
+    val n = 50000
+    var state = agg.zero
+    (0 until n).foreach(i => state = agg.reduce(state, s"value_$i"))
+    val digest = agg.finish(state)
+    assert(digest.head == 1L, "50k distinct values must overflow 8192 hashes")
+    val est = SetDigestSketch.cardinality(digest)
+    assert(math.abs(est - n).toDouble / n <= 0.05,
+      s"estimate $est vs exact $n out of band")
+  }
+
+  test("set digest: jaccard of disjoint and identical sets") {
+    import graft.functions.SetDigestSketch
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Boolean, Seq[Long])]()
+    val agg = new SetDigestSketch.MakeSetDigestAgg(enc)
+    def digestOf(vs: Seq[String]): Seq[Long] =
+      agg.finish(vs.foldLeft(agg.zero)(agg.reduce))
+    val a = digestOf((0 until 100).map(i => s"a$i"))
+    val b = digestOf((0 until 100).map(i => s"b$i"))
+    assert(SetDigestSketch.jaccardIndex(a, a) == 1.0)
+    assert(SetDigestSketch.jaccardIndex(a, b) == 0.0)
+    assert(SetDigestSketch.intersectionCardinality(a, a) == 100L)
+    assert(SetDigestSketch.intersectionCardinality(a, b) == 0L)
+  }
+
+  test("t-digest: centroid count stays bounded under heavy insertion") {
+    import graft.functions.TDigest
+    val agg = new TDigest.TDigestAgg
+    var state = agg.zero
+    val rnd = new scala.util.Random(7)
+    (0 until 100000).foreach(_ => state = agg.reduce(state, rnd.nextGaussian()))
+    val digest = agg.finish(state)
+    val centroids = digest.head.toInt
+    assert(centroids > 10 && centroids <= 2 * TDigest.Compression.toInt,
+      s"$centroids centroids vs compression ${TDigest.Compression}")
+    // median of a standard normal ≈ 0 within loose digest error
+    assert(math.abs(TDigest.valueAtQuantile(digest, 0.5)) < 0.05)
+  }
+}
