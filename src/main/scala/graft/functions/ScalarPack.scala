@@ -64,7 +64,29 @@ object ScalarPack {
       if (na == 0 || nb == 0) Double.NaN else dot / (na * nb)
     }
 
+  /** Presto parse_duration('5.5m') → interval (reference: operator/
+    * scalar/ParseDurationFunction.java — airlift Duration's
+    * number+unit grammar: ns, us, ms, s, m, h, d). */
+  def parseDuration(s: String): java.time.Duration = {
+    if (s == null) return null
+    val m = "^\\s*(\\d+(?:\\.\\d+)?)\\s*(ns|us|ms|s|m|h|d)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"duration is not valid: $s"))
+    val v = m.group(1).toDouble
+    val nanosPerUnit = m.group(2) match {
+      case "ns" => 1L
+      case "us" => 1000L
+      case "ms" => 1000L * 1000
+      case "s"  => 1000L * 1000 * 1000
+      case "m"  => 60L * 1000 * 1000 * 1000
+      case "h"  => 3600L * 1000 * 1000 * 1000
+      case "d"  => 24L * 3600 * 1000 * 1000 * 1000
+    }
+    java.time.Duration.ofNanos(math.round(v * nanosPerUnit))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("parse_duration", parseDuration _)
     spark.udf.register("hmac_md5",
       (d: Array[Byte], k: Array[Byte]) => hmac("HmacMD5", d, k))
     spark.udf.register("hmac_sha1",

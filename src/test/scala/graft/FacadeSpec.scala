@@ -58,6 +58,15 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT cardinality(split_to_map('a=1,b=2', ',', '='))") == 2)
   }
 
+  test("parse_duration returns a day-time interval") {
+    assert(one("SELECT parse_duration('90m')")
+      == java.time.Duration.ofMinutes(90))
+    assert(one("SELECT parse_duration('2.5s')")
+      == java.time.Duration.ofMillis(2500))
+    assert(one("SELECT TIMESTAMP '2024-01-01 00:00:00' + parse_duration('1.5h')")
+      .toString.startsWith("2024-01-01 01:30"))
+  }
+
   test("split takes a literal delimiter like the reference") {
     assert(one("SELECT split('a.b.c', '.')[2]") == "b")
     assert(one("SELECT size(split('a|b|c', '|'))") == 3)
