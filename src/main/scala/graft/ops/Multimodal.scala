@@ -52,4 +52,51 @@ object Multimodal {
       }
     }.toDF("asset_id", "features")
   }
+
+  /** Frame sampling over a binary payload — the video-ish 1→N batch
+    * shape: every `stride` bytes take a `frameSize`-byte frame, up to
+    * `maxFrames` per asset, and emit (asset_id, frame_idx, frame_md5)
+    * rows. Per-partition decoder state + flatMap expansion is exactly the
+    * contour a real container-parser has; the FRAME DECODE IS THE SAME
+    * DECLARED STUB as extractFeatures (md5 in place of pixels). */
+  def sampleFrames(
+      assets: DataFrame, frameSize: Int = 128, stride: Int = 256,
+      maxFrames: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      assets.select(col("asset_id").cast("long"), col("payload"))
+        .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // per-partition "decoder"
+      rows.flatMap { case (id, payload) =>
+        Iterator.range(0, maxFrames).flatMap { i =>
+          val start = i * stride
+          if (start >= payload.length) Iterator.empty
+          else {
+            md.reset()
+            val frame = payload.slice(start, math.min(start + frameSize, payload.length))
+            val hex = md.digest(frame).map("%02x".format(_)).mkString
+            Iterator.single((id, i, hex))
+          }
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "frame_md5")
+  }
+
+  /** "Resize" stub: clamp each payload to a byte budget (a real implementation
+    * decodes + scales; the plumbing — binary in, binary out, metadata
+    * updated — is what downstream operators depend on). */
+  def resizePayload(assets: DataFrame, maxBytes: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      assets.select(col("asset_id").cast("long"), col("payload"))
+        .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        (id, payload.take(maxBytes), payload.length, math.min(payload.length, maxBytes))
+      }
+    }.toDF("asset_id", "payload", "orig_bytes", "n_bytes")
+  }
 }

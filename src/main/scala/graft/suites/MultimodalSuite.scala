@@ -55,6 +55,44 @@ object MultimodalSuite {
         .agg(
           count(lit(1)).as("n_assets"),
           round(avg(element_at(col("features"), 1)), 4).as("avg_f1"))
+    },
+
+    // Frame sampling: every 256 bytes take a 128-byte frame, max 4 — the
+    // 1→N per-partition expansion a video container parser has. Fixture
+    // text is pure ASCII, so DuckDB replays the byte frames with substr
+    // and the frame digests match exactly.
+    Qdef.duckOnly(
+      "m03_frame_sample",
+      """SELECT doc_id AS asset_id, i AS frame_idx,
+        |  md5(substr(text, i * 256 + 1, 128)) AS frame_md5
+        |FROM documents, generate_series(0, 3) t(i)
+        |WHERE doc_id < 50 AND length(text) > i * 256
+        |ORDER BY asset_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.assets(t(s, dir, "documents").filter(col("doc_id") < 50)))
+        .orderBy("asset_id", "frame_idx")
+    },
+
+    // Resize-to-budget plumbing: metadata reflects the clamp, content is
+    // a prefix (verified via md5 of the oracle-side substring).
+    Qdef.duckOnly(
+      "m04_resize_budget",
+      """SELECT doc_id AS asset_id,
+        |  CAST(length(text) AS BIGINT) AS orig_bytes,
+        |  CAST(least(length(text), 200) AS BIGINT) AS n_bytes,
+        |  md5(substr(text, 1, 200)) AS content_md5
+        |FROM documents
+        |WHERE doc_id < 50
+        |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      Multimodal.resizePayload(
+          Multimodal.assets(t(s, dir, "documents").filter(col("doc_id") < 50)),
+          maxBytes = 200)
+        .select(
+          col("asset_id"),
+          col("orig_bytes").cast("long"),
+          col("n_bytes").cast("long"),
+          md5(col("payload")).as("content_md5"))
+        .orderBy("asset_id")
     }
   )
 }
