@@ -387,6 +387,49 @@ object Catalog {
           |  AND l.l_shipdate < DATE '1995-09-01' + INTERVAL '1' MONTH""".stripMargin)
     },
 
+    Qdef(
+      "k16_benchto_q05",
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1994-01-01'
+        |  AND o_orderdate < DATE '1994-01-01' + INTERVAL '1' YEAR
+        |GROUP BY n_name
+        |ORDER BY revenue DESC""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT
+          |  n.n_name,
+          |  sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+          |FROM
+          |  customer AS c,
+          |  orders AS o,
+          |  lineitem AS l,
+          |  supplier AS s,
+          |  nation AS n,
+          |  region AS r
+          |WHERE
+          |  c.c_custkey = o.o_custkey
+          |  AND l.l_orderkey = o.o_orderkey
+          |  AND l.l_suppkey = s.s_suppkey
+          |  AND c.c_nationkey = s.s_nationkey
+          |  AND s.s_nationkey = n.n_nationkey
+          |  AND n.n_regionkey = r.r_regionkey
+          |  AND r.r_name = 'ASIA'
+          |  AND o.o_orderdate >= DATE '1994-01-01'
+          |  AND o.o_orderdate < DATE '1994-01-01' + INTERVAL '1' YEAR
+          |GROUP BY
+          |  n.n_name
+          |ORDER BY
+          |  revenue DESC""".stripMargin)
+    },
+
     // The reference's own benchmark query text, run VERBATIM through the
     // Presto-dialect facade (reference: presto-benchto-benchmarks/src/
     // main/resources/sql/presto/tpch/q01.sql — only the benchto
