@@ -54,6 +54,7 @@ object Engine {
     graft.functions.QuantileSketch.registerAll(spark)
     graft.functions.TDigest.registerAll(spark)
     graft.functions.SetDigestSketch.registerAll(spark)
+    graft.functions.KHyperLogLogSketch.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

@@ -17,6 +17,7 @@ object Udfs {
     graft.functions.QuantileSketch.registerAll(s)
     graft.functions.TDigest.registerAll(s)
     graft.functions.SetDigestSketch.registerAll(s)
+    graft.functions.KHyperLogLogSketch.registerAll(s)
     Tables.load(s, dir, name)
   }
 
@@ -197,6 +198,48 @@ object Udfs {
           (expr("intersection_cardinality(d0, d1)") === col("n_inter")).as("inter_ok"),
           (abs(expr("jaccard_index(d0, d1)") -
             col("n_inter").cast("double") / col("n_union")) <= 0.3).as("jac_ok"))
+    },
+
+    // KHyperLogLog joinability/uniqueness sketch (reference: type/
+    // khyperloglog/KHyperLogLog.java): custkey → distinct order
+    // priorities. Fixture keys fit under K=4096 (exact path), so
+    // cardinality EQUALS the exact distinct-key count, the uniqueness
+    // distribution EQUALS the exact per-key histogram, and the digest
+    // built by merging per-status partials equals the direct digest
+    // bit-for-bit. (Overflow estimator unit-tested in SketchSpec.)
+    Qdef(
+      "c08_khyperloglog",
+      """SELECT true AS merge_ok, true AS card_ok, true AS dist_ok, true AS reid_ok
+        |FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("x"),
+          col("o_orderpriority").as("y"), col("o_orderstatus"))
+      val direct = ord.agg(expr("khyperloglog_agg(x, y)").as("d"))
+      val viaMerge = ord.groupBy("o_orderstatus")
+        .agg(expr("khyperloglog_agg(x, y)").as("pd"))
+        .agg(expr("merge_khll(pd)").as("dm"))
+      val exactCard = ord.agg(countDistinct("x").as("nx"))
+      val exactDist = ord.groupBy("x")
+        .agg(countDistinct("y").as("c"))
+        .groupBy("c").agg(count(lit(1)).as("nk"))
+        .agg(concat_ws(",", sort_array(collect_list(
+          concat(col("c"), lit(":"), col("nk"))))).as("exact_hist"),
+          sum("nk").as("total_keys"),
+          sum(when(col("c") <= 1, col("nk")).otherwise(0L)).as("unique_keys"))
+      direct.crossJoin(broadcast(viaMerge))
+        .crossJoin(broadcast(exactCard)).crossJoin(broadcast(exactDist))
+        .select(
+          (col("d") === col("dm")).as("merge_ok"),
+          (expr("khll_cardinality(d)") === col("nx")).as("card_ok"),
+          // sketch histogram (fractions) == exact histogram (counts/total)
+          (concat_ws(",", expr(
+            """transform(
+              |  filter(khll_uniqueness_distribution(d, 8L), e -> e._2 > 0D),
+              |  e -> concat(e._1, ':', CAST(round(e._2 * total_keys, 0) AS BIGINT)))
+              |""".stripMargin)) === col("exact_hist")).as("dist_ok"),
+          (abs(expr("khll_reidentification_potential(d, 1L)") -
+            col("unique_keys").cast("double") / col("total_keys")) < 1e-9)
+            .as("reid_ok"))
     }
   )
 }

@@ -38,6 +38,24 @@ class SketchSpec extends AnyFunSuite {
     assert(SetDigestSketch.intersectionCardinality(a, b) == 0L)
   }
 
+  test("khyperloglog: overflow cardinality estimator within 5%") {
+    import graft.functions.KHyperLogLogSketch
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Boolean, Vector[(Long, Seq[Long])])]()
+    val agg = new KHyperLogLogSketch.KhllAgg(enc)
+    val n = 20000
+    var state = agg.zero
+    (0 until n).foreach(i => state = agg.reduce(state, (s"key_$i", s"v${i % 3}")))
+    val digest = agg.finish(state)
+    val est = KHyperLogLogSketch.cardinality(digest)
+    assert(math.abs(est - n).toDouble / n <= 0.05,
+      s"estimate $est vs exact $n out of band")
+    // every surviving key saw exactly one value
+    val dist = KHyperLogLogSketch.uniquenessDistribution(digest, 8)
+    assert(math.abs(dist.find(_._1 == 1L).get._2 - 1.0) < 1e-9)
+    assert(KHyperLogLogSketch.reidentificationPotential(digest, 1) == 1.0)
+  }
+
   test("t-digest: centroid count stays bounded under heavy insertion") {
     import graft.functions.TDigest
     val agg = new TDigest.TDigestAgg
