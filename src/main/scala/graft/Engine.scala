@@ -55,6 +55,7 @@ object Engine {
     graft.functions.TDigest.registerAll(spark)
     graft.functions.SetDigestSketch.registerAll(spark)
     graft.functions.KHyperLogLogSketch.registerAll(spark)
+    graft.functions.Classification.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

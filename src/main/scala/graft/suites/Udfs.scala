@@ -18,6 +18,7 @@ object Udfs {
     graft.functions.TDigest.registerAll(s)
     graft.functions.SetDigestSketch.registerAll(s)
     graft.functions.KHyperLogLogSketch.registerAll(s)
+    graft.functions.Classification.registerAll(s)
     Tables.load(s, dir, name)
   }
 
@@ -240,6 +241,58 @@ object Udfs {
           (abs(expr("khll_reidentification_potential(d, 1L)") -
             col("unique_keys").cast("double") / col("total_keys")) < 1e-9)
             .as("reid_ok"))
+    },
+
+    // Classification-metric aggregates (reference: PrecisionRecall
+    // Aggregation.java subclasses): precision/recall/miss-rate/fall-out/
+    // threshold curves over 8 buckets. Predictions are exact binary
+    // fractions (k/16) so bucket assignment is float-exact on both
+    // engines, and DuckDB replays every curve point from first principles.
+    Qdef.duckOnly(
+      "c09_classification_curves",
+      """WITH d AS (
+        |  SELECT (o_orderkey % 16) // 2 AS b,
+        |         o_orderstatus = 'F' AS label
+        |  FROM orders),
+        |tot AS (
+        |  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS tt,
+        |         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS tf,
+        |         max(CASE WHEN label THEN b END) AS maxtb
+        |  FROM d),
+        |m AS (
+        |  SELECT i,
+        |    (SELECT count(*) FROM d WHERE label AND b >= i) AS tp,
+        |    (SELECT count(*) FROM d WHERE NOT label AND b >= i) AS fp,
+        |    (SELECT count(*) FROM d WHERE label AND b < i) AS fn
+        |  FROM generate_series(0, 7) s(i), tot
+        |  WHERE i <= maxtb)
+        |SELECT CAST(i AS BIGINT) AS i,
+        |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+        |  round(CAST(tp AS DOUBLE) / tt, 6) AS rec,
+        |  round(CAST(fn AS DOUBLE) / tt, 6) AS miss,
+        |  round(CAST(fp AS DOUBLE) / tf, 6) AS fallout,
+        |  round(i / 8.0, 6) AS thr
+        |FROM m, tot
+        |ORDER BY i""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        ((col("o_orderkey") % 16).cast("double") / 16.0).as("pred"),
+        (col("o_orderstatus") === "F").as("label"))
+      d.agg(
+          expr("classification_precision(8L, pred, label)").as("p"),
+          expr("classification_recall(8L, pred, label)").as("r"),
+          expr("classification_miss_rate(8L, pred, label)").as("m"),
+          expr("classification_fall_out(8L, pred, label)").as("f"),
+          expr("classification_thresholds(8L, pred, label)").as("t"))
+        .select(posexplode(arrays_zip(
+          col("p"), col("r"), col("m"), col("f"), col("t"))).as(Seq("i", "z")))
+        .select(
+          col("i").cast("bigint").as("i"),
+          round(col("z.p"), 6).as("prec"),
+          round(col("z.r"), 6).as("rec"),
+          round(col("z.m"), 6).as("miss"),
+          round(col("z.f"), 6).as("fallout"),
+          round(col("z.t"), 6).as("thr"))
+        .orderBy("i")
     }
   )
 }
