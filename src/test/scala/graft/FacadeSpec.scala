@@ -43,6 +43,24 @@ class FacadeSpec extends AnyFunSuite {
       == true)
   }
 
+  test("sketch families resolve through bare Engine.sql") {
+    assert(one(
+      "SELECT set_digest_cardinality(make_set_digest(x)) FROM (VALUES ('a'), ('b'), ('a')) t(x)")
+      == 2L)
+    assert(one(
+      "SELECT jaccard_index(make_set_digest(x), make_set_digest(x)) FROM (VALUES ('a')) t(x)")
+      == 1.0)
+    assert(one(
+      "SELECT khll_cardinality(khyperloglog_agg(k, v)) FROM (VALUES ('k1', 'x'), ('k2', 'y')) t(k, v)")
+      == 2L)
+    assert(one(
+      "SELECT size(classification_precision(4L, p, l)) FROM (VALUES (0.9D, true), (0.1D, false)) t(p, l)")
+      == 4)
+    assert(one(
+      "SELECT size(bottom_k_sample(x, 2L)) FROM (VALUES ('a'), ('b'), ('c')) t(x)")
+      == 2)
+  }
+
   test("custom scalars resolve through bare Engine.sql") {
     assert(one("SELECT word_stem('motoring')") == "motor")
     assert(one("SELECT length(hex(hmac_sha256(CAST('x' AS BINARY), CAST('k' AS BINARY))))")
