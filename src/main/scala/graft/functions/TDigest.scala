@@ -201,8 +201,39 @@ object TDigest {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
+  /** Presto's weighted approx_percentile(x, w, p) (reference:
+    * ApproximateWeightedPercentileAggregations.java) — Spark's builtin
+    * has no weight form and its 3-arg spelling (accuracy) collides, so
+    * the weighted form registers under an explicit name. Rides the same
+    * weighted t-digest state; p is carried in the buffer. */
+  class WeightedPercentileAgg
+      extends Aggregator[(Double, Double, Double), (Double, Array[Double]), Double] {
+    def zero: (Double, Array[Double]) = (-1.0, emptyState)
+    def reduce(b: (Double, Array[Double]), a: (Double, Double, Double)): (Double, Array[Double]) = {
+      add(b._2, a._1, a._2)
+      (if (b._1 < 0) a._3 else b._1, b._2)
+    }
+    def merge(b1: (Double, Array[Double]), b2: (Double, Array[Double])): (Double, Array[Double]) = {
+      val n2 = used(b2._2)
+      var i = 0
+      while (i < n2) { add(b1._2, b2._2(1 + 2 * i), b2._2(2 + 2 * i)); i += 1 }
+      (math.max(b1._1, b2._1), b1._2)
+    }
+    def finish(r: (Double, Array[Double])): Double = {
+      val d = finishState(r._2)
+      if (d == null || r._1 < 0) Double.NaN
+      else valueAtQuantile(d.toSeq, r._1)
+    }
+    def bufferEncoder: Encoder[(Double, Array[Double])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Array[Double])]()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("tdigest_agg", udaf(new TDigestAgg, Encoders.scalaDouble))
+    spark.udf.register("approx_percentile_weighted",
+      udaf(new WeightedPercentileAgg, Encoders.tuple(
+        Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble)))
     spark.udf.register("merge_tdigest", udaf(new MergeTDigestAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()))
     // boxed returns so a NULL digest yields SQL NULL (reference scalar

@@ -155,6 +155,31 @@ object Udfs {
           (abs(col("invq") - 0.5) <= 0.02).as("inv_ok"))
     },
 
+    // Weighted approx_percentile (reference: ApproximateWeightedPercentile
+    // Aggregations.java) over the weighted t-digest: median of totalprice
+    // with integer weights, checked against the exact weighted percentile
+    // the oracle derives by row expansion.
+    Qdef(
+      "c10_weighted_percentile",
+      """SELECT true AS wp50_ok, true AS wp90_ok FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .select(col("o_totalprice").as("x"),
+          (col("o_orderkey") % 3 + 1).cast("double").as("w"))
+      val est = ord.agg(
+        expr("approx_percentile_weighted(x, w, 0.5D)").as("e50"),
+        expr("approx_percentile_weighted(x, w, 0.9D)").as("e90"))
+      // exact weighted percentile by integer-weight row expansion
+      val exact = ord
+        .select(explode(expr("sequence(1, CAST(w AS INT))")).as("rep"), col("x"))
+        .agg(
+          expr("percentile(x, 0.5)").as("x50"),
+          expr("percentile(x, 0.9)").as("x90"))
+      est.crossJoin(broadcast(exact))
+        .select(
+          (abs(col("e50") - col("x50")) <= abs(col("x50")) * 0.02).as("wp50_ok"),
+          (abs(col("e90") - col("x90")) <= abs(col("x90")) * 0.02).as("wp90_ok"))
+    },
+
     // set_digest sketch API (reference: type/setdigest/SetDigest.java +
     // SetDigestFunctions.java): token-set digests of two sources. Every
     // fixture vocabulary fits the digest (exact path), so cardinality and
