@@ -103,6 +103,22 @@ object ScalarPack {
       (xs: Seq[Double], p: Double) => arrayNormalize(xs, p))
     spark.udf.register("cosine_similarity",
       (a: Map[String, Double], b: Map[String, Double]) => cosineSimilarity(a, b))
+    // map_normalize (reference: scalar/MapNormalizeFunction.java): values
+    // scaled so they sum to 1; null values ignored in the sum like the
+    // reference.
+    spark.udf.register("map_normalize",
+      (m: Map[String, Double]) =>
+        if (m == null) null
+        else {
+          val total = m.values.sum
+          if (total == 0) m else m.map { case (k, v) => k -> v / total }
+        })
+    // to_iso8601 (reference: DateTimeFunctions.java:244-286)
+    spark.udf.register("to_iso8601",
+      (ts: java.sql.Timestamp) =>
+        if (ts == null) null
+        else ts.toLocalDateTime.format(
+          java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME))
     // url_encode/url_decode (reference: UrlFunctions.java:151-169 — form
     // escaping: space→+, "-_.*" safe; URLDecoder semantics on decode)
     spark.udf.register("url_encode",

@@ -74,6 +74,10 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT size(ngrams(array('a','b','c'), 2))") == 2)
     assert(one("SELECT size(combinations(array('a','b','c'), 2))") == 3)
     assert(one("SELECT cardinality(split_to_map('a=1,b=2', ',', '='))") == 2)
+    assert(one("SELECT element_at(map_normalize(map('a', 1.0D, 'b', 3.0D)), 'b')")
+      == 0.75)
+    assert(one("SELECT to_iso8601(TIMESTAMP '2024-01-02 03:04:05')")
+      == "2024-01-02T03:04:05")
   }
 
   test("parse_duration returns a day-time interval") {
