@@ -388,6 +388,59 @@ object Catalog {
     },
 
     Qdef(
+      "k17_benchto_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      // reference q18.sql text; only the benchto template, the fixture's
+      // prefixed column names, and an output alias substituted (the
+      // harness matches result columns by name across engines)
+      Engine.sql(s, dir,
+        """SELECT
+          |  c.c_name,
+          |  c.c_custkey,
+          |  o.o_orderkey,
+          |  o.o_orderdate,
+          |  o.o_totalprice,
+          |  sum(l.l_quantity) AS sum_qty
+          |FROM
+          |  customer AS c,
+          |  orders AS o,
+          |  lineitem AS l
+          |WHERE
+          |  o.o_orderkey IN (
+          |    SELECT l.l_orderkey
+          |    FROM
+          |      lineitem AS l
+          |    GROUP BY
+          |      l.l_orderkey
+          |    HAVING
+          |      sum(l.l_quantity) > 300
+          |  )
+          |  AND c.c_custkey = o.o_custkey
+          |  AND o.o_orderkey = l.l_orderkey
+          |GROUP BY
+          |  c.c_name,
+          |  c.c_custkey,
+          |  o.o_orderkey,
+          |  o.o_orderdate,
+          |  o.o_totalprice
+          |ORDER BY
+          |  o.o_totalprice DESC,
+          |  o.o_orderdate
+          |LIMIT 100""".stripMargin)
+    },
+
+    Qdef(
       "k16_benchto_q05",
       """SELECT n_name,
         |  sum(l_extendedprice * (1 - l_discount)) AS revenue

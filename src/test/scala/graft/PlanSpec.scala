@@ -125,6 +125,15 @@ class PlanSpec extends QueryAssertions {
       "map-side partial aggregation expected")
   }
 
+  test("k16: Presto-dialect SQL through the facade gets the same plan quality") {
+    val plan = planOf(run("k16_benchto_q05"))
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]") ||
+      plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the scan through the translated SQL:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "comma-join syntax must still plan as equi joins")
+  }
+
   test("checksum/entropy: native DeclarativeAggregates run partial+final") {
     import org.apache.spark.sql.functions.expr
     val df = Tables.load(spark, sfDir, "orders")
