@@ -150,7 +150,16 @@ object Dialect {
     var i = 0
     while (i < q.length) {
       val c = q(i)
-      if (c == '\'') {
+      if (c == '-' && i + 1 < q.length && q(i + 1) == '-') {
+        // -- comment: copy to end of line verbatim (an apostrophe inside
+        // a comment must not open a "literal" and desync the scan)
+        val j = q.indexOf('\n', i) match { case -1 => q.length; case e => e }
+        out.append(q.substring(i, j)); i = j
+      } else if (c == '/' && i + 1 < q.length && q(i + 1) == '*') {
+        val e = q.indexOf("*/", i + 2)
+        val j = if (e == -1) q.length else e + 2
+        out.append(q.substring(i, j)); i = j
+      } else if (c == '\'') {
         val j = literalEnd(q, i)
         if (stack.nonEmpty && stack.head.kind == 'p' && stack.head.args == 1) {
           val body = q.substring(i + 1, j - 1)
@@ -272,7 +281,14 @@ object Dialect {
     var i = 0
     while (i < q.length) {
       val c = q(i)
-      if (c == '\'') { val j = literalEnd(q, i); toks += Tok("'lit'", i, j); i = j }
+      if (c == '-' && i + 1 < q.length && q(i + 1) == '-') {
+        i = q.indexOf('\n', i) match { case -1 => q.length; case e => e }
+      }
+      else if (c == '/' && i + 1 < q.length && q(i + 1) == '*') {
+        val e = q.indexOf("*/", i + 2)
+        i = if (e == -1) q.length else e + 2
+      }
+      else if (c == '\'') { val j = literalEnd(q, i); toks += Tok("'lit'", i, j); i = j }
       else if (c == '`') {
         var j = i + 1
         while (j < q.length && q(j) != '`') j += 1

@@ -104,6 +104,16 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT split(concat(a, '.'), 'x') FROM t")
   }
 
+  test("comments are copied verbatim and never open literals") {
+    assert(Engine.translate("SELECT a -- don't rewrite strpos( here\nFROM t")
+      == "SELECT a -- don't rewrite strpos( here\nFROM t")
+    assert(Engine.translate("SELECT strpos(a, 'x') /* it's fine */ FROM t")
+      == "SELECT instr(a, 'x') /* it's fine */ FROM t")
+    // an apostrophe in a comment must not desync literal tracking
+    assert(Engine.translate("SELECT a, -- don't\n strpos(b, 'c') FROM t ORDER BY a")
+      == "SELECT a, -- don't\n instr(b, 'c') FROM t ORDER BY a NULLS LAST")
+  }
+
   test("LIMIT ALL is dropped; DECIMAL literals become sized casts") {
     assert(Engine.translate("SELECT * FROM t LIMIT ALL")
       == "SELECT * FROM t ")
