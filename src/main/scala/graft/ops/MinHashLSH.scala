@@ -58,7 +58,7 @@ object MinHashLSH {
     * hash index — a measured 64× blow-up). */
   def prepare(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128): DataFrame = {
+      numHashes: Int = 64): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // Shingles AND their base hashes BEFORE the repartition: the shuffle
     // materializes both arrays, so the signature lambda reads an 8-byte
@@ -72,11 +72,14 @@ object MinHashLSH {
   }
 
   /** Candidate near-dup pairs from a prepare()d frame: docs sharing at
-    * least one LSH band. rows=2 with numHashes=128 → 64 bands; the miss
-    * probability for a true Jaccard-0.8 pair is (1-0.8²)^64 ≈ 1e-28 —
-    * deterministic in practice, and fixed seeds make reruns identical. */
+    * least one LSH band. rows=2 with numHashes=64 → 32 bands; the miss
+    * probability for a true Jaccard-0.8 pair is (1-0.8²)^32 ≈ 7e-15 —
+    * deterministic in practice, and fixed seeds make reruns identical.
+    * 64 hashes (not 128) is the default because the extra 32 bands buy
+    * nothing below the 1e-14 miss floor while doubling signature compute
+    * and band-shuffle bytes — the cost that scales with corpus size. */
   def candidatePairs(
-      prepared: DataFrame, numHashes: Int = 128,
+      prepared: DataFrame, numHashes: Int = 64,
       rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = prepared.select(
@@ -112,7 +115,7 @@ object MinHashLSH {
     * reuses the persisted shingle sets. */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, numHashes: Int = 128): DataFrame = {
+      threshold: Double = 0.5, numHashes: Int = 64): DataFrame = {
     val prepared = prepare(df, idCol, textCol, numHashes)
     try {
       val cands = candidatePairs(prepared, numHashes)
