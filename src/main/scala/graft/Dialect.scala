@@ -302,16 +302,22 @@ object Dialect {
       else i += 1
     }
 
-    // walk tokens; find "order" "by"; then split items at depth==d commas
-    val inserts = mutable.ArrayBuffer.empty[Int] // positions to insert " NULLS LAST"
-    var depth = 0
-    var t = 0
-    while (t < toks.length) {
-      val tok = toks(t)
-      if (tok.text == "(") { depth += 1; t += 1 }
-      else if (tok.text == ")") { depth -= 1; t += 1 }
-      else if (tok.text == "order" && t + 1 < toks.length && toks(t + 1).text == "by") {
-        val d = depth
+    // depth BEFORE each token — lets every "order by" occurrence (incl.
+    // ones nested inside another ORDER BY's sort item, e.g. a window spec
+    // or scalar subquery) be item-scanned independently
+    val depthAt = new Array[Int](toks.length + 1)
+    for (t <- toks.indices) {
+      depthAt(t + 1) = toks(t).text match {
+        case "(" => depthAt(t) + 1
+        case ")" => depthAt(t) - 1
+        case _   => depthAt(t)
+      }
+    }
+
+    val inserts = mutable.Set.empty[Int] // positions to insert " NULLS LAST"
+    for (t <- toks.indices) {
+      if (toks(t).text == "order" && t + 1 < toks.length && toks(t + 1).text == "by") {
+        val d = depthAt(t)
         var u = t + 2
         var itemLastTok = -1 // index in toks of last token of current item
         var itemHasNulls = false
@@ -322,27 +328,23 @@ object Dialect {
         var stop = false
         while (u < toks.length && !stop) {
           val tu = toks(u)
-          if (tu.text == "(") { depth += 1; itemLastTok = u; u += 1 }
-          else if (tu.text == ")") {
-            if (depth == d) { closeItem(); stop = true } // closes enclosing scope
-            else { depth -= 1; itemLastTok = u; u += 1 }
-          }
-          else if (depth == d && tu.text == ",") { closeItem(); u += 1 }
-          else if (depth == d && orderByTerminators.contains(tu.text)) { closeItem(); stop = true }
+          val du = depthAt(u)
+          if (tu.text == ")" && du == d) { closeItem(); stop = true } // closes scope
+          else if (du == d && tu.text == ",") { closeItem(); u += 1 }
+          else if (du == d && orderByTerminators.contains(tu.text)) { closeItem(); stop = true }
           else {
-            if (depth == d && tu.text == "nulls") itemHasNulls = true
+            if (du == d && tu.text == "nulls") itemHasNulls = true
             itemLastTok = u; u += 1
           }
         }
         if (!stop) closeItem() // ran off the end of the query
-        t = u
-      } else t += 1
+      }
     }
 
     if (inserts.isEmpty) q
     else {
       val sb = new StringBuilder(q)
-      inserts.sorted.reverse.foreach(p => sb.insert(p, " NULLS LAST"))
+      inserts.toSeq.sorted.reverse.foreach(p => sb.insert(p, " NULLS LAST"))
       sb.toString
     }
   }
@@ -350,9 +352,12 @@ object Dialect {
   /** Presto `SET SESSION key = value` → Spark `SET key = value`
     * (SqlBase.g4 setSession rule; Spark's SET takes the key directly).
     * SHOW TABLES/COLUMNS/FUNCTIONS, DESCRIBE and EXPLAIN parse in both
-    * dialects and pass through untouched. */
+    * dialects and pass through untouched. Trailing statement terminators
+    * are stripped — Presto clients send `;`, Spark's parser rejects it
+    * (and the NULLS LAST injector must see the real last token). */
   private def rewriteStatement(q: String): String =
     q.replaceFirst("(?i)^(\\s*)set\\s+session\\s+", "$1SET ")
+      .replaceFirst("[;\\s]+$", "")
 
   def translate(query: String): String =
     injectNullOrdering(rewrite(rewriteStatement(query)))

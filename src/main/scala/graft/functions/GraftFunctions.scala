@@ -130,7 +130,11 @@ object GraftFunctions {
     def finish(r: Array[Double]): Map[Double, Double] = {
       val max = r(0).toInt
       val c = if (max > 0) compact(r, max) else r
-      (0 until used(c)).map(i => c(1 + 2 * i) -> c(2 + 2 * i)).toMap
+      // duplicate bucket VALUES are legal under the cap (compact only runs
+      // on overflow) — their weights must merge, not last-write-win
+      (0 until used(c))
+        .map(i => c(1 + 2 * i) -> c(2 + 2 * i))
+        .groupMapReduce(_._1)(_._2)(_ + _)
     }
     def bufferEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()

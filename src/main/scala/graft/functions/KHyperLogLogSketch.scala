@@ -33,46 +33,40 @@ object KHyperLogLogSketch {
   val MaxKeys = 4096
   val ValueCap = 256
 
-  // (overflowed, entries sorted by key hash; value-hash lists sorted)
+  // (overflowed, entries) — COMPACT form: sorted by key hash, value lists
+  // sorted and deduped, ≤ MaxKeys keys / ≤ ValueCap values. Between
+  // compactions the tail may hold unsorted single-value pairs appended by
+  // reduce() — an O(1) amortized insert instead of an O(K) structure copy
+  // per input row; compact() restores the invariant. Both the insert and
+  // merge paths keep the SMALLEST hashes on overflow, so equal data gives
+  // a bit-equal compacted digest under any partitioning or row order.
   private type State = (Boolean, Vector[(Long, Seq[Long])])
 
-  private def insert(st: State, kh: Long, vh: Long): State = {
-    val (ov, entries) = st
-    val idx = entries.indexWhere(_._1 >= kh)
-    if (idx >= 0 && entries(idx)._1 == kh) {
-      val vs = entries(idx)._2
-      val vIdx = java.util.Arrays.binarySearch(vs.toArray, vh)
-      if (vIdx >= 0 || vs.length >= ValueCap) st
-      else {
-        val nvs = (vs :+ vh).sorted
-        (ov, entries.updated(idx, (kh, nvs)))
-      }
-    } else if (entries.length >= MaxKeys) {
-      if (kh > entries.last._1) st // saturated and hash too large: ignore
-      else {
-        val at = if (idx < 0) entries.length else idx
-        (true, (entries.patch(at, Seq((kh, Seq(vh))), 0)).dropRight(1))
-      }
-    } else {
-      val at = if (idx < 0) entries.length else idx
-      (ov, entries.patch(at, Seq((kh, Seq(vh))), 0))
-    }
-  }
-
-  private def mergeStates(a: State, b: State): State = {
-    val merged = (a._2 ++ b._2)
+  private def compact(st: State): State = {
+    val merged = st._2
       .groupBy(_._1)
       .map { case (k, vs) =>
         k -> vs.flatMap(_._2).distinct.sorted.take(ValueCap)
       }
       .toVector.sortBy(_._1)
-    val ov = a._1 || b._1 || merged.length > MaxKeys
+    val ov = st._1 || merged.length > MaxKeys
     (ov, merged.take(MaxKeys))
   }
 
-  /** Serialized digest: sentinel (Long.MinValue, [overflowFlag]) + entries. */
-  private def serialize(st: State): Seq[(Long, Seq[Long])] =
-    (Long.MinValue, Seq(if (st._1) 1L else 0L)) +: st._2
+  private def insert(st: State, kh: Long, vh: Long): State = {
+    val appended = (st._1, st._2 :+ (kh, Seq(vh)))
+    if (appended._2.length > 2 * MaxKeys) compact(appended) else appended
+  }
+
+  private def mergeStates(a: State, b: State): State =
+    compact((a._1 || b._1, a._2 ++ b._2))
+
+  /** Serialized digest: sentinel (Long.MinValue, [overflowFlag]) + entries
+    * in compact form. */
+  private def serialize(st: State): Seq[(Long, Seq[Long])] = {
+    val c = compact(st)
+    (Long.MinValue, Seq(if (c._1) 1L else 0L)) +: c._2
+  }
 
   private def deserialize(d: Seq[(Long, Seq[Long])]): State =
     (d.head._2.head == 1L, d.tail.toVector)

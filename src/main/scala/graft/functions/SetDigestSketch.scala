@@ -36,41 +36,33 @@ object SetDigestSketch {
     java.nio.ByteBuffer.wrap(md).getLong ^ Long.MinValue
   }
 
-  private def trim(sorted: Seq[Long]): (Boolean, Seq[Long]) =
-    if (sorted.length <= MaxHashes) (false, sorted)
+  // State between compactions may carry an unsorted, possibly-duplicated
+  // tail appended by reduce() — an O(1) amortized insert instead of an
+  // O(K) structure copy per input row; compact() (sort, dedupe, keep the
+  // K smallest) restores the canonical form, and both insert and merge
+  // overflow by dropping the LARGEST hashes, so equal data gives a
+  // bit-equal compacted digest under any partitioning or row order.
+  private def compact(state: (Boolean, Seq[Long])): (Boolean, Seq[Long]) = {
+    val sorted = state._2.distinct.sorted
+    if (sorted.length <= MaxHashes) (state._1, sorted)
     else (true, sorted.take(MaxHashes))
+  }
 
   private def insert(state: (Boolean, Seq[Long]), h: Long): (Boolean, Seq[Long]) = {
-    val (ov, hs) = state
-    val idx = {
-      var lo = 0; var hi = hs.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (hs(mid) < h) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
-    if (idx < hs.length && hs(idx) == h) state
-    else if (hs.length >= MaxHashes) {
-      if (idx >= MaxHashes) (true, hs)
-      else (true, (hs.patch(idx, Seq(h), 0)).take(MaxHashes))
-    } else {
-      val (ov2, t) = trim(hs.patch(idx, Seq(h), 0))
-      (ov || ov2, t)
-    }
+    val appended = (state._1, state._2 :+ h)
+    if (appended._2.length > 2 * MaxHashes) compact(appended) else appended
   }
 
   private def union(
-      a: (Boolean, Seq[Long]), b: (Boolean, Seq[Long])): (Boolean, Seq[Long]) = {
-    val merged = (a._2 ++ b._2).distinct.sorted
-    val (ov, t) = trim(merged)
-    (a._1 || b._1 || ov, t)
-  }
+      a: (Boolean, Seq[Long]), b: (Boolean, Seq[Long])): (Boolean, Seq[Long]) =
+    compact((a._1 || b._1, a._2 ++ b._2))
 
   /** Digest serialization: element 0 = 1 if overflowed else 0, rest =
-    * sorted hashes. */
-  private def serialize(s: (Boolean, Seq[Long])): Seq[Long] =
-    (if (s._1) 1L else 0L) +: s._2
+    * the compacted sorted hashes. */
+  private def serialize(s: (Boolean, Seq[Long])): Seq[Long] = {
+    val c = compact(s)
+    (if (c._1) 1L else 0L) +: c._2
+  }
 
   private def deserialize(d: Seq[Long]): (Boolean, Seq[Long]) =
     (d.head == 1L, d.tail)

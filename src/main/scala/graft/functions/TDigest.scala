@@ -244,7 +244,8 @@ object TDigest {
         else java.lang.Double.valueOf(valueAtQuantile(d, q))))
     spark.udf.register("td_values_at_quantiles",
       udf((d: Seq[Double], qs: Seq[Double]) =>
-        if (d == null || d.isEmpty) null else qs.map(valueAtQuantile(d, _))))
+        if (d == null || d.isEmpty || qs == null) null
+        else qs.map(valueAtQuantile(d, _))))
     spark.udf.register("td_quantile_at_value",
       udf((d: Seq[Double], x: Double) =>
         if (d == null || d.isEmpty) null

@@ -35,11 +35,18 @@ object AsOfJoin {
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(rightPayload.map(col): _*).schema.fields)))
-    val r = right.select(
-      (on.map(col) :+
-        col(rightTs).as("__ts") :+
-        lit(0).as("__side") :+
-        struct(rightPayload.map(col): _*).as("__r")): _*)
+    // Join-equality semantics: a NULL key never matches. Window
+    // partitioning would otherwise group NULL-key rows of both sides
+    // together, so NULL-key right rows are dropped up front (NULL-key
+    // left rows then see an empty partition and yield NULL payloads,
+    // exactly like an outer join / DuckDB's ASOF LEFT JOIN).
+    val r = right
+      .filter(on.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (on.map(col) :+
+          col(rightTs).as("__ts") :+
+          lit(0).as("__side") :+
+          struct(rightPayload.map(col): _*).as("__r")): _*)
     // align schemas: right rows carry null for every left payload column
     val leftCols = l.columns.filterNot(r.columns.contains)
     val rAligned = leftCols.foldLeft(r)((df, c) =>

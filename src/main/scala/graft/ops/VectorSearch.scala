@@ -114,12 +114,12 @@ object VectorSearch {
       .agg(first("qv").as("qv"), first("nv").as("nv"))
   }
 
-  def annTopK(
-      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, planes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
+  /** Score + rank an annCandidates frame — split out so a caller that
+    * already has the candidates (e.g. to bound the scan) doesn't pay the
+    * probe join twice. */
+  def annTopKFrom(cands: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = annCandidates(queries, corpus, idCol, vecCol, planes, dim, tables)
-      .withColumn("score", cosine(col("qv"), col("nv")))
+    val scored = cands.withColumn("score", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid"))
     scored
@@ -127,4 +127,10 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 4).as("score"))
   }
+
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame =
+    annTopKFrom(
+      annCandidates(queries, corpus, idCol, vecCol, planes, dim, tables), k)
 }

@@ -15,8 +15,7 @@ import org.apache.spark.sql.functions._
 object Catalog {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(s)
-    graft.functions.TDigest.registerAll(s)
+    graft.Engine.registerFunctions(s)
     Tables.load(s, dir, name)
   }
 
@@ -277,7 +276,7 @@ object Catalog {
         |  ('sky', 'sky'), ('troubled', 'troubl')
         |) AS t(word, stemmed)
         |ORDER BY word""".stripMargin) { (s, dir) =>
-      graft.functions.GraftFunctions.registerAll(s)
+      graft.Engine.registerFunctions(s)
       val words = Seq(
         "caresses", "ponies", "ties", "cats", "feed", "agreed", "plastered",
         "motoring", "hopping", "falling", "hissing", "fizzed", "filing",

@@ -127,8 +127,7 @@ object Conformance {
         |  CAST(NULL AS DOUBLE) AS td_p50,
         |  CAST(NULL AS DOUBLE) AS qd_p50
         |FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
-      graft.functions.TDigest.registerAll(s)
-      graft.functions.QuantileSketch.registerAll(s)
+      graft.Engine.registerFunctions(s)
       t(s, dir, "orders").filter(col("o_orderkey") < 0)
         .agg(
           expr("checksum(o_totalprice)").as("cksum"),

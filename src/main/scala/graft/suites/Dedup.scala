@@ -170,7 +170,7 @@ object Dedup {
         |FROM documents
         |ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
         |LIMIT 10""".stripMargin) { (s, dir) =>
-      graft.functions.GraftFunctions.registerAll(s)
+      graft.Engine.registerFunctions(s)
       t(s, dir, "documents")
         .repartition(64)
         .agg(expr("bottom_k_sample(CAST(doc_id AS STRING), 10L)").as("sample"))

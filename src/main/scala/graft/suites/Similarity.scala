@@ -56,8 +56,7 @@ object Similarity {
         .select(col("qid").as("eqid"), col("nid").as("enid"))
       val cands = VectorSearch.annCandidates(
         queries, emb, "vec_id", "embedding", planes = 8, tables = 8)
-      val approx = VectorSearch.annTopK(queries, emb, "vec_id", "embedding", 5,
-          planes = 8, tables = 8)
+      val approx = VectorSearch.annTopKFrom(cands, 5)
         .select(col("qid"), col("nid"))
       val recall = approx.join(exact,
           col("qid") === col("eqid") && col("nid") === col("enid"))

@@ -12,13 +12,9 @@ import org.apache.spark.sql.functions._
 object Udfs {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    GraftFunctions.registerAll(s)
-    graft.functions.HyperLogLog.registerAll(s)
-    graft.functions.QuantileSketch.registerAll(s)
-    graft.functions.TDigest.registerAll(s)
-    graft.functions.SetDigestSketch.registerAll(s)
-    graft.functions.KHyperLogLogSketch.registerAll(s)
-    graft.functions.Classification.registerAll(s)
+    // the full catalog in one call — per-family lists here would drift
+    // from what Engine.session gives a real user
+    graft.Engine.registerFunctions(s)
     Tables.load(s, dir, name)
   }
 

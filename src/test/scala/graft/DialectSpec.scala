@@ -104,6 +104,19 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT split(concat(a, '.'), 'x') FROM t")
   }
 
+  test("trailing semicolons are stripped before NULLS LAST injection") {
+    assert(Engine.translate("SELECT * FROM t ORDER BY a;")
+      == "SELECT * FROM t ORDER BY a NULLS LAST")
+    assert(Engine.translate("SELECT * FROM t ORDER BY a ; \n")
+      == "SELECT * FROM t ORDER BY a NULLS LAST")
+  }
+
+  test("ORDER BY nested inside another ORDER BY's item is also injected") {
+    assert(Engine.translate(
+      "SELECT * FROM t ORDER BY sum(x) OVER (ORDER BY y) DESC")
+      == "SELECT * FROM t ORDER BY sum(x) OVER (ORDER BY y NULLS LAST) DESC NULLS LAST")
+  }
+
   test("comments are copied verbatim and never open literals") {
     assert(Engine.translate("SELECT a -- don't rewrite strpos( here\nFROM t")
       == "SELECT a -- don't rewrite strpos( here\nFROM t")

@@ -56,6 +56,33 @@ class SketchSpec extends AnyFunSuite {
     assert(KHyperLogLogSketch.reidentificationPotential(digest, 1) == 1.0)
   }
 
+  test("numeric_histogram merges duplicate-value buckets' weights") {
+    import graft.functions.GraftFunctions
+    val agg = new GraftFunctions.NumericHistogramAgg
+    var st = agg.zero
+    (0 until 5).foreach(_ => st = agg.reduce(st, (10L, 1.0)))
+    st = agg.reduce(st, (10L, 2.0))
+    val h = agg.finish(st)
+    assert(h(1.0) == 5.0, s"duplicate values must keep their weights: $h")
+    assert(h.values.sum == 6.0)
+  }
+
+  test("khyperloglog: digests are partition-order independent past the value cap") {
+    import graft.functions.KHyperLogLogSketch
+    val enc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Boolean, Vector[(Long, Seq[Long])])]()
+    val agg = new KHyperLogLogSketch.KhllAgg(enc)
+    val rows = for (k <- 0 until 3; v <- 0 until 400) yield (s"k$k", s"v$v")
+    val direct = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    val shuffled = agg.finish(
+      scala.util.Random.shuffle(rows.toList).foldLeft(agg.zero)(agg.reduce))
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val merged = agg.finish(agg.merge(
+      h2.foldLeft(agg.zero)(agg.reduce), h1.foldLeft(agg.zero)(agg.reduce)))
+    assert(direct == shuffled, "insertion order must not change the digest")
+    assert(direct == merged, "merge of partials must equal the direct digest")
+  }
+
   test("t-digest: centroid count stays bounded under heavy insertion") {
     import graft.functions.TDigest
     val agg = new TDigest.TDigestAgg
