@@ -17,8 +17,11 @@ import scala.collection.mutable
   *     ARRAY rule; Spark only parses the call form).
   *   - `expr[i]` subscripts → `element_at(expr, i)`: Presto subscripts are
   *     1-based for arrays and key-based for maps (reference: operator/
-  *     scalar/ArraySubscriptOperator.java), which is exactly
-  *     `element_at`'s contract; Spark's native `[]` is 0-based.
+  *     scalar/ArraySubscriptOperator.java), matching `element_at`'s
+  *     indexing; Spark's native `[]` is 0-based. KNOWN DIVERGENCE on the
+  *     error path: Presto's `[]` throws on an out-of-range array index or
+  *     a missing map key (ArraySubscriptOperator/MapSubscriptOperator),
+  *     while `element_at` under non-ANSI mode returns NULL instead.
   *   - double-quoted identifiers → backticks (SqlBase.g4 quotedIdentifier;
   *     Spark reads double quotes as string literals).
   *   - `TRY(expr)` passes through as a call to the graft-injected `try`

@@ -60,12 +60,17 @@ object Engine {
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —
     // runtime token translation so non-literal format args work too.
+    // Wall-clock <-> instant conversion goes through the SESSION zone
+    // (the reference evaluates in the session zone); java.sql.Timestamp's
+    // toLocalDateTime/valueOf would silently use the JVM default zone,
+    // which shifts every value on a non-UTC host.
+    val zone = sessionZone(spark)
     spark.udf.register("presto_date_format",
       (ts: java.sql.Timestamp, fmt: String) =>
         if (ts == null || fmt == null) null
         else java.time.format.DateTimeFormatter
           .ofPattern(prestoDateFormat(fmt))
-          .format(ts.toLocalDateTime))
+          .format(ts.toInstant.atZone(zone).toLocalDateTime))
     spark.udf.register("presto_date_parse",
       (s: String, fmt: String) =>
         if (s == null || fmt == null) null
@@ -80,10 +85,16 @@ object Engine {
             .parseDefaulting(MINUTE_OF_HOUR, 0)
             .parseDefaulting(SECOND_OF_MINUTE, 0)
             .parseDefaulting(NANO_OF_SECOND, 0)
-          java.sql.Timestamp.valueOf(
-            java.time.LocalDateTime.from(b.toFormatter.parse(s)))
+          java.sql.Timestamp.from(
+            java.time.LocalDateTime.from(b.toFormatter.parse(s))
+              .atZone(zone).toInstant)
         })
   }
+
+  /** The session's SQL time zone (spark.sql.session.timeZone), as the
+    * zone wall-clock date functions must render/parse in. */
+  def sessionZone(spark: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
 
   /** Register the parquet catalog and run a query through Spark SQL after
     * the dialect shim. This is the reference's `POST /v1/statement`

@@ -23,9 +23,15 @@ object Tables {
     * at sf0.1 the knob is inert either way: the fixtures are single-row-
     * group files, and a row group always lands in exactly one split.)
     */
-  private val tunedDirs = scala.collection.mutable.Set.empty[String]
+  // Last-applied dir per session: the tuning writes SESSION-GLOBAL confs,
+  // so it must be re-applied whenever the same session switches to a
+  // different data directory (a memoized once-per-(session,dir) set would
+  // silently keep the other dir's sizing). ConcurrentHashMap so racing
+  // loads settle on a consistent last-writer.
+  private val tunedDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   private def tuneScans(spark: SparkSession, dir: String): Unit =
-    if (tunedDirs.add(s"${spark.hashCode}:$dir")) {
+    if (tunedDir.put(spark, dir) != dir) {
       val sizes = names.map(n => new java.io.File(s"$dir/$n.parquet"))
         .filter(_.exists).map(_.length)
       if (sizes.nonEmpty) {

@@ -33,18 +33,24 @@ object Classification {
   case object FallOut extends Metric
   case object Thresholds extends Metric
 
+  // Boxed inputs: NULL pred/label rows are skipped like the reference
+  // aggregates (PrecisionRecallAggregation only sees non-null positions).
   class ClassificationAgg(metric: Metric)
-      extends Aggregator[(Long, Double, Boolean), Array[Double], Seq[Double]] {
+      extends Aggregator[(java.lang.Long, java.lang.Double, java.lang.Boolean),
+        Array[Double], Seq[Double]] {
 
     private def bucketOf(pred: Double, n: Int): Int =
       math.min(math.max((pred * n).toInt, 0), n - 1)
 
     def zero: Array[Double] = Array(0.0)
-    def reduce(b: Array[Double], a: (Long, Double, Boolean)): Array[Double] = {
+    def reduce(
+        b: Array[Double],
+        a: (java.lang.Long, java.lang.Double, java.lang.Boolean)): Array[Double] = {
+      if (a._1 == null || a._2 == null || a._3 == null) return b
       val n = a._1.toInt
       val st = if (b.length == 1) Array.fill(1 + 2 * n)(0.0).updated(0, n.toDouble) else b
       require(st(0).toInt == n, "bucket count must be constant per aggregation")
-      val idx = bucketOf(a._2, n) + (if (a._3) 1 else 1 + n)
+      val idx = bucketOf(a._2, n) + (if (a._3.booleanValue) 1 else 1 + n)
       st(idx) += 1.0
       st
     }
@@ -91,7 +97,7 @@ object Classification {
 
   def registerAll(spark: SparkSession): Unit = {
     val inEnc = Encoders.tuple(
-      Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaBoolean)
+      Encoders.LONG, Encoders.DOUBLE, Encoders.BOOLEAN)
     Seq(
       "classification_precision" -> Precision,
       "classification_recall" -> Recall,

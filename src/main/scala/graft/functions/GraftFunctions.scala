@@ -32,10 +32,10 @@ object GraftFunctions {
   /** Presto geometric_mean (reference: presto-main/.../operator/
     * aggregation/GeometricMeanAggregations.java): exp of the mean log.
     * Mergeable state (Σlog, n) — partial aggregation works. */
-  object GeometricMeanAgg extends Aggregator[Double, (Double, Long), Double] {
+  object GeometricMeanAgg extends Aggregator[java.lang.Double, (Double, Long), Double] {
     def zero: (Double, Long) = (0.0, 0L)
-    def reduce(b: (Double, Long), a: Double): (Double, Long) =
-      (b._1 + math.log(a), b._2 + 1)
+    def reduce(b: (Double, Long), a: java.lang.Double): (Double, Long) =
+      if (a == null) b else (b._1 + math.log(a), b._2 + 1)
     def merge(b1: (Double, Long), b2: (Double, Long)): (Double, Long) =
       (b1._1 + b2._1, b1._2 + b2._2)
     def finish(r: (Double, Long)): Double =
@@ -79,7 +79,7 @@ object GraftFunctions {
     * histogram). State layout: [maxBuckets, v0, w0, v1, w1, …]; merge is
     * concatenation + re-compaction, so partials ship across exchanges. */
   class NumericHistogramAgg
-      extends Aggregator[(Long, Double), Array[Double], Map[Double, Double]] {
+      extends Aggregator[(java.lang.Long, java.lang.Double), Array[Double], Map[Double, Double]] {
 
     private def used(s: Array[Double]): Int = (s.length - 1) / 2
 
@@ -115,9 +115,11 @@ object GraftFunctions {
     }
 
     def zero: Array[Double] = Array(0.0)
-    def reduce(b: Array[Double], a: (Long, Double)): Array[Double] = {
+    def reduce(b: Array[Double], a: (java.lang.Long, java.lang.Double)): Array[Double] = {
+      // NULL x rows are skipped like the reference aggregate
+      if (a._1 == null || a._2 == null) return b
       val withMax = if (b(0) == 0.0) { b(0) = a._1.toDouble; b } else b
-      val appended = withMax :+ a._2 :+ 1.0
+      val appended = withMax :+ a._2.doubleValue :+ 1.0
       val max = appended(0).toInt
       if (used(appended) > max + math.max(max / 5, 1)) compact(appended, max)
       else appended
@@ -193,7 +195,7 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     }
     spark.udf.register("map_union_sum", udaf(new MapUnionSumAgg(mapEnc)))
-    spark.udf.register("geometric_mean", udaf(GeometricMeanAgg))
+    spark.udf.register("geometric_mean", udaf(GeometricMeanAgg, Encoders.DOUBLE))
     spark.udf.register("word_stem_lite", wordStemLite _)
     spark.udf.register("word_stem", Porter.stem _)
     val multimapEnc: Encoder[Map[String, Seq[String]]] =
@@ -201,7 +203,7 @@ object GraftFunctions {
     spark.udf.register("multimap_agg", udaf(new MultimapAgg(multimapEnc),
       Encoders.tuple(Encoders.STRING, Encoders.STRING)))
     spark.udf.register("numeric_histogram", udaf(new NumericHistogramAgg,
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)))
+      Encoders.tuple(Encoders.LONG, Encoders.DOUBLE)))
     val bkEnc: Encoder[(Int, Seq[(Long, String)])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Seq[(Long, String)])]()
     spark.udf.register("bottom_k_sample", udaf(new BottomKSampleAgg(bkEnc),

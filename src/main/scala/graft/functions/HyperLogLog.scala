@@ -58,9 +58,12 @@ object HyperLogLog {
     math.round(corrected)
   }
 
-  class ApproxSetAgg extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  // Boxed input so NULL hashes are skipped (reference ApproximateSet
+  // aggregation ignores null positions) instead of failing to decode.
+  class ApproxSetAgg extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
     def zero: Array[Byte] = emptySketch
-    def reduce(b: Array[Byte], a: Long): Array[Byte] = add(b, a)
+    def reduce(b: Array[Byte], a: java.lang.Long): Array[Byte] =
+      if (a == null) b else add(b, a)
     def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = maxMerge(b1, b2)
     def finish(r: Array[Byte]): Array[Byte] = r
     def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
@@ -79,7 +82,7 @@ object HyperLogLog {
   }
 
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("approx_set_agg", udaf(new ApproxSetAgg, Encoders.scalaLong))
+    spark.udf.register("approx_set_agg", udaf(new ApproxSetAgg, Encoders.LONG))
     spark.udf.register("merge_hll", udaf(new MergeHllAgg, Encoders.BINARY))
     spark.udf.register("hll_cardinality", udf((s: Array[Byte]) =>
       if (s == null) 0L else estimate(s)))

@@ -54,10 +54,14 @@ object QuantileSketch {
     binValue(Bins - 1)
   }
 
-  class QdigestAgg extends Aggregator[Double, Array[Long], Array[Long]] {
+  // Boxed input: NULL rows are skipped like the reference aggregate
+  // (QuantileDigestAggregationFunction only sees non-null positions); a
+  // primitive encoder would throw on a null in a nullable column.
+  class QdigestAgg extends Aggregator[java.lang.Double, Array[Long], Array[Long]] {
     def zero: Array[Long] = new Array[Long](Bins)
-    def reduce(b: Array[Long], a: Double): Array[Long] = {
-      b(binOf(a)) += 1; b
+    def reduce(b: Array[Long], a: java.lang.Double): Array[Long] = {
+      if (a != null) b(binOf(a)) += 1
+      b
     }
     def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
       var i = 0
@@ -93,7 +97,7 @@ object QuantileSketch {
   }
 
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("qdigest_agg", udaf(new QdigestAgg, Encoders.scalaDouble))
+    spark.udf.register("qdigest_agg", udaf(new QdigestAgg, Encoders.DOUBLE))
     spark.udf.register("merge_qdigest", udaf(new MergeQdigestAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
     spark.udf.register("value_at_quantile",

@@ -113,11 +113,14 @@ object ScalarPack {
           val total = m.values.sum
           if (total == 0) m else m.map { case (k, v) => k -> v / total }
         })
-    // to_iso8601 (reference: DateTimeFunctions.java:244-286)
+    // to_iso8601 (reference: DateTimeFunctions.java:244-286). Renders the
+    // wall clock in the SESSION zone — Timestamp.toLocalDateTime would use
+    // the JVM default zone, shifting values on a non-UTC host.
+    val zone = graft.Engine.sessionZone(spark)
     spark.udf.register("to_iso8601",
       (ts: java.sql.Timestamp) =>
         if (ts == null) null
-        else ts.toLocalDateTime.format(
+        else ts.toInstant.atZone(zone).toLocalDateTime.format(
           java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME))
     // url_encode/url_decode (reference: UrlFunctions.java:151-169 — form
     // escaping: space→+, "-_.*" safe; URLDecoder semantics on decode)

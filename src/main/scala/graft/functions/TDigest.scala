@@ -164,9 +164,16 @@ object TDigest {
     1.0
   }
 
-  class TDigestAgg extends Aggregator[Double, Array[Double], Array[Double]] {
+  // Input types are BOXED throughout: the reference aggregates skip SQL
+  // NULL rows (TDigestAggregationFunction et al. only see non-null
+  // positions), and a primitive Spark encoder would instead throw on a
+  // null in a nullable column. reduce() guards replicate the skip.
+  class TDigestAgg extends Aggregator[java.lang.Double, Array[Double], Array[Double]] {
     def zero: Array[Double] = emptyState
-    def reduce(b: Array[Double], a: Double): Array[Double] = { add(b, a, 1.0); b }
+    def reduce(b: Array[Double], a: java.lang.Double): Array[Double] = {
+      if (a != null) add(b, a, 1.0)
+      b
+    }
     def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
       val n2 = used(b2)
       var i = 0
@@ -205,13 +212,21 @@ object TDigest {
     * ApproximateWeightedPercentileAggregations.java) — Spark's builtin
     * has no weight form and its 3-arg spelling (accuracy) collides, so
     * the weighted form registers under an explicit name. Rides the same
-    * weighted t-digest state; p is carried in the buffer. */
+    * weighted t-digest state; p is carried in the buffer. Rows where x or
+    * the weight is NULL are skipped like the reference's; an empty group
+    * returns NULL, not NaN. */
   class WeightedPercentileAgg
-      extends Aggregator[(Double, Double, Double), (Double, Array[Double]), Double] {
+      extends Aggregator[(java.lang.Double, java.lang.Double, java.lang.Double),
+        (Double, Array[Double]), java.lang.Double] {
     def zero: (Double, Array[Double]) = (-1.0, emptyState)
-    def reduce(b: (Double, Array[Double]), a: (Double, Double, Double)): (Double, Array[Double]) = {
-      add(b._2, a._1, a._2)
-      (if (b._1 < 0) a._3 else b._1, b._2)
+    def reduce(
+        b: (Double, Array[Double]),
+        a: (java.lang.Double, java.lang.Double, java.lang.Double)): (Double, Array[Double]) = {
+      if (a._1 == null || a._2 == null || a._3 == null) b
+      else {
+        add(b._2, a._1, a._2)
+        (if (b._1 < 0) a._3.doubleValue else b._1, b._2)
+      }
     }
     def merge(b1: (Double, Array[Double]), b2: (Double, Array[Double])): (Double, Array[Double]) = {
       val n2 = used(b2._2)
@@ -219,21 +234,21 @@ object TDigest {
       while (i < n2) { add(b1._2, b2._2(1 + 2 * i), b2._2(2 + 2 * i)); i += 1 }
       (math.max(b1._1, b2._1), b1._2)
     }
-    def finish(r: (Double, Array[Double])): Double = {
+    def finish(r: (Double, Array[Double])): java.lang.Double = {
       val d = finishState(r._2)
-      if (d == null || r._1 < 0) Double.NaN
-      else valueAtQuantile(d.toSeq, r._1)
+      if (d == null || r._1 < 0) null
+      else java.lang.Double.valueOf(valueAtQuantile(d.toSeq, r._1))
     }
     def bufferEncoder: Encoder[(Double, Array[Double])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Array[Double])]()
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("tdigest_agg", udaf(new TDigestAgg, Encoders.scalaDouble))
+    spark.udf.register("tdigest_agg", udaf(new TDigestAgg, Encoders.DOUBLE))
     spark.udf.register("approx_percentile_weighted",
       udaf(new WeightedPercentileAgg, Encoders.tuple(
-        Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble)))
+        Encoders.DOUBLE, Encoders.DOUBLE, Encoders.DOUBLE)))
     spark.udf.register("merge_tdigest", udaf(new MergeTDigestAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()))
     // boxed returns so a NULL digest yields SQL NULL (reference scalar
