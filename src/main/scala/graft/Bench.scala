@@ -34,21 +34,33 @@ object Bench {
       }
     }
 
-    val results: Seq[(String, Double)] = defs.flatMap { q =>
+    // (name, min, median, max): the spread is the contention detector — on
+    // a quiet box min≈median; a loaded box shows median/min ratios of 2-3×
+    // on queries whose code didn't change, so a slow total self-flags as
+    // environment rather than reading as a regression.
+    val results: Seq[(String, Double, Double, Double)] = defs.flatMap { q =>
       (1 to Prewarm).foreach(_ => timeOnce(q))
       val runs = (1 to Measured).flatMap(_ => timeOnce(q)).sorted
       if (runs.isEmpty) None
-      else Some(q.name -> runs(runs.size / 2)) // median
+      else Some((q.name, runs.head, runs(runs.size / 2), runs.last))
     }
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, _, med, _) => s"${jstr(k)}:$med" }
+      .mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, mn, med, mx) => s"${jstr(k)}:[$mn,$med,$mx]" }
+      .mkString("{", ",", "}")
     val errs = errors.reverse
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._3).sum
+    val totalMin = results.map(_._2).sum
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvg = osBean.getSystemLoadAverage // -1.0 if unavailable
+    val procs = Runtime.getRuntime.availableProcessors
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"available_processors":$procs,"load_average":$loadAvg}""")
     spark.stop()
   }
 }

@@ -42,12 +42,27 @@ object Engine {
     spark
   }
 
-  /** Register the full graft function catalog on a session. Idempotent;
+  /** Register the full graft function catalog on a session. Memoized per
+    * session (weak keys — a discarded session stays collectable):
+    * re-registering is semantically idempotent but each call replaces
+    * every registry entry and logs a replacement warning, so callers that
+    * pair registration with table loads would otherwise spam the log.
     * `Engine.session` calls it so a bare `Engine.sql` user can reach every
     * custom function (the reference exposes its whole registry to every
     * query — BuiltInTypeAndFunctionNamespaceManager.java).
     */
-  def registerFunctions(spark: SparkSession): Unit = {
+  private val registered: java.util.Map[SparkSession, java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  def registerFunctions(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.get(spark) == null) {
+      registered.put(spark, java.lang.Boolean.TRUE)
+      registerFunctionsNow(spark)
+    }
+  }
+
+  /** The actual registrations; unconditional. */
+  private def registerFunctionsNow(spark: SparkSession): Unit = {
     graft.functions.DotProductFloat.register(spark)
     graft.functions.GraftFunctions.registerAll(spark)
     graft.functions.HyperLogLog.registerAll(spark)
@@ -63,14 +78,16 @@ object Engine {
     // Wall-clock <-> instant conversion goes through the SESSION zone
     // (the reference evaluates in the session zone); java.sql.Timestamp's
     // toLocalDateTime/valueOf would silently use the JVM default zone,
-    // which shifts every value on a non-UTC host.
-    val zone = sessionZone(spark)
+    // which shifts every value on a non-UTC host. The zone is read per
+    // call (not captured at registration) so a later
+    // `SET spark.sql.session.timeZone` changes these functions in step
+    // with Spark's own timestamp rendering.
     spark.udf.register("presto_date_format",
       (ts: java.sql.Timestamp, fmt: String) =>
         if (ts == null || fmt == null) null
         else java.time.format.DateTimeFormatter
           .ofPattern(prestoDateFormat(fmt))
-          .format(ts.toInstant.atZone(zone).toLocalDateTime))
+          .format(ts.toInstant.atZone(currentZone).toLocalDateTime))
     spark.udf.register("presto_date_parse",
       (s: String, fmt: String) =>
         if (s == null || fmt == null) null
@@ -87,7 +104,7 @@ object Engine {
             .parseDefaulting(NANO_OF_SECOND, 0)
           java.sql.Timestamp.from(
             java.time.LocalDateTime.from(b.toFormatter.parse(s))
-              .atZone(zone).toInstant)
+              .atZone(currentZone).toInstant)
         })
   }
 
@@ -95,6 +112,16 @@ object Engine {
     * zone wall-clock date functions must render/parse in. */
   def sessionZone(spark: SparkSession): java.time.ZoneId =
     java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+
+  /** The session zone of the QUERY being evaluated right now, for use
+    * inside UDF bodies: SQLConf.get is thread-local on the driver and
+    * task-propagated on executors, so this tracks a live
+    * `SET spark.sql.session.timeZone` where a closure-captured zone
+    * would not. ZoneId.of caches, so the per-call cost is a map lookup.
+    */
+  def currentZone: java.time.ZoneId =
+    java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 
   /** Register the parquet catalog and run a query through Spark SQL after
     * the dialect shim. This is the reference's `POST /v1/statement`

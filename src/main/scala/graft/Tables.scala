@@ -26,22 +26,30 @@ object Tables {
   // Last-applied dir per session: the tuning writes SESSION-GLOBAL confs,
   // so it must be re-applied whenever the same session switches to a
   // different data directory (a memoized once-per-(session,dir) set would
-  // silently keep the other dir's sizing). ConcurrentHashMap so racing
-  // loads settle on a consistent last-writer.
-  private val tunedDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // silently keep the other dir's sizing). Weak keys so a discarded
+  // session can be GC'd (a strong-keyed map pins every session for
+  // process lifetime in a long-lived multi-session service), and the
+  // record+apply runs under the map's per-key lock so two racing loads
+  // with different dirs can't leave the conf from one dir while the map
+  // records the other.
+  private val tunedDir: java.util.Map[SparkSession, String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   private def tuneScans(spark: SparkSession, dir: String): Unit =
-    if (tunedDir.put(spark, dir) != dir) {
-      val sizes = names.map(n => new java.io.File(s"$dir/$n.parquet"))
-        .filter(_.exists).map(_.length)
-      if (sizes.nonEmpty) {
-        val cores = spark.sparkContext.defaultParallelism.toLong
-        val split = math.min(
-          math.max(sizes.max / (2 * cores), 4L * 1024 * 1024),
-          128L * 1024 * 1024)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
-        spark.conf.set("spark.sql.files.openCostInBytes",
-          math.max(split / 8, 512L * 1024).toString)
+    tunedDir.synchronized {
+      if (tunedDir.get(spark) != dir) {
+        tunedDir.put(spark, dir)
+        val sizes = names.map(n => new java.io.File(s"$dir/$n.parquet"))
+          .filter(_.exists).map(_.length)
+        if (sizes.nonEmpty) {
+          val cores = spark.sparkContext.defaultParallelism.toLong
+          val split = math.min(
+            math.max(sizes.max / (2 * cores), 4L * 1024 * 1024),
+            128L * 1024 * 1024)
+          spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+          spark.conf.set("spark.sql.files.openCostInBytes",
+            math.max(split / 8, 512L * 1024).toString)
+        }
       }
     }
 

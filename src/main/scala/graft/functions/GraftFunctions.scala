@@ -31,18 +31,22 @@ object GraftFunctions {
 
   /** Presto geometric_mean (reference: presto-main/.../operator/
     * aggregation/GeometricMeanAggregations.java): exp of the mean log.
-    * Mergeable state (Σlog, n) — partial aggregation works. */
-  object GeometricMeanAgg extends Aggregator[java.lang.Double, (Double, Long), Double] {
+    * Mergeable state (Σlog, n) — partial aggregation works. Empty /
+    * all-NULL group yields NULL (the reference output() appendNull()s
+    * when count==0), hence the boxed output encoder — a primitive Double
+    * would surface NaN instead. */
+  object GeometricMeanAgg
+      extends Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
     def zero: (Double, Long) = (0.0, 0L)
     def reduce(b: (Double, Long), a: java.lang.Double): (Double, Long) =
       if (a == null) b else (b._1 + math.log(a), b._2 + 1)
     def merge(b1: (Double, Long), b2: (Double, Long)): (Double, Long) =
       (b1._1 + b2._1, b1._2 + b2._2)
-    def finish(r: (Double, Long)): Double =
-      if (r._2 == 0) Double.NaN else math.exp(r._1 / r._2)
+    def finish(r: (Double, Long)): java.lang.Double =
+      if (r._2 == 0) null else java.lang.Double.valueOf(math.exp(r._1 / r._2))
     def bufferEncoder: Encoder[(Double, Long)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   /** Light stemmer (reference: presto-main/.../operator/scalar/

@@ -115,13 +115,13 @@ object ScalarPack {
         })
     // to_iso8601 (reference: DateTimeFunctions.java:244-286). Renders the
     // wall clock in the SESSION zone — Timestamp.toLocalDateTime would use
-    // the JVM default zone, shifting values on a non-UTC host.
-    val zone = graft.Engine.sessionZone(spark)
+    // the JVM default zone, shifting values on a non-UTC host. Zone read
+    // per call (Engine.currentZone) so SET session.timeZone takes effect.
     spark.udf.register("to_iso8601",
       (ts: java.sql.Timestamp) =>
         if (ts == null) null
-        else ts.toInstant.atZone(zone).toLocalDateTime.format(
-          java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME))
+        else ts.toInstant.atZone(graft.Engine.currentZone).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME))
     // url_encode/url_decode (reference: UrlFunctions.java:151-169 — form
     // escaping: space→+, "-_.*" safe; URLDecoder semantics on decode)
     spark.udf.register("url_encode",

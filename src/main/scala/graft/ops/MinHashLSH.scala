@@ -30,13 +30,17 @@ object MinHashLSH {
     * 4.3 s of the 4.5 s prepare stage at sf0.1). */
   def shingles(text: Column, n: Int = 3): Column = {
     require(n == 3, "word-trigram shingles only (matches the oracle)")
-    expr(
-      s"""element_at(transform(array(split(${text.toString}, ' ')), ws ->
-         |  array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)),
-         |    i -> concat(try_element_at(ws, i), '_',
-         |                coalesce(try_element_at(ws, i + 1), ''), '_',
-         |                coalesce(try_element_at(ws, i + 2), ''))))), 1)
-         |""".stripMargin)
+    // Column-API lambdas, not spliced SQL text: an arbitrary caller
+    // Column (quotes, keywords, derived expressions) composes safely.
+    element_at(
+      transform(array(split(text, " ")), ws =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+          i => concat(
+            try_element_at(ws, i), lit("_"),
+            coalesce(try_element_at(ws, i + 1), lit("")), lit("_"),
+            coalesce(try_element_at(ws, i + 2), lit("")))))),
+      1)
   }
 
   /** MinHash signature from PRE-HASHED shingles: sig[i] = min over
@@ -45,10 +49,8 @@ object MinHashLSH {
     * minima over the hash multiset equal minima over the distinct set, so
     * correctness is unchanged. Computed in codegen, no shuffle. */
   def signature(hashCol: Column, numHashes: Int): Column =
-    expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  i -> array_min(transform(__hs, h -> xxhash64(h, i))))
-         |""".stripMargin.replace("__hs", hashCol.toString))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hashCol, h => xxhash64(h, i))))
 
   /** (__id, __sh, __sig) with shingles + base hashes materialized exactly
     * once: round-robin repartition spreads the CPU-heavy work across cores

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, CollectList, CollectSet}
 import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
 
 /** Presto functions Spark lacks, injected as NATIVE Catalyst expression
@@ -40,6 +40,33 @@ object PrestoFunctions {
   private def parseUrl(url: Expression, part: String): Expression =
     new ParseUrl(Seq(url, Literal(part)), false)
 
+
+  /** True when the expression can only be a percentile argument: a
+    * foldable scalar in [0,1] or a foldable percentage array. A weight is
+    * a per-row column (non-foldable) or a count ≥ 1, neither of which
+    * matches. */
+  private def isPercentageShape(e: Expression): Boolean =
+    e.foldable && (try {
+      e.eval() match {
+        case null => false
+        case d: java.lang.Number => val v = d.doubleValue; v >= 0.0 && v <= 1.0
+        case d: org.apache.spark.sql.types.Decimal =>
+          val v = d.toDouble; v >= 0.0 && v <= 1.0
+        case _: org.apache.spark.sql.catalyst.util.ArrayData => true
+        case _ => false
+      }
+    } catch { case _: Exception => false })
+
+  /** The registered weighted t-digest aggregate, resolved through the
+    * active session's catalog at analysis time (it is a udaf()-registered
+    * ScalaAggregator, not a constructible Catalyst class). */
+  private def weightedPercentile(args: Seq[Expression]): Expression =
+    org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      .lookupFunction(
+        FunctionIdentifier("approx_percentile_weighted"),
+        // the aggregator is typed over doubles; the reference accepts
+        // bigint weights, so coerce here rather than in every caller
+        args.map(a => Cast(a, DoubleType)))
 
   /** sign(x) * floor(|x| * 10^n) / 10^n — truncation toward zero. */
   private def truncateExpr(x: Expression, n: Option[Expression]): Expression =
@@ -132,6 +159,26 @@ object PrestoFunctions {
     // .../operator/scalar/SplitToMapFunction.java) — Catalyst's
     // StringToMap has the same contract and argument order.
     fd("split_to_map") { a => StringToMap(a(0), a(1), a(2)) },
+
+    // approx_percentile under the reference's overload set (reference:
+    // operator/aggregation/ApproximatePercentileAggregations.java +
+    // ApproximateWeightedPercentileAggregations.java): Presto's 3-arg form
+    // is (x, WEIGHT, p) while Spark's builtin 3-arg is (x, p, ACCURACY),
+    // so the builder dispatches on the shape of the second argument — a
+    // foldable value inside [0,1] (or a percentage array) is a percentile,
+    // anything else is a weight column routed to WeightedPercentileAgg
+    // (looked up by its registered name so the ScalaAggregator machinery
+    // stays in one place). The 4-arg weighted form's accuracy argument is
+    // accepted and ignored — the t-digest compression is fixed, like the
+    // reference's qdigest accuracy floor.
+    fd("approx_percentile") {
+      case Seq(x, p) => new ApproximatePercentile(x, p)
+      case Seq(x, w, p) if !isPercentageShape(w) => weightedPercentile(Seq(x, w, p))
+      case Seq(x, p, acc) => new ApproximatePercentile(x, p, acc)
+      case Seq(x, w, p, _) if !isPercentageShape(w) => weightedPercentile(Seq(x, w, p))
+      case args => throw new IllegalArgumentException(
+        s"approx_percentile expects 2-4 arguments, got ${args.length}")
+    },
 
     // Canonical orderable form of a map — sorted entry array (reference:
     // presto-main/.../operator/scalar/MapEqualOperator.java defines map

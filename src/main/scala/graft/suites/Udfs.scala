@@ -1,6 +1,6 @@
 package graft.suites
 
-import graft.{Qdef, Tables}
+import graft.{Engine, Qdef, Tables}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -154,16 +154,21 @@ object Udfs {
     // Weighted approx_percentile (reference: ApproximateWeightedPercentile
     // Aggregations.java) over the weighted t-digest: median of totalprice
     // with integer weights, checked against the exact weighted percentile
-    // the oracle derives by row expansion.
+    // the oracle derives by row expansion. Called under the REFERENCE
+    // spelling approx_percentile(x, w, p) through the SQL facade — the
+    // injected registry builder dispatches the 3-arg form on the shape of
+    // the second argument (weight column here vs literal accuracy).
     Qdef(
       "c10_weighted_percentile",
       """SELECT true AS wp50_ok, true AS wp90_ok FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
       val ord = t(s, dir, "orders")
         .select(col("o_totalprice").as("x"),
           (col("o_orderkey") % 3 + 1).cast("double").as("w"))
-      val est = ord.agg(
-        expr("approx_percentile_weighted(x, w, 0.5D)").as("e50"),
-        expr("approx_percentile_weighted(x, w, 0.9D)").as("e90"))
+      val est = Engine.sql(s, dir,
+        """SELECT
+          |  approx_percentile(o_totalprice, o_orderkey % 3 + 1, 0.5) AS e50,
+          |  approx_percentile(o_totalprice, o_orderkey % 3 + 1, 0.9) AS e90
+          |FROM orders""".stripMargin)
       // exact weighted percentile by integer-weight row expansion
       val exact = ord
         .select(explode(expr("sequence(1, CAST(w AS INT))")).as("rep"), col("x"))
