@@ -27,6 +27,9 @@ import scala.collection.mutable
   *   - `TRY(expr)` passes through as a call to the graft-injected `try`
   *     function (reference: sql/relational/optimizer/... TRY is special
   *     form; Spark has no generic TRY).
+  *   - `CROSS JOIN UNNEST(…) [WITH ORDINALITY] AS t(c…)` (and the `,`,
+  *     `LEFT JOIN … ON TRUE`, and bare-FROM spellings) → Spark
+  *     `LATERAL VIEW [OUTER] explode/inline(…)` — see [[rewriteUnnest]].
   *   - ORDER BY items with no explicit NULLS get ` NULLS LAST` injected:
   *     Presto's default is NULLS LAST for BOTH directions (reference:
   *     presto-main/.../sql/planner/PlannerUtils.java:40-52 — the
@@ -265,6 +268,168 @@ object Dialect {
     out.toString
   }
 
+  private def wordAt(q: String, j0: Int): (String, Int) = {
+    var j = j0
+    while (j < q.length && isWordChar(q(j))) j += 1
+    (q.substring(j0, j), j)
+  }
+
+  /** Balanced argument scan from the '(' at `open` (literal-aware);
+    * returns the top-level comma-split argument texts and the index just
+    * past the closing ')'. */
+  private def parseParenArgs(q: String, open: Int): Option[(Seq[String], Int)] = {
+    var j = open + 1
+    var depth = 1
+    val args = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    while (j < q.length && depth > 0) {
+      val c = q(j)
+      if (c == '\'') { val e = literalEnd(q, j); cur.append(q.substring(j, e)); j = e }
+      else if (c == '(') { depth += 1; cur.append(c); j += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) cur.append(c); j += 1 }
+      else if (c == ',' && depth == 1) { args += cur.toString.trim; cur.clear(); j += 1 }
+      else { cur.append(c); j += 1 }
+    }
+    if (depth != 0) None
+    else { args += cur.toString.trim; Some((args.toSeq, j)) }
+  }
+
+  /** SQL-form UNNEST (reference: SqlBase.g4:326 relationPrimary UNNEST;
+    * operator/unnest/UnnestOperator.java) → Spark LATERAL VIEW. Handled
+    * shapes — all require the alias WITH a column list, the way Presto
+    * queries in the wild write it:
+    *
+    *   `[CROSS JOIN | ,] UNNEST(e…) [WITH ORDINALITY] [AS] t(c…)`
+    *   `LEFT [OUTER] JOIN UNNEST(e…) [WITH ORDINALITY] [AS] t(c…) ON TRUE`
+    *   `FROM UNNEST(e…) [WITH ORDINALITY] [AS] t(c…)`  (no driving table)
+    *
+    * A single array (or map — two aliases) without ordinality maps to
+    * `explode`; multi-argument and WITH ORDINALITY forms build rows
+    * explicitly: `inline(transform(slice(sequence(1, greatest(n,1)), 1,
+    * n), i -> struct(try_element_at(e1,i), …, CAST(i AS BIGINT))))` —
+    * 1-based ordinality, shorter arrays NULL-padded to the longest
+    * (arrays_zip semantics), NULL arrays contributing no length (n is
+    * greatest over non-NULL sizes; all-NULL yields zero rows), matching
+    * the reference's multi-channel unnester. Limitations (left verbatim,
+    * fail at Spark's parser rather than silently): map arguments in the
+    * multi-arg/ordinality forms, UNNEST followed by further JOINs in the
+    * same FROM (Spark's grammar puts lateral views after all joins), and
+    * the alias-without-column-list form.
+    */
+  private def rewriteUnnest(q: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c == '-' && i + 1 < q.length && q(i + 1) == '-') {
+        val j = q.indexOf('\n', i) match { case -1 => q.length; case e => e }
+        out.append(q.substring(i, j)); i = j
+      } else if (c == '/' && i + 1 < q.length && q(i + 1) == '*') {
+        val e = q.indexOf("*/", i + 2)
+        val j = if (e == -1) q.length else e + 2
+        out.append(q.substring(i, j)); i = j
+      } else if (c == '\'') {
+        val j = literalEnd(q, i); out.append(q.substring(i, j)); i = j
+      } else if (c.isLetter || c == '_') {
+        val (word, jw) = wordAt(q, i)
+        var consumed = -1
+        if (word.equalsIgnoreCase("unnest")) {
+          val k = nextNonSpace(q, jw)
+          if (k < q.length && q(k) == '(')
+            consumed = tryRewriteUnnestAt(out, q, k)
+        }
+        if (consumed >= 0) i = consumed
+        else { out.append(word); i = jw }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Attempt one UNNEST rewrite with the argument list opening at `open`.
+    * On success mutates `out` — replacing the already-emitted join prefix
+    * with a LATERAL VIEW clause — and returns the index just past the
+    * consumed source text; returns -1 with `out` untouched on any
+    * unsupported shape. */
+  private def tryRewriteUnnestAt(out: StringBuilder, q: String, open: Int): Int = {
+    val parsedArgs = parseParenArgs(q, open)
+    if (parsedArgs.isEmpty) return -1
+    val (args, afterArgs) = parsedArgs.get
+    if (args.isEmpty || args.exists(_.isEmpty)) return -1
+    var j = nextNonSpace(q, afterArgs)
+    var ord = false
+    val (w1, j1) = wordAt(q, j)
+    if (w1.equalsIgnoreCase("with")) {
+      val (w2, j2) = wordAt(q, nextNonSpace(q, j1))
+      if (!w2.equalsIgnoreCase("ordinality")) return -1
+      ord = true
+      j = nextNonSpace(q, j2)
+    }
+    val (wAs, jAs) = wordAt(q, j)
+    if (wAs.equalsIgnoreCase("as")) j = nextNonSpace(q, jAs)
+    val (alias, jAlias) = wordAt(q, j)
+    if (alias.isEmpty || !alias.head.isLetter) return -1
+    j = nextNonSpace(q, jAlias)
+    if (j >= q.length || q(j) != '(') return -1
+    val parsedCols = parseParenArgs(q, j)
+    if (parsedCols.isEmpty) return -1
+    val (cols, afterCols) = parsedCols.get
+    if (cols.isEmpty || cols.exists(cn => cn.isEmpty || !cn.forall(isWordChar)))
+      return -1
+    j = afterCols
+
+    // classify the join prefix already emitted into `out`
+    val outStr = out.toString
+    var outer = false
+    var fromForm = false
+    var prefixStart = -1
+    "(?i)\\bcross\\s+join\\s*$".r.findFirstMatchIn(outStr) match {
+      case Some(m) => prefixStart = m.start
+      case None =>
+        "(?i)\\bleft\\s+(?:outer\\s+)?join\\s*$".r.findFirstMatchIn(outStr) match {
+          case Some(m) =>
+            // Presto's outer-unnest spelling requires the ON TRUE tail
+            val (wOn, jOn) = wordAt(q, nextNonSpace(q, j))
+            if (!wOn.equalsIgnoreCase("on")) return -1
+            val (wTrue, jTrue) = wordAt(q, nextNonSpace(q, jOn))
+            if (!wTrue.equalsIgnoreCase("true")) return -1
+            outer = true; prefixStart = m.start; j = jTrue
+          case None =>
+            ",\\s*$".r.findFirstMatchIn(outStr) match {
+              case Some(m) => prefixStart = m.start
+              case None =>
+                "(?i)\\bfrom\\s*$".r.findFirstMatchIn(outStr) match {
+                  case Some(m) => fromForm = true; prefixStart = m.start
+                  case None => return -1
+                }
+            }
+        }
+    }
+
+    val expect = args.length + (if (ord) 1 else 0)
+    val gen: String =
+      if (!ord && args.length == 1 && cols.length <= 2) s"explode(${args.head})"
+      else if (cols.length == expect) {
+        val n =
+          if (args.length == 1) s"size(${args.head})"
+          else s"greatest(${args.map(a => s"size($a)").mkString(", ")})"
+        val fields =
+          args.map(a => s"try_element_at($a, __graft_i)") ++
+            (if (ord) Seq("CAST(__graft_i AS BIGINT)") else Nil)
+        s"inline(transform(slice(sequence(1, greatest($n, 1)), 1, $n), " +
+          s"__graft_i -> struct(${fields.mkString(", ")})))"
+      } else return -1
+
+    while (prefixStart > 0 && out.charAt(prefixStart - 1).isWhitespace)
+      prefixStart -= 1
+    out.delete(prefixStart, out.length)
+    if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
+    out.append(" LATERAL VIEW ")
+    if (outer) out.append("OUTER ")
+    out.append(gen).append(' ').append(alias)
+      .append(" AS ").append(cols.mkString(", "))
+    j
+  }
+
   /** Keywords that terminate an ORDER BY item list at its own depth. */
   private val orderByTerminators = Set(
     "limit", "offset", "fetch", "rows", "range", "groups", "window",
@@ -363,5 +528,5 @@ object Dialect {
       .replaceFirst("[;\\s]+$", "")
 
   def translate(query: String): String =
-    injectNullOrdering(rewrite(rewriteStatement(query)))
+    injectNullOrdering(rewrite(rewriteUnnest(rewriteStatement(query))))
 }

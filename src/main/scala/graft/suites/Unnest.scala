@@ -115,6 +115,67 @@ object Unnest {
         .orderBy("vec_id", "i")
     },
 
+    // VERBATIM Presto SQL-form UNNEST through the facade (reference:
+    // SqlBase.g4:326 relationPrimary UNNEST; operator/unnest/
+    // UnnestOperator.java): CROSS JOIN UNNEST ... WITH ORDINALITY is
+    // dialect-rewritten to LATERAL VIEW inline(transform(...)) with a
+    // 1-based BIGINT ordinality.
+    Qdef.duckOnly(
+      "u08_sql_unnest_ordinality",
+      """SELECT doc_id, w, i
+        |FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i
+        |  FROM documents WHERE doc_id < 5) u
+        |WHERE w <> ''
+        |ORDER BY doc_id, i""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT d.doc_id, t.w, t.i
+          |FROM documents d
+          |CROSS JOIN UNNEST(split(d.text, ' ')) WITH ORDINALITY AS t(w, i)
+          |WHERE d.doc_id < 5 AND t.w <> ''
+          |ORDER BY d.doc_id, t.i""".stripMargin)
+    },
+
+    // Multi-argument SQL-form UNNEST via the comma (implicit lateral)
+    // spelling: positional zip with NULL padding to the longest array
+    // (reference: UnnestOperator.java multi-channel path).
+    Qdef.duckOnly(
+      "u09_sql_multi_unnest",
+      """SELECT vec_id, round(v1, 4) AS v1, round(v2, 4) AS v2, i
+        |FROM (
+        |  SELECT vec_id,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v1,
+        |    CAST(unnest(list_reverse(embedding)) AS DOUBLE) AS v2,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        |  FROM embeddings WHERE vec_id < 3) u
+        |ORDER BY vec_id, i""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT e.vec_id,
+          |  round(CAST(t.v1 AS DOUBLE), 4) AS v1,
+          |  round(CAST(t.v2 AS DOUBLE), 4) AS v2,
+          |  t.i
+          |FROM embeddings e, UNNEST(e.embedding, reverse(e.embedding)) WITH ORDINALITY AS t(v1, v2, i)
+          |WHERE e.vec_id < 3
+          |ORDER BY e.vec_id, t.i""".stripMargin)
+    },
+
+    // Outer SQL-form UNNEST: Presto's LEFT JOIN UNNEST ... ON TRUE keeps
+    // rows whose array is empty (reference: SqlBase.g4 joinType +
+    // UnnestNode outer flag) → LATERAL VIEW OUTER explode.
+    Qdef.duckOnly(
+      "u10_sql_outer_unnest",
+      """SELECT id, x
+        |FROM (VALUES (1, [10, 20]), (2, [])) t(id, arr)
+        |LEFT JOIN LATERAL (SELECT CAST(unnest(arr) AS BIGINT) AS x) u ON TRUE
+        |ORDER BY id, x""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT t.id, CAST(u.x AS BIGINT) AS x
+          |FROM (VALUES (1, ARRAY[10, 20]), (2, ARRAY[])) AS t(id, arr)
+          |LEFT JOIN UNNEST(t.arr) AS u(x) ON TRUE
+          |ORDER BY t.id, u.x""".stripMargin)
+    },
+
     // Multi-array zip: dot product via zip_with + aggregate HOFs — the
     // arrays_zip form of UNNEST(a, b) (reference: operator/unnest/
     // UnnestOperator.java multi-channel path).

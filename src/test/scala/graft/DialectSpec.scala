@@ -43,6 +43,48 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.prestoDateFormat("at %H") == "'at' HH")
   }
 
+  test("CROSS JOIN UNNEST becomes LATERAL VIEW explode") {
+    assert(Engine.translate(
+      "SELECT x FROM t CROSS JOIN UNNEST(t.arr) AS u(x)")
+      == "SELECT x FROM t LATERAL VIEW explode(t.arr) u AS x")
+    // map form: two aliases, still explode
+    assert(Engine.translate(
+      "SELECT k, v FROM t CROSS JOIN UNNEST(m) AS kv(k, v)")
+      == "SELECT k, v FROM t LATERAL VIEW explode(m) kv AS k, v")
+    // comma (implicit lateral) spelling
+    assert(Engine.translate(
+      "SELECT x FROM t, UNNEST(t.arr) u(x)")
+      == "SELECT x FROM t LATERAL VIEW explode(t.arr) u AS x")
+  }
+
+  test("UNNEST WITH ORDINALITY builds 1-based inline rows") {
+    val out = Engine.translate(
+      "SELECT w, i FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(w, i)")
+    assert(out.contains("LATERAL VIEW inline(transform(slice(sequence(1, greatest(size(arr), 1)), 1, size(arr))"))
+    assert(out.contains("struct(try_element_at(arr, __graft_i), CAST(__graft_i AS BIGINT)))) u AS w, i"))
+  }
+
+  test("multi-argument UNNEST zips with NULL padding") {
+    val out = Engine.translate(
+      "SELECT a, b FROM t CROSS JOIN UNNEST(x, y) AS u(a, b)")
+    assert(out.contains("greatest(size(x), size(y))"))
+    assert(out.contains("struct(try_element_at(x, __graft_i), try_element_at(y, __graft_i))"))
+  }
+
+  test("LEFT JOIN UNNEST ON TRUE becomes LATERAL VIEW OUTER") {
+    assert(Engine.translate(
+      "SELECT x FROM t LEFT JOIN UNNEST(t.arr) AS u(x) ON TRUE")
+      == "SELECT x FROM t LATERAL VIEW OUTER explode(t.arr) u AS x")
+  }
+
+  test("unsupported UNNEST shapes are left verbatim") {
+    // no column list — cannot name the generator output
+    assert(Engine.translate("SELECT * FROM t CROSS JOIN UNNEST(arr) u")
+      == "SELECT * FROM t CROSS JOIN UNNEST(arr) u")
+    // unnest as a plain identifier is untouched
+    assert(Engine.translate("SELECT unnest FROM t") == "SELECT unnest FROM t")
+  }
+
   test("ARRAY literals become array() calls") {
     assert(Engine.translate("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)")
     assert(Engine.translate("SELECT array[x, y][1]")
