@@ -1,6 +1,11 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -10,72 +15,202 @@ import org.apache.spark.sql.functions._
   * in batches — the shape a real decode/feature-extract pipeline has
   * (decoder initialized once per partition, rows streamed through it).
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB: this container has no image/
-  * audio codecs, so "features" are derived from the md5 of the payload
-  * (one double per hex digit). Everything around it — binary schema,
-  * per-partition batching, feature vector schema, downstream
-  * aggregability — is real and tested; swapping the stub for a JNI/codec
-  * call changes one function.
+  * The codec is REAL: assets are genuine PNG images (encoded with
+  * `javax.imageio`, pure JVM, no native libs), synthesized
+  * deterministically from document bytes — each document's UTF-8 bytes
+  * become the pixels of a width-16 8-bit grayscale image (row-major,
+  * final row zero-padded), and `n_bytes` metadata carries the true
+  * content length the way a real container records its sample count.
+  * Feature extraction, frame sampling and resize all `ImageIO.read` the
+  * payload and work on ACTUALLY DECODED PIXELS; because grayscale PNG is
+  * lossless, a DuckDB oracle can replay every statistic from the source
+  * text. Non-image mimes fall back to a deterministic md5 fingerprint
+  * (documented divergence: no audio/video codec ships in the JVM), kept
+  * oracle-verified via the m05 fallback entry.
+  *
+  * Reference capability analog: presto-main feature-extraction scalar
+  * surface (presto-ml/src/main/java/com/facebook/presto/ml/MLFunctions
+  * .java) + the 1→N batch contour of operator/unnest/UnnestOperator.java.
   */
 object Multimodal {
 
   val FeatureDim = 16
+  val ImgWidth = 16
+  /** Pixel-histogram bin width: bins 0..9 cover sample values 0..129
+    * (ASCII fixture max is 121); brighter pixels clamp into bin 9. */
+  val HistBin = 13
 
-  /** Documents as a pseudo-media asset table: payload = utf-8 bytes. */
-  def assets(docs: DataFrame): DataFrame =
+  /** Synthesize real PNG assets from documents: payload = PNG encoding of
+    * the text bytes as a width-16 grayscale image. Runs per-partition so
+    * the encoder (ImageIO plumbing) initializes once per partition. */
+  def assets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false) // no temp-file cache on executors
+        rows.map { case (id, text) =>
+          val content = text.getBytes(StandardCharsets.UTF_8)
+          (id, encodePng(content), "image/png", content.length.toLong)
+        }
+      }.toDF("asset_id", "payload", "mime", "n_bytes")
+  }
+
+  /** Raw-bytes asset table (mime text/plain) — exercises the non-image
+    * fallback path of every operator below. */
+  def textAssets(docs: DataFrame): DataFrame =
     docs.select(
-      col("doc_id").as("asset_id"),
+      col("doc_id").cast("long").as("asset_id"),
       encode(col("text"), "UTF-8").as("payload"),
       lit("text/plain").as("mime"),
-      length(col("text")).as("n_bytes"))
+      length(col("text")).cast("long").as("n_bytes"))
+
+  /** Encode content bytes as an 8-bit grayscale PNG, width [[ImgWidth]],
+    * row-major, final row zero-padded. Deterministic and lossless. */
+  private[graft] def encodePng(content: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, (content.length + ImgWidth - 1) / ImgWidth)
+    val img = new BufferedImage(ImgWidth, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    val total = ImgWidth * h
+    while (i < total) {
+      val v = if (i < content.length) content(i) & 0xff else 0
+      raster.setSample(i % ImgWidth, i / ImgWidth, 0, v)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private[graft] final case class Decoded(
+      pixels: Array[Byte], width: Int, height: Int)
+
+  /** Decode a PNG payload back to row-major pixel samples. */
+  private[graft] def decodePng(payload: Array[Byte]): Decoded = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < w * h) {
+      px(i) = raster.getSample(i % w, i / w, 0).toByte
+      i += 1
+    }
+    Decoded(px, w, h)
+  }
+
+  /** Decoded content bytes: pixels trimmed to the true sample count the
+    * `n_bytes` metadata carries (drops the final-row zero padding). */
+  private def decodeContent(payload: Array[Byte], nBytes: Long): (Decoded, Array[Byte]) = {
+    val d = decodePng(payload)
+    (d, d.pixels.take(math.min(nBytes, d.pixels.length.toLong).toInt))
+  }
 
   /** Per-partition batched feature extraction over the binary payload.
     * mapPartitions is deliberate (SURVEY §2 "mapPartitions as a last
     * resort" — this IS the genuine per-partition imperative case: decoder
-    * state is per-partition, not per-row). */
+    * state is per-partition, not per-row).
+    *
+    * image-mime payloads are DECODED with javax.imageio and featurized from
+    * real pixels: [width, height, n_content_bytes, mean, min, max,
+    * hist0..hist9] where hist_b = fraction of content pixels with
+    * sample/13 == b (clamped to bin 9). Other mimes get the md5
+    * fallback fingerprint (one double per hex digit / 100). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      assets.select(col("asset_id").cast("long"), col("payload"))
-        .as[(Long, Array[Byte])]
+    val ds: Dataset[(Long, Array[Byte], String, Long)] =
+      assets.select(
+          col("asset_id").cast("long"), col("payload"), col("mime"),
+          col("n_bytes").cast("long"))
+        .as[(Long, Array[Byte], String, Long)]
     ds.mapPartitions { rows =>
-      // "decoder" init once per partition (stub: an MD5 instance)
-      val md = MessageDigest.getInstance("MD5")
-      rows.map { case (id, payload) =>
-        md.reset()
-        val hex = md.digest(payload).map("%02x".format(_)).mkString
-        // STUB decode: one feature per hex digit (ascii/100) — replace
-        // with a real codec call to productionize.
-        val features = hex.take(FeatureDim).map(c => c.toInt / 100.0).toArray
+      ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5") // fallback fingerprinter
+      rows.map { case (id, payload, mime, nBytes) =>
+        val features =
+          if (mime.startsWith("image/")) {
+            val (d, content) = decodeContent(payload, nBytes)
+            pixelFeatures(d, content)
+          } else md5Features(md, payload)
         (id, features)
       }
     }.toDF("asset_id", "features")
   }
 
-  /** Frame sampling over a binary payload — the video-ish 1→N batch
-    * shape: every `stride` bytes take a `frameSize`-byte frame, up to
-    * `maxFrames` per asset, and emit (asset_id, frame_idx, frame_md5)
-    * rows. Per-partition decoder state + flatMap expansion is exactly the
-    * contour a real container-parser has; the FRAME DECODE IS THE SAME
-    * DECLARED STUB as extractFeatures (md5 in place of pixels). */
+  /** [[FeatureDim]] doubles from actually-decoded pixels. */
+  private def pixelFeatures(d: Decoded, content: Array[Byte]): Array[Double] = {
+    val f = new Array[Double](FeatureDim)
+    f(0) = d.width.toDouble
+    f(1) = d.height.toDouble
+    f(2) = content.length.toDouble
+    if (content.nonEmpty) {
+      var sum = 0L
+      var mn = 255
+      var mx = 0
+      val hist = new Array[Long](10)
+      var i = 0
+      while (i < content.length) {
+        val v = content(i) & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        hist(math.min(v / HistBin, 9)) += 1
+        i += 1
+      }
+      f(3) = sum.toDouble / content.length
+      f(4) = mn.toDouble
+      f(5) = mx.toDouble
+      var b = 0
+      while (b < 10) { f(6 + b) = hist(b).toDouble / content.length; b += 1 }
+    }
+    f
+  }
+
+  /** Fallback fingerprint for non-image mimes: one double per md5 hex
+    * digit (ascii/100) — deterministic, oracle-replayable, and honestly
+    * NOT a decode (no codec for this mime ships in the JVM). */
+  private def md5Features(md: MessageDigest, payload: Array[Byte]): Array[Double] = {
+    md.reset()
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    hex.take(FeatureDim).map(c => c.toInt / 100.0).toArray
+  }
+
+  /** Frame sampling over the DECODED pixel stream — the video-ish 1→N
+    * batch shape: every `stride` content bytes take a `frameSize`-byte
+    * frame, up to `maxFrames` per asset, and emit
+    * (asset_id, frame_idx, frame_md5) rows. Per-partition decoder state +
+    * flatMap expansion is exactly the contour a real container parser
+    * has; for image payloads the frames are slices of ImageIO-decoded
+    * pixels (trimmed to the true sample count), for other mimes slices of
+    * the raw payload. */
   def sampleFrames(
       assets: DataFrame, frameSize: Int = 128, stride: Int = 256,
       maxFrames: Int = 4): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      assets.select(col("asset_id").cast("long"), col("payload"))
-        .as[(Long, Array[Byte])]
+    val ds: Dataset[(Long, Array[Byte], String, Long)] =
+      assets.select(
+          col("asset_id").cast("long"), col("payload"), col("mime"),
+          col("n_bytes").cast("long"))
+        .as[(Long, Array[Byte], String, Long)]
     ds.mapPartitions { rows =>
-      val md = MessageDigest.getInstance("MD5") // per-partition "decoder"
-      rows.flatMap { case (id, payload) =>
+      ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5")
+      rows.flatMap { case (id, payload, mime, nBytes) =>
+        val content =
+          if (mime.startsWith("image/")) decodeContent(payload, nBytes)._2
+          else payload
         Iterator.range(0, maxFrames).flatMap { i =>
           val start = i * stride
-          if (start >= payload.length) Iterator.empty
+          if (start >= content.length) Iterator.empty
           else {
             md.reset()
-            val frame = payload.slice(start, math.min(start + frameSize, payload.length))
+            val frame =
+              content.slice(start, math.min(start + frameSize, content.length))
             val hex = md.digest(frame).map("%02x".format(_)).mkString
             Iterator.single((id, i, hex))
           }
@@ -84,19 +219,41 @@ object Multimodal {
     }.toDF("asset_id", "frame_idx", "frame_md5")
   }
 
-  /** "Resize" stub: clamp each payload to a byte budget (a real implementation
-    * decodes + scales; the plumbing — binary in, binary out, metadata
-    * updated — is what downstream operators depend on). */
+  /** Resize to a byte budget. For image payloads this is a full
+    * decode → crop → re-encode roundtrip: ImageIO-decode the pixels, keep
+    * the first `maxBytes` content samples, re-encode as a fresh PNG, and
+    * report the md5 of the cropped DECODED content (so the oracle verifies
+    * the decode(encode(crop(decode(x)))) roundtrip bit-for-bit). Other
+    * mimes clamp the raw payload. */
   def resizePayload(assets: DataFrame, maxBytes: Int): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      assets.select(col("asset_id").cast("long"), col("payload"))
-        .as[(Long, Array[Byte])]
+    val ds: Dataset[(Long, Array[Byte], String, Long)] =
+      assets.select(
+          col("asset_id").cast("long"), col("payload"), col("mime"),
+          col("n_bytes").cast("long"))
+        .as[(Long, Array[Byte], String, Long)]
     ds.mapPartitions { rows =>
-      rows.map { case (id, payload) =>
-        (id, payload.take(maxBytes), payload.length, math.min(payload.length, maxBytes))
+      ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { case (id, payload, mime, nBytes) =>
+        val (outPayload, origBytes, newBytes) =
+          if (mime.startsWith("image/")) {
+            val (_, content) = decodeContent(payload, nBytes)
+            val cropped = content.take(maxBytes)
+            (encodePng(cropped), content.length.toLong, cropped.length.toLong)
+          } else {
+            (payload.take(maxBytes), payload.length.toLong,
+              math.min(payload.length, maxBytes).toLong)
+          }
+        // integrity digest of the DECODED content of the new payload
+        md.reset()
+        val decodedOut =
+          if (mime.startsWith("image/")) decodeContent(outPayload, newBytes)._2
+          else outPayload
+        val contentMd5 = md.digest(decodedOut).map("%02x".format(_)).mkString
+        (id, outPayload, mime, origBytes, newBytes, contentMd5)
       }
-    }.toDF("asset_id", "payload", "orig_bytes", "n_bytes")
+    }.toDF("asset_id", "payload", "mime", "orig_bytes", "n_bytes", "content_md5")
   }
 }

@@ -6,10 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal pipeline corpus: binary asset table → per-partition batched
-  * feature extraction → aggregable vectors. The md5-stub features are
-  * reproducible by the oracle (ascii of md5 hex digits / 100), so the
-  * whole pipeline — binary encode, partition batching, vector schema —
-  * is verified end-to-end even though the codec is faked.
+  * decode + feature extraction → aggregable vectors. Assets are REAL PNGs
+  * (javax.imageio) synthesized deterministically from document bytes
+  * (pixels == utf-8 bytes at width 16, grayscale, lossless), so DuckDB
+  * replays every decoded-pixel statistic from the source text — the
+  * decode step itself is under oracle verification, not just the
+  * plumbing. m05 pins the non-image md5 fallback path.
   */
 object MultimodalSuite {
 
@@ -18,49 +20,73 @@ object MultimodalSuite {
 
   val defs: Seq[Qdef] = Seq(
 
+    // Features from ACTUALLY DECODED pixels: width/height from the PNG
+    // header, mean/min/max/histogram over the decoded samples (trimmed to
+    // the true content length carried in metadata). The oracle recomputes
+    // all of it from the text bytes — grayscale PNG is lossless, so any
+    // encode/decode defect breaks the hash match.
     Qdef.duckOnly(
       "m01_multimodal_features",
-      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+      """WITH px AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text)+1),
+        |      j -> ascii(substr(text, j, 1))) AS codes
+        |  FROM documents WHERE doc_id < 30
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS asset_id,
         |  16 AS n_dims,
-        |  round(CAST(list_sum(list_transform(generate_series(1, 16),
-        |    j -> ascii(substr(md5(text), j, 1)) / 100.0)) AS DOUBLE), 4) AS feat_sum,
-        |  round(ascii(substr(md5(text), 1, 1)) / 100.0, 4) AS f1
-        |FROM documents
-        |WHERE doc_id < 30
+        |  CAST(16 AS DOUBLE) AS width,
+        |  ceil(n / 16.0) AS height,
+        |  round(list_avg(codes), 4) AS px_mean,
+        |  CAST(list_min(codes) AS DOUBLE) AS px_min,
+        |  CAST(list_max(codes) AS DOUBLE) AS px_max,
+        |  round(list_sum(list_transform(codes,
+        |    c -> CASE WHEN least(c // 13, 9) = 9 THEN 1 ELSE 0 END))
+        |    / CAST(n AS DOUBLE), 4) AS hist9
+        |FROM px
         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       val feats = Multimodal.extractFeatures(
         Multimodal.assets(t(s, dir, "documents").filter(col("doc_id") < 30)))
       feats.select(
           col("asset_id"),
           size(col("features")).as("n_dims"),
-          round(expr(
-            "aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + x)"), 4)
-            .as("feat_sum"),
-          round(element_at(col("features"), 1), 4).as("f1"))
+          element_at(col("features"), 1).as("width"),
+          element_at(col("features"), 2).as("height"),
+          round(element_at(col("features"), 4), 4).as("px_mean"),
+          element_at(col("features"), 5).as("px_min"),
+          element_at(col("features"), 6).as("px_max"),
+          round(element_at(col("features"), 16), 4).as("hist9"))
         .orderBy("asset_id")
     },
 
     // Features are first-class vectors downstream: aggregate them like any
-    // embedding column (per-mime centroid of f1).
+    // embedding column (per-mime centroid of the decoded mean pixel).
     Qdef.duckOnly(
       "m02_multimodal_agg",
-      """SELECT 'text/plain' AS mime,
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_avg(list_transform(range(1, length(text)+1),
+        |      j -> ascii(substr(text, j, 1)))) AS m
+        |  FROM documents
+        |)
+        |SELECT 'image/png' AS mime,
         |  CAST(count(*) AS BIGINT) AS n_assets,
-        |  round(avg(ascii(substr(md5(text), 1, 1)) / 100.0), 4) AS avg_f1
-        |FROM documents""".stripMargin) { (s, dir) =>
+        |  round(avg(m), 4) AS avg_px_mean
+        |FROM px""".stripMargin) { (s, dir) =>
       val assets = Multimodal.assets(t(s, dir, "documents"))
       Multimodal.extractFeatures(assets)
         .join(assets.select("asset_id", "mime"), "asset_id")
         .groupBy("mime")
         .agg(
           count(lit(1)).as("n_assets"),
-          round(avg(element_at(col("features"), 1)), 4).as("avg_f1"))
+          round(avg(element_at(col("features"), 4)), 4).as("avg_px_mean"))
     },
 
-    // Frame sampling: every 256 bytes take a 128-byte frame, max 4 — the
-    // 1→N per-partition expansion a video container parser has. Fixture
-    // text is pure ASCII, so DuckDB replays the byte frames with substr
-    // and the frame digests match exactly.
+    // Frame sampling over DECODED pixels: every 256 content bytes take a
+    // 128-byte frame, max 4 — the 1→N per-partition expansion a video
+    // container parser has. Decoded grayscale samples equal the source
+    // bytes (lossless PNG + metadata trim), so DuckDB replays the frame
+    // digests with substr and they match bit-for-bit.
     Qdef.duckOnly(
       "m03_frame_sample",
       """SELECT doc_id AS asset_id, i AS frame_idx,
@@ -73,8 +99,10 @@ object MultimodalSuite {
         .orderBy("asset_id", "frame_idx")
     },
 
-    // Resize-to-budget plumbing: metadata reflects the clamp, content is
-    // a prefix (verified via md5 of the oracle-side substring).
+    // Resize-to-budget is a decode → crop → re-encode roundtrip; the
+    // reported digest is of the DECODED content of the new PNG, so the
+    // oracle's md5(substr(text,1,200)) verifies decode∘encode∘crop∘decode
+    // end to end.
     Qdef.duckOnly(
       "m04_resize_budget",
       """SELECT doc_id AS asset_id,
@@ -89,9 +117,34 @@ object MultimodalSuite {
           maxBytes = 200)
         .select(
           col("asset_id"),
-          col("orig_bytes").cast("long"),
-          col("n_bytes").cast("long"),
-          md5(col("payload")).as("content_md5"))
+          col("orig_bytes"),
+          col("n_bytes"),
+          col("content_md5"))
+        .orderBy("asset_id")
+    },
+
+    // Non-image mimes take the documented md5-fingerprint fallback (no
+    // audio/video codec ships in the JVM); oracle-pinned so the fallback
+    // path stays verified alongside the real decoder.
+    Qdef.duckOnly(
+      "m05_codec_fallback",
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |  16 AS n_dims,
+        |  round(CAST(list_sum(list_transform(generate_series(1, 16),
+        |    j -> ascii(substr(md5(text), j, 1)) / 100.0)) AS DOUBLE), 4) AS feat_sum,
+        |  round(ascii(substr(md5(text), 1, 1)) / 100.0, 4) AS f1
+        |FROM documents
+        |WHERE doc_id < 30
+        |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val feats = Multimodal.extractFeatures(
+        Multimodal.textAssets(t(s, dir, "documents").filter(col("doc_id") < 30)))
+      feats.select(
+          col("asset_id"),
+          size(col("features")).as("n_dims"),
+          round(expr(
+            "aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + x)"), 4)
+            .as("feat_sum"),
+          round(element_at(col("features"), 1), 4).as("f1"))
         .orderBy("asset_id")
     }
   )

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import graft.ops.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec-level properties of the multimodal PNG path: the corpus entries
+  * (m01–m05) verify pipeline results against DuckDB; these pin the codec
+  * itself — a real javax.imageio encode/decode must be lossless and
+  * deterministic for the oracle replay to be sound.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def roundtrip(content: Array[Byte]): Unit = {
+    val png = Multimodal.encodePng(content)
+    // PNG magic: a real codec wrote this, not a fingerprint
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    val d = Multimodal.decodePng(png)
+    assert(d.width == Multimodal.ImgWidth)
+    assert(d.height == math.max(1, (content.length + 15) / 16))
+    assert(d.pixels.take(content.length).toSeq == content.toSeq)
+    // zero padding beyond the content
+    assert(d.pixels.drop(content.length).forall(_ == 0))
+  }
+
+  test("png encode/decode roundtrips text bytes losslessly") {
+    roundtrip("the quick brown fox jumps over the lazy dog"
+      .getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("png roundtrip: boundary sizes") {
+    roundtrip(Array.emptyByteArray)
+    roundtrip(Array.tabulate(1)(i => i.toByte))
+    roundtrip(Array.tabulate(16)(i => (i * 7).toByte))
+    roundtrip(Array.tabulate(17)(i => (i * 11).toByte))
+    roundtrip(Array.tabulate(553)(i => ((i * 31 + 5) % 256).toByte))
+  }
+
+  test("png encoding is deterministic") {
+    val content = Array.tabulate(200)(i => ((i * 13) % 256).toByte)
+    assert(Multimodal.encodePng(content).toSeq ==
+      Multimodal.encodePng(content).toSeq)
+  }
+}
