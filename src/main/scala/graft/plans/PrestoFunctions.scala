@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, CollectList, CollectSet}
-import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Presto functions Spark lacks, injected as NATIVE Catalyst expression
   * builders (stay inside whole-stage codegen — no UDF boundary):
@@ -42,11 +42,12 @@ object PrestoFunctions {
 
 
   /** True when the expression can only be a percentile argument: a
-    * foldable scalar in [0,1] or a foldable percentage array. A weight is
-    * a per-row column (non-foldable) or a count ≥ 1, neither of which
-    * matches. */
+    * foldable FRACTIONAL scalar in [0,1] or a foldable percentage array.
+    * A weight is a per-row column (non-foldable) or an INTEGER-typed
+    * count — Presto weights are bigints ≥ 1, so the literal 1 (integral,
+    * numerically inside [0,1]) is still a weight, never a percentile. */
   private def isPercentageShape(e: Expression): Boolean =
-    e.foldable && (try {
+    e.foldable && !isIntegralTyped(e) && (try {
       e.eval() match {
         case null => false
         case d: java.lang.Number => val v = d.doubleValue; v >= 0.0 && v <= 1.0
@@ -55,18 +56,72 @@ object PrestoFunctions {
         case _: org.apache.spark.sql.catalyst.util.ArrayData => true
         case _ => false
       }
-    } catch { case _: Exception => false })
+    } catch {
+      // Only the benign "constant-folded later" case falls through to the
+      // weight interpretation; a genuinely broken argument should fail
+      // analysis loudly rather than be silently reinterpreted.
+      case _: UnsupportedOperationException => false
+    })
+
+  private def isIntegralTyped(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+
+  private def numericValueOf(e: Expression): Option[Double] =
+    if (!e.foldable) None
+    else try {
+      e.eval() match {
+        case n: java.lang.Number => Some(n.doubleValue)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
+    } catch { case _: UnsupportedOperationException => None }
+
+  /** Presto's accuracy argument is a fractional epsilon in (0,1); Spark's
+    * ApproximatePercentile accuracy is an integral ~1/epsilon. Convert
+    * foldable fractional epsilons; integral accuracies pass through. */
+  private def sparkAccuracy(acc: Expression): Expression =
+    numericValueOf(acc) match {
+      case Some(v) if v > 0.0 && v < 1.0 => Literal(math.ceil(1.0 / v).toInt)
+      case _ => acc
+    }
 
   /** The registered weighted t-digest aggregate, resolved through the
     * active session's catalog at analysis time (it is a udaf()-registered
-    * ScalaAggregator, not a constructible Catalyst class). */
-  private def weightedPercentile(args: Seq[Expression]): Expression =
-    org.apache.spark.sql.SparkSession.active.sessionState.catalog
-      .lookupFunction(
-        FunctionIdentifier("approx_percentile_weighted"),
-        // the aggregator is typed over doubles; the reference accepts
-        // bigint weights, so coerce here rather than in every caller
-        args.map(a => Cast(a, DoubleType)))
+    * ScalaAggregator, not a constructible Catalyst class). A weight that
+    * folds to 1 degenerates to the unweighted builtin (better accuracy,
+    * same semantics). The digest interpolates in double space, so an
+    * integral-typed x is rounded back to its input type like the
+    * reference's bigint-in/bigint-out overload; a percentile ARRAY has no
+    * weighted overload here and is rejected loudly. */
+  private def weightedPercentile(
+      x: Expression, w: Expression, p: Expression): Expression =
+    if (numericValueOf(w).contains(1.0)) new ApproximatePercentile(x, p)
+    else {
+      if (p.resolved && p.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        throw new IllegalArgumentException(
+          "approx_percentile: a percentile ARRAY is not supported in the " +
+            "weighted form; call the scalar weighted form once per percentile")
+      val fn = org.apache.spark.sql.SparkSession.active.sessionState.catalog
+        .lookupFunction(
+          FunctionIdentifier("approx_percentile_weighted"),
+          // the aggregator is typed over doubles; the reference accepts
+          // bigint x and weights, so coerce here rather than in callers
+          Seq(Cast(x, DoubleType), Cast(w, DoubleType), Cast(p, DoubleType)))
+      if (!isIntegralTyped(x)) fn
+      else {
+        // nesting under Round hides the bare AggregateFunction from the
+        // analyzer's auto-wrapping, so wrap it here explicitly
+        val agg = fn match {
+          case af: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+            af.toAggregateExpression()
+          case other => other
+        }
+        Cast(new Round(agg, Literal(0)), x.dataType)
+      }
+    }
 
   /** sign(x) * floor(|x| * 10^n) / 10^n — truncation toward zero. */
   private def truncateExpr(x: Expression, n: Option[Expression]): Expression =
@@ -129,6 +184,20 @@ object PrestoFunctions {
     fd("from_iso8601_date") { a => Cast(a.head, DateType) },
     fd("from_iso8601_timestamp") { a => Cast(a.head, TimestampType) },
 
+    // at_timezone / with_timezone (reference: operator/scalar/
+    // DateTimeFunctions.java — both return TIMESTAMP WITH TIME ZONE).
+    // Spark has no TSWTZ: TimestampType is an instant rendered in the
+    // session zone, so the observable mapping (README "Time zone
+    // semantics") is:
+    //   at_timezone(ts, tz)   → the wall-clock of ts's instant in tz
+    //   with_timezone(ts, tz) → the instant whose wall-clock in tz is ts
+    // Both stay TIMESTAMP; CurrentTimeZone() keeps them in step with
+    // SET spark.sql.session.timeZone like the rest of the dialect.
+    fd("at_timezone") { a =>
+      FromUTCTimestamp(ToUTCTimestamp(a(0), CurrentTimeZone()), a(1)) },
+    fd("with_timezone") { a =>
+      FromUTCTimestamp(ToUTCTimestamp(a(0), a(1)), CurrentTimeZone()) },
+
     // (Presto's 3-arg date_add/date_diff are handled in [[graft.Dialect]]:
     // Spark 4 ships its own 3-arg forms that the analyzer resolves ahead
     // of injected functions, but they want the unit as an UNQUOTED
@@ -165,17 +234,19 @@ object PrestoFunctions {
     // ApproximateWeightedPercentileAggregations.java): Presto's 3-arg form
     // is (x, WEIGHT, p) while Spark's builtin 3-arg is (x, p, ACCURACY),
     // so the builder dispatches on the shape of the second argument — a
-    // foldable value inside [0,1] (or a percentage array) is a percentile,
-    // anything else is a weight column routed to WeightedPercentileAgg
-    // (looked up by its registered name so the ScalaAggregator machinery
-    // stays in one place). The 4-arg weighted form's accuracy argument is
-    // accepted and ignored — the t-digest compression is fixed, like the
-    // reference's qdigest accuracy floor.
+    // foldable FRACTIONAL value inside [0,1] (or a percentage array) is a
+    // percentile; an integer-typed literal (weights are bigints, so the
+    // literal 1 counts) or any per-row column is a weight routed to
+    // WeightedPercentileAgg. In the (x, p, accuracy) form the reference's
+    // fractional epsilon is converted to Spark's integral ~1/eps. The
+    // 4-arg weighted form's accuracy argument is accepted and ignored —
+    // the t-digest compression is fixed, like the reference's qdigest
+    // accuracy floor.
     fd("approx_percentile") {
       case Seq(x, p) => new ApproximatePercentile(x, p)
-      case Seq(x, w, p) if !isPercentageShape(w) => weightedPercentile(Seq(x, w, p))
-      case Seq(x, p, acc) => new ApproximatePercentile(x, p, acc)
-      case Seq(x, w, p, _) if !isPercentageShape(w) => weightedPercentile(Seq(x, w, p))
+      case Seq(x, w, p) if !isPercentageShape(w) => weightedPercentile(x, w, p)
+      case Seq(x, p, acc) => new ApproximatePercentile(x, p, sparkAccuracy(acc))
+      case Seq(x, w, p, _) if !isPercentageShape(w) => weightedPercentile(x, w, p)
       case args => throw new IllegalArgumentException(
         s"approx_percentile expects 2-4 arguments, got ${args.length}")
     },

@@ -103,6 +103,32 @@ class FacadeSpec extends AnyFunSuite {
       .startsWith("2001-02-03"))
   }
 
+  test("approx_percentile dispatches every reference overload shape") {
+    // (x, p) — plain percentile
+    val med = one("SELECT approx_percentile(x, 0.5) FROM (VALUES (1e0), (2e0), (3e0)) t(x)")
+    assert(med == 2.0)
+    // (x, 1, p) — integer literal weight of 1 is a WEIGHT, not a
+    // percentile: degenerates to the unweighted median
+    val w1 = one("SELECT approx_percentile(x, 1, 0.5) FROM (VALUES (1e0), (2e0), (3e0)) t(x)")
+    assert(w1 == 2.0)
+    // (x, w, p) with a real weight column — weight on the larger value
+    // shifts the estimate above the unweighted median (the t-digest
+    // interpolates on tiny inputs, so bounds, not equality; c10 certifies
+    // the values against an exact row-expansion oracle at scale)
+    val wcol = one(
+      "SELECT approx_percentile(x, w, 0.5) FROM (VALUES (1e0, 1L), (3e0, 2L)) t(x, w)")
+    assert(wcol.asInstanceOf[Double] > 2.0 && wcol.asInstanceOf[Double] <= 3.0)
+    // bigint x with weights returns bigint like the reference
+    val wint = one(
+      "SELECT approx_percentile(x, w, 0.5) FROM (VALUES (10L, 1L), (30L, 2L)) t(x, w)")
+    assert(wint.isInstanceOf[Long] && wint.asInstanceOf[Long] > 20L
+      && wint.asInstanceOf[Long] <= 30L)
+    // (x, p, eps) — fractional accuracy epsilon converts to Spark's
+    // integral 1/eps instead of failing analysis
+    val acc = one("SELECT approx_percentile(x, 0.5, 0.01) FROM (VALUES (1e0), (2e0), (3e0)) t(x)")
+    assert(acc == 2.0)
+  }
+
   test("utility statements: SHOW / DESCRIBE / EXPLAIN / SET SESSION") {
     val tables = Engine.sql(spark, dir, "SHOW TABLES")
       .select("tableName").collect().map(_.getString(0)).toSet
