@@ -274,9 +274,12 @@ object Dialect {
     (q.substring(j0, j), j)
   }
 
-  /** Balanced argument scan from the '(' at `open` (literal-aware);
-    * returns the top-level comma-split argument texts and the index just
-    * past the closing ')'. */
+  /** Balanced argument scan from the '(' at `open` — aware of
+    * single-quoted literals, double-quoted/backtick identifiers, and
+    * both comment forms (a ')' or ',' inside any of those must not
+    * mis-split); returns the top-level comma-split argument texts and
+    * the index just past the closing ')'. Comments are dropped from the
+    * captured argument text (it is re-emitted into generated SQL). */
   private def parseParenArgs(q: String, open: Int): Option[(Seq[String], Int)] = {
     var j = open + 1
     var depth = 1
@@ -285,6 +288,27 @@ object Dialect {
     while (j < q.length && depth > 0) {
       val c = q(j)
       if (c == '\'') { val e = literalEnd(q, j); cur.append(q.substring(j, e)); j = e }
+      else if (c == '"' || c == '`') {
+        // quoted identifier ("" / `` escapes); copied verbatim — the main
+        // rewrite pass converts double quotes to backticks afterwards
+        var e = j + 1
+        var closed = false
+        while (e < q.length && !closed) {
+          if (q(e) == c) {
+            if (e + 1 < q.length && q(e + 1) == c) e += 2
+            else { closed = true; e += 1 }
+          } else e += 1
+        }
+        cur.append(q.substring(j, e)); j = e
+      }
+      else if (c == '-' && j + 1 < q.length && q(j + 1) == '-') {
+        val e = q.indexOf('\n', j)
+        cur.append(' '); j = if (e == -1) q.length else e + 1
+      }
+      else if (c == '/' && j + 1 < q.length && q(j + 1) == '*') {
+        val e = q.indexOf("*/", j + 2)
+        cur.append(' '); j = if (e == -1) q.length else e + 2
+      }
       else if (c == '(') { depth += 1; cur.append(c); j += 1 }
       else if (c == ')') { depth -= 1; if (depth > 0) cur.append(c); j += 1 }
       else if (c == ',' && depth == 1) { args += cur.toString.trim; cur.clear(); j += 1 }
@@ -304,17 +328,30 @@ object Dialect {
     *   `FROM UNNEST(e…) [WITH ORDINALITY] [AS] t(c…)`  (no driving table)
     *
     * A single array (or map — two aliases) without ordinality maps to
-    * `explode`; multi-argument and WITH ORDINALITY forms build rows
-    * explicitly: `inline(transform(slice(sequence(1, greatest(n,1)), 1,
-    * n), i -> struct(try_element_at(e1,i), …, CAST(i AS BIGINT))))` —
+    * `explode`; a single argument with MORE than two aliases must be an
+    * array of rows and maps to `inline`; multi-argument and WITH
+    * ORDINALITY forms build rows explicitly:
+    * `inline(transform(slice(sequence(1, greatest(n,1)), 1, n),
+    * i -> struct(try_element_at(e1,i), …, CAST(i AS BIGINT))))` —
     * 1-based ordinality, shorter arrays NULL-padded to the longest
     * (arrays_zip semantics), NULL arrays contributing no length (n is
     * greatest over non-NULL sizes; all-NULL yields zero rows), matching
-    * the reference's multi-channel unnester. Limitations (left verbatim,
-    * fail at Spark's parser rather than silently): map arguments in the
-    * multi-arg/ordinality forms, UNNEST followed by further JOINs in the
-    * same FROM (Spark's grammar puts lateral views after all joins), and
-    * the alias-without-column-list form.
+    * the reference's multi-channel unnester.
+    *
+    * When the UNNEST is followed by FURTHER joins in the same FROM
+    * (Spark's grammar puts `LATERAL VIEW` after all join relations, so
+    * that spelling can't sit mid-join-chain), the rewrite emits Spark's
+    * lateral-subquery form instead: `[LEFT] JOIN LATERAL (SELECT gen AS
+    * cols) alias [ON true]` — same semantics, valid anywhere a relation
+    * is. Chained UNNESTs keep the LATERAL VIEW spelling (it composes).
+    *
+    * Limitations (left verbatim, fail at Spark's parser rather than
+    * silently): map arguments in the multi-arg/ordinality forms, a
+    * 2-alias single argument is always read as a map (an array-of-row
+    * with exactly two fields is indistinguishable from a map in
+    * unresolved text — spell it UNNEST(CAST(...)) with 3+ fields or use
+    * the DataFrame API), WITH ORDINALITY over an array of rows, and the
+    * alias-without-column-list form.
     */
   private def rewriteUnnest(q: String): String = {
     val out = new StringBuilder
@@ -408,6 +445,8 @@ object Dialect {
     val expect = args.length + (if (ord) 1 else 0)
     val gen: String =
       if (!ord && args.length == 1 && cols.length <= 2) s"explode(${args.head})"
+      else if (!ord && args.length == 1 && cols.length > 2)
+        s"inline(${args.head})" // single array-of-row argument
       else if (cols.length == expect) {
         val n =
           if (args.length == 1) s"size(${args.head})"
@@ -422,12 +461,53 @@ object Dialect {
     while (prefixStart > 0 && out.charAt(prefixStart - 1).isWhitespace)
       prefixStart -= 1
     out.delete(prefixStart, out.length)
-    if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
-    out.append(" LATERAL VIEW ")
-    if (outer) out.append("OUTER ")
-    out.append(gen).append(' ').append(alias)
-      .append(" AS ").append(cols.mkString(", "))
+    if (joinToNonUnnestFollows(q, j)) {
+      // mid-join-chain position: LATERAL VIEW can't sit here, the
+      // lateral correlated subquery can (generator in its select list,
+      // outer references resolve through the lateral scope)
+      val sel =
+        if (cols.length == 1) s"SELECT $gen AS ${cols.head}"
+        else s"SELECT $gen AS (${cols.mkString(", ")})"
+      if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
+      out.append(if (outer) " LEFT JOIN LATERAL (" else " JOIN LATERAL (")
+        .append(sel).append(") ").append(alias)
+      if (outer) out.append(" ON true")
+    } else {
+      if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
+      out.append(" LATERAL VIEW ")
+      if (outer) out.append("OUTER ")
+      out.append(gen).append(' ').append(alias)
+        .append(" AS ").append(cols.mkString(", "))
+    }
     j
+  }
+
+  /** True when the text at `j` (just past a consumed UNNEST clause)
+    * starts a join to something OTHER than another UNNEST: chained
+    * UNNESTs compose fine as stacked LATERAL VIEWs, but a join to a real
+    * relation after a lateral view doesn't parse in Spark, so the caller
+    * switches to the lateral-subquery form. */
+  private def joinToNonUnnestFollows(q: String, j: Int): Boolean = {
+    var k = nextNonSpace(q, j)
+    if (k >= q.length) return false
+    if (q(k) == ',') {
+      val (w, _) = wordAt(q, nextNonSpace(q, k + 1))
+      return w.nonEmpty && !w.equalsIgnoreCase("unnest")
+    }
+    val joinKw = Set("join", "inner", "cross", "left", "right", "full", "outer")
+    var seenJoin = false
+    var hops = 0
+    while (hops < 4) { // at most LEFT OUTER JOIN <relation>
+      val (w, kw) = wordAt(q, k)
+      if (w.isEmpty)
+        // a non-word relation after the join keywords: a parenthesized
+        // subquery / VALUES — definitely not another UNNEST
+        return seenJoin && k < q.length && q(k) == '('
+      val wl = w.toLowerCase
+      if (joinKw.contains(wl)) { seenJoin = true; k = nextNonSpace(q, kw); hops += 1 }
+      else return seenJoin && wl != "unnest"
+    }
+    false
   }
 
   /** Keywords that terminate an ORDER BY item list at its own depth. */
@@ -529,4 +609,86 @@ object Dialect {
 
   def translate(query: String): String =
     injectNullOrdering(rewrite(rewriteUnnest(rewriteStatement(query))))
+
+  /** PREPARE / EXECUTE … USING / DEALLOCATE PREPARE (reference:
+    * presto-parser/.../SqlBase.g4:131-133 + ExecuteTask positional
+    * parameter binding). This is the PURE half — statement
+    * classification and `?`-placeholder substitution; the per-session
+    * statement STORE lives in [[Engine]]. */
+  sealed trait PreparedOp
+  final case class PrepareStmt(name: String, body: String) extends PreparedOp
+  final case class ExecuteStmt(name: String, params: Seq[String]) extends PreparedOp
+  final case class DeallocateStmt(name: String) extends PreparedOp
+
+  private val PrepareRe =
+    "(?is)^\\s*prepare\\s+([a-z_][a-z0-9_]*)\\s+from\\s+(.+?)[;\\s]*$".r
+  private val ExecuteUsingRe =
+    "(?is)^\\s*execute\\s+([a-z_][a-z0-9_]*)\\s+using\\s+(.+?)[;\\s]*$".r
+  private val ExecuteRe = "(?is)^\\s*execute\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
+  private val DeallocateRe =
+    "(?is)^\\s*deallocate\\s+prepare\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
+
+  def classifyPrepared(q: String): Option[PreparedOp] = q match {
+    case PrepareRe(name, body) => Some(PrepareStmt(name.toLowerCase, body))
+    case ExecuteUsingRe(name, params) =>
+      Some(ExecuteStmt(name.toLowerCase, splitTopLevel(params)))
+    case ExecuteRe(name) => Some(ExecuteStmt(name.toLowerCase, Nil))
+    case DeallocateRe(name) => Some(DeallocateStmt(name.toLowerCase))
+    case _ => None
+  }
+
+  /** Top-level comma split of an EXECUTE … USING parameter list —
+    * literal-aware and paren/bracket-balanced so `array[1, 2]` or
+    * `('a', 'b')` stays one parameter. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'') { val e = literalEnd(s, i); cur.append(s.substring(i, e)); i = e }
+      else if (c == '(' || c == '[') { depth += 1; cur.append(c); i += 1 }
+      else if (c == ')' || c == ']') { depth -= 1; cur.append(c); i += 1 }
+      else if (c == ',' && depth == 0) { parts += cur.toString.trim; cur.clear(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    parts += cur.toString.trim
+    parts.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Substitute each positional `?` placeholder (outside literals and
+    * comments) with the matching USING parameter, parenthesized so an
+    * expression parameter keeps its precedence. Arity mismatches fail
+    * loudly like the reference's ExecuteTask. */
+  def substituteParams(sql: String, params: Seq[String]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var p = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (c == '\'') { val e = literalEnd(sql, i); out.append(sql.substring(i, e)); i = e }
+      else if (c == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        val e = sql.indexOf('\n', i)
+        val j = if (e == -1) sql.length else e
+        out.append(sql.substring(i, j)); i = j
+      }
+      else if (c == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        val j = if (e == -1) sql.length else e + 2
+        out.append(sql.substring(i, j)); i = j
+      }
+      else if (c == '?') {
+        if (p >= params.length)
+          throw new IllegalArgumentException(
+            s"Incorrect number of parameters: statement has more than ${params.length} placeholders")
+        out.append('(').append(params(p)).append(')'); p += 1; i += 1
+      }
+      else { out.append(c); i += 1 }
+    }
+    if (p != params.length)
+      throw new IllegalArgumentException(
+        s"Incorrect number of parameters: expected $p, found ${params.length}")
+    out.toString
+  }
 }

@@ -71,6 +71,7 @@ object Engine {
     graft.functions.SetDigestSketch.registerAll(spark)
     graft.functions.KHyperLogLogSketch.registerAll(spark)
     graft.functions.Classification.registerAll(spark)
+    graft.functions.TriviaScalars.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —
@@ -123,13 +124,49 @@ object Engine {
     java.time.ZoneId.of(
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 
+  /** Per-session prepared-statement store for PREPARE / EXECUTE …
+    * USING / DEALLOCATE PREPARE (reference: SqlBase.g4:131-133; the
+    * reference keeps these in the client session the same way). Weak
+    * keys so a discarded session's statements are collectable. */
+  private val preparedStore
+      : java.util.Map[SparkSession, scala.collection.concurrent.TrieMap[String, String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession, scala.collection.concurrent.TrieMap[String, String]]())
+  private def preparedFor(
+      spark: SparkSession): scala.collection.concurrent.TrieMap[String, String] =
+    preparedStore.synchronized {
+      var m = preparedStore.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        preparedStore.put(spark, m)
+      }
+      m
+    }
+
   /** Register the parquet catalog and run a query through Spark SQL after
     * the dialect shim. This is the reference's `POST /v1/statement`
-    * equivalent: SQL in, DataFrame (result cursor) out.
+    * equivalent: SQL in, DataFrame (result cursor) out. PREPARE /
+    * EXECUTE … USING / DEALLOCATE PREPARE are handled here (the store is
+    * session state, not translation): PREPARE and DEALLOCATE return a
+    * one-row acknowledgment frame like the reference's OK result.
     */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
-    spark.sql(translate(query))
+    Dialect.classifyPrepared(query) match {
+      case Some(Dialect.PrepareStmt(name, body)) =>
+        preparedFor(spark).put(name, body)
+        spark.sql(s"SELECT 'PREPARE' AS result, '$name' AS statement_name")
+      case Some(Dialect.ExecuteStmt(name, params)) =>
+        val body = preparedFor(spark).getOrElse(name,
+          throw new IllegalArgumentException(s"Prepared statement not found: $name"))
+        spark.sql(translate(Dialect.substituteParams(body, params)))
+      case Some(Dialect.DeallocateStmt(name)) =>
+        preparedFor(spark).remove(name)
+        spark.sql(s"SELECT 'DEALLOCATE' AS result, '$name' AS statement_name")
+      case None =>
+        spark.sql(translate(query))
+    }
   }
 
   /** Translate Presto-dialect SQL to Spark SQL — see [[Dialect]] for the

@@ -244,8 +244,35 @@ object TDigest {
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
+  /** Weighted digest BUILDER (x, w) → serialized digest: the weighted
+    * approx_percentile with a percentile ARRAY composes this with
+    * td_values_at_quantiles — one digest, queried once per percentile,
+    * the reference's plan shape (ApproximateWeightedPercentileAggregations
+    * array overload) instead of one digest per percentile. */
+  class WeightedTDigestAgg
+      extends Aggregator[(java.lang.Double, java.lang.Double), Array[Double], Array[Double]] {
+    def zero: Array[Double] = emptyState
+    def reduce(b: Array[Double], a: (java.lang.Double, java.lang.Double)): Array[Double] = {
+      if (a._1 != null && a._2 != null) add(b, a._1, a._2)
+      b
+    }
+    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      val n2 = used(b2)
+      var i = 0
+      while (i < n2) { add(b1, b2(1 + 2 * i), b2(2 + 2 * i)); i += 1 }
+      b1
+    }
+    def finish(r: Array[Double]): Array[Double] = finishState(r)
+    def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("tdigest_agg", udaf(new TDigestAgg, Encoders.DOUBLE))
+    spark.udf.register("tdigest_agg_weighted",
+      udaf(new WeightedTDigestAgg, Encoders.tuple(Encoders.DOUBLE, Encoders.DOUBLE)))
     spark.udf.register("approx_percentile_weighted",
       udaf(new WeightedPercentileAgg, Encoders.tuple(
         Encoders.DOUBLE, Encoders.DOUBLE, Encoders.DOUBLE)))

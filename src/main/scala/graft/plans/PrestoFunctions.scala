@@ -94,16 +94,34 @@ object PrestoFunctions {
     * folds to 1 degenerates to the unweighted builtin (better accuracy,
     * same semantics). The digest interpolates in double space, so an
     * integral-typed x is rounded back to its input type like the
-    * reference's bigint-in/bigint-out overload; a percentile ARRAY has no
-    * weighted overload here and is rejected loudly. */
+    * reference's bigint-in/bigint-out overload. A percentile ARRAY rides
+    * the digest-builder + td_values_at_quantiles composition — ONE
+    * weighted digest queried per percentile, the reference's plan shape
+    * (ApproximateWeightedPercentileAggregations array overload). */
   private def weightedPercentile(
       x: Expression, w: Expression, p: Expression): Expression =
     if (numericValueOf(w).contains(1.0)) new ApproximatePercentile(x, p)
-    else {
-      if (p.resolved && p.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-        throw new IllegalArgumentException(
-          "approx_percentile: a percentile ARRAY is not supported in the " +
-            "weighted form; call the scalar weighted form once per percentile")
+    else if (p.resolved && p.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+      val catalog =
+        org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      val digest = catalog.lookupFunction(
+        FunctionIdentifier("tdigest_agg_weighted"),
+        Seq(Cast(x, DoubleType), Cast(w, DoubleType))) match {
+        case af: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+          af.toAggregateExpression()
+        case other => other
+      }
+      val vals = catalog.lookupFunction(
+        FunctionIdentifier("td_values_at_quantiles"),
+        Seq(digest,
+          Cast(p, org.apache.spark.sql.types.ArrayType(DoubleType))))
+      if (!isIntegralTyped(x)) vals
+      else {
+        val v = NamedLambdaVariable("v", DoubleType, nullable = true)
+        ArrayTransform(vals,
+          LambdaFunction(Cast(new Round(v, Literal(0)), x.dataType), Seq(v)))
+      }
+    } else {
       val fn = org.apache.spark.sql.SparkSession.active.sessionState.catalog
         .lookupFunction(
           FunctionIdentifier("approx_percentile_weighted"),
@@ -122,6 +140,22 @@ object PrestoFunctions {
         Cast(new Round(agg, Literal(0)), x.dataType)
       }
     }
+
+  /** Wilson score interval bound (reference: operator/scalar/
+    * WilsonInterval.java wilsonInterval — same formula, bound = ±1). */
+  private def wilsonInterval(
+      successes: Expression, trials: Expression, z: Expression,
+      bound: Int): Expression = {
+    val n = dbl(trials)
+    val p = Divide(dbl(successes), n)
+    val zz = Multiply(dbl(z), dbl(z))
+    val center = Add(p, Divide(zz, Multiply(Literal(2.0), n)))
+    val spread = Sqrt(Add(
+      Divide(Multiply(p, Subtract(Literal(1.0), p)), n),
+      Divide(zz, Multiply(Literal(4.0), Multiply(n, n)))))
+    val off = Multiply(Multiply(Literal(bound.toDouble), dbl(z)), spread)
+    Divide(Add(center, off), Add(Literal(1.0), Divide(zz, n)))
+  }
 
   /** sign(x) * floor(|x| * 10^n) / 10^n — truncation toward zero. */
   private def truncateExpr(x: Expression, n: Option[Expression]): Expression =
@@ -250,6 +284,18 @@ object PrestoFunctions {
       case args => throw new IllegalArgumentException(
         s"approx_percentile expects 2-4 arguments, got ${args.length}")
     },
+
+    // Session/introspection trivia scalars (see graft.functions.
+    // TriviaScalars for semantics + reference files):
+    fd("typeof") { a => graft.functions.TriviaScalars.TypeOfPresto(a.head) },
+    fd("parse_presto_data_size") { a =>
+      graft.functions.TriviaScalars.ParsePrestoDataSize(a.head) },
+
+    // wilson_interval_lower/upper (reference: operator/scalar/
+    // WilsonInterval.java) — pure Catalyst arithmetic, fully codegen'd:
+    //   (p̂ + z²/2n ± z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    fd("wilson_interval_lower") { a => wilsonInterval(a(0), a(1), a(2), -1) },
+    fd("wilson_interval_upper") { a => wilsonInterval(a(0), a(1), a(2), 1) },
 
     // Canonical orderable form of a map — sorted entry array (reference:
     // presto-main/.../operator/scalar/MapEqualOperator.java defines map

@@ -531,6 +531,27 @@ object Catalog {
           |ORDER BY
           |  l.l_returnflag,
           |  l.l_linestatus""".stripMargin)
+    },
+
+    // PREPARE / EXECUTE … USING through the facade (reference:
+    // presto-parser/.../SqlBase.g4:131-133; positional `?` binding as in
+    // the reference's ExecuteTask). The oracle is the same statement with
+    // the parameters inlined — EXECUTE must return the identical frame.
+    Qdef(
+      "k18_prepare_execute",
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderdate < CAST('1995-01-01' AS DATE)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """PREPARE graft_k18 FROM
+          |SELECT o_orderpriority, count(*) AS cnt
+          |FROM orders
+          |WHERE o_totalprice > ? AND o_orderdate < CAST(? AS DATE)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+      Engine.sql(s, dir, "EXECUTE graft_k18 USING 150000.0, '1995-01-01'")
     }
   )
 }

@@ -146,6 +146,69 @@ object Extras {
           "aggregate(array_sort(collect_list(ln(1 + l_discount))), CAST(0 AS DOUBLE), (a, x) -> a + x)"),
           6).as("discount_log_sum"))
         .orderBy("l_returnflag")
+    },
+
+    // Session/introspection trivia scalars through the facade (reference:
+    // operator/scalar/TypeOfFunction.java, DataSizeFunctions.java,
+    // WilsonInterval.java, SessionFunctions.java). typeof strings are OUR
+    // documented display names (varchar is unparameterized — Spark strings
+    // are unbounded); the oracle pins them plus exact data-size bytes and
+    // the Wilson formula replayed arithmetically.
+    Qdef.duckOnly(
+      "e07_trivia_scalars",
+      """SELECT
+        |  'bigint' AS t_bigint,
+        |  'double' AS t_double,
+        |  'varchar' AS t_varchar,
+        |  'array(integer)' AS t_array,
+        |  'map(varchar, bigint)' AS t_map,
+        |  CAST(2411724 AS BIGINT) AS mb_bytes,
+        |  CAST(1024 AS BIGINT) AS kb_bytes,
+        |  CAST(130023424 AS BIGINT) AS gb_frac_bytes,
+        |  round((1250.0/1310 + 1.96*1.96/(2*1310) - 1.96*sqrt((1250.0/1310*(1 - 1250.0/1310))/1310 + 1.96*1.96/(4*1310.0*1310)))
+        |        / (1 + 1.96*1.96/1310), 9) AS wilson_lo,
+        |  round((1250.0/1310 + 1.96*1.96/(2*1310) + 1.96*sqrt((1250.0/1310*(1 - 1250.0/1310))/1310 + 1.96*1.96/(4*1310.0*1310)))
+        |        / (1 + 1.96*1.96/1310), 9) AS wilson_hi,
+        |  'root' AS who""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  typeof(CAST(1 AS BIGINT)) AS t_bigint,
+          |  typeof(1.5E0) AS t_double,
+          |  typeof('x') AS t_varchar,
+          |  typeof(ARRAY[1, 2]) AS t_array,
+          |  typeof(map('a', CAST(1 AS BIGINT))) AS t_map,
+          |  CAST(parse_presto_data_size('2.3MB') AS BIGINT) AS mb_bytes,
+          |  CAST(parse_presto_data_size('1kB') AS BIGINT) AS kb_bytes,
+          |  CAST(parse_presto_data_size('0.12109375GB') AS BIGINT) AS gb_frac_bytes,
+          |  round(wilson_interval_lower(1250, 1310, 1.96E0), 9) AS wilson_lo,
+          |  round(wilson_interval_upper(1250, 1310, 1.96E0), 9) AS wilson_hi,
+          |  current_user AS who""".stripMargin)
+    },
+
+    // differential_entropy, fixed-histogram MLE method (reference:
+    // operator/aggregation/differentialentropy/
+    // FixedHistogramMleStateStrategy.java): entropy in bits of the
+    // bucket-weight distribution plus ln(bucket width). Deterministic, so
+    // the oracle replays the exact histogram in SQL. l_quantity ∈ [1, 50];
+    // 16 buckets over [0, 51] → width 3.1875.
+    Qdef.duckOnly(
+      "e08_differential_entropy",
+      """WITH s AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |b AS (
+        |  SELECT LEAST(15, CAST(FLOOR(x / 3.1875) AS INTEGER)) AS idx,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT sum(w) AS total FROM b)
+        |SELECT round((-sum((w/total) * ln(w/total)) + ln(3.1875)) / ln(2), 6) AS h
+        |FROM b, t""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT round(differential_entropy(
+          |    CAST(16 AS BIGINT), CAST(l_quantity AS DOUBLE),
+          |    CAST(1 AS DOUBLE), 'fixed_histogram_mle',
+          |    CAST(0 AS DOUBLE), CAST(51 AS DOUBLE)), 6) AS h
+          |FROM lineitem WHERE l_orderkey < 2000""".stripMargin)
     }
   )
 }

@@ -361,6 +361,38 @@ object Scalars {
           lit("123").cast("int").as("parsed_int"),
           col("o_orderkey").cast("smallint").cast("int").as("narrow_key"))
         .orderBy("o_orderkey")
+    },
+
+    // at_timezone / with_timezone (reference: operator/scalar/
+    // DateTimeFunctions.java — both return TIMESTAMP WITH TIME ZONE; see
+    // README "Time zone semantics" for the TIMESTAMP narrowing). Rendered
+    // as wall-clock strings so both engines compare text, and DuckDB's ICU
+    // AT TIME ZONE is the independent zone-rules oracle — including
+    // America/Los_Angeles DST transitions across the 1992-1998 dates.
+    Qdef.duckOnly(
+      "f15_at_timezone",
+      """SELECT o_orderkey,
+        |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Los_Angeles',
+        |           '%Y-%m-%d %H:%M:%S') AS la_wall,
+        |  strftime(CAST((ts AT TIME ZONE 'Asia/Kolkata') AS TIMESTAMP),
+        |           '%Y-%m-%d %H:%M:%S') AS utc_of_kolkata_wall
+        |FROM (
+        |  SELECT o_orderkey,
+        |         CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 24) * INTERVAL 1 HOUR AS ts
+        |  FROM orders WHERE o_orderkey < 500) t
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT o_orderkey,
+          |  date_format(at_timezone(ts, 'America/Los_Angeles'),
+          |              '%Y-%m-%d %H:%i:%S') AS la_wall,
+          |  date_format(with_timezone(ts, 'Asia/Kolkata'),
+          |              '%Y-%m-%d %H:%i:%S') AS utc_of_kolkata_wall
+          |FROM (
+          |  SELECT o_orderkey,
+          |         date_add('hour', CAST(o_orderkey % 24 AS INTEGER),
+          |                  CAST(o_orderdate AS TIMESTAMP)) AS ts
+          |  FROM orders WHERE o_orderkey < 500) t
+          |ORDER BY o_orderkey""".stripMargin)
     }
   )
 }

@@ -191,6 +191,30 @@ object Unnest {
             expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"),
             4).as("sqnorm"))
         .orderBy("vec_id")
+    },
+
+    // UNNEST followed by a further JOIN in the same FROM (reference:
+    // SqlBase.g4 relations compose freely; operator/unnest/
+    // UnnestOperator.java output is just another join input). Spark's
+    // LATERAL VIEW can't sit mid-join-chain, so the dialect emits the
+    // lateral-subquery form — `JOIN LATERAL (SELECT explode(…) AS w) t`
+    // — and the remaining JOIN parses normally after it.
+    Qdef.duckOnly(
+      "u11_sql_unnest_then_join",
+      """SELECT u.doc_id, u.w, r.r_name
+        |FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 5) u
+        |JOIN region r ON r.r_regionkey = length(u.w) % 5
+        |WHERE u.w <> ''
+        |ORDER BY u.doc_id, u.w, r.r_name""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT d.doc_id, t.w, r.r_name
+          |FROM documents d
+          |CROSS JOIN UNNEST(split(d.text, ' ')) AS t(w)
+          |JOIN region r ON r.r_regionkey = length(t.w) % 5
+          |WHERE d.doc_id < 5 AND t.w <> ''
+          |ORDER BY d.doc_id, t.w, r.r_name""".stripMargin)
     }
   )
 }

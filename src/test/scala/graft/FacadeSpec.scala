@@ -127,6 +127,17 @@ class FacadeSpec extends AnyFunSuite {
     // integral 1/eps instead of failing analysis
     val acc = one("SELECT approx_percentile(x, 0.5, 0.01) FROM (VALUES (1e0), (2e0), (3e0)) t(x)")
     assert(acc == 2.0)
+    // (x, w, ARRAY[...]) — weighted with a percentile array: one digest
+    // queried per percentile (reference array overload), monotone output
+    val warr = one(
+      "SELECT approx_percentile(x, w, ARRAY[0.25E0, 0.75E0]) FROM (VALUES (1e0, 1L), (3e0, 2L)) t(x, w)")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(warr.length == 2 && warr(0) <= warr(1) && warr(1) <= 3.0)
+    // integral x keeps its type elementwise (array(bigint) out)
+    val warrInt = one(
+      "SELECT approx_percentile(x, w, ARRAY[0.5E0]) FROM (VALUES (10L, 1L), (30L, 2L)) t(x, w)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(warrInt.length == 1 && warrInt.head >= 10L && warrInt.head <= 30L)
   }
 
   test("utility statements: SHOW / DESCRIBE / EXPLAIN / SET SESSION") {
@@ -141,5 +152,127 @@ class FacadeSpec extends AnyFunSuite {
     assert(plan.contains("Physical Plan"))
     Engine.sql(spark, dir, "SET SESSION spark.sql.shuffle.partitions = 8")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+  }
+
+  test("trivia scalars: typeof / parse_presto_data_size / wilson / current_user") {
+    assert(one("SELECT typeof(CAST(1 AS BIGINT))") == "bigint")
+    assert(one("SELECT typeof(1.5E0)") == "double")
+    assert(one("SELECT typeof('x')") == "varchar")
+    assert(one("SELECT typeof(NULL)") == "unknown")
+    assert(one("SELECT typeof(ARRAY['a'])") == "array(varchar)")
+    assert(one("SELECT typeof(CAST(1.5 AS DECIMAL(10, 2)))") == "decimal(10,2)")
+    // typeof never evaluates its argument (reference is calledOnNullInput):
+    // an erroring expression still types fine
+    assert(one("SELECT typeof(CAST(1 AS INT) / 0)") == "double")
+    assert(one("SELECT CAST(parse_presto_data_size('2.3MB') AS BIGINT)") == 2411724L)
+    // 1 YB = 1024^8 = 2^80 ≈ 1.2089e24 — past bigint range, exact in decimal
+    assert(one("SELECT CAST(parse_presto_data_size('1YB') AS DECIMAL(38, 0)) > CAST(1e24 AS DECIMAL(38, 0))") == true)
+    assertThrows[Exception](one("SELECT parse_presto_data_size('2.3xB')"))
+    assert(one("SELECT TRY(parse_presto_data_size('junk'))") == null)
+    // Wilson 95% interval brackets the sample proportion
+    val lo = one("SELECT wilson_interval_lower(1250, 1310, 1.96E0)").asInstanceOf[Double]
+    val hi = one("SELECT wilson_interval_upper(1250, 1310, 1.96E0)").asInstanceOf[Double]
+    assert(lo > 0.93 && lo < 1250.0 / 1310 && 1250.0 / 1310 < hi && hi < 0.97)
+    assert(one("SELECT length(current_user) > 0") == true)
+  }
+
+  test("differential_entropy: fixed-histogram MLE in bits") {
+    // 4 samples uniform over 4 unit-width buckets → exactly 2 bits
+    assert(one(
+      """SELECT differential_entropy(CAST(4 AS BIGINT), x, CAST(1 AS DOUBLE),
+        |  'fixed_histogram_mle', CAST(0 AS DOUBLE), CAST(4 AS DOUBLE))
+        |FROM (VALUES (0.5E0), (1.5E0), (2.5E0), (3.5E0)) t(x)""".stripMargin)
+      == 2.0)
+    // one bucket of width 1 → 0 bits; width 2 → 1 bit (the ln(width) term)
+    assert(one(
+      """SELECT differential_entropy(CAST(1 AS BIGINT), x, CAST(1 AS DOUBLE),
+        |  'fixed_histogram_mle', CAST(0 AS DOUBLE), CAST(2 AS DOUBLE))
+        |FROM (VALUES (0.5E0), (1.5E0)) t(x)""".stripMargin) == 1.0)
+    // empty input → NULL like every aggregate
+    assert(one(
+      """SELECT differential_entropy(CAST(4 AS BIGINT), x, CAST(1 AS DOUBLE),
+        |  'fixed_histogram_mle', CAST(0 AS DOUBLE), CAST(4 AS DOUBLE))
+        |FROM (VALUES (0.5E0)) t(x) WHERE x < 0""".stripMargin) == null)
+    // the nondeterministic reservoir methods are rejected loudly
+    assertThrows[Exception](one(
+      """SELECT differential_entropy(CAST(4 AS BIGINT), x, CAST(1 AS DOUBLE),
+        |  'reservoir', CAST(0 AS DOUBLE), CAST(4 AS DOUBLE))
+        |FROM (VALUES (0.5E0)) t(x)""".stripMargin))
+  }
+
+  test("PREPARE / EXECUTE USING / DEALLOCATE PREPARE") {
+    Engine.sql(spark, dir,
+      "PREPARE fs_q FROM SELECT count(*) AS n FROM orders WHERE o_totalprice > ? AND o_orderpriority = ?")
+    val executed = Engine.sql(spark, dir,
+      "EXECUTE fs_q USING 100000.0, '1-URGENT'").collect()(0).getLong(0)
+    val inlined = Engine.sql(spark, dir,
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'")
+      .collect()(0).getLong(0)
+    assert(executed == inlined && executed > 0)
+    // a '?' inside a literal is not a placeholder
+    Engine.sql(spark, dir,
+      "PREPARE fs_q2 FROM SELECT count(*) AS n FROM orders WHERE o_orderpriority <> '?' AND o_orderkey < ?")
+    assert(Engine.sql(spark, dir, "EXECUTE fs_q2 USING 100")
+      .collect()(0).getLong(0) > 0)
+    // parameter arity mismatches fail loudly
+    assertThrows[Exception](Engine.sql(spark, dir, "EXECUTE fs_q USING 100000.0"))
+    assertThrows[Exception](
+      Engine.sql(spark, dir, "EXECUTE fs_q USING 1.0, 'x', 'extra'"))
+    // re-PREPARE replaces; DEALLOCATE removes
+    Engine.sql(spark, dir, "PREPARE fs_q FROM SELECT 42 AS n")
+    assert(Engine.sql(spark, dir, "EXECUTE fs_q").collect()(0).getInt(0) == 42)
+    Engine.sql(spark, dir, "DEALLOCATE PREPARE fs_q")
+    assertThrows[Exception](Engine.sql(spark, dir, "EXECUTE fs_q"))
+  }
+
+  test("UNNEST followed by a JOIN rewrites to the lateral-subquery form") {
+    val translated = Engine.translate(
+      "SELECT * FROM t CROSS JOIN UNNEST(t.arr) AS u(w) JOIN r ON r.k = u.w")
+    assert(translated.contains("JOIN LATERAL"))
+    val rows = Engine.sql(spark, dir,
+      """SELECT t.id, u.w, r.name
+        |FROM (VALUES (1, ARRAY[10, 20]), (2, ARRAY[30])) AS t(id, arr)
+        |CROSS JOIN UNNEST(t.arr) AS u(w)
+        |JOIN (VALUES (10, 'a'), (30, 'b')) AS r(k, name) ON r.k = u.w
+        |ORDER BY t.id, u.w""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+      == Seq((1, 10, "a"), (2, 30, "b")))
+    // outer spelling mid-chain keeps empty-array rows
+    val outer = Engine.sql(spark, dir,
+      """SELECT t.id, u.w
+        |FROM (VALUES (1, ARRAY[10]), (2, ARRAY[])) AS t(id, arr)
+        |LEFT JOIN UNNEST(t.arr) AS u(w) ON TRUE
+        |JOIN (VALUES (1), (2)) AS keep(id2) ON keep.id2 = t.id
+        |ORDER BY t.id""".stripMargin).collect()
+    assert(outer.length == 2 && outer(1).isNullAt(1))
+    // chained UNNESTs still compose as stacked lateral views
+    assert(Engine.sql(spark, dir,
+      """SELECT a.x, b.y
+        |FROM (VALUES (ARRAY[1], ARRAY[2])) AS t(a1, a2)
+        |CROSS JOIN UNNEST(t.a1) AS a(x)
+        |CROSS JOIN UNNEST(t.a2) AS b(y)""".stripMargin).count() == 1)
+  }
+
+  test("UNNEST of an array of rows with a 3+ column alias uses inline") {
+    val rows = Engine.sql(spark, dir,
+      """SELECT t.a, t.b, t.c
+        |FROM (SELECT array(named_struct('a', 1, 'b', 'x', 'c', true),
+        |                   named_struct('a', 2, 'b', 'y', 'c', false)) AS rs) s
+        |CROSS JOIN UNNEST(s.rs) AS t(a, b, c)
+        |ORDER BY t.a""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+      == Seq((1, "x", true), (2, "y", false)))
+  }
+
+  test("UNNEST argument scan survives comments and quoted identifiers") {
+    // a comment containing ')' and ',' inside the argument list
+    assert(Engine.sql(spark, dir,
+      """SELECT u.w FROM (SELECT ARRAY[1, 2] AS arr) s
+        |CROSS JOIN UNNEST(s.arr /* not a split, (really) */) AS u(w)""".stripMargin)
+      .count() == 2)
+    // a double-quoted identifier argument (Presto spelling)
+    assert(Engine.sql(spark, dir,
+      """SELECT u.w FROM (SELECT ARRAY[1] AS "Arr") s
+        |CROSS JOIN UNNEST("Arr") AS u(w)""".stripMargin).count() == 1)
   }
 }
