@@ -21,9 +21,17 @@ object Bench {
     val defs = SparkEntry.benchDefs
     var errors = List.empty[(String, String)]
 
+    // Materialize through the noop sink, not count(): under count()
+    // Catalyst prunes every column the final projection computes, so a
+    // query ending in a pure projection would time only its scan. The
+    // noop writer consumes full rows (all output columns evaluated) and
+    // discards them — write-path overhead without any I/O.
     def timeOnce(q: Qdef): Option[Double] = {
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      }
       catch {
         case e: Throwable =>
           // one error entry per query — repeated failures would otherwise

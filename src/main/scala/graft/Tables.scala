@@ -29,9 +29,11 @@ object Tables {
   // silently keep the other dir's sizing). Weak keys so a discarded
   // session can be GC'd (a strong-keyed map pins every session for
   // process lifetime in a long-lived multi-session service), and the
-  // record+apply runs under the map's per-key lock so two racing loads
+  // record+apply runs under the map-wide monitor so two racing loads
   // with different dirs can't leave the conf from one dir while the map
-  // records the other.
+  // records the other. (One monitor serializes tuning across ALL
+  // sessions — acceptable: the critical section is a handful of file
+  // stats + two conf writes, and re-tuning only fires on a dir switch.)
   private val tunedDir: java.util.Map[SparkSession, String] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
