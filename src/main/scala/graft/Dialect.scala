@@ -619,6 +619,8 @@ object Dialect {
   final case class PrepareStmt(name: String, body: String) extends PreparedOp
   final case class ExecuteStmt(name: String, params: Seq[String]) extends PreparedOp
   final case class DeallocateStmt(name: String) extends PreparedOp
+  final case class DescribeInputStmt(name: String) extends PreparedOp
+  final case class DescribeOutputStmt(name: String) extends PreparedOp
 
   private val PrepareRe =
     "(?is)^\\s*prepare\\s+([a-z_][a-z0-9_]*)\\s+from\\s+(.+?)[;\\s]*$".r
@@ -627,6 +629,10 @@ object Dialect {
   private val ExecuteRe = "(?is)^\\s*execute\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
   private val DeallocateRe =
     "(?is)^\\s*deallocate\\s+prepare\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
+  private val DescribeInputRe =
+    "(?is)^\\s*describe\\s+input\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
+  private val DescribeOutputRe =
+    "(?is)^\\s*describe\\s+output\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
 
   def classifyPrepared(q: String): Option[PreparedOp] = q match {
     case PrepareRe(name, body) => Some(PrepareStmt(name.toLowerCase, body))
@@ -634,7 +640,28 @@ object Dialect {
       Some(ExecuteStmt(name.toLowerCase, splitTopLevel(params)))
     case ExecuteRe(name) => Some(ExecuteStmt(name.toLowerCase, Nil))
     case DeallocateRe(name) => Some(DeallocateStmt(name.toLowerCase))
+    case DescribeInputRe(name) => Some(DescribeInputStmt(name.toLowerCase))
+    case DescribeOutputRe(name) => Some(DescribeOutputStmt(name.toLowerCase))
     case _ => None
+  }
+
+  /** Count of positional `?` placeholders outside literals/comments —
+    * DESCRIBE INPUT's row count and EXECUTE's expected arity. */
+  def countParams(sql: String): Int = {
+    var i = 0
+    var n = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (c == '\'') i = literalEnd(sql, i)
+      else if (c == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        val e = sql.indexOf('\n', i); i = if (e == -1) sql.length else e
+      }
+      else if (c == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2); i = if (e == -1) sql.length else e + 2
+      }
+      else { if (c == '?') n += 1; i += 1 }
+    }
+    n
   }
 
   /** Top-level comma split of an EXECUTE … USING parameter list —

@@ -164,6 +164,38 @@ object Engine {
       case Some(Dialect.DeallocateStmt(name)) =>
         preparedFor(spark).remove(name)
         spark.sql(s"SELECT 'DEALLOCATE' AS result, '$name' AS statement_name")
+      case Some(Dialect.DescribeInputStmt(name)) =>
+        // reference: sql/rewrite/DescribeInputRewrite.java — ("Position",
+        // "Type") per placeholder, 0-based, ordered; an all-NULL row when
+        // the statement has none. Types surface as 'unknown': parameter
+        // types aren't inferred before binding (same as the reference
+        // before analysis can type them).
+        val body = preparedFor(spark).getOrElse(name,
+          throw new IllegalArgumentException(s"Prepared statement not found: $name"))
+        val n = Dialect.countParams(body)
+        if (n == 0)
+          spark.sql("SELECT CAST(NULL AS INT) AS `Position`, CAST(NULL AS STRING) AS `Type`")
+        else
+          spark.sql((0 until n).map(i => s"($i, 'unknown')")
+            .mkString("SELECT * FROM VALUES ", ", ",
+              " AS t(`Position`, `Type`) ORDER BY `Position`"))
+      case Some(Dialect.DescribeOutputStmt(name)) =>
+        // reference: sql/rewrite/DescribeOutputRewrite.java — one row per
+        // output column. The statement is analyzed (not executed) with
+        // placeholders bound to NULL to type the projection. Divergences:
+        // Catalog/Schema/Table are empty (temp views carry no origin),
+        // Type Size is 0, Aliased is always true.
+        val body = preparedFor(spark).getOrElse(name,
+          throw new IllegalArgumentException(s"Prepared statement not found: $name"))
+        val bound = Dialect.substituteParams(
+          body, Seq.fill(Dialect.countParams(body))("NULL"))
+        val rows = spark.sql(translate(bound)).schema.fields.map { f =>
+          val nm = f.name.replace("'", "''")
+          val tp = graft.functions.TriviaScalars.prestoTypeName(f.dataType)
+          s"('$nm', '', '', '', '$tp', 0, true)"
+        }
+        spark.sql(rows.mkString("SELECT * FROM VALUES ", ", ",
+          " AS t(`Column Name`, `Catalog`, `Schema`, `Table`, `Type`, `Type Size`, `Aliased`)"))
       case None =>
         spark.sql(translate(query))
     }

@@ -225,6 +225,25 @@ class FacadeSpec extends AnyFunSuite {
     assertThrows[Exception](Engine.sql(spark, dir, "EXECUTE fs_q"))
   }
 
+  test("DESCRIBE INPUT / DESCRIBE OUTPUT of a prepared statement") {
+    Engine.sql(spark, dir,
+      "PREPARE fs_d FROM SELECT o_orderkey, o_totalprice AS p FROM orders WHERE o_totalprice > ? AND o_orderpriority = ?")
+    val input = Engine.sql(spark, dir, "DESCRIBE INPUT fs_d").collect()
+    assert(input.map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((0, "unknown"), (1, "unknown")))
+    val output = Engine.sql(spark, dir, "DESCRIBE OUTPUT fs_d")
+    assert(output.columns.toSeq == Seq(
+      "Column Name", "Catalog", "Schema", "Table", "Type", "Type Size", "Aliased"))
+    assert(output.collect().map(r => (r.getString(0), r.getString(4))).toSeq
+      == Seq(("o_orderkey", "bigint"), ("p", "double")))
+    // no placeholders → the reference's single all-NULL row
+    Engine.sql(spark, dir, "PREPARE fs_d0 FROM SELECT 1 AS one")
+    val none = Engine.sql(spark, dir, "DESCRIBE INPUT fs_d0").collect()
+    assert(none.length == 1 && none(0).isNullAt(0))
+    // plain DESCRIBE <table> is untouched by the prepared-statement path
+    assert(Engine.sql(spark, dir, "DESCRIBE orders").count() > 0)
+  }
+
   test("UNNEST followed by a JOIN rewrites to the lateral-subquery form") {
     val translated = Engine.translate(
       "SELECT * FROM t CROSS JOIN UNNEST(t.arr) AS u(w) JOIN r ON r.k = u.w")
