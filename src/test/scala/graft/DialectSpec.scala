@@ -194,4 +194,55 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.translate("SELECT strpos(a, 'arr[1]') FROM t")
       == "SELECT instr(a, 'arr[1]') FROM t")
   }
+
+  test("prepared-statement classification and parameter binding") {
+    import Dialect._
+    assert(classifyPrepared("PREPARE q1 FROM SELECT * FROM t WHERE x = ?")
+      == Some(PrepareStmt("q1", "SELECT * FROM t WHERE x = ?")))
+    // multiline bodies and trailing semicolons
+    assert(classifyPrepared("prepare Q2 from\nSELECT 1;\n")
+      == Some(PrepareStmt("q2", "SELECT 1")))
+    assert(classifyPrepared("EXECUTE q1 USING 1, 'a,b', ARRAY[1, 2]")
+      == Some(ExecuteStmt("q1", Seq("1", "'a,b'", "ARRAY[1, 2]"))))
+    assert(classifyPrepared("EXECUTE q1") == Some(ExecuteStmt("q1", Nil)))
+    assert(classifyPrepared("DEALLOCATE PREPARE q1")
+      == Some(DeallocateStmt("q1")))
+    assert(classifyPrepared("DESCRIBE INPUT q1") == Some(DescribeInputStmt("q1")))
+    assert(classifyPrepared("DESCRIBE OUTPUT q1") == Some(DescribeOutputStmt("q1")))
+    // NOT prepared statements: plain queries, DESCRIBE <table>
+    assert(classifyPrepared("SELECT prepare FROM t").isEmpty)
+    assert(classifyPrepared("DESCRIBE orders").isEmpty)
+
+    assert(substituteParams("SELECT * FROM t WHERE a = ? AND b = ?", Seq("1", "'x'"))
+      == "SELECT * FROM t WHERE a = (1) AND b = ('x')")
+    // '?' inside literals and comments is not a placeholder
+    assert(substituteParams("SELECT '?' , a -- is ? here\nFROM t WHERE b = ?", Seq("7"))
+      == "SELECT '?' , a -- is ? here\nFROM t WHERE b = (7)")
+    assert(countParams("SELECT '?' /* ? */ WHERE a = ? AND b = ?") == 2)
+    intercept[IllegalArgumentException](
+      substituteParams("SELECT ?", Seq("1", "2")))
+    intercept[IllegalArgumentException](
+      substituteParams("SELECT ?, ?", Seq("1")))
+  }
+
+  test("UNNEST mid-join-chain switches to the lateral-subquery form") {
+    val t = Engine.translate(
+      "SELECT * FROM t CROSS JOIN UNNEST(t.a) AS u(w) JOIN r ON r.k = u.w")
+    assert(t.contains("JOIN LATERAL (SELECT explode(t.a) AS w) u"), t)
+    // outer spelling keeps LEFT + ON true
+    val o = Engine.translate(
+      "SELECT * FROM t LEFT JOIN UNNEST(t.a) AS u(w) ON TRUE JOIN r ON r.k = u.w")
+    assert(o.contains("LEFT JOIN LATERAL (SELECT explode(t.a) AS w) u ON true"), o)
+    // chained UNNESTs keep stacked LATERAL VIEWs
+    val c = Engine.translate(
+      "SELECT * FROM t CROSS JOIN UNNEST(t.a) AS u(w) CROSS JOIN UNNEST(t.b) AS v(x)")
+    assert(c.contains("LATERAL VIEW explode(t.a) u AS w") &&
+      c.contains("LATERAL VIEW explode(t.b) v AS x"), c)
+    // terminal UNNEST (nothing after) keeps LATERAL VIEW
+    val e = Engine.translate("SELECT * FROM t CROSS JOIN UNNEST(t.a) AS u(w)")
+    assert(e.contains("LATERAL VIEW explode(t.a) u AS w"), e)
+    // single argument with 3+ aliases is an array of rows → inline
+    val i = Engine.translate("SELECT * FROM t CROSS JOIN UNNEST(t.rs) AS u(a, b, c)")
+    assert(i.contains("LATERAL VIEW inline(t.rs) u AS a, b, c"), i)
+  }
 }

@@ -40,6 +40,19 @@ class PlanSpec extends QueryAssertions {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("u11: lateral UNNEST-then-JOIN decorrelates to Generate + hash join") {
+    val plan = planOf(run("u11_sql_unnest_then_join"))
+    // the JOIN LATERAL (SELECT explode ...) form must collapse into a
+    // plain Generate over the scan — no join node for the lateral itself
+    assert(plan.contains("Generate explode"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral generator must decorrelate, not nested-loop:\n${plan.take(2000)}")
+    // the post-UNNEST join stays a hash join with the pushed-down scan
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,5)"),
+      plan.take(2000))
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     val plan = planOf(run("d02_minhash_near_dup"))
     assert(!plan.contains("CartesianProduct"), "all-pairs join would sink at scale")
