@@ -598,14 +598,34 @@ object Dialect {
   }
 
   /** Presto `SET SESSION key = value` → Spark `SET key = value`
-    * (SqlBase.g4 setSession rule; Spark's SET takes the key directly).
-    * SHOW TABLES/COLUMNS/FUNCTIONS, DESCRIBE and EXPLAIN parse in both
-    * dialects and pass through untouched. Trailing statement terminators
-    * are stripped — Presto clients send `;`, Spark's parser rejects it
-    * (and the NULLS LAST injector must see the real last token). */
-  private def rewriteStatement(q: String): String =
-    q.replaceFirst("(?i)^(\\s*)set\\s+session\\s+", "$1SET ")
+    * (SqlBase.g4 setSession rule; Spark's SET takes the key directly),
+    * `SHOW SESSION` → Spark's bare `SET` (both list the session's
+    * properties; SqlBase.g4:125), and `EXPLAIN (TYPE …, FORMAT …)`
+    * option lists (SqlBase.g4:105-106) → Spark's spellings: TYPE
+    * DISTRIBUTED maps to EXPLAIN FORMATTED (the per-exchange-stage
+    * view), TYPE LOGICAL/VALIDATE to EXPLAIN, FORMAT options drop.
+    * EXPLAIN ANALYZE is left verbatim → loud Spark parse error (it
+    * EXECUTES in the reference; silently degrading to a static plan
+    * would lie). SHOW TABLES/COLUMNS/FUNCTIONS and DESCRIBE parse in
+    * both dialects and pass through untouched. Trailing statement
+    * terminators are stripped — Presto clients send `;`, Spark's parser
+    * rejects it (and the NULLS LAST injector must see the real last
+    * token). */
+  private def rewriteStatement(q: String): String = {
+    val base = q
+      .replaceFirst("(?i)^(\\s*)set\\s+session\\s+", "$1SET ")
+      .replaceFirst("(?i)^(\\s*)show\\s+session\\s*$", "$1SET")
       .replaceFirst("[;\\s]+$", "")
+    val ExplainOpts = "(?is)^(\\s*)explain\\s*\\(([^)]*)\\)\\s*(.*)$".r
+    base match {
+      case ExplainOpts(lead, opts, rest) =>
+        val formatted =
+          if ("(?i)type\\s+distributed".r.findFirstIn(opts).isDefined) "FORMATTED "
+          else ""
+        s"${lead}EXPLAIN $formatted$rest"
+      case _ => base
+    }
+  }
 
   def translate(query: String): String =
     injectNullOrdering(rewrite(rewriteUnnest(rewriteStatement(query))))

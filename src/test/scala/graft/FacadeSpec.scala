@@ -152,6 +152,15 @@ class FacadeSpec extends AnyFunSuite {
     assert(plan.contains("Physical Plan"))
     Engine.sql(spark, dir, "SET SESSION spark.sql.shuffle.partitions = 8")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+    // SHOW SESSION lists session properties (reference SqlBase.g4:125)
+    assert(Engine.sql(spark, dir, "SHOW SESSION").count() > 0)
+    // EXPLAIN option lists translate to Spark's spellings
+    val dist = Engine.sql(spark, dir,
+      "EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM orders")
+      .collect()(0).getString(0)
+    assert(dist.contains("Physical Plan"))
+    assert(Engine.sql(spark, dir,
+      "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
   test("trivia scalars: typeof / parse_presto_data_size / wilson / current_user") {
