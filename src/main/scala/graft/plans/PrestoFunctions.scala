@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, CollectList, CollectSet}
-import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, TimestampType}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, CollectList, CollectSet, Count, Kurtosis, Skewness}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, StringType, TimestampType}
 
 /** Presto functions Spark lacks, injected as NATIVE Catalyst expression
   * builders (stay inside whole-stage codegen — no UDF boundary):
@@ -188,6 +188,29 @@ object PrestoFunctions {
     },
     fd("presto_log") { a => Logarithm(dbl(a(1)), dbl(a(0))) },
 
+    // to_base / from_base (reference: operator/scalar/MathFunctions.java
+    // toBase/fromBase — signed, lowercase digits). Spark's conv treats a
+    // negative input as unsigned 2^64 wraparound and emits uppercase, so
+    // the sign is split off explicitly and the magnitude lowercased.
+    // Divergence: an invalid digit yields NULL (conv's behavior) where
+    // the reference throws.
+    fd("to_base") { a =>
+      val x = long(a(0))
+      val r = Cast(a(1), IntegerType)
+      val mag = Lower(Conv(Cast(Abs(x), StringType), Literal(10), r))
+      If(LessThan(x, Literal(0L)), Concat(Seq(Literal("-"), mag)), mag)
+    },
+    fd("from_base") { a =>
+      val s = Cast(a(0), StringType)
+      val r = Cast(a(1), IntegerType)
+      val neg = StartsWith(s, Literal("-"))
+      val body = If(
+        Or(neg, StartsWith(s, Literal("+"))),
+        Substring(s, Literal(2), Literal(Integer.MAX_VALUE)), s)
+      val mag = Cast(Conv(body, r, Literal(10)), LongType)
+      If(neg, UnaryMinus(mag), mag)
+    },
+
     // Aggregates the registry-builder path can express natively:
     //   set_agg(x)   → array of distinct values (reference: presto-main/
     //                  .../operator/aggregation/SetAggregationFunction.java)
@@ -283,6 +306,38 @@ object PrestoFunctions {
       case Seq(x, w, p, _) if !isPercentageShape(w) => weightedPercentile(x, w, p)
       case args => throw new IllegalArgumentException(
         s"approx_percentile expects 2-4 arguments, got ${args.length}")
+    },
+
+    // skewness / kurtosis under the REFERENCE's definitions (reference:
+    // operator/aggregation/CentralMomentsAggregation.java:55-88).
+    // Skewness matches Spark's population formula (√n·m3/m2^1.5) but the
+    // reference returns NULL below 3 rows where Spark emits NaN; the
+    // reference's kurtosis is the SAMPLE-adjusted excess kurtosis —
+    // Spark's builtin is population (n·m4/m2²−3), so rebuild it
+    // algebraically from Spark's value k and n:
+    //   presto = (n−1)·((n+1)(k+3) − 3(n−1)) / ((n−2)(n−3)),  NULL if n<4
+    // Composed from two Catalyst aggregates + arithmetic — stays codegen.
+    fd("skewness") { a =>
+      val x = dbl(a.head)
+      If(
+        LessThan(Count(x).toAggregateExpression(), Literal(3L)),
+        Literal(null, DoubleType),
+        new Skewness(x).toAggregateExpression())
+    },
+    fd("kurtosis") { a =>
+      val x = dbl(a.head)
+      val n = Cast(Count(x).toAggregateExpression(), DoubleType)
+      val k = new Kurtosis(x).toAggregateExpression()
+      val num = Multiply(
+        Subtract(n, Literal(1.0)),
+        Subtract(
+          Multiply(Add(n, Literal(1.0)), Add(k, Literal(3.0))),
+          Multiply(Literal(3.0), Subtract(n, Literal(1.0)))))
+      val den = Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0)))
+      If(
+        LessThan(n, Literal(4.0)),
+        Literal(null, DoubleType),
+        Divide(num, den))
     },
 
     // Session/introspection trivia scalars (see graft.functions.

@@ -320,6 +320,34 @@ object Aggregates {
           count(lit(1)).as("total_cnt"),
           round(avg(when(col("l_discount") > 0.05, col("l_quantity"))), 6)
             .as("avg_qty_high_disc"))
+    },
+
+    // skewness / kurtosis under the REFERENCE's definitions (reference:
+    // operator/aggregation/CentralMomentsAggregation.java — population
+    // skewness √n·m3/m2^1.5, SAMPLE-adjusted excess kurtosis). Spark's
+    // builtin kurtosis is population, so the graft builders rebuild the
+    // sample form; the oracle replays the central moments two-pass.
+    // DuckDB's own skewness()/kurtosis() are NOT used — both are
+    // sample-adjusted differently than the population skewness here.
+    Qdef.duckOnly(
+      "a15_central_moments",
+      """WITH s AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |m AS (SELECT avg(x) AS mu, CAST(count(*) AS DOUBLE) AS n FROM s),
+        |c AS (SELECT max(n) AS n,
+        |             sum(pow(x - mu, 2)) AS m2,
+        |             sum(pow(x - mu, 3)) AS m3,
+        |             sum(pow(x - mu, 4)) AS m4
+        |      FROM s, m)
+        |SELECT round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS skew,
+        |       round((n-1)*n*(n+1)/((n-2)*(n-3)) * m4/(m2*m2)
+        |             - 3*(n-1)*(n-1)/((n-2)*(n-3)), 6) AS kurt
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT round(skewness(CAST(l_quantity AS DOUBLE)), 6) AS skew,
+          |       round(kurtosis(CAST(l_quantity AS DOUBLE)), 6) AS kurt
+          |FROM lineitem WHERE l_orderkey < 2000""".stripMargin)
     }
   )
 }

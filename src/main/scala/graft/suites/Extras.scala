@@ -169,6 +169,10 @@ object Extras {
         |        / (1 + 1.96*1.96/1310), 9) AS wilson_lo,
         |  round((1250.0/1310 + 1.96*1.96/(2*1310) + 1.96*sqrt((1250.0/1310*(1 - 1250.0/1310))/1310 + 1.96*1.96/(4*1310.0*1310)))
         |        / (1 + 1.96*1.96/1310), 9) AS wilson_hi,
+        |  'ff' AS hex255,
+        |  CAST(255 AS BIGINT) AS ff_val,
+        |  '-1010' AS neg_bin,
+        |  CAST(-10 AS BIGINT) AS neg_val,
         |  'root' AS who""".stripMargin) { (s, dir) =>
       graft.Engine.sql(s, dir,
         """SELECT
@@ -182,6 +186,10 @@ object Extras {
           |  CAST(parse_presto_data_size('0.12109375GB') AS BIGINT) AS gb_frac_bytes,
           |  round(wilson_interval_lower(1250, 1310, 1.96E0), 9) AS wilson_lo,
           |  round(wilson_interval_upper(1250, 1310, 1.96E0), 9) AS wilson_hi,
+          |  to_base(255, 16) AS hex255,
+          |  from_base('ff', 16) AS ff_val,
+          |  to_base(-10, 2) AS neg_bin,
+          |  from_base('-1010', 2) AS neg_val,
           |  current_user AS who""".stripMargin)
     },
 

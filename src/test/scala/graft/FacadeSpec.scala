@@ -185,6 +185,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT length(current_user) > 0") == true)
   }
 
+  test("skewness/kurtosis follow the reference's small-n and sample semantics") {
+    // below the reference's minimums → NULL (Spark's builtins emit NaN)
+    assert(one("SELECT skewness(x) FROM (VALUES (1e0), (2e0)) t(x)") == null)
+    assert(one("SELECT kurtosis(x) FROM (VALUES (1e0), (2e0), (3e0)) t(x)") == null)
+    // symmetric data → skewness 0
+    assert(math.abs(one(
+      "SELECT skewness(x) FROM (VALUES (1e0), (2e0), (3e0), (4e0), (5e0)) t(x)")
+      .asInstanceOf[Double]) < 1e-9)
+    // sample-adjusted excess kurtosis of 1,2,3,4,5 is exactly -1.2
+    // ((n−1)((n+1)(k+3)−3(n−1))/((n−2)(n−3)) with population k = −1.3)
+    assert(math.abs(one(
+      "SELECT kurtosis(x) FROM (VALUES (1e0), (2e0), (3e0), (4e0), (5e0)) t(x)")
+      .asInstanceOf[Double] - (-1.2)) < 1e-9)
+  }
+
   test("differential_entropy: fixed-histogram MLE in bits") {
     // 4 samples uniform over 4 unit-width buckets → exactly 2 bits
     assert(one(
