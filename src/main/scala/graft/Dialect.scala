@@ -55,6 +55,8 @@ object Dialect {
     "codepoint"           -> "ascii",
     "pow"                 -> "power",
     "is_nan"              -> "isnan",
+    "levenshtein_distance" -> "levenshtein",
+    "fail"                -> "raise_error",
     // Presto log(number, base) vs Spark log(base, number): arg swap done
     // by the injected expression, not by string surgery.
     "log"                 -> "presto_log",

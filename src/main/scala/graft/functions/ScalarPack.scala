@@ -136,5 +136,26 @@ object ScalarPack {
       (entries: Seq[(String, String)]) =>
         if (entries == null) null
         else entries.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+    // hamming_distance (reference: scalar/StringFunctions.java
+    // hammingDistance — codepoint-wise, throws on unequal lengths)
+    spark.udf.register("hamming_distance",
+      (a: String, b: String) =>
+        if (a == null || b == null) null
+        else {
+          val ca = a.codePoints.toArray
+          val cb = b.codePoints.toArray
+          require(ca.length == cb.length,
+            "The input strings to hamming_distance function must have the same length")
+          java.lang.Long.valueOf(
+            ca.iterator.zip(cb.iterator).count { case (x, y) => x != y }.toLong)
+        })
+    // normalize(s, form) (reference: scalar/StringFunctions.java normalize
+    // — java.text.Normalizer, same forms NFC/NFD/NFKC/NFKD). The 1-arg
+    // NFC default is dispatched in plans/PrestoFunctions.
+    spark.udf.register("unicode_normalize",
+      (s: String, form: String) =>
+        if (s == null || form == null) null
+        else java.text.Normalizer.normalize(
+          s, java.text.Normalizer.Form.valueOf(form.toUpperCase)))
   }
 }

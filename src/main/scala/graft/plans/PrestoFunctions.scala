@@ -286,6 +286,19 @@ object PrestoFunctions {
     // StringToMap has the same contract and argument order.
     fd("split_to_map") { a => StringToMap(a(0), a(1), a(2)) },
 
+    // to_utf8 / from_utf8 (reference: scalar/StringFunctions.java
+    // toUtf8/fromUtf8) → Catalyst Encode/StringDecode over UTF-8; invalid
+    // sequences decode to U+FFFD on both sides. normalize dispatches its
+    // optional form argument (NFC default) to the registered UDF.
+    fd("to_utf8") { a => Encode(a.head, Literal("UTF-8")) },
+    fd("from_utf8") { a => StringDecode(a.head, Literal("UTF-8")) },
+    fd("normalize") { a =>
+      val form = if (a.length > 1) a(1) else Literal("NFC")
+      org.apache.spark.sql.SparkSession.active.sessionState.catalog
+        .lookupFunction(
+          FunctionIdentifier("unicode_normalize"), Seq(a.head, form))
+    },
+
     // approx_percentile under the reference's overload set (reference:
     // operator/aggregation/ApproximatePercentileAggregations.java +
     // ApproximateWeightedPercentileAggregations.java): Presto's 3-arg form

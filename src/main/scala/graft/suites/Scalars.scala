@@ -393,6 +393,36 @@ object Scalars {
           |                  CAST(o_orderdate AS TIMESTAMP)) AS ts
           |  FROM orders WHERE o_orderkey < 500) t
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Remaining named string/math scalars from SURVEY §2.8 (reference:
+    // scalar/StringFunctions.java levenshteinDistance/hammingDistance/
+    // normalize/toUtf8/fromUtf8/splitPart, MathFunctions.java
+    // widthBucket). DuckDB oracles each natively (hamming, levenshtein,
+    // nfc_normalize, encode, split_part); width_bucket replays as a
+    // literal. The NFC test composes e + U+0301 and checks it normalizes
+    // to the single codepoint é.
+    Qdef.duckOnly(
+      "f16_string_extras",
+      """SELECT
+        |  levenshtein('kitten', 'sitting') AS lev,
+        |  hamming('toned', 'roses') AS ham,
+        |  nfc_normalize('e' || chr(769)) AS nfc,
+        |  CAST(length(nfc_normalize('e' || chr(769))) AS BIGINT) AS nfc_len,
+        |  'héllo' AS rt,
+        |  CAST(octet_length(encode('héllo')) AS BIGINT) AS nbytes,
+        |  split_part('a,b,c', ',', 2) AS sp,
+        |  CAST(3 AS BIGINT) AS wb""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  CAST(levenshtein_distance('kitten', 'sitting') AS BIGINT) AS lev,
+          |  hamming_distance('toned', 'roses') AS ham,
+          |  normalize(concat('e', '́')) AS nfc,
+          |  CAST(length(normalize(concat('e', '́'))) AS BIGINT) AS nfc_len,
+          |  from_utf8(to_utf8('héllo')) AS rt,
+          |  CAST(length(to_utf8('héllo')) AS BIGINT) AS nbytes,
+          |  split_part('a,b,c', ',', 2) AS sp,
+          |  width_bucket(5.3E0, 0.0E0, 10.0E0, 5) AS wb""".stripMargin)
     }
   )
 }

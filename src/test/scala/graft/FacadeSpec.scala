@@ -185,6 +185,16 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT length(current_user) > 0") == true)
   }
 
+  test("string extras: hamming errors on length mismatch; normalize forms") {
+    assertThrows[Exception](one("SELECT hamming_distance('ab', 'abc')"))
+    // NFD expands é to two codepoints; NFC recomposes to one
+    assert(one("SELECT length(normalize('é', 'NFD'))") == 2)
+    assert(one("SELECT length(normalize(normalize('é', 'NFD')))") == 1)
+    assert(one("SELECT from_utf8(to_utf8('日本語'))") == "日本語")
+    assert(one("SELECT to_base(from_base('ff', 16), 2)") == "11111111")
+    assert(one("SELECT fail_is_aliased FROM (SELECT levenshtein_distance('a', 'ab') = 1 AS fail_is_aliased)") == true)
+  }
+
   test("skewness/kurtosis follow the reference's small-n and sample semantics") {
     // below the reference's minimums → NULL (Spark's builtins emit NaN)
     assert(one("SELECT skewness(x) FROM (VALUES (1e0), (2e0)) t(x)") == null)
