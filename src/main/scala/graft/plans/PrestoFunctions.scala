@@ -286,6 +286,19 @@ object PrestoFunctions {
     // StringToMap has the same contract and argument order.
     fd("split_to_map") { a => StringToMap(a(0), a(1), a(2)) },
 
+    // infinity/nan literals and finiteness predicates (reference:
+    // MathFunctions.java infinity/nan/isFinite/isInfinite; Spark has
+    // isnan but no spelled constants or finiteness tests):
+    fd("infinity") { _ => Literal(Double.PositiveInfinity) },
+    fd("nan") { _ => Literal(Double.NaN) },
+    fd("is_finite") { a =>
+      val x = dbl(a.head)
+      And(Not(IsNaN(x)), LessThan(Abs(x), Literal(Double.PositiveInfinity)))
+    },
+    fd("is_infinite") { a =>
+      EqualTo(Abs(dbl(a.head)), Literal(Double.PositiveInfinity))
+    },
+
     // to_utf8 / from_utf8 (reference: scalar/StringFunctions.java
     // toUtf8/fromUtf8) → Catalyst Encode/StringDecode over UTF-8; invalid
     // sequences decode to U+FFFD on both sides. normalize dispatches its

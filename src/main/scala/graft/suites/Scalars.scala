@@ -412,7 +412,11 @@ object Scalars {
         |  'héllo' AS rt,
         |  CAST(octet_length(encode('héllo')) AS BIGINT) AS nbytes,
         |  split_part('a,b,c', ',', 2) AS sp,
-        |  CAST(3 AS BIGINT) AS wb""".stripMargin) { (s, dir) =>
+        |  CAST(3 AS BIGINT) AS wb,
+        |  true AS fin,
+        |  false AS fin_inf,
+        |  true AS inf_inf,
+        |  false AS nan_fin""".stripMargin) { (s, dir) =>
       graft.Engine.sql(s, dir,
         """SELECT
           |  CAST(levenshtein_distance('kitten', 'sitting') AS BIGINT) AS lev,
@@ -422,7 +426,11 @@ object Scalars {
           |  from_utf8(to_utf8('héllo')) AS rt,
           |  CAST(length(to_utf8('héllo')) AS BIGINT) AS nbytes,
           |  split_part('a,b,c', ',', 2) AS sp,
-          |  width_bucket(5.3E0, 0.0E0, 10.0E0, 5) AS wb""".stripMargin)
+          |  width_bucket(5.3E0, 0.0E0, 10.0E0, 5) AS wb,
+          |  is_finite(1.5E0) AS fin,
+          |  is_finite(infinity()) AS fin_inf,
+          |  is_infinite(infinity() * -1) AS inf_inf,
+          |  is_finite(nan()) AS nan_fin""".stripMargin)
     }
   )
 }
