@@ -157,5 +157,83 @@ object ScalarPack {
         if (s == null || form == null) null
         else java.text.Normalizer.normalize(
           s, java.text.Normalizer.Form.valueOf(form.toUpperCase)))
+
+    // JSON family glue (reference: scalar/JsonFunctions.java). Spark has
+    // no JSON type — JSON values are their canonical text here (README):
+    //   json_size_text    counts children of an already-extracted JSON
+    //                     text (the json_size builder composes it with
+    //                     GetJsonObject for the path argument); 0 for
+    //                     scalars like the reference.
+    //   json_array_contains_{str,num,bool}  typed membership, dispatched
+    //                     on the value argument's type by the builder.
+    //   json_array_get    negative index from the end; elements return as
+    //                     JSON text (strings keep their quotes).
+    //   json_parse        validates + canonicalizes (throws on invalid,
+    //                     like the reference); json_format is the
+    //                     identity on canonical text.
+    spark.udf.register("json_size_text",
+      (j: String) =>
+        if (j == null) null
+        else jsonTree(j) match {
+          case Some(n) =>
+            java.lang.Long.valueOf(if (n.isContainerNode) n.size.toLong else 0L)
+          // GetJsonObject returns string SCALARS unquoted, so unparseable
+          // text here means a bare string → size 0 (invalid top-level
+          // JSON never reaches this UDF: GetJsonObject yields NULL for
+          // it). A string scalar whose text parses as JSON (e.g. "[1]")
+          // is indistinguishable and counts as its parsed form.
+          case None => java.lang.Long.valueOf(0L)
+        })
+    spark.udf.register("json_array_contains_str",
+      (j: String, v: String) => jsonArrayContains(j, n => n.isTextual && n.asText == v))
+    spark.udf.register("json_array_contains_num",
+      (j: String, v: java.lang.Double) =>
+        jsonArrayContains(j, n => n.isNumber && n.asDouble == v.doubleValue))
+    spark.udf.register("json_array_contains_bool",
+      (j: String, v: java.lang.Boolean) =>
+        jsonArrayContains(j, n => n.isBoolean && n.asBoolean == v.booleanValue))
+    spark.udf.register("json_array_get",
+      (j: String, i: java.lang.Long) =>
+        if (j == null || i == null) null
+        else jsonTree(j).flatMap { n =>
+          if (!n.isArray) None
+          else {
+            val idx = if (i >= 0) i.toInt else n.size + i.toInt
+            if (idx < 0 || idx >= n.size) None
+            else Some(nodeText(n.get(idx)))
+          }
+        }.orNull)
+    spark.udf.register("json_parse",
+      (s: String) =>
+        if (s == null) null
+        else jsonTree(s).getOrElse(
+          throw new IllegalArgumentException(s"Cannot convert to JSON: '$s'"))
+          .toString)
+    spark.udf.register("json_format", (s: String) => s)
   }
+
+  private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper
+
+  private def jsonTree(
+      s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Option(jsonMapper.readTree(s))
+    catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+
+  /** Element rendered as JSON text: containers/strings via toString
+    * (strings keep quotes — the reference returns JSON type), scalars
+    * canonical. */
+  private def nodeText(n: com.fasterxml.jackson.databind.JsonNode): String =
+    n.toString
+
+  private def jsonArrayContains(
+      j: String,
+      pred: com.fasterxml.jackson.databind.JsonNode => Boolean): java.lang.Boolean =
+    if (j == null) null
+    else jsonTree(j) match {
+      case Some(n) if n.isArray =>
+        java.lang.Boolean.valueOf(
+          (0 until n.size).exists(i => pred(n.get(i))))
+      case _ => null
+    }
 }

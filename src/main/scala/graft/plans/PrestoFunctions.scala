@@ -299,6 +299,31 @@ object PrestoFunctions {
       EqualTo(Abs(dbl(a.head)), Literal(Double.PositiveInfinity))
     },
 
+    // json_size(json, path) (reference: scalar/JsonFunctions.java
+    // jsonSize) — GetJsonObject navigates the path (same JsonPath subset
+    // the reference uses), the registered UDF counts the children of the
+    // extracted text. json_array_contains dispatches on the VALUE
+    // argument's type like the reference's overloads.
+    fd("json_size") { a =>
+      val catalog =
+        org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      catalog.lookupFunction(
+        FunctionIdentifier("json_size_text"),
+        Seq(GetJsonObject(a(0), a(1))))
+    },
+    fd("json_array_contains") { a =>
+      val catalog =
+        org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      val (name, v) =
+        if (a(1).resolved && a(1).dataType == org.apache.spark.sql.types.BooleanType)
+          ("json_array_contains_bool", a(1))
+        else if (isIntegralTyped(a(1)) ||
+            (a(1).resolved && a(1).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+          ("json_array_contains_num", Cast(a(1), DoubleType))
+        else ("json_array_contains_str", Cast(a(1), StringType))
+      catalog.lookupFunction(FunctionIdentifier(name), Seq(a(0), v))
+    },
+
     // to_utf8 / from_utf8 (reference: scalar/StringFunctions.java
     // toUtf8/fromUtf8) → Catalyst Encode/StringDecode over UTF-8; invalid
     // sequences decode to U+FFFD on both sides. normalize dispatches its

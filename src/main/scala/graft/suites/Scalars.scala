@@ -431,6 +431,43 @@ object Scalars {
           |  is_finite(infinity()) AS fin_inf,
           |  is_infinite(infinity() * -1) AS inf_inf,
           |  is_finite(nan()) AS nan_fin""".stripMargin)
+    },
+
+    // JSON family beyond extraction (reference: scalar/JsonFunctions.java
+    // — json_size, typed json_array_contains, json_array_get with
+    // negative indexes, json_parse canonicalization). JSON values are
+    // canonical text here (no JSON runtime type in Spark); DuckDB's json
+    // extension is the independent oracle where it agrees, literals where
+    // its dialect differs.
+    Qdef.duckOnly(
+      "f17_json_pack",
+      """SELECT
+        |  CAST(json_array_length('[1, 2, 3, 4]') AS BIGINT) AS alen,
+        |  CAST(1 AS BIGINT) AS obj_size,
+        |  CAST(3 AS BIGINT) AS arr_size,
+        |  CAST(0 AS BIGINT) AS scalar_size,
+        |  json_contains('[1,2,3]', '2') AS has_num,
+        |  json_contains('["x","y"]', '"y"') AS has_str,
+        |  true AS has_bool,
+        |  false AS has_missing,
+        |  '20' AS second_elem,
+        |  '30' AS last_elem,
+        |  '[1,2,3]' AS canon,
+        |  '{"k":1}' AS fmt""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  CAST(json_array_length('[1, 2, 3, 4]') AS BIGINT) AS alen,
+          |  json_size('{"a": {"b": [1,2,3]}}', '$.a') AS obj_size,
+          |  json_size('{"a": {"b": [1,2,3]}}', '$.a.b') AS arr_size,
+          |  json_size('{"a": 7}', '$.a') AS scalar_size,
+          |  json_array_contains('[1,2,3]', 2) AS has_num,
+          |  json_array_contains('["x","y"]', 'y') AS has_str,
+          |  json_array_contains('[true,false]', false) AS has_bool,
+          |  json_array_contains('[1,2,3]', 9) AS has_missing,
+          |  json_array_get('[10,20,30]', 1) AS second_elem,
+          |  json_array_get('[10,20,30]', -1) AS last_elem,
+          |  json_parse('[1, 2,3]') AS canon,
+          |  json_format(json_parse('{"k": 1}')) AS fmt""".stripMargin)
     }
   )
 }

@@ -185,6 +185,18 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT length(current_user) > 0") == true)
   }
 
+  test("json pack: size/contains/get/parse semantics") {
+    assert(one("SELECT json_size('{\"a\": {\"b\": 1, \"c\": 2}}', '$.a')") == 2L)
+    assert(one("SELECT json_size('{\"a\": [9]}', '$.a')") == 1L)
+    assert(one("SELECT json_size('{\"a\": \"s\"}', '$.a')") == 0L)
+    assert(one("SELECT json_array_contains('[1.5, 2.5]', 2.5)") == true)
+    assert(one("SELECT json_array_contains('[\"1\"]', 1)") == false) // typed, no coercion
+    assert(one("SELECT json_array_get('[\"a\",\"b\"]', 0)") == "\"a\"") // JSON text keeps quotes
+    assert(one("SELECT json_array_get('[1]', 5)") == null)
+    assertThrows[Exception](one("SELECT json_parse('{bad')"))
+    assert(one("SELECT TRY(json_parse('{bad'))") == null)
+  }
+
   test("string extras: hamming errors on length mismatch; normalize forms") {
     assertThrows[Exception](one("SELECT hamming_distance('ab', 'abc')"))
     // NFD expands é to two codepoints; NFC recomposes to one
