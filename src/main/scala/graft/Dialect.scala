@@ -239,6 +239,16 @@ object Dialect {
             .append(unit)
           stack.prepend(new Frame('('))
           i = end
+        } else if (lower == "map" && k < q.length && q(k) == '(') {
+          // Presto's map constructor is (array(K), array(V)) — reference:
+          // operator/scalar/MapConstructor.java — while Spark's map() is
+          // variadic key/value pairs. Exactly two top-level arguments is
+          // the Presto form → map_from_arrays; any other arity passes
+          // through (0-arg empty map agrees between the dialects).
+          val twoArg = parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)
+          out.append(if (twoArg) "map_from_arrays(" else "map(")
+          stack.prepend(new Frame('('))
+          i = k + 1
         } else if (k < q.length && q(k) == '(' && functionAliases.contains(lower)) {
           out.append(functionAliases(lower)).append('(')
           stack.prepend(new Frame('('))
@@ -285,6 +295,7 @@ object Dialect {
   private def parseParenArgs(q: String, open: Int): Option[(Seq[String], Int)] = {
     var j = open + 1
     var depth = 1
+    var bdepth = 0 // ARRAY[1, 2] subscript/literal brackets nest commas too
     val args = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     while (j < q.length && depth > 0) {
@@ -313,7 +324,11 @@ object Dialect {
       }
       else if (c == '(') { depth += 1; cur.append(c); j += 1 }
       else if (c == ')') { depth -= 1; if (depth > 0) cur.append(c); j += 1 }
-      else if (c == ',' && depth == 1) { args += cur.toString.trim; cur.clear(); j += 1 }
+      else if (c == '[') { bdepth += 1; cur.append(c); j += 1 }
+      else if (c == ']') { bdepth -= 1; cur.append(c); j += 1 }
+      else if (c == ',' && depth == 1 && bdepth == 0) {
+        args += cur.toString.trim; cur.clear(); j += 1
+      }
       else { cur.append(c); j += 1 }
     }
     if (depth != 0) None
@@ -347,14 +362,23 @@ object Dialect {
     * cols) alias [ON true]` — same semantics, valid anywhere a relation
     * is. Chained UNNESTs keep the LATERAL VIEW spelling (it composes).
     *
-    * Limitations (left verbatim, fail at Spark's parser rather than
-    * silently): map arguments in the multi-arg/ordinality forms, a
-    * 2-alias single argument is always read as a map (an array-of-row
-    * with exactly two fields is indistinguishable from a map in
-    * unresolved text — spell it UNNEST(CAST(...)) with 3+ fields or use
-    * the DataFrame API), WITH ORDINALITY over an array of rows, and the
-    * alias-without-column-list form.
+    * Every shape routes to the native type-aware
+    * [[graft.functions.UnnestGenerator]] — array-vs-map-vs-array-of-row
+    * is undecidable in unresolved text, so the generator decides at
+    * analysis time exactly like the reference's planner (arrays of rows
+    * expand to one column per field, maps to key/value, several
+    * arguments zip positionally with NULL padding, ordinality appends a
+    * 1-based BIGINT), and the optimizer lowers every shape back into
+    * codegen'd built-in expressions (plans/UnnestRewrite.scala). The
+    * alias and its column list are both optional; Spark's analyzer
+    * arity-checks a provided column list against the resolved output
+    * (loud failure on mismatch, matching the reference's analyzer).
     */
+  private val unnestAliasStopWords = Set(
+    "where", "group", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "join", "inner", "left", "right", "full",
+    "cross", "on", "lateral", "window", "fetch", "unnest")
+
   private def rewriteUnnest(q: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -404,17 +428,25 @@ object Dialect {
       j = nextNonSpace(q, j2)
     }
     val (wAs, jAs) = wordAt(q, j)
-    if (wAs.equalsIgnoreCase("as")) j = nextNonSpace(q, jAs)
-    val (alias, jAlias) = wordAt(q, j)
-    if (alias.isEmpty || !alias.head.isLetter) return -1
-    j = nextNonSpace(q, jAlias)
-    if (j >= q.length || q(j) != '(') return -1
-    val parsedCols = parseParenArgs(q, j)
-    if (parsedCols.isEmpty) return -1
-    val (cols, afterCols) = parsedCols.get
-    if (cols.isEmpty || cols.exists(cn => cn.isEmpty || !cn.forall(isWordChar)))
-      return -1
-    j = afterCols
+    val hasAs = wAs.equalsIgnoreCase("as")
+    if (hasAs) j = nextNonSpace(q, jAs)
+    // alias and column list are both optional in Presto (aliasedRelation in
+    // SqlBase.g4); a following keyword means "no alias" and we fabricate one
+    val (aliasWord, jAlias) = wordAt(q, j)
+    val aliasOk = aliasWord.nonEmpty && aliasWord.head.isLetter &&
+      (hasAs || !unnestAliasStopWords.contains(aliasWord.toLowerCase))
+    if (hasAs && !aliasOk) return -1
+    val alias = if (aliasOk) aliasWord else s"__graft_u$open"
+    if (aliasOk) j = nextNonSpace(q, jAlias)
+    var cols: Seq[String] = Nil
+    if (aliasOk && j < q.length && q(j) == '(') {
+      parseParenArgs(q, j) match {
+        case Some((cs, after))
+            if cs.nonEmpty && cs.forall(cn => cn.nonEmpty && cn.forall(isWordChar)) =>
+          cols = cs; j = after
+        case _ => return -1
+      }
+    }
 
     // classify the join prefix already emitted into `out`
     val outStr = out.toString
@@ -444,21 +476,12 @@ object Dialect {
         }
     }
 
-    val expect = args.length + (if (ord) 1 else 0)
+    // Array-vs-map-vs-array-of-row is undecidable in unresolved text, so
+    // every shape defers to the type-aware generator; the optimizer
+    // lowers it to codegen'd Explode/Inline/zip expressions once types
+    // resolve (plans/UnnestRewrite.scala).
     val gen: String =
-      if (!ord && args.length == 1 && cols.length <= 2) s"explode(${args.head})"
-      else if (!ord && args.length == 1 && cols.length > 2)
-        s"inline(${args.head})" // single array-of-row argument
-      else if (cols.length == expect) {
-        val n =
-          if (args.length == 1) s"size(${args.head})"
-          else s"greatest(${args.map(a => s"size($a)").mkString(", ")})"
-        val fields =
-          args.map(a => s"try_element_at($a, __graft_i)") ++
-            (if (ord) Seq("CAST(__graft_i AS BIGINT)") else Nil)
-        s"inline(transform(slice(sequence(1, greatest($n, 1)), 1, $n), " +
-          s"__graft_i -> struct(${fields.mkString(", ")})))"
-      } else return -1
+      s"${if (ord) "graft_unnest_ord" else "graft_unnest"}(${args.mkString(", ")})"
 
     while (prefixStart > 0 && out.charAt(prefixStart - 1).isWhitespace)
       prefixStart -= 1
@@ -468,18 +491,23 @@ object Dialect {
       // lateral correlated subquery can (generator in its select list,
       // outer references resolve through the lateral scope)
       val sel =
-        if (cols.length == 1) s"SELECT $gen AS ${cols.head}"
+        if (cols.isEmpty) s"SELECT $gen"
+        else if (cols.length == 1) s"SELECT $gen AS ${cols.head}"
         else s"SELECT $gen AS (${cols.mkString(", ")})"
       if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
       out.append(if (outer) " LEFT JOIN LATERAL (" else " JOIN LATERAL (")
         .append(sel).append(") ").append(alias)
       if (outer) out.append(" ON true")
+      if (cols.isEmpty && j < q.length) out.append(' ')
     } else {
       if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
       out.append(" LATERAL VIEW ")
       if (outer) out.append("OUTER ")
       out.append(gen).append(' ').append(alias)
-        .append(" AS ").append(cols.mkString(", "))
+      if (cols.nonEmpty) out.append(" AS ").append(cols.mkString(", "))
+      // the no-column-list paths left `j` at the next token with its
+      // leading whitespace already skipped — restore the separator
+      else if (j < q.length) out.append(' ')
     }
     j
   }

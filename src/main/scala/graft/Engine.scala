@@ -72,6 +72,7 @@ object Engine {
     graft.functions.KHyperLogLogSketch.registerAll(spark)
     graft.functions.Classification.registerAll(spark)
     graft.functions.TriviaScalars.registerAll(spark)
+    graft.functions.UnnestGenerator.register(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

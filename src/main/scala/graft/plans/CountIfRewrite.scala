@@ -39,6 +39,7 @@ object CountIfRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CountIfRewrite)
+    ext.injectOptimizerRule(_ => UnnestCodegenRewrite)
     PrestoFunctions.registerAll(ext)
   }
 }

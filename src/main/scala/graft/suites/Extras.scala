@@ -180,7 +180,7 @@ object Extras {
           |  typeof(1.5E0) AS t_double,
           |  typeof('x') AS t_varchar,
           |  typeof(ARRAY[1, 2]) AS t_array,
-          |  typeof(map('a', CAST(1 AS BIGINT))) AS t_map,
+          |  typeof(map(ARRAY['a'], ARRAY[CAST(1 AS BIGINT)])) AS t_map,
           |  CAST(parse_presto_data_size('2.3MB') AS BIGINT) AS mb_bytes,
           |  CAST(parse_presto_data_size('1kB') AS BIGINT) AS kb_bytes,
           |  CAST(parse_presto_data_size('0.12109375GB') AS BIGINT) AS gb_frac_bytes,

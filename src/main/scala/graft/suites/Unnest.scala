@@ -215,6 +215,77 @@ object Unnest {
           |JOIN region r ON r.r_regionkey = length(t.w) % 5
           |WHERE d.doc_id < 5 AND t.w <> ''
           |ORDER BY d.doc_id, t.w, r.r_name""".stripMargin)
+    },
+
+    // UNNEST of an array of TWO-field rows with a two-column alias — the
+    // shape that is textually indistinguishable from a map unnest. The
+    // type-aware generator (functions/UnnestGenerator.scala) resolves it
+    // as row-field expansion at analysis time, like the reference's
+    // ArrayOfRowsUnnester (operator/unnest/UnnestOperator.java).
+    Qdef(
+      "u12_unnest_row_fields",
+      """SELECT n_name AS name, n_nationkey AS nkey
+        |FROM nation
+        |ORDER BY name""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT t.name, t.nkey
+          |FROM (SELECT n_regionkey,
+          |             array_agg(named_struct('name', n_name, 'nkey', n_nationkey)) AS rs
+          |      FROM nation GROUP BY n_regionkey) g,
+          |     UNNEST(g.rs) AS t(name, nkey)
+          |ORDER BY t.name""".stripMargin)
+    },
+
+    // Map argument WITH ORDINALITY (three aliases): key, value, 1-based
+    // index — reference MapUnnester + ordinality channel. Entry order is
+    // made deterministic via map_from_entries over a sorted entry array
+    // (map_from_entries preserves entry order on both engines).
+    Qdef(
+      "u13_unnest_map_ordinality",
+      """SELECT n_name AS k, n_nationkey AS v,
+        |       CAST(row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS BIGINT) AS i
+        |FROM nation
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT t.k, t.v, t.i
+          |FROM (SELECT n_regionkey,
+          |             map_from_entries(array_sort(array_agg(named_struct('k', n_name, 'v', n_nationkey)))) AS m
+          |      FROM nation GROUP BY n_regionkey) g
+          |CROSS JOIN UNNEST(g.m) WITH ORDINALITY AS t(k, v, i)
+          |ORDER BY t.k""".stripMargin)
+    },
+
+    // Alias without a column list — row field names flow through the
+    // generator's element schema (reference: StatementAnalyzer.java
+    // visitUnnest keeps row field names when no column aliases given).
+    Qdef(
+      "u14_unnest_no_column_list",
+      """SELECT n_name AS name, n_nationkey AS nkey
+        |FROM nation
+        |ORDER BY name""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT u.name, u.nkey
+          |FROM (SELECT array_agg(named_struct('name', n_name, 'nkey', n_nationkey)) AS rs
+          |      FROM nation) g
+          |CROSS JOIN UNNEST(g.rs) AS u
+          |ORDER BY u.name""".stripMargin)
+    },
+
+    // Mixed array + map arguments zipped positionally with NULL padding
+    // (reference: UnnestOperator.java multi-channel path — each map
+    // contributes two output channels, arrays one).
+    Qdef(
+      "u15_unnest_mixed_args",
+      """SELECT * FROM (
+        |  SELECT 10 AS x, 'a' AS k, 1 AS v UNION ALL
+        |  SELECT 20, NULL, NULL UNION ALL
+        |  SELECT 30, NULL, NULL) z
+        |ORDER BY x""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT t.x, t.k, t.v
+          |FROM (VALUES 1) AS d(one)
+          |CROSS JOIN UNNEST(ARRAY[10, 20, 30], map(ARRAY['a'], ARRAY[1])) AS t(x, k, v)
+          |ORDER BY t.x""".stripMargin)
     }
   )
 }

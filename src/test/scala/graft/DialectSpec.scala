@@ -43,46 +43,56 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.prestoDateFormat("at %H") == "'at' HH")
   }
 
-  test("CROSS JOIN UNNEST becomes LATERAL VIEW explode") {
+  test("CROSS JOIN UNNEST becomes LATERAL VIEW over the typed generator") {
     assert(Engine.translate(
       "SELECT x FROM t CROSS JOIN UNNEST(t.arr) AS u(x)")
-      == "SELECT x FROM t LATERAL VIEW explode(t.arr) u AS x")
-    // map form: two aliases, still explode
+      == "SELECT x FROM t LATERAL VIEW graft_unnest(t.arr) u AS x")
+    // map form: two aliases — array-of-row vs map is decided at analysis
     assert(Engine.translate(
       "SELECT k, v FROM t CROSS JOIN UNNEST(m) AS kv(k, v)")
-      == "SELECT k, v FROM t LATERAL VIEW explode(m) kv AS k, v")
+      == "SELECT k, v FROM t LATERAL VIEW graft_unnest(m) kv AS k, v")
     // comma (implicit lateral) spelling
     assert(Engine.translate(
       "SELECT x FROM t, UNNEST(t.arr) u(x)")
-      == "SELECT x FROM t LATERAL VIEW explode(t.arr) u AS x")
+      == "SELECT x FROM t LATERAL VIEW graft_unnest(t.arr) u AS x")
   }
 
-  test("UNNEST WITH ORDINALITY builds 1-based inline rows") {
+  test("UNNEST WITH ORDINALITY routes to the ordinality generator") {
     val out = Engine.translate(
       "SELECT w, i FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(w, i)")
-    assert(out.contains("LATERAL VIEW inline(transform(slice(sequence(1, greatest(size(arr), 1)), 1, size(arr))"))
-    assert(out.contains("struct(try_element_at(arr, __graft_i), CAST(__graft_i AS BIGINT)))) u AS w, i"))
+    assert(out == "SELECT w, i FROM t LATERAL VIEW graft_unnest_ord(arr) u AS w, i")
   }
 
-  test("multi-argument UNNEST zips with NULL padding") {
-    val out = Engine.translate(
+  test("multi-argument UNNEST routes to the typed generator") {
+    assert(Engine.translate(
       "SELECT a, b FROM t CROSS JOIN UNNEST(x, y) AS u(a, b)")
-    assert(out.contains("greatest(size(x), size(y))"))
-    assert(out.contains("struct(try_element_at(x, __graft_i), try_element_at(y, __graft_i))"))
+      == "SELECT a, b FROM t LATERAL VIEW graft_unnest(x, y) u AS a, b")
   }
 
   test("LEFT JOIN UNNEST ON TRUE becomes LATERAL VIEW OUTER") {
     assert(Engine.translate(
       "SELECT x FROM t LEFT JOIN UNNEST(t.arr) AS u(x) ON TRUE")
-      == "SELECT x FROM t LATERAL VIEW OUTER explode(t.arr) u AS x")
+      == "SELECT x FROM t LATERAL VIEW OUTER graft_unnest(t.arr) u AS x")
   }
 
-  test("unsupported UNNEST shapes are left verbatim") {
-    // no column list — cannot name the generator output
+  test("UNNEST without a column list or alias uses generator field names") {
+    // alias but no column list — the generator's element schema names apply
     assert(Engine.translate("SELECT * FROM t CROSS JOIN UNNEST(arr) u")
-      == "SELECT * FROM t CROSS JOIN UNNEST(arr) u")
+      == "SELECT * FROM t LATERAL VIEW graft_unnest(arr) u")
+    // no alias at all — a deterministic one is fabricated
+    val bare = Engine.translate("SELECT * FROM t CROSS JOIN UNNEST(arr) WHERE x > 1")
+    assert(bare.matches(raw"SELECT \* FROM t LATERAL VIEW graft_unnest\(arr\) __graft_u\d+ WHERE x > 1"), bare)
     // unnest as a plain identifier is untouched
     assert(Engine.translate("SELECT unnest FROM t") == "SELECT unnest FROM t")
+  }
+
+  test("map constructor: two-arg Presto form becomes map_from_arrays") {
+    assert(Engine.translate("SELECT map(ARRAY['a'], ARRAY[1])")
+      == "SELECT map_from_arrays(array('a'), array(1))")
+    // 0-arg empty map and Spark's variadic pair form pass through
+    assert(Engine.translate("SELECT map()") == "SELECT map()")
+    assert(Engine.translate("SELECT map('k1', 1, 'k2', 2)")
+      == "SELECT map('k1', 1, 'k2', 2)")
   }
 
   test("ARRAY literals become array() calls") {
@@ -228,21 +238,22 @@ class DialectSpec extends AnyFunSuite {
   test("UNNEST mid-join-chain switches to the lateral-subquery form") {
     val t = Engine.translate(
       "SELECT * FROM t CROSS JOIN UNNEST(t.a) AS u(w) JOIN r ON r.k = u.w")
-    assert(t.contains("JOIN LATERAL (SELECT explode(t.a) AS w) u"), t)
+    assert(t.contains("JOIN LATERAL (SELECT graft_unnest(t.a) AS w) u"), t)
     // outer spelling keeps LEFT + ON true
     val o = Engine.translate(
       "SELECT * FROM t LEFT JOIN UNNEST(t.a) AS u(w) ON TRUE JOIN r ON r.k = u.w")
-    assert(o.contains("LEFT JOIN LATERAL (SELECT explode(t.a) AS w) u ON true"), o)
+    assert(o.contains("LEFT JOIN LATERAL (SELECT graft_unnest(t.a) AS w) u ON true"), o)
     // chained UNNESTs keep stacked LATERAL VIEWs
     val c = Engine.translate(
       "SELECT * FROM t CROSS JOIN UNNEST(t.a) AS u(w) CROSS JOIN UNNEST(t.b) AS v(x)")
-    assert(c.contains("LATERAL VIEW explode(t.a) u AS w") &&
-      c.contains("LATERAL VIEW explode(t.b) v AS x"), c)
+    assert(c.contains("LATERAL VIEW graft_unnest(t.a) u AS w") &&
+      c.contains("LATERAL VIEW graft_unnest(t.b) v AS x"), c)
     // terminal UNNEST (nothing after) keeps LATERAL VIEW
     val e = Engine.translate("SELECT * FROM t CROSS JOIN UNNEST(t.a) AS u(w)")
-    assert(e.contains("LATERAL VIEW explode(t.a) u AS w"), e)
-    // single argument with 3+ aliases is an array of rows → inline
+    assert(e.contains("LATERAL VIEW graft_unnest(t.a) u AS w"), e)
+    // single argument with 3+ aliases is an array of rows — the generator
+    // resolves it; the optimizer swaps in inline() post-analysis
     val i = Engine.translate("SELECT * FROM t CROSS JOIN UNNEST(t.rs) AS u(a, b, c)")
-    assert(i.contains("LATERAL VIEW inline(t.rs) u AS a, b, c"), i)
+    assert(i.contains("LATERAL VIEW graft_unnest(t.rs) u AS a, b, c"), i)
   }
 }

@@ -16,7 +16,7 @@ class FacadeSpec extends AnyFunSuite {
     Engine.sql(spark, dir, sql).collect()(0).get(0)
 
   test("custom aggregates resolve through bare Engine.sql") {
-    assert(one("SELECT cardinality(map_union_sum(m)) FROM (SELECT map('a', 1L) AS m)") == 1)
+    assert(one("SELECT cardinality(map_union_sum(m)) FROM (SELECT map(ARRAY['a'], ARRAY[1L]) AS m)") == 1)
     assert(one("SELECT round(geometric_mean(x), 4) FROM (VALUES (2.0), (8.0)) t(x)")
       == 4.0)
     val hll = one(
@@ -70,7 +70,7 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT truncate(123.456, 1)") == 123.4)
     assert(one("SELECT bitwise_and(12, 10)") == 8L)
     assert(one("SELECT log(8, 2)") == 3.0) // Presto log(number, base)
-    assert(one("SELECT cosine_similarity(map('a', 1.0D), map('a', 1.0D))") == 1.0)
+    assert(one("SELECT cosine_similarity(map(ARRAY['a'], ARRAY[1.0D]), map(ARRAY['a'], ARRAY[1.0D]))") == 1.0)
     assert(one("SELECT size(ngrams(array('a','b','c'), 2))") == 2)
     assert(one("SELECT size(combinations(array('a','b','c'), 2))") == 3)
     assert(one("SELECT cardinality(split_to_map('a=1,b=2', ',', '='))") == 2)
@@ -327,6 +327,73 @@ class FacadeSpec extends AnyFunSuite {
         |ORDER BY t.a""".stripMargin).collect()
     assert(rows.map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
       == Seq((1, "x", true), (2, "y", false)))
+  }
+
+  test("UNNEST decides array-of-row vs map by type, not alias arity") {
+    // map with two aliases → (key, value)
+    val m = Engine.sql(spark, dir,
+      """SELECT t.k, t.v FROM (SELECT map(array['a','b'], array[1,2]) AS m) s
+        |CROSS JOIN UNNEST(s.m) AS t(k, v) ORDER BY t.k""".stripMargin).collect()
+    assert(m.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("a", 1), ("b", 2)))
+    // array of TWO-field rows with two aliases → field expansion (the
+    // shape that is textually indistinguishable from a map)
+    val r2 = Engine.sql(spark, dir,
+      """SELECT t.a, t.b
+        |FROM (SELECT array(named_struct('x', 1, 'y', 'p'),
+        |                   named_struct('x', 2, 'y', 'q')) AS rs) s
+        |CROSS JOIN UNNEST(s.rs) AS t(a, b) ORDER BY t.a""".stripMargin).collect()
+    assert(r2.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "p"), (2, "q")))
+    // array of SINGLE-field rows with one alias → the field, not the struct
+    val r1 = Engine.sql(spark, dir,
+      """SELECT t.a
+        |FROM (SELECT array(named_struct('x', 7), named_struct('x', 8)) AS rs) s
+        |CROSS JOIN UNNEST(s.rs) AS t(a) ORDER BY t.a""".stripMargin).collect()
+    assert(r1.map(_.getInt(0)).toSeq == Seq(7, 8))
+  }
+
+  test("UNNEST WITH ORDINALITY over rows, maps, and mixed arguments") {
+    // array of rows + ordinality (fields..., ordinality last, 1-based)
+    val rows = Engine.sql(spark, dir,
+      """SELECT t.a, t.b, t.i
+        |FROM (SELECT array(named_struct('a', 10, 'b', 'x'),
+        |                   named_struct('a', 20, 'b', 'y')) AS rs) s
+        |CROSS JOIN UNNEST(s.rs) WITH ORDINALITY AS t(a, b, i)
+        |ORDER BY t.i""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq((10, "x", 1L), (20, "y", 2L)))
+    // map + ordinality
+    val m = Engine.sql(spark, dir,
+      """SELECT t.k, t.v, t.i FROM (SELECT map(array['a','b'], array[1,2]) AS m) s
+        |CROSS JOIN UNNEST(s.m) WITH ORDINALITY AS t(k, v, i)
+        |ORDER BY t.i""".stripMargin).collect()
+    assert(m.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      == Seq(("a", 1, 1L), ("b", 2, 2L)))
+    // map zipped with a longer array: NULL padding on the map columns
+    val mixed = Engine.sql(spark, dir,
+      """SELECT t.x, t.k, t.v
+        |FROM (SELECT array[1, 2, 3] AS arr,
+        |             map(array['a'], array[9]) AS m) s
+        |CROSS JOIN UNNEST(s.arr, s.m) AS t(x, k, v)
+        |ORDER BY t.x""".stripMargin).collect()
+    assert(mixed.length == 3)
+    assert(mixed(0).getString(1) == "a" && mixed(0).getInt(2) == 9)
+    assert(mixed(1).isNullAt(1) && mixed(1).isNullAt(2))
+  }
+
+  test("UNNEST without a column list keeps row field names") {
+    val rows = Engine.sql(spark, dir,
+      """SELECT t.name, t.qty
+        |FROM (SELECT array(named_struct('name', 'a', 'qty', 1),
+        |                   named_struct('name', 'b', 'qty', 2)) AS rs) s
+        |CROSS JOIN UNNEST(s.rs) AS t ORDER BY t.name""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq
+      == Seq(("a", 1), ("b", 2)))
+    // no alias either: columns resolve unqualified
+    val bare = Engine.sql(spark, dir,
+      """SELECT name, qty
+        |FROM (SELECT array(named_struct('name', 'c', 'qty', 3)) AS rs) s
+        |CROSS JOIN UNNEST(s.rs) ORDER BY name""".stripMargin).collect()
+    assert(bare.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("c", 3)))
   }
 
   test("UNNEST argument scan survives comments and quoted identifiers") {

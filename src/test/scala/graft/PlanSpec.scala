@@ -53,6 +53,34 @@ class PlanSpec extends QueryAssertions {
       plan.take(2000))
   }
 
+  test("single-argument UNNEST shapes swap back to codegen'd generators") {
+    // plans/UnnestRewrite.scala: the type-aware graft_unnest resolves the
+    // shape, then the optimizer restores Spark's built-in generator so the
+    // common forms stay inside whole-stage codegen
+    val arr = planOf(Engine.sql(spark, sfDir,
+      "SELECT u.w FROM (SELECT ARRAY[1, 2] AS a) s CROSS JOIN UNNEST(s.a) AS u(w)"))
+    assert(arr.contains("Generate explode") && !arr.contains("graft_unnest"), arr.take(2000))
+    val mp = planOf(Engine.sql(spark, sfDir,
+      "SELECT t.k, t.v FROM (SELECT map(ARRAY['a'], ARRAY[1]) AS m) s CROSS JOIN UNNEST(s.m) AS t(k, v)"))
+    assert(mp.contains("Generate explode") && !mp.contains("graft_unnest"), mp.take(2000))
+    val rows = planOf(Engine.sql(spark, sfDir,
+      """SELECT t.a, t.b FROM (SELECT array(named_struct('a', 1, 'b', 2)) AS rs) s
+        |CROSS JOIN UNNEST(s.rs) AS t(a, b)""".stripMargin))
+    assert(rows.contains("Generate inline") && !rows.contains("graft_unnest"), rows.take(2000))
+    // ordinality, multi-argument, and map shapes lower to the codegen'd
+    // inline(transform(...)) zip — never the interpreted generator
+    val ord = planOf(Engine.sql(spark, sfDir,
+      """SELECT t.w, t.i FROM (SELECT ARRAY['a','b'] AS a) s
+        |CROSS JOIN UNNEST(s.a) WITH ORDINALITY AS t(w, i)""".stripMargin))
+    assert(ord.contains("Generate inline") && !ord.contains("graft_unnest"), ord.take(2000))
+    val multi = planOf(Engine.sql(spark, sfDir,
+      """SELECT t.x, t.k, t.v
+        |FROM (SELECT ARRAY[1, 2, 3] AS a, map(ARRAY['k'], ARRAY[9]) AS m) s
+        |CROSS JOIN UNNEST(s.a, s.m) AS t(x, k, v)""".stripMargin))
+    assert(multi.contains("Generate inline") && !multi.contains("graft_unnest"),
+      multi.take(2000))
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     val plan = planOf(run("d02_minhash_near_dup"))
     assert(!plan.contains("CartesianProduct"), "all-pairs join would sink at scale")
