@@ -57,6 +57,13 @@ object Dialect {
     "is_nan"              -> "isnan",
     "levenshtein_distance" -> "levenshtein",
     "fail"                -> "raise_error",
+    // regexp_split: Presto's is regex-based like Spark's own split
+    "regexp_split"        -> "split",
+    "to_base64"           -> "base64",
+    "from_base64"         -> "unbase64",
+    "bitwise_and_agg"     -> "bit_and",
+    "bitwise_or_agg"      -> "bit_or",
+    "approx_set"          -> "approx_set_agg",
     // Presto log(number, base) vs Spark log(base, number): arg swap done
     // by the injected expression, not by string surgery.
     "log"                 -> "presto_log",
@@ -253,6 +260,15 @@ object Dialect {
           out.append(functionAliases(lower)).append('(')
           stack.prepend(new Frame('('))
           i = k + 1
+        } else if (lower == "varbinary" && (k >= q.length || q(k) != '(')) {
+          // Presto's VARBINARY type token (SqlBase.g4 baseType) — Spark
+          // spells it BINARY; the bare-word guard leaves any
+          // identifier-call spelling untouched
+          out.append("BINARY"); i = j
+        } else if (lower == "varchar" && (k >= q.length || q(k) != '(')) {
+          // bare unbounded VARCHAR (Presto-legal) — Spark requires a
+          // length, so it maps to STRING; VARCHAR(n) passes through
+          out.append("STRING"); i = j
         } else { out.append(word); i = j }
       } else if (c == '[') {
         val ins = operandStart(out)

@@ -73,6 +73,10 @@ object Engine {
     graft.functions.Classification.registerAll(spark)
     graft.functions.TriviaScalars.registerAll(spark)
     graft.functions.UnnestGenerator.register(spark)
+    graft.functions.BinaryExtras.registerAll(spark)
+    graft.functions.MiscExtras.registerAll(spark)
+    graft.functions.StatsCdf.registerAll(spark)
+    graft.functions.IpFunctions.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

@@ -86,5 +86,8 @@ object HyperLogLog {
     spark.udf.register("merge_hll", udaf(new MergeHllAgg, Encoders.BINARY))
     spark.udf.register("hll_cardinality", udf((s: Array[Byte]) =>
       if (s == null) 0L else estimate(s)))
+    // empty_approx_set() (reference: scalar/HyperLogLogFunctions.java) —
+    // the zero sketch, mergeable with any other
+    spark.udf.register("empty_approx_set", udf(() => emptySketch))
   }
 }

@@ -1,0 +1,85 @@
+package graft.functions
+
+import java.net.InetAddress
+
+import org.apache.spark.sql.SparkSession
+
+/** IP prefix/subnet scalars (reference: presto-main/.../operator/scalar/
+  * IpPrefixFunctions.java). The reference's IPADDRESS/IPPREFIX types are
+  * scoped out (SURVEY §1.2 type narrowing), so addresses and prefixes are
+  * their canonical VARCHAR forms — same values, string-typed. IPv4 and
+  * IPv6 both supported via InetAddress; masking is byte-wise like the
+  * reference's.
+  *
+  *   ip_prefix('192.168.255.255', 9)      → '192.128.0.0/9'
+  *   ip_subnet_min('192.64.0.0/9')        → '192.64.0.0'
+  *   ip_subnet_max('192.64.0.0/9')        → '192.127.255.255'
+  *   ip_subnet_range(p)                   → [min, max]
+  *   is_subnet_of('192.64.0.0/9', ip)     → boolean
+  */
+object IpFunctions {
+
+  private def parse(ip: String): Array[Byte] = InetAddress.getByName(ip).getAddress
+
+  private def render(b: Array[Byte]): String = InetAddress.getByAddress(b).getHostAddress
+
+  private def maskLow(b: Array[Byte], bits: Int, high: Boolean): Array[Byte] = {
+    val total = b.length * 8
+    require(bits >= 0 && bits <= total,
+      s"prefix length must be in [0, $total]")
+    val out = b.clone()
+    var i = bits
+    while (i < total) {
+      val byteIdx = i / 8
+      val bitIdx = 7 - (i % 8)
+      if (high) out(byteIdx) = (out(byteIdx) | (1 << bitIdx)).toByte
+      else out(byteIdx) = (out(byteIdx) & ~(1 << bitIdx)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def splitPrefix(p: String): (Array[Byte], Int) = {
+    val slash = p.lastIndexOf('/')
+    require(slash > 0, s"Invalid CIDR: '$p'")
+    (parse(p.substring(0, slash)), p.substring(slash + 1).toInt)
+  }
+
+  private[functions] def ipPrefix(ip: String, bits: Long): String = {
+    val addr = parse(ip)
+    render(maskLow(addr, bits.toInt, high = false)) + "/" + bits
+  }
+
+  private[functions] def subnetMin(prefix: String): String = {
+    val (addr, bits) = splitPrefix(prefix)
+    render(maskLow(addr, bits, high = false))
+  }
+
+  private[functions] def subnetMax(prefix: String): String = {
+    val (addr, bits) = splitPrefix(prefix)
+    render(maskLow(addr, bits, high = true))
+  }
+
+  private[functions] def isSubnetOf(prefix: String, ip: String): Boolean = {
+    val (addr, bits) = splitPrefix(prefix)
+    val candidate = parse(ip)
+    require(candidate.length == addr.length,
+      "IP address version should be the same")
+    java.util.Arrays.equals(
+      maskLow(addr, bits, high = false), maskLow(candidate, bits, high = false))
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("ip_prefix", (ip: String, bits: Long) =>
+      if (ip == null) null else ipPrefix(ip, bits))
+    spark.udf.register("ip_subnet_min", (p: String) =>
+      if (p == null) null else subnetMin(p))
+    spark.udf.register("ip_subnet_max", (p: String) =>
+      if (p == null) null else subnetMax(p))
+    spark.udf.register("ip_subnet_range", (p: String) =>
+      if (p == null) null else Seq(subnetMin(p), subnetMax(p)))
+    spark.udf.register("is_subnet_of", (p: String, ip: String) =>
+      if (p == null || ip == null) null
+      else java.lang.Boolean.valueOf(isSubnetOf(p, ip)))
+  }
+}

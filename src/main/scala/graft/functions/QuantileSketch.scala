@@ -104,5 +104,40 @@ object QuantileSketch {
       udf((d: Seq[Long], q: Double) =>
         if (d == null) null
         else java.lang.Double.valueOf(valueAtQuantile(d.toArray, q))))
+    // values_at_quantiles / quantile_at_value / quantiles_at_values /
+    // scale_qdigest (reference: scalar/QuantileDigestFunctions.java) —
+    // one digest queried per quantile; rank of a value = mass at or
+    // below its bin; scaling multiplies every bin count by the factor
+    spark.udf.register("values_at_quantiles",
+      udf((d: Seq[Long], qs: Seq[Double]) =>
+        if (d == null || qs == null) null
+        else qs.map(q => valueAtQuantile(d.toArray, q))))
+    spark.udf.register("quantile_at_value",
+      udf((d: Seq[Long], v: Double) =>
+        if (d == null) null
+        else {
+          val total = d.sum
+          if (total == 0) null
+          else {
+            val bin = binOf(v)
+            val below = d.take(bin + 1).sum
+            java.lang.Double.valueOf(below.toDouble / total)
+          }
+        }))
+    spark.udf.register("quantiles_at_values",
+      udf((d: Seq[Long], vs: Seq[Double]) =>
+        if (d == null || vs == null) null
+        else {
+          val total = d.sum
+          if (total == 0) null
+          else vs.map(v => d.take(binOf(v) + 1).sum.toDouble / total)
+        }))
+    spark.udf.register("scale_qdigest",
+      udf((d: Seq[Long], factor: Double) =>
+        if (d == null) null
+        else {
+          require(factor > 0, "Scale factor should be positive.")
+          d.map(c => math.round(c * factor))
+        }))
   }
 }

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions.{udaf, udf}
   * Serialized layout: [n, mean0, weight0, …, mean(n-1), weight(n-1)],
   * centroids sorted by mean.
   */
+/** destructure_tdigest's row shape (reference field names/order:
+  * TDigestFunctions.java TDIGEST_CENTROIDS_ROW_TYPE). */
+case class TDigestParts(
+    centroid_means: Seq[Double],
+    centroid_weights: Seq[Int],
+    compression: Double,
+    min: Double,
+    max: Double,
+    sum: Double,
+    count: Long)
+
 object TDigest {
 
   val Compression = 100.0
@@ -292,5 +303,40 @@ object TDigest {
       udf((d: Seq[Double], x: Double) =>
         if (d == null || d.isEmpty) null
         else java.lang.Double.valueOf(quantileAtValue(d, x))))
+    // scale_tdigest (reference: scalar/TDigestFunctions.java scaleTDigest
+    // — every centroid weight multiplied by a positive factor; quantile
+    // positions are weight-relative so values_at_quantiles is invariant,
+    // but merged-digest contributions rescale)
+    spark.udf.register("scale_tdigest",
+      udf((d: Seq[Double], factor: Double) =>
+        if (d == null || d.isEmpty) null
+        else {
+          require(factor > 0, "scale factor should be positive")
+          val out = d.toArray
+          val n = out(0).toInt
+          var i = 0
+          while (i < n) { out(2 + 2 * i) *= factor; i += 1 }
+          out.toSeq
+        }))
+    // destructure_tdigest (reference: TDigestFunctions.java — row of
+    // centroid means/weights plus compression/min/max/sum/count; our
+    // digest tracks no exact min/max, so they are the extreme centroid
+    // means — documented approximation of an EXPERIMENTAL accessor)
+    spark.udf.register("destructure_tdigest",
+      udf((d: Seq[Double]) =>
+        if (d == null || d.isEmpty) null
+        else {
+          val n = d.head.toInt
+          val pairs = (0 until n)
+            .map(i => (d(1 + 2 * i), d(2 + 2 * i))).sortBy(_._1)
+          val means = pairs.map(_._1)
+          val weights = pairs.map(_._2.round.toInt)
+          val sum = pairs.map(p => p._1 * p._2).sum
+          val count = pairs.map(_._2).sum.round
+          TDigestParts(means, weights, Compression,
+            if (means.isEmpty) Double.NaN else means.min,
+            if (means.isEmpty) Double.NaN else means.max,
+            sum, count)
+        }))
   }
 }

@@ -180,6 +180,43 @@ object PrestoFunctions {
       ShiftRight(long(a(0)), Cast(a(1), IntegerType)) },
     fd("bitwise_logical_shift_right") { a =>
       ShiftRightUnsigned(long(a(0)), Cast(a(1), IntegerType)) },
+    // alternate shift spellings (reference: BitwiseFunctions.java registers
+    // both the *_shift_* and shift-direction-suffixed names)
+    fd("bitwise_shift_left") { a => ShiftLeft(long(a(0)), Cast(a(1), IntegerType)) },
+    fd("bitwise_right_shift") { a =>
+      ShiftRightUnsigned(long(a(0)), Cast(a(1), IntegerType)) },
+    fd("bitwise_right_shift_arithmetic") { a =>
+      ShiftRight(long(a(0)), Cast(a(1), IntegerType)) },
+
+    // lambda predicates (reference: scalar/ArrayAllMatchFunction.java,
+    // ArrayAnyMatchFunction.java, ArrayNoneMatchFunction.java — same
+    // three-valued NULL logic as Spark's forall/exists)
+    fd("all_match") { a => ArrayForAll(a(0), a(1)) },
+    fd("any_match") { a => ArrayExists(a(0), a(1)) },
+    // none_match(a, f) = all_match(a, x -> NOT f(x)) — identical
+    // three-valued logic, and the analyzer requires the root returned for
+    // a lambda-bearing call to itself be a higher-order function
+    fd("none_match") {
+      case Seq(arr, LambdaFunction(fn, args, hidden)) =>
+        ArrayForAll(arr, LambdaFunction(Not(fn), args, hidden))
+      case a => Not(ArrayExists(a(0), a(1)))
+    },
+
+    // SQL-defined array helpers (reference: scalar/sql/ArraySqlFunctions
+    // .java), lowered to codegen'd lambda expressions once element types
+    // resolve (functions/ArrayExtras.scala)
+    fd("array_sum") { a => graft.functions.ArraySumPresto(a.head) },
+    fd("array_average") { a => graft.functions.ArrayAveragePresto(a.head) },
+    fd("array_frequency") { a => graft.functions.ArrayFrequencyPresto(a.head) },
+    fd("array_duplicates") { a => graft.functions.ArrayDuplicatesPresto(a.head) },
+    fd("array_dupes") { a => graft.functions.ArrayDuplicatesPresto(a.head) },
+    fd("array_has_duplicates") { a => graft.functions.ArrayHasDuplicatesPresto(a.head) },
+    fd("array_has_dupes") { a => graft.functions.ArrayHasDuplicatesPresto(a.head) },
+    // trim_array (reference: scalar/ArrayTrimFunction.java — drop n
+    // elements from the end; a negative resulting length fails loudly)
+    fd("trim_array") { a =>
+      Slice(a(0), Literal(1),
+        Subtract(Size(a(0), legacySizeOfNull = false), Cast(a(1), IntegerType))) },
     fd("truncate") {
       case Seq(x)    => truncateExpr(x, None)
       case Seq(x, n) => truncateExpr(x, Some(n))
@@ -238,6 +275,13 @@ object PrestoFunctions {
     fd("week_of_year") { a => WeekOfYear(a.head) },
     fd("year_of_week") { a => YearOfWeek(a.head) },
     fd("yow") { a => YearOfWeek(a.head) },
+    fd("day_of_month") { a => DayOfMonth(Cast(a.head, DateType)) },
+    fd("last_day_of_month") { a => LastDay(Cast(a.head, DateType)) },
+    // millisecond-of-second (reference: DateTimeFunctions.java millisecond
+    // — the [0, 999] field, never negative for pre-epoch instants)
+    fd("millisecond") { a =>
+      Pmod(Cast(
+        UnixMillis(Cast(a.head, TimestampType)), LongType), Literal(1000L)) },
     fd("from_iso8601_date") { a => Cast(a.head, DateType) },
     fd("from_iso8601_timestamp") { a => Cast(a.head, TimestampType) },
 

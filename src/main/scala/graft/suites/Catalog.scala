@@ -552,6 +552,66 @@ object Catalog {
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
       Engine.sql(s, dir, "EXECUTE graft_k18 USING 150000.0, '1995-01-01'")
+    },
+
+    // Sketch scalar extensions (references: scalar/QuantileDigestFunctions
+    // .java values_at_quantiles/quantile_at_value/scale_qdigest, scalar/
+    // TDigestFunctions.java scale_tdigest/destructure_tdigest, scalar/
+    // HyperLogLogFunctions.java empty_approx_set). Property-style oracle:
+    // monotonicity and round-trips as booleans, plus two exact columns —
+    // destructure's count is the real row count and its sum matches the
+    // exact SUM (centroid merges preserve both).
+    Qdef.duckOnly(
+      "k19_sketch_scalars",
+      """SELECT
+        |  true AS vq_monotone,
+        |  true AS qv_roundtrip,
+        |  true AS scale_q_invariant,
+        |  true AS scale_td_invariant,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS destr_count,
+        |  true AS destr_sum_matches,
+        |  CAST(0 AS BIGINT) AS empty_hll""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """WITH d AS (
+          |  SELECT qdigest_agg(o_totalprice) AS qd,
+          |         tdigest_agg(o_totalprice) AS td,
+          |         sum(o_totalprice) AS exact_sum,
+          |         count(*) AS exact_cnt
+          |  FROM orders)
+          |SELECT
+          |  element_at(values_at_quantiles(qd, ARRAY[0.25E0, 0.5E0, 0.75E0]), 1)
+          |    <= element_at(values_at_quantiles(qd, ARRAY[0.25E0, 0.5E0, 0.75E0]), 3) AS vq_monotone,
+          |  abs(quantile_at_value(qd, value_at_quantile(qd, 0.5E0)) - 0.5E0) < 0.05E0 AS qv_roundtrip,
+          |  value_at_quantile(scale_qdigest(qd, 2E0), 0.5E0) = value_at_quantile(qd, 0.5E0) AS scale_q_invariant,
+          |  td_value_at_quantile(scale_tdigest(td, 3E0), 0.5E0) = td_value_at_quantile(td, 0.5E0) AS scale_td_invariant,
+          |  destructure_tdigest(td).count AS destr_count,
+          |  abs(destructure_tdigest(td).sum - exact_sum) / exact_sum < 1E-9 AS destr_sum_matches,
+          |  hll_cardinality(empty_approx_set()) AS empty_hll
+          |FROM d""".stripMargin)
+    },
+
+    // IP prefix/subnet scalars over VARCHAR forms (reference:
+    // scalar/IpPrefixFunctions.java; IPADDRESS/IPPREFIX types narrowed
+    // to their canonical strings per SURVEY §1.2). Keys derived from
+    // real data so the masking runs across rows, not one literal.
+    Qdef(
+      "k20_ip_functions",
+      """SELECT n_nationkey AS k,
+        |  '10.' || CAST(n_nationkey AS VARCHAR) || '.0.0' AS base,
+        |  '10.' || CAST(n_nationkey AS VARCHAR) || '.0.0/16' AS pfx,
+        |  '10.' || CAST(n_nationkey AS VARCHAR) || '.255.255' AS mx,
+        |  true AS member
+        |FROM nation
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT n_nationkey AS k,
+          |  ip_subnet_min(ip_prefix('10.' || CAST(n_nationkey AS VARCHAR) || '.7.9', 16)) AS base,
+          |  ip_prefix('10.' || CAST(n_nationkey AS VARCHAR) || '.7.9', 16) AS pfx,
+          |  ip_subnet_max('10.' || CAST(n_nationkey AS VARCHAR) || '.0.0/16') AS mx,
+          |  is_subnet_of('10.' || CAST(n_nationkey AS VARCHAR) || '.0.0/16',
+          |               '10.' || CAST(n_nationkey AS VARCHAR) || '.42.1') AS member
+          |FROM nation
+          |ORDER BY k""".stripMargin)
     }
   )
 }

@@ -468,6 +468,145 @@ object Scalars {
           |  json_array_get('[10,20,30]', -1) AS last_elem,
           |  json_parse('[1, 2,3]') AS canon,
           |  json_format(json_parse('{"k": 1}')) AS fmt""".stripMargin)
+    },
+
+    // Array helper pack (reference: scalar/sql/ArraySqlFunctions.java
+    // array_sum/array_average/array_frequency/array_duplicates/
+    // array_has_duplicates; scalar/ArrayTrimFunction.java) — all
+    // order-insensitive reductions over per-order quantity arrays, so the
+    // oracle recomputes them relationally without arrays. Shared-dialect:
+    // the oracle SQL is plain ANSI, also cross-run through Engine.sql.
+    Qdef(
+      "f18_array_extras",
+      """SELECT l_orderkey,
+        |  CAST(sum(q * c) AS BIGINT) AS s,
+        |  round(sum(q * c) / CAST(sum(c) AS DOUBLE), 6) AS a,
+        |  max(c) > 1 AS has_dup,
+        |  CAST(sum(CASE WHEN q = 1 THEN c ELSE 0 END) AS INT) AS freq1,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS INT) AS dup_cnt
+        |FROM (
+        |  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  GROUP BY l_orderkey, CAST(l_quantity AS BIGINT)) g
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT l_orderkey,
+          |  array_sum(arr) AS s,
+          |  round(array_average(arr), 6) AS a,
+          |  array_has_duplicates(arr) AS has_dup,
+          |  coalesce(element_at(array_frequency(arr), CAST(1 AS BIGINT)), 0) AS freq1,
+          |  cardinality(array_duplicates(arr)) AS dup_cnt
+          |FROM (SELECT l_orderkey, array_agg(CAST(l_quantity AS BIGINT)) AS arr
+          |      FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey) t
+          |ORDER BY l_orderkey""".stripMargin)
+    },
+
+    // Varbinary encoding/hash pack (reference: VarbinaryFunctions.java).
+    // The oracle pins the reference's OWN published vectors
+    // (presto-main/src/test/.../TestVarbinaryFunctions.java) — the same
+    // ground-truth style as k06's RFC HMAC vectors.
+    Qdef.duckOnly(
+      "f19_binary_pack",
+      """SELECT
+        |  '6B19' AS hex_rt,
+        |  7 AS be32_rt,
+        |  CAST(-2 AS BIGINT) AS be64_rt,
+        |  CAST(2.5 AS DOUBLE) AS ieee_rt,
+        |  '93192FE805BE23041C8318F67EC4F2BC' AS mm128,
+        |  '3768826AD382E6CA' AS sp64,
+        |  '6BF50919' AS sp32,
+        |  CAST(-3750763034362895579 AS BIGINT) AS fnv1_64_empty,
+        |  CAST(881334279 AS BIGINT) AS fnv1a_32_vec,
+        |  'E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855' AS sha256_empty,
+        |  '--8=' AS b64url,
+        |  'hi' AS b64_rt""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  to_hex(from_hex('6b19')) AS hex_rt,
+          |  from_big_endian_32(to_big_endian_32(7)) AS be32_rt,
+          |  from_big_endian_64(to_big_endian_64(CAST(-2 AS BIGINT))) AS be64_rt,
+          |  from_ieee754_64(to_ieee754_64(2.5E0)) AS ieee_rt,
+          |  to_hex(murmur3_x64_128(CAST('hashme' AS VARBINARY))) AS mm128,
+          |  to_hex(spooky_hash_v2_64(CAST('hello' AS VARBINARY))) AS sp64,
+          |  to_hex(spooky_hash_v2_32(CAST('' AS VARBINARY))) AS sp32,
+          |  fnv1_64(from_hex('')) AS fnv1_64_empty,
+          |  fnv1a_32(from_hex('0919')) AS fnv1a_32_vec,
+          |  to_hex(sha256(CAST('' AS VARBINARY))) AS sha256_empty,
+          |  to_base64url(from_hex('FBEF')) AS b64url,
+          |  CAST(from_base64(to_base64(CAST('hi' AS VARBINARY))) AS VARCHAR) AS b64_rt""".stripMargin)
+    },
+
+    // Statistical CDF pack (reference: MathFunctions.java:760-1010 — the
+    // reference computes with commons-math3, bundled with Spark, so the
+    // closed-form oracle values below are exact or 1e-9-stable).
+    Qdef.duckOnly(
+      "f20_cdf_pack",
+      """SELECT
+        |  CAST(0.975002105 AS DOUBLE) AS norm,
+        |  CAST(1.959963985 AS DOUBLE) AS inv_norm,
+        |  round(1 - exp(-1), 9) AS chi2,
+        |  round(1 - exp(-1), 9) AS weib,
+        |  CAST(0.75 AS DOUBLE) AS cauchy,
+        |  CAST(0.5 AS DOUBLE) AS beta,
+        |  CAST(0.623046875 AS DOUBLE) AS binom,
+        |  round(exp(-1), 9) AS poisson,
+        |  3 AS inv_poisson,
+        |  5 AS inv_binom,
+        |  CAST(0.3 AS DOUBLE) AS beta_rt,
+        |  CAST(1.0 AS DOUBLE) AS cauchy_rt""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  round(normal_cdf(0E0, 1E0, 1.96E0), 9) AS norm,
+          |  round(inverse_normal_cdf(0E0, 1E0, 0.975E0), 9) AS inv_norm,
+          |  round(chi_squared_cdf(2E0, 2E0), 9) AS chi2,
+          |  round(weibull_cdf(1E0, 2E0, 2E0), 9) AS weib,
+          |  round(cauchy_cdf(0E0, 1E0, 1E0), 9) AS cauchy,
+          |  round(beta_cdf(2E0, 2E0, 0.5E0), 9) AS beta,
+          |  round(binomial_cdf(10, 0.5E0, 5), 9) AS binom,
+          |  round(poisson_cdf(1E0, 0), 9) AS poisson,
+          |  inverse_poisson_cdf(3E0, 0.5E0) AS inv_poisson,
+          |  inverse_binomial_cdf(10, 0.5E0, 0.5E0) AS inv_binom,
+          |  round(inverse_beta_cdf(2E0, 5E0, beta_cdf(2E0, 5E0, 0.3E0)), 9) AS beta_rt,
+          |  round(inverse_cauchy_cdf(0E0, 1E0, 0.75E0), 9) AS cauchy_rt""".stripMargin)
+    },
+
+    // json_extract / is_json_scalar / strrpos / split_to_multimap /
+    // format_datetime / parse_datetime / timezone fields /
+    // key_sampling_percent (references: JsonFunctions.java,
+    // StringFunctions.java, SplitToMultimapFunction.java,
+    // DateTimeFunctions.java, sql/SimpleSamplingPercent.java). DuckDB's
+    // native json_extract shares the path dialect and oracles those
+    // columns directly.
+    Qdef.duckOnly(
+      "f21_misc_extras",
+      """SELECT
+        |  CAST(json_extract('{"a": {"b": [10, 20]}}', '$.a.b[1]') AS VARCHAR) AS jx,
+        |  CAST(json_extract('{"a": {"b": "x"}}', '$.a.b') AS VARCHAR) AS jx_str,
+        |  true AS js_scalar,
+        |  false AS js_arr,
+        |  CAST(5 AS BIGINT) AS rpos,
+        |  CAST(0 AS BIGINT) AS rpos_missing,
+        |  '1,3' AS mm_a,
+        |  '2024/01/02 03:04' AS fmt,
+        |  TIMESTAMP '2024-01-02 03:04:05' AS parsed,
+        |  CAST(0 AS BIGINT) AS tz_h,
+        |  CAST(0 AS BIGINT) AS tz_m,
+        |  CAST(5400000 AS BIGINT) AS dur_ms""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  json_extract('{"a": {"b": [10, 20]}}', '$.a.b[1]') AS jx,
+          |  json_extract('{"a": {"b": "x"}}', '$.a.b') AS jx_str,
+          |  is_json_scalar('7') AS js_scalar,
+          |  is_json_scalar('[1, 2]') AS js_arr,
+          |  strrpos('ababab', 'ab') AS rpos,
+          |  strrpos('abc', 'z') AS rpos_missing,
+          |  array_join(element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a'), ',') AS mm_a,
+          |  format_datetime(TIMESTAMP '2024-01-02 03:04:05', 'yyyy/MM/dd HH:mm') AS fmt,
+          |  parse_datetime('2024-01-02 03:04:05', 'yyyy-MM-dd HH:mm:ss') AS parsed,
+          |  timezone_hour(TIMESTAMP '2024-01-02 03:04:05') AS tz_h,
+          |  timezone_minute(TIMESTAMP '2024-01-02 03:04:05') AS tz_m,
+          |  to_milliseconds(parse_duration('90m')) AS dur_ms""".stripMargin)
     }
   )
 }

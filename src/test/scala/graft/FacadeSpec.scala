@@ -80,6 +80,109 @@ class FacadeSpec extends AnyFunSuite {
       == "2024-01-02T03:04:05")
   }
 
+  test("array extras and lambda predicates resolve through the facade") {
+    assert(one("SELECT all_match(ARRAY[2, 4], x -> x % 2 = 0)") == true)
+    assert(one("SELECT all_match(CAST(ARRAY[] AS ARRAY<INT>), x -> x > 0)") == true)
+    assert(one("SELECT any_match(ARRAY[1, 3, 4], x -> x % 2 = 0)") == true)
+    assert(one("SELECT none_match(ARRAY[1, 3], x -> x % 2 = 0)") == true)
+    assert(one("SELECT array_sum(ARRAY[1, 2, NULL])") == 3L)
+    assert(one("SELECT array_sum(ARRAY[1.5E0, 2.5E0])") == 4.0)
+    assert(one("SELECT array_sum(CAST(ARRAY[] AS ARRAY<BIGINT>))") == 0L)
+    assert(one("SELECT array_average(ARRAY[1, 2, NULL, 3])") == 2.0)
+    assert(one("SELECT array_average(CAST(ARRAY[] AS ARRAY<INT>))") == null)
+    assert(one("SELECT element_at(array_frequency(ARRAY['a','b','a']), 'a')") == 2)
+    assert(one("SELECT array_sort(array_duplicates(ARRAY[1, 2, 1, 3, 3]))")
+      .asInstanceOf[scala.collection.Seq[Int]].sorted == Seq(1, 3))
+    assert(one("SELECT array_has_duplicates(ARRAY[1, 2])") == false)
+    assert(one("SELECT array_has_dupes(ARRAY[NULL, NULL, 1])") == true)
+    assert(one("SELECT trim_array(ARRAY[1, 2, 3], 1)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2))
+    assert(one("SELECT day_of_month(DATE '2024-02-10')") == 10)
+    assert(one("SELECT last_day_of_month(DATE '2024-02-10')")
+      == java.sql.Date.valueOf("2024-02-29"))
+    assert(one("SELECT millisecond(TIMESTAMP '2024-01-01 00:00:00.123')") == 123L)
+    assert(one("SELECT bitwise_right_shift(8, 2)") == 2L)
+    assert(one("SELECT bitwise_right_shift_arithmetic(-8, 2)") == -2L)
+    assert(one("SELECT bitwise_shift_left(1, 3)") == 8L)
+  }
+
+  test("binary encoding and hash scalars resolve through the facade") {
+    assert(one("SELECT to_hex(from_hex('6b19'))") == "6B19")
+    assert(one("SELECT from_big_endian_32(to_big_endian_32(7))") == 7)
+    assert(one("SELECT from_big_endian_64(to_big_endian_64(-2))") == -2L)
+    assert(one("SELECT from_ieee754_64(to_ieee754_64(2.5E0))") == 2.5)
+    assert(one("SELECT from_ieee754_32(to_ieee754_32(CAST(1.5 AS REAL)))") == 1.5f)
+    assert(one("SELECT to_hex(murmur3_x64_128(CAST('hashme' AS VARBINARY)))")
+      == "93192FE805BE23041C8318F67EC4F2BC")
+    assert(one("SELECT to_hex(spooky_hash_v2_64(CAST('hello' AS VARBINARY)))")
+      == "3768826AD382E6CA")
+    assert(one("SELECT to_hex(spooky_hash_v2_32(CAST('' AS VARBINARY)))") == "6BF50919")
+    assert(one("SELECT fnv1_64(from_hex(''))") == 0xcbf29ce484222325L)
+    assert(one("SELECT fnv1a_32(from_hex('0919'))") == 0x34881807L)
+    assert(one("SELECT to_hex(sha256(CAST('' AS VARBINARY)))")
+      == "E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855")
+    assert(one("SELECT length(sha512(CAST('x' AS VARBINARY)))") == 64)
+    assert(one("SELECT to_base64url(from_hex('FBEF'))") == "--8=")
+    assert(one("SELECT to_hex(from_base64url('--8='))") == "FBEF")
+    assert(one("SELECT CAST(from_base64(to_base64(CAST('hi' AS VARBINARY))) AS VARCHAR)") == "hi")
+    val ksp = one("SELECT key_sampling_percent('some-key')").asInstanceOf[Double]
+    assert(ksp >= 0.0 && ksp < 1.0)
+  }
+
+  test("cdf scalars match closed-form reference values") {
+    def d(sql: String): Double = one(sql).asInstanceOf[Double]
+    assert(math.abs(d("SELECT normal_cdf(0E0, 1E0, 1.96E0)") - 0.9750021048517795) < 1e-12)
+    assert(math.abs(d("SELECT inverse_normal_cdf(0E0, 1E0, 0.975E0)") - 1.959963984540054) < 1e-9)
+    assert(math.abs(d("SELECT chi_squared_cdf(2E0, 2E0)") - (1 - math.exp(-1))) < 1e-12)
+    assert(math.abs(d("SELECT weibull_cdf(1E0, 2E0, 2E0)") - (1 - math.exp(-1))) < 1e-12)
+    assert(d("SELECT cauchy_cdf(0E0, 1E0, 1E0)") == 0.75)
+    assert(math.abs(d("SELECT beta_cdf(2E0, 2E0, 0.5E0)") - 0.5) < 1e-12)
+    assert(math.abs(d("SELECT binomial_cdf(10, 0.5E0, 5)") - 0.623046875) < 1e-12)
+    assert(math.abs(d("SELECT poisson_cdf(1E0, 0)") - math.exp(-1)) < 1e-12)
+    assert(one("SELECT inverse_poisson_cdf(3E0, 0.5E0)") == 3)
+    assert(one("SELECT inverse_binomial_cdf(10, 0.5E0, 0.5E0)") == 5)
+    // inverse∘cdf round-trips on each continuous family
+    assert(math.abs(d("SELECT inverse_beta_cdf(2E0, 5E0, beta_cdf(2E0, 5E0, 0.3E0))") - 0.3) < 1e-9)
+    assert(math.abs(d("SELECT inverse_cauchy_cdf(0E0, 1E0, 0.75E0)") - 1.0) < 1e-9)
+    assert(math.abs(d("SELECT inverse_chi_squared_cdf(3E0, chi_squared_cdf(3E0, 1.7E0))") - 1.7) < 1e-9)
+    assert(math.abs(d("SELECT inverse_weibull_cdf(1.5E0, 2E0, weibull_cdf(1.5E0, 2E0, 1.1E0))") - 1.1) < 1e-9)
+  }
+
+  test("json_extract, strrpos, split_to_multimap, datetime extras") {
+    assert(one("""SELECT json_extract('{"a": {"b": [10, 20]}}', '$.a.b[1]')""") == "20")
+    assert(one("""SELECT json_extract('{"a": {"b": "x"}}', '$.a.b')""") == "\"x\"")
+    assert(one("""SELECT json_extract('{"a": 1}', '$.missing')""") == null)
+    assert(one("""SELECT json_extract('{"a b": 7}', '$["a b"]')""") == "7")
+    assert(one("SELECT is_json_scalar('7')") == true)
+    assert(one("SELECT is_json_scalar('[1, 2]')") == false)
+    assert(one("SELECT strrpos('ababab', 'ab')") == 5L)
+    assert(one("SELECT strrpos('abc', 'z')") == 0L)
+    assert(one("SELECT element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("1", "3"))
+    assert(one("SELECT format_datetime(TIMESTAMP '2024-01-02 03:04:05', 'yyyy/MM/dd HH:mm')")
+      == "2024/01/02 03:04")
+    assert(one("SELECT parse_datetime('2024-01-02 03:04:05', 'yyyy-MM-dd HH:mm:ss')")
+      == java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
+    assert(one("SELECT timezone_hour(TIMESTAMP '2024-01-02 03:04:05')") == 0L)
+    assert(one("SELECT timezone_minute(TIMESTAMP '2024-01-02 03:04:05')") == 0L)
+    assert(one("SELECT to_milliseconds(parse_duration('90m'))") == 5400000L)
+    assert(one("SELECT regexp_split('a1b22c', '[0-9]+')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b", "c"))
+  }
+
+  test("ip prefix/subnet scalars resolve through the facade") {
+    assert(one("SELECT ip_prefix('192.168.255.255', 9)") == "192.128.0.0/9")
+    assert(one("SELECT ip_subnet_min('192.168.255.255/9')") == "192.128.0.0")
+    assert(one("SELECT ip_subnet_max('192.64.0.0/9')") == "192.127.255.255")
+    assert(one("SELECT ip_subnet_range('192.0.0.0/8')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("192.0.0.0", "192.255.255.255"))
+    assert(one("SELECT is_subnet_of('192.64.0.0/9', '192.100.1.2')") == true)
+    assert(one("SELECT is_subnet_of('192.64.0.0/9', '193.0.0.1')") == false)
+    assert(one("SELECT ip_prefix('2001:db8::ff00:42:8329', 32)") == "2001:db8:0:0:0:0:0:0/32")
+    // sketch scalar extensions
+    assert(one("SELECT hll_cardinality(empty_approx_set())") == 0L)
+  }
+
   test("parse_duration returns a day-time interval") {
     assert(one("SELECT parse_duration('90m')")
       == java.time.Duration.ofMinutes(90))
