@@ -63,7 +63,6 @@ object Dialect {
     "from_base64"         -> "unbase64",
     "bitwise_and_agg"     -> "bit_and",
     "bitwise_or_agg"      -> "bit_or",
-    "approx_set"          -> "approx_set_agg",
     // Presto log(number, base) vs Spark log(base, number): arg swap done
     // by the injected expression, not by string surgery.
     "log"                 -> "presto_log",
@@ -152,7 +151,9 @@ object Dialect {
 
   /** Call/bracket frame: kind 'A' = ARRAY[ → array(, 'S' = subscript →
     * element_at(, '(' = plain paren, 'p' = split( whose 2nd argument is a
-    * regex-position literal. `args` counts top-level commas seen. */
+    * regex-position literal, 'W' = a call whose argument was wrapped in
+    * an extra function (emits a second ')' on close). `args` counts
+    * top-level commas seen. */
   private final class Frame(val kind: Char) { var args: Int = 0 }
 
   /** Main rewrite pass: literals copied verbatim, identifiers alias-mapped
@@ -246,6 +247,26 @@ object Dialect {
             .append(unit)
           stack.prepend(new Frame('('))
           i = end
+        } else if (lower == "array_agg" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(pa =>
+              findTopLevelOrderBy(pa._1.mkString(", ")).isDefined)) {
+          // array_agg(expr ORDER BY k…) (reference: SqlBase.g4 aggregate
+          // orderBy clause; ArrayAggregationFunction) — Spark aggregates
+          // take no ORDER BY, so sort a (keys…, value) struct array and
+          // project the value back out; see rewriteOrderedArrayAgg.
+          val (args, after) = parseParenArgs(q, k).get
+          rewriteOrderedArrayAgg(args.mkString(", ")) match {
+            case Some(repl) => out.append(repl); i = after
+            case None       => out.append(word); i = j // unsupported: loud at parser
+          }
+        } else if (lower == "approx_set" && k < q.length && q(k) == '(') {
+          // approx_set(x) (reference: ApproximateSetAggregation.java takes
+          // any orderable type) — our HLL aggregate consumes pre-hashed
+          // BIGINTs, so the argument is wrapped in xxhash64() here; a bare
+          // name alias would CAST strings to NULL and silently drop them
+          out.append("approx_set_agg(xxhash64(")
+          stack.prepend(new Frame('W')) // 'W': emit one extra ')' on close
+          i = k + 1
         } else if (lower == "map" && k < q.length && q(k) == '(') {
           // Presto's map constructor is (array(K), array(V)) — reference:
           // operator/scalar/MapConstructor.java — while Spark's map() is
@@ -285,9 +306,15 @@ object Dialect {
       } else if (c == '(') {
         stack.prepend(new Frame('(')); out.append(c); i += 1
       } else if (c == ')') {
-        if (stack.nonEmpty && (stack.head.kind == '(' || stack.head.kind == 'p'))
+        if (stack.nonEmpty && stack.head.kind == 'W') {
           stack.removeHead()
-        out.append(c); i += 1
+          out.append("))") // close both the wrapped call and the wrapper
+        } else {
+          if (stack.nonEmpty && (stack.head.kind == '(' || stack.head.kind == 'p'))
+            stack.removeHead()
+          out.append(c)
+        }
+        i += 1
       } else if (c == ',') {
         if (stack.nonEmpty) stack.head.args += 1
         out.append(c); i += 1
@@ -300,6 +327,90 @@ object Dialect {
     var j = j0
     while (j < q.length && isWordChar(q(j))) j += 1
     (q.substring(j0, j), j)
+  }
+
+  /** Index of a depth-0 `ORDER BY` inside an argument text (literal-,
+    * paren-, and bracket-aware), or None. */
+  private def findTopLevelOrderBy(text: String): Option[Int] = {
+    var i = 0
+    var depth = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (c == '\'') i = literalEnd(text, i)
+      else if (c == '(' || c == '[') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c == 'o' || c == 'O') &&
+        (i == 0 || !isWordChar(text(i - 1)))) {
+        val (w1, j1) = wordAt(text, i)
+        if (w1.equalsIgnoreCase("order")) {
+          val (w2, _) = wordAt(text, nextNonSpace(text, j1))
+          if (w2.equalsIgnoreCase("by")) return Some(i)
+        }
+        i = j1
+      } else i += 1
+    }
+    None
+  }
+
+  /** `array_agg(expr ORDER BY k1 [ASC|DESC][NULLS F/L], …)` → a sorted
+    * struct array projected back to the value:
+    *
+    *   transform(array_sort(array_agg(named_struct('__o0', k1, …,
+    *     '__v', expr))), __graft_g -> __graft_g.__v)       [+ reverse()]
+    *
+    * array_sort orders structs field-by-field, so keys sort first and
+    * the value breaks ties deterministically. All keys must share one
+    * direction (mixed ASC/DESC returns None → original text fails loudly
+    * at Spark's parser). DISTINCT is supported when ordering by the
+    * aggregated expression itself (the SQL-standard-compatible case).
+    * KNOWN DIVERGENCE: a NULL sort key sorts last ascending / first
+    * descending (array_sort semantics); the reference defaults NULLS
+    * LAST in both directions.
+    */
+  private def rewriteOrderedArrayAgg(argText: String): Option[String] = {
+    val obIdx = findTopLevelOrderBy(argText).getOrElse(return None)
+    var exprPart = argText.substring(0, obIdx).trim
+    // "ORDER" + ws + "BY"
+    val afterOrder = nextNonSpace(argText, obIdx + 5)
+    val sortPart = argText.substring(afterOrder + 2).trim
+    var distinct = false
+    val dm = "(?is)^distinct\\s+(.*)$".r.findFirstMatchIn(exprPart)
+    if (dm.isDefined) { distinct = true; exprPart = dm.get.group(1).trim }
+    if (exprPart.isEmpty || sortPart.isEmpty) return None
+    val items = parseParenArgs("(" + sortPart + ")", 0).map(_._1).getOrElse(return None)
+    var dir: Option[Boolean] = None // Some(true)=desc
+    val keys = items.map { item0 =>
+      var item = item0.trim
+      item = "(?is)^(.*?)\\s+nulls\\s+(?:first|last)$".r
+        .findFirstMatchIn(item).map(_.group(1).trim).getOrElse(item)
+      val m = "(?is)^(.*?)\\s+(asc|desc)$".r.findFirstMatchIn(item)
+      val thisDesc = m.exists(_.group(2).equalsIgnoreCase("desc")) // absent = ASC
+      val key = m.map(_.group(1).trim).getOrElse(item)
+      dir match {
+        case None => dir = Some(thisDesc)
+        case Some(d) => if (d != thisDesc) return None // mixed directions
+      }
+      key
+    }
+    if (keys.exists(_.isEmpty)) return None
+    val desc = dir.getOrElse(false)
+    def rw(t: String): String = rewrite(t)
+    val sorted =
+      if (distinct) {
+        // only the order-by-self case is well-defined for DISTINCT
+        if (keys.map(_.toLowerCase.replaceAll("\\s+", "")) !=
+          Seq(exprPart.toLowerCase.replaceAll("\\s+", ""))) return None
+        s"array_sort(array_agg(DISTINCT ${rw(exprPart)}))"
+      } else {
+        val fields = keys.zipWithIndex
+          .map { case (kk, ix) => s"'__o$ix', ${rw(kk)}" }
+          .mkString("", ", ", s", '__v', ${rw(exprPart)}")
+        s"array_sort(array_agg(named_struct($fields)))"
+      }
+    val ordered = if (desc) s"reverse($sorted)" else sorted
+    Some(
+      if (distinct) ordered
+      else s"transform($ordered, __graft_g -> __graft_g.__v)")
   }
 
   /** Balanced argument scan from the '(' at `open` — aware of

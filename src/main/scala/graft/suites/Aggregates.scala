@@ -348,6 +348,30 @@ object Aggregates {
         """SELECT round(skewness(CAST(l_quantity AS DOUBLE)), 6) AS skew,
           |       round(kurtosis(CAST(l_quantity AS DOUBLE)), 6) AS kurt
           |FROM lineitem WHERE l_orderkey < 2000""".stripMargin)
+    },
+
+    // SQL-form array_agg(x ORDER BY k…) through the facade (reference:
+    // SqlBase.g4 aggregate orderBy + ArrayAggregationFunction) — the
+    // dialect rewrites to a sorted-struct projection since Spark
+    // aggregates take no ORDER BY. Secondary key makes tie order
+    // deterministic on both engines.
+    Qdef.duckOnly(
+      "a16_sql_ordered_array_agg",
+      """SELECT o_orderpriority,
+        |  array_to_string(list(CAST(o_orderkey AS VARCHAR)
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC), ',') AS keys_by_price
+        |FROM orders
+        |WHERE o_orderkey < 300
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT o_orderpriority,
+          |  array_join(array_agg(CAST(o_orderkey AS VARCHAR)
+          |    ORDER BY o_totalprice DESC, o_orderkey DESC), ',') AS keys_by_price
+          |FROM orders
+          |WHERE o_orderkey < 300
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
     }
   )
 }

@@ -86,6 +86,31 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.translate("SELECT unnest FROM t") == "SELECT unnest FROM t")
   }
 
+  test("array_agg with ORDER BY becomes a sorted-struct projection") {
+    assert(Engine.translate("SELECT array_agg(x ORDER BY y) FROM t")
+      == "SELECT transform(array_sort(array_agg(named_struct('__o0', y, '__v', x))), __graft_g -> __graft_g.__v) FROM t")
+    // DESC reverses; multiple same-direction keys allowed
+    assert(Engine.translate("SELECT array_agg(x ORDER BY y DESC, z DESC) FROM t")
+      == "SELECT transform(reverse(array_sort(array_agg(named_struct('__o0', y, '__o1', z, '__v', x)))), __graft_g -> __graft_g.__v) FROM t")
+    // DISTINCT ordered by itself
+    assert(Engine.translate("SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
+      == "SELECT array_sort(array_agg(DISTINCT x)) FROM t")
+    // mixed directions stay verbatim (loud at Spark's parser)
+    val mixed = Engine.translate("SELECT array_agg(x ORDER BY y ASC, z DESC) FROM t")
+    assert(mixed.contains("array_agg(x ORDER BY y ASC"), mixed)
+    // plain array_agg untouched
+    assert(Engine.translate("SELECT array_agg(x) FROM t")
+      == "SELECT array_agg(x) FROM t")
+  }
+
+  test("approx_set wraps its argument in xxhash64") {
+    assert(Engine.translate("SELECT approx_set(c_name) FROM customer")
+      == "SELECT approx_set_agg(xxhash64(c_name)) FROM customer")
+    // nested parens close correctly
+    assert(Engine.translate("SELECT approx_set(substr(c_name, 1, 2)) FROM c")
+      == "SELECT approx_set_agg(xxhash64(substr(c_name, 1, 2))) FROM c")
+  }
+
   test("map constructor: two-arg Presto form becomes map_from_arrays") {
     assert(Engine.translate("SELECT map(ARRAY['a'], ARRAY[1])")
       == "SELECT map_from_arrays(array('a'), array(1))")

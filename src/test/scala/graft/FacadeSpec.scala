@@ -170,6 +170,30 @@ class FacadeSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b", "c"))
   }
 
+  test("array_agg ORDER BY executes with reference ordering semantics") {
+    val asc = one(
+      """SELECT array_agg(v ORDER BY k)
+        |FROM (VALUES (3, 'c'), (1, 'a'), (2, 'b')) t(k, v)""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(asc == Seq("a", "b", "c"))
+    val desc = one(
+      """SELECT array_agg(v ORDER BY k DESC)
+        |FROM (VALUES (3, 'c'), (1, 'a'), (2, 'b')) t(k, v)""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(desc == Seq("c", "b", "a"))
+    val self = one(
+      """SELECT array_agg(DISTINCT v ORDER BY v)
+        |FROM (VALUES ('b'), ('a'), ('b')) t(v)""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(self == Seq("a", "b"))
+    // expression keys and ARRAY-literal translation still apply inside
+    val exprKey = one(
+      """SELECT array_agg(k ORDER BY length(v), v)
+        |FROM (VALUES (1, 'ccc'), (2, 'a'), (3, 'bb')) t(k, v)""".stripMargin)
+      .asInstanceOf[scala.collection.Seq[Int]]
+    assert(exprKey == Seq(2, 3, 1))
+  }
+
   test("ip prefix/subnet scalars resolve through the facade") {
     assert(one("SELECT ip_prefix('192.168.255.255', 9)") == "192.128.0.0/9")
     assert(one("SELECT ip_subnet_min('192.168.255.255/9')") == "192.128.0.0")
@@ -181,6 +205,8 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT ip_prefix('2001:db8::ff00:42:8329', 32)") == "2001:db8:0:0:0:0:0:0/32")
     // sketch scalar extensions
     assert(one("SELECT hll_cardinality(empty_approx_set())") == 0L)
+    // approx_set over raw strings — the dialect hashes for the aggregate
+    assert(one("SELECT hll_cardinality(approx_set(x)) FROM (VALUES ('a'), ('b'), ('a')) t(x)") == 2L)
   }
 
   test("parse_duration returns a day-time interval") {

@@ -16,7 +16,7 @@ class FunctionSweepSpec extends AnyFunSuite {
   /** Names the dialect layer handles with dedicated rewrite branches
     * rather than a 1:1 alias (map constructor, TRY special form, literal
     * split, 3-arg date_add/date_diff). */
-  private val textHandled = Set("map", "try", "split", "date_add", "date_diff")
+  private val textHandled = Set("map", "try", "split", "date_add", "date_diff", "approx_set", "array_agg")
 
   /** Deliberately not implemented; each with the reason a user sees. */
   private val deferred = Map(
