@@ -262,9 +262,11 @@ object Dialect {
         } else if (lower == "approx_set" && k < q.length && q(k) == '(') {
           // approx_set(x) (reference: ApproximateSetAggregation.java takes
           // any orderable type) — our HLL aggregate consumes pre-hashed
-          // BIGINTs, so the argument is wrapped in xxhash64() here; a bare
-          // name alias would CAST strings to NULL and silently drop them
-          out.append("approx_set_agg(xxhash64(")
+          // BIGINTs, so the argument is wrapped in a NULL-propagating
+          // hash; a bare name alias would CAST strings to NULL and
+          // silently drop them, and raw xxhash64 would hash NULL to the
+          // seed and count a phantom element
+          out.append("approx_set_agg(graft_approx_set_hash(")
           stack.prepend(new Frame('W')) // 'W': emit one extra ')' on close
           i = k + 1
         } else if (lower == "map" && k < q.length && q(k) == '(') {
@@ -640,29 +642,67 @@ object Dialect {
   }
 
   /** True when the text at `j` (just past a consumed UNNEST clause)
-    * starts a join to something OTHER than another UNNEST: chained
-    * UNNESTs compose fine as stacked LATERAL VIEWs, but a join to a real
-    * relation after a lateral view doesn't parse in Spark, so the caller
-    * switches to the lateral-subquery form. */
-  private def joinToNonUnnestFollows(q: String, j: Int): Boolean = {
-    var k = nextNonSpace(q, j)
-    if (k >= q.length) return false
-    if (q(k) == ',') {
-      val (w, _) = wordAt(q, nextNonSpace(q, k + 1))
-      return w.nonEmpty && !w.equalsIgnoreCase("unnest")
-    }
+    * eventually joins something OTHER than an UNNEST in the same FROM:
+    * chained UNNESTs compose fine as stacked LATERAL VIEWs, but a join
+    * to a real relation after a lateral view doesn't parse in Spark, so
+    * the caller switches to the lateral-subquery form — and because this
+    * scan SKIPS over any number of intermediate UNNEST clauses, every
+    * unnest in such a chain makes the same choice (JOIN LATERAL chains
+    * parse anywhere a relation does). */
+  private def joinToNonUnnestFollows(q: String, j0: Int): Boolean = {
     val joinKw = Set("join", "inner", "cross", "left", "right", "full", "outer")
-    var seenJoin = false
-    var hops = 0
-    while (hops < 4) { // at most LEFT OUTER JOIN <relation>
+    var k = nextNonSpace(q, j0)
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      if (k >= q.length) return false
+      // one join intro: ',' or a run of join keywords
+      if (q(k) == ',') k = nextNonSpace(q, k + 1)
+      else {
+        var seen = false
+        var hops = 0
+        var done = false
+        while (!done && hops < 4) {
+          val (w, kw) = wordAt(q, k)
+          if (w.nonEmpty && joinKw.contains(w.toLowerCase)) {
+            seen = true; k = nextNonSpace(q, kw); hops += 1
+          } else done = true
+        }
+        if (!seen) return false // WHERE/GROUP/end — no further join
+      }
+      // the joined relation
       val (w, kw) = wordAt(q, k)
-      if (w.isEmpty)
-        // a non-word relation after the join keywords: a parenthesized
-        // subquery / VALUES — definitely not another UNNEST
-        return seenJoin && k < q.length && q(k) == '('
-      val wl = w.toLowerCase
-      if (joinKw.contains(wl)) { seenJoin = true; k = nextNonSpace(q, kw); hops += 1 }
-      else return seenJoin && wl != "unnest"
+      if (w.isEmpty) return true // '(' subquery / VALUES — a real relation
+      if (!w.equalsIgnoreCase("unnest")) return true
+      // another UNNEST: skip its whole clause and keep looking
+      val open = nextNonSpace(q, kw)
+      if (open >= q.length || q(open) != '(') return true
+      var p = parseParenArgs(q, open) match {
+        case Some((_, after)) => nextNonSpace(q, after)
+        case None             => return true
+      }
+      val (w1, j1) = wordAt(q, p)
+      if (w1.equalsIgnoreCase("with")) {
+        val (w2, j2) = wordAt(q, nextNonSpace(q, j1))
+        if (w2.equalsIgnoreCase("ordinality")) p = nextNonSpace(q, j2)
+      }
+      val (wAs, jAs) = wordAt(q, p)
+      if (wAs.equalsIgnoreCase("as")) p = nextNonSpace(q, jAs)
+      val (alias, jA) = wordAt(q, p)
+      if (alias.nonEmpty && alias.head.isLetter &&
+        !unnestAliasStopWords.contains(alias.toLowerCase)) {
+        p = nextNonSpace(q, jA)
+        if (p < q.length && q(p) == '(')
+          parseParenArgs(q, p).foreach { case (_, after) => p = after }
+      }
+      // LEFT JOIN UNNEST … ON TRUE tail
+      val onAt = nextNonSpace(q, p)
+      val (wOn, jOn) = wordAt(q, onAt)
+      if (wOn.equalsIgnoreCase("on")) {
+        val (wT, jT) = wordAt(q, nextNonSpace(q, jOn))
+        if (wT.equalsIgnoreCase("true")) p = jT
+      }
+      k = nextNonSpace(q, p)
     }
     false
   }

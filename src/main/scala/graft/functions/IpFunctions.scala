@@ -19,7 +19,18 @@ import org.apache.spark.sql.SparkSession
   */
 object IpFunctions {
 
-  private def parse(ip: String): Array[Byte] = InetAddress.getByName(ip).getAddress
+  // InetAddress.getByName falls back to a blocking DNS lookup for any
+  // non-literal string — a per-row network call at scale, and hostname
+  // resolution where the reference raises INVALID_FUNCTION_ARGUMENT.
+  // Only literal v4 dotted-quads and v6 colon forms are accepted.
+  private val V4 = "\\d{1,3}(\\.\\d{1,3}){3}".r
+  private val V6 = "[0-9a-fA-F:]*:[0-9a-fA-F:]*(:\\d{1,3}(\\.\\d{1,3}){3})?".r
+
+  private def parse(ip: String): Array[Byte] = {
+    val isLiteral = V4.matches(ip) || V6.matches(ip)
+    require(isLiteral, s"Invalid IP address literal: '$ip'")
+    InetAddress.getByName(ip).getAddress
+  }
 
   private def render(b: Array[Byte]): String = InetAddress.getByAddress(b).getHostAddress
 

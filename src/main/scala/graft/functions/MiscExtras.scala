@@ -88,7 +88,6 @@ object MiscExtras {
 
   private[functions] def strrpos(s: String, sub: String, instance: Long): Long = {
     require(instance > 0, "'instance' must be a positive number.")
-    if (s == null || sub == null) return 0L
     if (sub.isEmpty) return 1L
     var found = 0
     var index = s.length
@@ -145,7 +144,10 @@ object MiscExtras {
         else java.lang.Boolean.valueOf(
           try { val n = mapper.readTree(j); n != null && n.isValueNode }
           catch { case _: com.fasterxml.jackson.core.JacksonException => false }))
-    spark.udf.register("strrpos", (s: String, sub: String) => strrpos(s, sub, 1L))
+    spark.udf.register("strrpos",
+      (s: String, sub: String) =>
+        if (s == null || sub == null) null
+        else java.lang.Long.valueOf(strrpos(s, sub, 1L)))
     spark.udf.register("split_to_multimap",
       (s: String, e: String, kv: String) => splitToMultimap(s, e, kv))
     spark.udf.register("format_datetime",

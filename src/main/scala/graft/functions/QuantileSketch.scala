@@ -107,7 +107,10 @@ object QuantileSketch {
     // values_at_quantiles / quantile_at_value / quantiles_at_values /
     // scale_qdigest (reference: scalar/QuantileDigestFunctions.java) —
     // one digest queried per quantile; rank of a value = mass at or
-    // below its bin; scaling multiplies every bin count by the factor
+    // below its bin; scaling multiplies every bin count by the factor.
+    // KNOWN DIVERGENCE: this digest's state is integral bin counts, so
+    // scale factors < 1 round unit-count bins away (the reference scales
+    // double weights); factors >= 1 are exact
     spark.udf.register("values_at_quantiles",
       udf((d: Seq[Long], qs: Seq[Double]) =>
         if (d == null || qs == null) null

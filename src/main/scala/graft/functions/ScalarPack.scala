@@ -184,14 +184,20 @@ object ScalarPack {
           // is indistinguishable and counts as its parsed form.
           case None => java.lang.Long.valueOf(0L)
         })
+    // a NULL value argument propagates NULL like the reference's
+    // @SqlNullable parameters, never an NPE inside the predicate
     spark.udf.register("json_array_contains_str",
-      (j: String, v: String) => jsonArrayContains(j, n => n.isTextual && n.asText == v))
+      (j: String, v: String) =>
+        if (v == null) null
+        else jsonArrayContains(j, n => n.isTextual && n.asText == v))
     spark.udf.register("json_array_contains_num",
       (j: String, v: java.lang.Double) =>
-        jsonArrayContains(j, n => n.isNumber && n.asDouble == v.doubleValue))
+        if (v == null) null
+        else jsonArrayContains(j, n => n.isNumber && n.asDouble == v.doubleValue))
     spark.udf.register("json_array_contains_bool",
       (j: String, v: java.lang.Boolean) =>
-        jsonArrayContains(j, n => n.isBoolean && n.asBoolean == v.booleanValue))
+        if (v == null) null
+        else jsonArrayContains(j, n => n.isBoolean && n.asBoolean == v.booleanValue))
     spark.udf.register("json_array_get",
       (j: String, i: java.lang.Long) =>
         if (j == null || i == null) null

@@ -87,9 +87,13 @@ object Multimodal {
   private[graft] final case class Decoded(
       pixels: Array[Byte], width: Int, height: Int)
 
-  /** Decode a PNG payload back to row-major pixel samples. */
+  /** Decode a PNG payload back to row-major pixel samples. ImageIO.read
+    * signals "can't decode" with null — surfaced as a per-row error with
+    * the payload size rather than an anonymous NPE failing the stage. */
   private[graft] def decodePng(payload: Array[Byte]): Decoded = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null,
+      s"undecodable image payload (${payload.length} bytes) for an image/* mime")
     val w = img.getWidth
     val h = img.getHeight
     val raster = img.getRaster

@@ -213,10 +213,26 @@ object PrestoFunctions {
     fd("array_has_duplicates") { a => graft.functions.ArrayHasDuplicatesPresto(a.head) },
     fd("array_has_dupes") { a => graft.functions.ArrayHasDuplicatesPresto(a.head) },
     // trim_array (reference: scalar/ArrayTrimFunction.java — drop n
-    // elements from the end; a negative resulting length fails loudly)
+    // elements from the end; negative n and n > size both fail loudly,
+    // matching the reference's INVALID_FUNCTION_ARGUMENT)
     fd("trim_array") { a =>
+      val n = Cast(a(1), IntegerType)
+      val checked = If(
+        LessThan(n, Literal(0)),
+        Cast(RaiseError(Literal("size must not be negative")), IntegerType),
+        n)
       Slice(a(0), Literal(1),
-        Subtract(Size(a(0), legacySizeOfNull = false), Cast(a(1), IntegerType))) },
+        Subtract(Size(a(0), legacySizeOfNull = false), checked)) },
+
+    // approx_set's argument hasher (Dialect rewrites approx_set(x[, e])
+    // to approx_set_agg(graft_approx_set_hash(x[, e]))): NULL stays NULL
+    // so the aggregate skips the row — a bare xxhash64(NULL) would yield
+    // the seed and inflate the sketch by one phantom element. A second
+    // (maxStandardError) argument is accepted and ignored — this HLL is
+    // fixed at p=12 (README known divergences).
+    fd("graft_approx_set_hash") { a =>
+      If(IsNull(a.head), Literal.create(null, LongType),
+        new XxHash64(Seq(a.head))) },
     fd("truncate") {
       case Seq(x)    => truncateExpr(x, None)
       case Seq(x, n) => truncateExpr(x, Some(n))

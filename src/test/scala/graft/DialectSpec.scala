@@ -105,10 +105,10 @@ class DialectSpec extends AnyFunSuite {
 
   test("approx_set wraps its argument in xxhash64") {
     assert(Engine.translate("SELECT approx_set(c_name) FROM customer")
-      == "SELECT approx_set_agg(xxhash64(c_name)) FROM customer")
+      == "SELECT approx_set_agg(graft_approx_set_hash(c_name)) FROM customer")
     // nested parens close correctly
     assert(Engine.translate("SELECT approx_set(substr(c_name, 1, 2)) FROM c")
-      == "SELECT approx_set_agg(xxhash64(substr(c_name, 1, 2))) FROM c")
+      == "SELECT approx_set_agg(graft_approx_set_hash(substr(c_name, 1, 2))) FROM c")
   }
 
   test("map constructor: two-arg Presto form becomes map_from_arrays") {

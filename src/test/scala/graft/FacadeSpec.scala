@@ -525,6 +525,36 @@ class FacadeSpec extends AnyFunSuite {
     assert(bare.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("c", 3)))
   }
 
+  test("chained UNNESTs followed by a real JOIN all switch to JOIN LATERAL") {
+    val t = Engine.translate(
+      "SELECT * FROM t CROSS JOIN UNNEST(t.a) AS u1(x) CROSS JOIN UNNEST(t.b) AS u2(y) JOIN r ON r.k = u1.x")
+    assert(t.contains("JOIN LATERAL (SELECT graft_unnest(t.a) AS x) u1") &&
+      t.contains("JOIN LATERAL (SELECT graft_unnest(t.b) AS y) u2"), t)
+    val rows = Engine.sql(spark, dir,
+      """SELECT t.id, u1.x, u2.y, r.name
+        |FROM (VALUES (1, ARRAY[10], ARRAY[7])) AS t(id, a, b)
+        |CROSS JOIN UNNEST(t.a) AS u1(x)
+        |CROSS JOIN UNNEST(t.b) AS u2(y)
+        |JOIN (VALUES (10, 'ten')) AS r(k, name) ON r.k = u1.x""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+      == Seq((1, 10, 7, "ten")))
+  }
+
+  test("null propagation: json_array_contains, strrpos, approx_set") {
+    assert(one("SELECT json_array_contains('[1,2]', CAST(NULL AS DOUBLE))") == null)
+    assert(one("SELECT json_array_contains('[true]', CAST(NULL AS BOOLEAN))") == null)
+    assert(one("SELECT strrpos(CAST(NULL AS VARCHAR), 'x')") == null)
+    assert(one("SELECT strrpos('abc', CAST(NULL AS VARCHAR))") == null)
+    // NULL rows never inflate the sketch (xxhash64(NULL) would hash the seed)
+    assert(one(
+      "SELECT hll_cardinality(approx_set(x)) FROM (VALUES ('a'), (CAST(NULL AS VARCHAR)), ('a')) t(x)")
+      == 1L)
+    // trim_array rejects negative sizes loudly
+    val e = intercept[Exception](
+      one("SELECT trim_array(ARRAY[1, 2, 3], -1)"))
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
+
   test("UNNEST argument scan survives comments and quoted identifiers") {
     // a comment containing ')' and ',' inside the argument list
     assert(Engine.sql(spark, dir,
