@@ -216,6 +216,14 @@ object Dialect {
           }
         }) {
           // handled in the guard
+        } else if ((lower == "ipaddress" || lower == "ipprefix" ||
+            lower == "json") && k < q.length && q(k) == '\'') {
+          // typed literals for types narrowed to VARCHAR text forms
+          // (SqlBase.g4 typeConstructor; SURVEY §1.2 narrowing): the
+          // value IS the canonical string, so the constructor drops
+          val end = literalEnd(q, k)
+          out.append(q.substring(k, end))
+          i = end
         } else if (lower == "decimal" && k < q.length && q(k) == '\'') {
           // Presto typed literal DECIMAL 'd.dd' (SqlBase.g4 primaryExpression
           // typeConstructor) → CAST with precision/scale read off the text.

@@ -32,7 +32,33 @@ object IpFunctions {
     InetAddress.getByName(ip).getAddress
   }
 
-  private def render(b: Array[Byte]): String = InetAddress.getByAddress(b).getHostAddress
+  /** Canonical text form: dotted quad for v4; RFC 5952 for v6 (lowercase
+    * hex, longest zero run compressed to `::`) — the same rendering the
+    * reference's IPADDRESS type uses, where Java's getHostAddress would
+    * print every group. */
+  private def render(b: Array[Byte]): String =
+    if (b.length == 4) InetAddress.getByAddress(b).getHostAddress
+    else {
+      val groups = Array.tabulate(8)(i =>
+        ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+      // longest run of zero groups (length >= 2) wins; earliest on ties
+      var bestStart = -1; var bestLen = 0
+      var i = 0
+      while (i < 8) {
+        if (groups(i) == 0) {
+          var jj = i
+          while (jj < 8 && groups(jj) == 0) jj += 1
+          if (jj - i > bestLen && jj - i >= 2) { bestStart = i; bestLen = jj - i }
+          i = jj
+        } else i += 1
+      }
+      if (bestStart < 0) groups.map(Integer.toHexString).mkString(":")
+      else {
+        val head = groups.take(bestStart).map(Integer.toHexString).mkString(":")
+        val tail = groups.drop(bestStart + bestLen).map(Integer.toHexString).mkString(":")
+        s"$head::$tail"
+      }
+    }
 
   private def maskLow(b: Array[Byte], bits: Int, high: Boolean): Array[Byte] = {
     val total = b.length * 8

@@ -188,6 +188,12 @@ object PrestoFunctions {
     fd("bitwise_right_shift_arithmetic") { a =>
       ShiftRight(long(a(0)), Cast(a(1), IntegerType)) },
 
+    // zip(a, b[, …]) (reference: scalar/ZipFunction.java — positional
+    // row zip, shorter arrays NULL-padded): Spark's arrays_zip has the
+    // same padding; row field names come from the inputs rather than
+    // being anonymous
+    fd("zip") { a => new ArraysZip(a) },
+
     // lambda predicates (reference: scalar/ArrayAllMatchFunction.java,
     // ArrayAnyMatchFunction.java, ArrayNoneMatchFunction.java — same
     // three-valued NULL logic as Spark's forall/exists)

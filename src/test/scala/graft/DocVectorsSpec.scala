@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference documentation examples run VERBATIM through the facade
+  * (source: presto-docs/src/main/sphinx/functions (.rst files) — each `SELECT
+  * …; -- expected` pair is the reference's own published behavioral
+  * contract). Typed IPADDRESS/IPPREFIX/JSON literals exercise the
+  * dialect's typed-literal narrowing; results compare against the
+  * documented values.
+  */
+class DocVectorsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def dir = TestSpark.sfDir
+
+  private def one(sql: String): Any =
+    Engine.sql(spark, dir, sql).collect()(0).get(0)
+
+  private def seq(sql: String): Seq[Any] =
+    one(sql).asInstanceOf[scala.collection.Seq[Any]].toSeq
+
+  test("ip.rst examples") {
+    assert(one("SELECT ip_prefix(CAST('192.168.255.255' AS VARCHAR), 9)")
+      == "192.128.0.0/9")
+    assert(one("SELECT ip_prefix('2001:0db8:85a3:0001:0001:8a2e:0370:7334', 48)")
+      == "2001:db8:85a3::/48")
+    assert(one("SELECT ip_subnet_min(IPPREFIX '192.168.255.255/9')")
+      == "192.128.0.0")
+    assert(one("SELECT ip_subnet_min(IPPREFIX '2001:0db8:85a3:0001:0001:8a2e:0370:7334/48')")
+      == "2001:db8:85a3::")
+    assert(one("SELECT ip_subnet_max(IPPREFIX '192.64.0.0/9')")
+      == "192.127.255.255")
+    assert(one("SELECT ip_subnet_max(IPPREFIX '2001:0db8:85a3:0001:0001:8a2e:0370:7334/48')")
+      == "2001:db8:85a3:ffff:ffff:ffff:ffff:ffff")
+    assert(seq("SELECT ip_subnet_range(IPPREFIX '1.2.3.160/24')")
+      == Seq("1.2.3.0", "1.2.3.255"))
+    assert(seq("SELECT ip_subnet_range(IPPREFIX '64:ff9b::52f4/120')")
+      == Seq("64:ff9b::5200", "64:ff9b::52ff"))
+    assert(one("SELECT is_subnet_of(IPPREFIX '1.2.3.128/26', IPADDRESS '1.2.3.129')")
+      == true)
+    assert(one("SELECT is_subnet_of(IPPREFIX '64:fa9b::17/64', IPADDRESS '64:ffff::17')")
+      == false)
+  }
+
+  test("array.rst examples: lambdas, reduce, ngrams, zip") {
+    assert(seq("SELECT filter(ARRAY [5, -6, NULL, 7], x -> x > 0)") == Seq(5, 7))
+    assert(one("SELECT reduce(ARRAY [], 0, (s, x) -> s + x, s -> s)") == 0)
+    assert(one("SELECT reduce(ARRAY [5, 20, 50], 0, (s, x) -> s + x, s -> s)") == 75)
+    assert(one("SELECT reduce(ARRAY [5, 20, NULL, 50], 0, (s, x) -> s + x, s -> s)") == null)
+    assert(one("SELECT reduce(ARRAY [5, 20, NULL, 50], 0, (s, x) -> s + COALESCE(x, 0), s -> s)") == 75)
+    assert(seq("SELECT transform(ARRAY [5, 6], x -> x + 1)") == Seq(6, 7))
+    assert(seq("SELECT transform(ARRAY ['x', 'abc', 'z'], x -> x || '0')")
+      == Seq("x0", "abc0", "z0"))
+    assert(one("SELECT cardinality(ngrams(ARRAY['foo', 'bar', 'baz', 'foo'], 2))") == 3)
+    assert(seq("SELECT zip_with(ARRAY[1, 2], ARRAY[3, 4], (x, y) -> x + y)") == Seq(4, 6))
+    // zip: positional row zip with NULL padding
+    assert(one("SELECT cardinality(zip(ARRAY[1, 2], ARRAY['1b', null, '3b']))") == 3)
+    // the padded second row's second field is NULL (row FIELD access —
+    // positional [n] subscripts on rows are untranslatable without types)
+    assert(one(
+      """SELECT element_at(transform(zip(ARRAY[1, 2], ARRAY['a']), r -> r."1" IS NULL), 2)""")
+      == true)
+  }
+
+  test("binary.rst / math.rst examples") {
+    assert(one("SELECT to_hex(CAST('abc' AS VARBINARY))") == "616263")
+    assert(one("SELECT from_big_endian_64(to_big_endian_64(1234567890))") == 1234567890L)
+    assert(one("SELECT round(normal_cdf(0, 1, 0), 1)") == 0.5)
+    assert(one("SELECT round(beta_cdf(3, 3.6, 0.0), 1)") == 0.0)
+    assert(one("SELECT round(beta_cdf(3, 3.6, 1.0), 1)") == 1.0)
+  }
+
+  test("lambda.rst / map.rst examples") {
+    assert(one("SELECT any_match(ARRAY[1, 2, 3], x -> x > 2)") == true)
+    assert(one("SELECT cardinality(map_filter(MAP(ARRAY['k1', 'k2', 'k3'], ARRAY[20, 3, 15]), (k, v) -> v > 10))")
+      == 2)
+    assert(one("SELECT element_at(transform_values(MAP(ARRAY[1], ARRAY[10]), (k, v) -> v + k), 1)")
+      == 11)
+    assert(one("SELECT cardinality(multimap_from_entries(ARRAY[(1, 'x'), (2, 'y'), (1, 'z')]))")
+      == 2)
+  }
+
+  test("json.rst examples") {
+    assert(one("SELECT is_json_scalar('1')") == true)
+    assert(one("SELECT is_json_scalar('[1, 2, 3]')") == false)
+    assert(one("SELECT json_array_contains('[1, 2, 3]', 2)") == true)
+    assert(one("SELECT json_array_length('[1, 2, 3]')") == 3)
+  }
+}

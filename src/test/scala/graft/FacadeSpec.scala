@@ -202,7 +202,7 @@ class FacadeSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[String]] == Seq("192.0.0.0", "192.255.255.255"))
     assert(one("SELECT is_subnet_of('192.64.0.0/9', '192.100.1.2')") == true)
     assert(one("SELECT is_subnet_of('192.64.0.0/9', '193.0.0.1')") == false)
-    assert(one("SELECT ip_prefix('2001:db8::ff00:42:8329', 32)") == "2001:db8:0:0:0:0:0:0/32")
+    assert(one("SELECT ip_prefix('2001:db8::ff00:42:8329', 32)") == "2001:db8::/32")
     // sketch scalar extensions
     assert(one("SELECT hll_cardinality(empty_approx_set())") == 0L)
     // approx_set over raw strings — the dialect hashes for the aggregate
