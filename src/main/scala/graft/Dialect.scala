@@ -74,6 +74,11 @@ object Dialect {
 
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
+  /** Numeric type keywords whose `TYPE 'literal'` constructor form maps
+    * to a CAST (SqlBase.g4 typeConstructor). */
+  private val numericTypedLiterals =
+    Set("tinyint", "smallint", "integer", "bigint", "real", "double", "boolean")
+
   /** Index just past a single-quoted literal starting at `start`
     * (q(start) == '\''), honoring '' escapes. */
   private def literalEnd(q: String, start: Int): Int = {
@@ -144,10 +149,34 @@ object Dialect {
     * regex metacharacters is wrapped in \Q…\E when translated. (A
     * delimiter containing the two-char sequence `\E` would break the
     * quoting — not expressible this way, and not a realistic delimiter.) */
+  /** Presto string literals have NO backslash escapes (SqlBase.g4 —
+    * only '' doubles a quote), while Spark's parser eats C-style
+    * escapes; doubling backslashes preserves the characters exactly. */
+  private def preserveBackslashes(literalText: String): String =
+    literalText.replace("\\", "\\\\")
+
   private def quoteRegexLiteral(body: String): String =
     if (body.exists(regexMeta.contains(_)))
       "\\\\Q" + body.replace("\\", "\\\\") + "\\\\E"
     else body
+
+  /** The comparison operator ending the emitted text (whitespace
+    * skipped): its text and start index, for the quantified-comparison
+    * rewrite. */
+  private def trailingComparisonOp(out: StringBuilder): Option[(String, Int)] = {
+    var e = out.length
+    while (e > 0 && out(e - 1).isWhitespace) e -= 1
+    if (e >= 2) {
+      val two = out.substring(e - 2, e)
+      if (two == "<=" || two == ">=" || two == "<>" || two == "!=")
+        return Some((two, e - 2))
+    }
+    if (e >= 1) {
+      val one = out.substring(e - 1, e)
+      if (one == "=" || one == "<" || one == ">") return Some((one, e - 1))
+    }
+    None
+  }
 
   /** Call/bracket frame: kind 'A' = ARRAY[ → array(, 'S' = subscript →
     * element_at(, '(' = plain paren, 'p' = split( whose 2nd argument is a
@@ -180,7 +209,7 @@ object Dialect {
         if (stack.nonEmpty && stack.head.kind == 'p' && stack.head.args == 1) {
           val body = q.substring(i + 1, j - 1)
           out.append('\'').append(quoteRegexLiteral(body)).append('\'')
-        } else out.append(q.substring(i, j))
+        } else out.append(preserveBackslashes(q.substring(i, j)))
         i = j
       } else if (c == '"') {
         // double-quoted identifier ("" escapes a quote) → backticks
@@ -222,8 +251,69 @@ object Dialect {
           // (SqlBase.g4 typeConstructor; SURVEY §1.2 narrowing): the
           // value IS the canonical string, so the constructor drops
           val end = literalEnd(q, k)
-          out.append(q.substring(k, end))
+          out.append(preserveBackslashes(q.substring(k, end)))
           i = end
+        } else if ((lower == "ipaddress" || lower == "ipprefix") &&
+            (k >= q.length || q(k) != '(')) {
+          // bare type token (CAST targets): narrowed to the string form
+          out.append("STRING"); i = j
+        } else if (numericTypedLiterals.contains(lower) &&
+            k < q.length && q(k) == '\'') {
+          // Presto numeric typed literals — TINYINT '7', BIGINT '-8',
+          // REAL '1.5' (SqlBase.g4 typeConstructor); Spark only has the
+          // DATE/TIMESTAMP/INTERVAL forms, so these become CASTs
+          val end = literalEnd(q, k)
+          out.append("CAST(").append(q.substring(k, end))
+            .append(" AS ").append(lower.toUpperCase).append(')')
+          i = end
+        } else if (lower == "regexp_replace" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
+          // 2-arg regexp_replace(s, p) removes matches (reference:
+          // JoniRegexpFunctions.java); Spark requires the replacement
+          val (args, after) = parseParenArgs(q, k).get
+          out.append("regexp_replace(")
+            .append(args.map(rewrite).mkString(", ")).append(", '')")
+          i = after
+        } else if ((lower == "any" || lower == "some" || lower == "all") &&
+            k < q.length && q(k) == '(' && trailingComparisonOp(out).isDefined &&
+            parseParenArgs(q, k).isDefined) {
+          // quantified comparisons (reference: SqlBase.g4
+          // quantifiedComparison; docs comparison.rst) — Spark has no
+          // ANY/SOME/ALL comparison, so:
+          //   = ANY/SOME (q) → IN (q);   <> ALL (q) → NOT IN (q)
+          //   </(<=) ANY → vs max;  </(<=) ALL → vs min;  > mirrored.
+          // KNOWN DIVERGENCE: over an EMPTY subquery the min/max forms
+          // yield NULL where the reference defines TRUE (ALL) / FALSE
+          // (ANY); = ANY and <> ALL keep exact IN/NOT IN semantics.
+          // = ALL and <> ANY are left verbatim (loud at Spark's parser).
+          val (op, opIdx) = trailingComparisonOp(out).get
+          val isAll = lower == "all"
+          val (args, after) = parseParenArgs(q, k).get
+          val sub = rewrite(args.mkString(", "))
+          val alias = s"__graft_q$k"
+          val handled = op match {
+            case "=" if !isAll =>
+              out.delete(opIdx, out.length)
+              out.append(s"IN (SELECT * FROM ($sub) AS $alias)")
+              true
+            case "<>" | "!=" if isAll =>
+              out.delete(opIdx, out.length)
+              out.append(s"NOT IN (SELECT * FROM ($sub) AS $alias)")
+              true
+            case "<" | "<=" | ">" | ">=" =>
+              val fn =
+                if ((op.startsWith("<")) == isAll) "min" else "max"
+              out.append(s" (SELECT $fn(__graft_v) FROM ($sub) AS $alias(__graft_v))")
+              true
+            case _ => false
+          }
+          if (handled) i = after
+          else { out.append(word); i = j }
+        } else if ((lower == "cast" || lower == "try_cast") &&
+            k < q.length && q(k) == '(' && rewriteJsonCast(q, k).isDefined) {
+          val (repl, after) = rewriteJsonCast(q, k).get
+          out.append(repl)
+          i = after
         } else if (lower == "decimal" && k < q.length && q(k) == '\'') {
           // Presto typed literal DECIMAL 'd.dd' (SqlBase.g4 primaryExpression
           // typeConstructor) → CAST with precision/scale read off the text.
@@ -337,6 +427,113 @@ object Dialect {
     var j = j0
     while (j < q.length && isWordChar(q(j))) j += 1
     (q.substring(j0, j), j)
+  }
+
+  /** The JSON ends of the CAST surface (reference: docs conversion.rst +
+    * the JSON cast operators under presto-main/.../type/): with JSON
+    * narrowed to canonical text,
+    *
+    *   - `CAST(expr AS JSON)` → `graft_to_json(expr)` (a native
+    *     expression rendering any supported value as JSON text;
+    *     functions/ToJsonText.scala)
+    *   - `CAST(<json-source> AS ARRAY(…)/MAP(…)/ROW(…))` →
+    *     `from_json(text, '<spark ddl>')` — fired only when the source
+    *     is a JSON literal or a json_parse/json_extract call (a plain
+    *     VARCHAR→complex cast is invalid in the reference too). KNOWN
+    *     DIVERGENCE: from_json yields NULL on malformed input where the
+    *     reference CAST raises (TRY_CAST semantics in both dialects).
+    *
+    * Returns the replacement text and the index past the CAST call, or
+    * None for every cast this rewrite does not own. */
+  private def rewriteJsonCast(q: String, open: Int): Option[(String, Int)] = {
+    val (args, after) = parseParenArgs(q, open).getOrElse(return None)
+    if (args.lengthCompare(1) != 0) return None
+    val argText = args.head
+    // rightmost depth-0 AS splits expression from target type
+    var asAt = -1
+    var i2 = 0
+    var depth = 0
+    while (i2 < argText.length) {
+      val c = argText(i2)
+      if (c == '\'') i2 = literalEnd(argText, i2)
+      else if (c == '(' || c == '[') { depth += 1; i2 += 1 }
+      else if (c == ')' || c == ']') { depth -= 1; i2 += 1 }
+      else if (depth == 0 && (c == 'a' || c == 'A') &&
+        (i2 == 0 || !isWordChar(argText(i2 - 1)))) {
+        val (w, jw) = wordAt(argText, i2)
+        if (w.equalsIgnoreCase("as")) asAt = i2
+        i2 = jw
+      } else i2 += 1
+    }
+    if (asAt < 0) return None
+    val expr = argText.substring(0, asAt).trim
+    val tpe = argText.substring(asAt + 2).trim
+    if (tpe.equalsIgnoreCase("json"))
+      return Some((s"graft_to_json(${rewrite(expr)})", after))
+    val ddl = prestoTypeToDdl(tpe).getOrElse(return None)
+    if (!tpe.takeWhile(_.isLetter).toLowerCase.matches("array|map|row"))
+      return None
+    val el = expr.toLowerCase
+    val jsonLit = "(?is)^json\\s*('.*')$".r.findFirstMatchIn(expr)
+    val source =
+      if (jsonLit.isDefined) preserveBackslashes(jsonLit.get.group(1))
+      else if (el.startsWith("json_parse") || el.startsWith("json_extract"))
+        rewrite(expr)
+      else return None
+    Some((s"from_json($source, '$ddl')", after))
+  }
+
+  /** Presto type text → Spark DDL (the complex-type subset the JSON cast
+    * rewrite needs); None for anything unrecognized. */
+  private def prestoTypeToDdl(t0: String): Option[String] = {
+    val t = t0.trim
+    val lower = t.toLowerCase
+    def inner: Option[String] = {
+      val open = t.indexOf('(')
+      if (open < 0 || !t.endsWith(")")) None
+      else Some(t.substring(open + 1, t.length - 1))
+    }
+    if (lower.startsWith("array")) {
+      inner.flatMap(prestoTypeToDdl).map(x => s"array<$x>")
+    } else if (lower.startsWith("map")) {
+      for {
+        body <- inner
+        kv <- parseParenArgs("(" + body + ")", 0).map(_._1)
+        if kv.lengthCompare(2) == 0
+        k <- prestoTypeToDdl(kv.head)
+        v <- prestoTypeToDdl(kv(1))
+      } yield s"map<$k,$v>"
+    } else if (lower.startsWith("row")) {
+      for {
+        body <- inner
+        fields <- parseParenArgs("(" + body + ")", 0).map(_._1)
+        parts <- {
+          val ps = fields.map { f0 =>
+            val f = f0.trim
+            val sp = f.indexWhere(_.isWhitespace)
+            if (sp <= 0) None
+            else prestoTypeToDdl(f.substring(sp + 1))
+              .map(tp => s"${f.substring(0, sp)}:$tp")
+          }
+          if (ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
+        }
+      } yield parts.mkString("struct<", ",", ">")
+    } else lower.replaceAll("\\s+", "") match {
+      case "varchar" | "json" | "char"          => Some("string")
+      case v if v.startsWith("varchar(")        => Some("string")
+      case "integer" | "int"                    => Some("int")
+      case "bigint"                             => Some("bigint")
+      case "smallint"                           => Some("smallint")
+      case "tinyint"                            => Some("tinyint")
+      case "double"                             => Some("double")
+      case "real"                               => Some("float")
+      case "boolean"                            => Some("boolean")
+      case "date"                               => Some("date")
+      case "timestamp"                          => Some("timestamp")
+      case "varbinary"                          => Some("binary")
+      case d if d.startsWith("decimal(") && d.endsWith(")") => Some(d)
+      case _                                    => None
+    }
   }
 
   /** Index of a depth-0 `ORDER BY` inside an argument text (literal-,

@@ -77,6 +77,7 @@ object Engine {
     graft.functions.MiscExtras.registerAll(spark)
     graft.functions.StatsCdf.registerAll(spark)
     graft.functions.IpFunctions.registerAll(spark)
+    graft.functions.ToJsonText.register(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

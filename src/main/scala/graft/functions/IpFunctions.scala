@@ -97,12 +97,18 @@ object IpFunctions {
     render(maskLow(addr, bits, high = true))
   }
 
-  private[functions] def isSubnetOf(prefix: String, ip: String): Boolean = {
+  /** Second argument is an address, or a prefix (reference overload:
+    * IpPrefixFunctions.isPrefixSubnetOf) — a prefix is contained when it
+    * is at least as specific and its network sits inside the first. */
+  private[functions] def isSubnetOf(prefix: String, ipOrPrefix: String): Boolean = {
     val (addr, bits) = splitPrefix(prefix)
-    val candidate = parse(ip)
+    val (candidate, candBits) =
+      if (ipOrPrefix.contains('/')) splitPrefix(ipOrPrefix)
+      else (parse(ipOrPrefix), -1)
     require(candidate.length == addr.length,
       "IP address version should be the same")
-    java.util.Arrays.equals(
+    if (candBits >= 0 && candBits < bits) false
+    else java.util.Arrays.equals(
       maskLow(addr, bits, high = false), maskLow(candidate, bits, high = false))
   }
 

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `CAST(x AS JSON)` (reference: presto-main/.../type/...JsonCast
+  * operators; docs conversion.rst) — renders any supported value as its
+  * canonical JSON text, our narrowed JSON representation. SQL NULL stays
+  * SQL NULL (the reference's documented standalone-NULL behavior);
+  * NULLs INSIDE containers render as JSON null, exactly like the
+  * reference's examples (`CAST(ARRAY[1, NULL, 456] AS JSON)` →
+  * `[1,null,456]`). The dialect rewrites the CAST spelling to this
+  * expression (`Dialect` cast branch).
+  */
+case class ToJsonText(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(render(v, child.dataType))
+
+  private def render(v: Any, dt: DataType): String =
+    if (v == null) "null"
+    else dt match {
+      case StringType => quote(v.toString)
+      case BooleanType | ByteType | ShortType | IntegerType | LongType =>
+        v.toString
+      case FloatType | DoubleType =>
+        val d = v match {
+          case f: Float => f.toDouble
+          case d0: Double => d0
+        }
+        if (d.isNaN || d.isInfinite) quote(d.toString)
+        else if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      case _: DecimalType => v.toString
+      case DateType =>
+        quote(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case TimestampType | TimestampNTZType =>
+        quote(java.time.Instant.ofEpochSecond(
+          0, v.asInstanceOf[Long] * 1000L).toString)
+      case ArrayType(et, _) =>
+        val arr = v.asInstanceOf[ArrayData]
+        (0 until arr.numElements()).map(i =>
+          if (arr.isNullAt(i)) "null" else render(arr.get(i, et), et))
+          .mkString("[", ",", "]")
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[MapData]
+        val keys = m.keyArray(); val values = m.valueArray()
+        (0 until m.numElements()).map { i =>
+          val k = quote(keys.get(i, kt).toString) // JSON keys are strings
+          val value =
+            if (values.isNullAt(i)) "null" else render(values.get(i, vt), vt)
+          s"$k:$value"
+        }.mkString("{", ",", "}")
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        st.fields.zipWithIndex.map { case (f, i) =>
+          val value =
+            if (row.isNullAt(i)) "null" else render(row.get(i, f.dataType), f.dataType)
+          s"${quote(f.name)}:$value"
+        }.mkString("{", ",", "}")
+      case other =>
+        throw new IllegalArgumentException(
+          s"Cannot cast ${other.catalogString} to JSON")
+    }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_to_json"
+}
+
+object ToJsonText {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_to_json", exprs => ToJsonText(exprs.head), "built-in")
+}

@@ -103,6 +103,13 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT array_agg(x) FROM t")
   }
 
+  test("string literals preserve backslashes (Presto has no escapes)") {
+    assert(Engine.translate("SELECT regexp_like(x, '\\d+') FROM t")
+      == "SELECT regexp_like(x, '\\\\d+') FROM t")
+    // quote-doubling still the only escape
+    assert(Engine.translate("SELECT 'it''s' FROM t") == "SELECT 'it''s' FROM t")
+  }
+
   test("approx_set wraps its argument in xxhash64") {
     assert(Engine.translate("SELECT approx_set(c_name) FROM customer")
       == "SELECT approx_set_agg(graft_approx_set_hash(c_name)) FROM customer")

@@ -80,6 +80,49 @@ class DocVectorsSpec extends AnyFunSuite {
       == 2)
   }
 
+  test("conversion.rst JSON cast examples") {
+    assert(one("SELECT CAST('abc' AS JSON)") == "\"abc\"")
+    assert(one("SELECT CAST(1 AS JSON)") == "1")
+    assert(one("SELECT CAST(true AS JSON)") == "true")
+    assert(one("SELECT CAST(ARRAY[1, 23, 456] AS JSON)") == "[1,23,456]")
+    assert(one("SELECT CAST(ARRAY[1, NULL, 456] AS JSON)") == "[1,null,456]")
+    assert(one("SELECT CAST(ARRAY[ARRAY[1, 23], ARRAY[456]] AS JSON)")
+      == "[[1,23],[456]]")
+    assert(one("SELECT CAST(MAP_FROM_ENTRIES(ARRAY[('k1', 1), ('k2', 23), ('k3', 456)]) AS JSON)")
+      == """{"k1":1,"k2":23,"k3":456}""")
+    assert(one("SELECT CAST(NULL AS JSON)") == null)
+    // JSON → typed values via from_json
+    assert(seq("SELECT CAST(JSON '[1,23,456]' AS ARRAY(INTEGER))") == Seq(1, 23, 456))
+    assert(seq("SELECT CAST(JSON '[1,null,456]' AS ARRAY(INTEGER))") == Seq(1, null, 456))
+    assert(seq("SELECT CAST(JSON '[[1,23],[456]]' AS ARRAY(ARRAY(INTEGER)))")
+      .map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq) == Seq(Seq(1, 23), Seq(456)))
+    assert(one("SELECT element_at(CAST(JSON '{\"k1\":1,\"k2\":23}' AS MAP(VARCHAR, INTEGER)), 'k2')")
+      == 23)
+    // object-keyed row cast (positional array→row is a documented gap:
+    // from_json maps JSON objects to structs by field name)
+    assert(one("SELECT CAST(JSON '{\"v1\":123,\"v2\":\"abc\",\"v3\":true}' AS ROW(v1 BIGINT, v2 VARCHAR, v3 BOOLEAN)).v2")
+      == "abc")
+    // the standard parse idiom: CAST(json_parse(col) AS typed)
+    assert(seq("SELECT CAST(json_parse('[10, 20]') AS ARRAY(BIGINT))") == Seq(10L, 20L))
+  }
+
+  test("bitwise.rst / comparison typed-literal examples") {
+    assert(one("SELECT bitwise_right_shift_arithmetic(BIGINT '-8', 2)") == -2L)
+    assert(one("SELECT bitwise_right_shift(TINYINT '7', 2)") == 1L)
+    assert(one("SELECT REAL '1.5' + REAL '2.5'") == 4.0f)
+    assert(one("SELECT SMALLINT '32' * SMALLINT '2'") == 64)
+  }
+
+  test("comparison.rst quantified comparison examples") {
+    assert(one("SELECT 'hello' = ANY (VALUES 'hello', 'world')") == true)
+    assert(one("SELECT 21 < ALL (VALUES 19, 20, 21)") == false)
+    assert(one("SELECT 42 >= SOME (SELECT 41 UNION ALL SELECT 42 UNION ALL SELECT 43)") == true)
+    assert(one("SELECT 19 <= ALL (VALUES 19, 20, 21)") == true)
+    assert(one("SELECT 5 > ANY (VALUES 10, 3, 7)") == true)
+    assert(one("SELECT 'x' <> ALL (VALUES 'a', 'b')") == true)
+    assert(one("SELECT 'a' <> ALL (VALUES 'a', 'b')") == false)
+  }
+
   test("json.rst examples") {
     assert(one("SELECT is_json_scalar('1')") == true)
     assert(one("SELECT is_json_scalar('[1, 2, 3]')") == false)

@@ -207,6 +207,11 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT hll_cardinality(empty_approx_set())") == 0L)
     // approx_set over raw strings — the dialect hashes for the aggregate
     assert(one("SELECT hll_cardinality(approx_set(x)) FROM (VALUES ('a'), ('b'), ('a')) t(x)") == 2L)
+    // prefix-vs-prefix containment overload
+    assert(one("SELECT is_subnet_of('192.168.3.128/26', '192.168.3.144/30')") == true)
+    assert(one("SELECT is_subnet_of('192.168.3.144/30', '192.168.3.128/26')") == false)
+    // 2-arg regexp_replace removes matches
+    assert(one("SELECT regexp_replace('1a 2b 14m', '\\d+[ab] ')") == "14m")
   }
 
   test("parse_duration returns a day-time interval") {
