@@ -38,7 +38,10 @@ object ScalarPack {
     if (xs == null) null
     else if (n < 0 || n > 5) throw new IllegalArgumentException(
       s"combinations n must be in [0, 5], got $n")
-    else xs.combinations(n).toSeq
+    // POSITIONAL n-choose-k (reference: ArrayCombinationsFunction.java):
+    // duplicate VALUES produce duplicate combinations — Scala's
+    // Seq.combinations dedups multisets, so combine indices instead
+    else xs.indices.combinations(n).map(_.map(xs)).toSeq
 
   def arrayNormalize(xs: Seq[Double], p: Double): Seq[Double] =
     if (xs == null) null

@@ -35,6 +35,22 @@ object PrestoFunctions {
       builder)
 
   private def long(e: Expression): Expression = Cast(e, LongType)
+
+  /** Legacy 3-arg shift word-size handling (BitwiseFunctions.java):
+    * bits = 64 → the plain shift; bits outside [2, 64] raises; otherwise
+    * the caller-provided masked form with mask = 2^bits − 1. */
+  private def maskedShift(
+      bits: Expression,
+      whenFull: Expression,
+      masked: Expression => Expression): Expression = {
+    val b = Cast(bits, LongType)
+    val mask = Subtract(
+      ShiftLeft(Literal(1L), Cast(b, IntegerType)), Literal(1L))
+    If(EqualTo(b, Literal(64L)), whenFull,
+      If(Or(LessThanOrEqual(b, Literal(1L)), GreaterThan(b, Literal(64L))),
+        Cast(RaiseError(Literal("Bits specified must be between 2 and 64")), LongType),
+        masked(mask)))
+  }
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
 
   private def parseUrl(url: Expression, part: String): Expression =
@@ -178,11 +194,26 @@ object PrestoFunctions {
     fd("bitwise_left_shift") { a => ShiftLeft(long(a(0)), Cast(a(1), IntegerType)) },
     fd("bitwise_arithmetic_shift_right") { a =>
       ShiftRight(long(a(0)), Cast(a(1), IntegerType)) },
-    fd("bitwise_logical_shift_right") { a =>
-      ShiftRightUnsigned(long(a(0)), Cast(a(1), IntegerType)) },
+    fd("bitwise_logical_shift_right") {
+      case Seq(n, s) => ShiftRightUnsigned(long(n), Cast(s, IntegerType))
+      case Seq(n, s, b) =>
+        maskedShift(b, ShiftRightUnsigned(long(n), Cast(s, IntegerType)),
+          mask => ShiftRightUnsigned(BitwiseAnd(long(n), mask), Cast(s, IntegerType)))
+      case a => throw new IllegalArgumentException(
+        s"bitwise_logical_shift_right expects 2 or 3 arguments, got ${a.length}")
+    },
     // alternate shift spellings (reference: BitwiseFunctions.java registers
-    // both the *_shift_* and shift-direction-suffixed names)
-    fd("bitwise_shift_left") { a => ShiftLeft(long(a(0)), Cast(a(1), IntegerType)) },
+    // both the *_shift_* and shift-direction-suffixed names). The legacy
+    // 3-arg forms take a word size: bits=64 is the plain shift, otherwise
+    // the result (left) or input (logical right) masks to 2^bits − 1.
+    fd("bitwise_shift_left") {
+      case Seq(n, s) => ShiftLeft(long(n), Cast(s, IntegerType))
+      case Seq(n, s, b) =>
+        maskedShift(b, ShiftLeft(long(n), Cast(s, IntegerType)),
+          mask => BitwiseAnd(ShiftLeft(long(n), Cast(s, IntegerType)), mask))
+      case a => throw new IllegalArgumentException(
+        s"bitwise_shift_left expects 2 or 3 arguments, got ${a.length}")
+    },
     fd("bitwise_right_shift") { a =>
       ShiftRightUnsigned(long(a(0)), Cast(a(1), IntegerType)) },
     fd("bitwise_right_shift_arithmetic") { a =>

@@ -111,6 +111,19 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(one("SELECT bitwise_right_shift(TINYINT '7', 2)") == 1L)
     assert(one("SELECT REAL '1.5' + REAL '2.5'") == 4.0f)
     assert(one("SELECT SMALLINT '32' * SMALLINT '2'") == 64)
+    // legacy 3-arg shifts mask to the word size
+    assert(one("SELECT bitwise_shift_left(7, 2, 4)") == 12L)
+    assert(one("SELECT bitwise_shift_left(7, 2, 64)") == 28L)
+    assert(one("SELECT bitwise_logical_shift_right(12, 2, 4)") == 3L)
+  }
+
+  test("array.rst combinations are positional over duplicate values") {
+    // (the registered UDF is string-element-typed; values are positional)
+    val dup = one("SELECT combinations(ARRAY[1, 2, 2], 2)")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
+      .map(_.toSeq).toSeq
+    assert(dup == Seq(Seq("1", "2"), Seq("1", "2"), Seq("2", "2")))
+    assert(one("SELECT cardinality(combinations(ARRAY[1, 2, 3, 4, 5], 3))") == 10)
   }
 
   test("comparison.rst quantified comparison examples") {
