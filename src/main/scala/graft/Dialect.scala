@@ -143,22 +143,32 @@ object Dialect {
 
   private val regexMeta = "\\^$.|?*+()[]{}"
 
-  /** Presto `split` takes a LITERAL delimiter (reference: presto-main/
-    * .../operator/scalar/StringFunctions.java split — Slice equality, no
-    * regex), Spark's takes a Java regex. A literal delimiter containing
-    * regex metacharacters is wrapped in \Q…\E when translated. (A
-    * delimiter containing the two-char sequence `\E` would break the
-    * quoting — not expressible this way, and not a realistic delimiter.) */
   /** Presto string literals have NO backslash escapes (SqlBase.g4 —
     * only '' doubles a quote), while Spark's parser eats C-style
     * escapes; doubling backslashes preserves the characters exactly. */
   private def preserveBackslashes(literalText: String): String =
     literalText.replace("\\", "\\\\")
 
+  /** Presto `split` takes a LITERAL delimiter (reference: presto-main/
+    * .../operator/scalar/StringFunctions.java split — Slice equality, no
+    * regex), Spark's takes a Java regex. A literal delimiter containing
+    * regex metacharacters is wrapped in \Q…\E when translated. (A
+    * delimiter containing the two-char sequence `\E` would break the
+    * quoting — not expressible this way, and not a realistic delimiter.) */
   private def quoteRegexLiteral(body: String): String =
     if (body.exists(regexMeta.contains(_)))
       "\\\\Q" + body.replace("\\", "\\\\") + "\\\\E"
     else body
+
+  /** True when the emitted text ends with the given word (used for
+    * cast-target context checks). */
+  private def lastWordIs(out: StringBuilder, word: String): Boolean = {
+    var e = out.length
+    while (e > 0 && out(e - 1).isWhitespace) e -= 1
+    var b = e
+    while (b > 0 && isWordChar(out(b - 1))) b -= 1
+    e - b == word.length && out.substring(b, e).equalsIgnoreCase(word)
+  }
 
   /** The comparison operator ending the emitted text (whitespace
     * skipped): its text and start index, for the quantified-comparison
@@ -254,8 +264,10 @@ object Dialect {
           out.append(preserveBackslashes(q.substring(k, end)))
           i = end
         } else if ((lower == "ipaddress" || lower == "ipprefix") &&
-            (k >= q.length || q(k) != '(')) {
-          // bare type token (CAST targets): narrowed to the string form
+            (k >= q.length || q(k) != '(') && lastWordIs(out, "as")) {
+          // bare type token — only in a cast-target position (… AS
+          // IPADDRESS): 'ipaddress' is a plausible COLUMN name in log
+          // schemas, so positions outside a preceding AS stay verbatim
           out.append("STRING"); i = j
         } else if (numericTypedLiterals.contains(lower) &&
             k < q.length && q(k) == '\'') {
@@ -282,9 +294,11 @@ object Dialect {
           // ANY/SOME/ALL comparison, so:
           //   = ANY/SOME (q) → IN (q);   <> ALL (q) → NOT IN (q)
           //   </(<=) ANY → vs max;  </(<=) ALL → vs min;  > mirrored.
-          // KNOWN DIVERGENCE: over an EMPTY subquery the min/max forms
-          // yield NULL where the reference defines TRUE (ALL) / FALSE
-          // (ANY); = ANY and <> ALL keep exact IN/NOT IN semantics.
+          // KNOWN DIVERGENCE: the min/max forms yield NULL over an
+          // EMPTY subquery (reference: TRUE for ALL / FALSE for ANY) and
+          // skip NULL elements (reference three-valued logic can yield
+          // NULL where min/max gives a definite answer); = ANY and
+          // <> ALL keep exact IN/NOT IN semantics.
           // = ALL and <> ANY are left verbatim (loud at Spark's parser).
           val (op, opIdx) = trailingComparisonOp(out).get
           val isAll = lower == "all"
@@ -294,11 +308,11 @@ object Dialect {
           val handled = op match {
             case "=" if !isAll =>
               out.delete(opIdx, out.length)
-              out.append(s"IN (SELECT * FROM ($sub) AS $alias)")
+              out.append(s" IN (SELECT * FROM ($sub) AS $alias)")
               true
             case "<>" | "!=" if isAll =>
               out.delete(opIdx, out.length)
-              out.append(s"NOT IN (SELECT * FROM ($sub) AS $alias)")
+              out.append(s" NOT IN (SELECT * FROM ($sub) AS $alias)")
               true
             case "<" | "<=" | ">" | ">=" =>
               val fn =
@@ -310,10 +324,11 @@ object Dialect {
           if (handled) i = after
           else { out.append(word); i = j }
         } else if ((lower == "cast" || lower == "try_cast") &&
-            k < q.length && q(k) == '(' && rewriteJsonCast(q, k).isDefined) {
-          val (repl, after) = rewriteJsonCast(q, k).get
-          out.append(repl)
-          i = after
+            k < q.length && q(k) == '(') {
+          rewriteJsonCast(q, k) match {
+            case Some((repl, after)) => out.append(repl); i = after
+            case None                => out.append(word); i = j
+          }
         } else if (lower == "decimal" && k < q.length && q(k) == '\'') {
           // Presto typed literal DECIMAL 'd.dd' (SqlBase.g4 primaryExpression
           // typeConstructor) → CAST with precision/scale read off the text.

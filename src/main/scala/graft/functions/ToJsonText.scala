@@ -37,15 +37,15 @@ case class ToJsonText(child: Expression)
           case f: Float => f.toDouble
           case d0: Double => d0
         }
-        if (d.isNaN || d.isInfinite) quote(d.toString)
-        else if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
-        else d.toString
+        if (d.isNaN || d.isInfinite) quote(d.toString) else d.toString
       case _: DecimalType => v.toString
       case DateType =>
         quote(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
       case TimestampType | TimestampNTZType =>
-        quote(java.time.Instant.ofEpochSecond(
-          0, v.asInstanceOf[Long] * 1000L).toString)
+        quote(java.time.Instant.ofEpochSecond(0, v.asInstanceOf[Long] * 1000L)
+          .atZone(graft.Engine.currentZone).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")))
       case ArrayType(et, _) =>
         val arr = v.asInstanceOf[ArrayData]
         (0 until arr.numElements()).map(i =>
@@ -55,7 +55,11 @@ case class ToJsonText(child: Expression)
         val m = v.asInstanceOf[MapData]
         val keys = m.keyArray(); val values = m.valueArray()
         (0 until m.numElements()).map { i =>
-          val k = quote(keys.get(i, kt).toString) // JSON keys are strings
+          // keys render through the TYPED renderer, then coerce to a
+          // JSON string (dates/timestamps must not leak internal ints)
+          val rendered = render(keys.get(i, kt), kt)
+          val k =
+            if (rendered.startsWith("\"")) rendered else quote(rendered)
           val value =
             if (values.isNullAt(i)) "null" else render(values.get(i, vt), vt)
           s"$k:$value"
