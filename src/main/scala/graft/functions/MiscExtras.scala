@@ -101,7 +101,7 @@ object MiscExtras {
 
   // ---- split_to_multimap ----
 
-  private[functions] def splitToMultimap(
+  def splitToMultimap(
       s: String, entryDelim: String, kvDelim: String): Map[String, Seq[String]] = {
     if (s == null) return null
     require(entryDelim != null && entryDelim.nonEmpty, "entryDelimiter is empty")

@@ -35,11 +35,59 @@ object CountIfRewrite extends Rule[LogicalPlan] {
   }
 }
 
+/** Resolution rule for Presto's array-element concatenation (reference:
+  * presto-main/.../operator/scalar/ArrayConcatUtils.java appendElement /
+  * prependElement; docs array.rst `ARRAY[1] || 2` / `2 || ARRAY[1]`):
+  * Spark parses `||` to [[Concat]], whose type check requires every
+  * input to share one type. When a resolved Concat mixes array and
+  * non-array inputs, wrap each non-array input as a 1-element array —
+  * Spark's own ImplicitTypeCasts then unifies the element types, and
+  * plain string/binary concatenation (no array input) is untouched.
+  */
+object ConcatArrayElement extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Concat, CreateArray, Expression}
+  import org.apache.spark.sql.types.ArrayType
+
+  private def isArray(e: Expression): Boolean = e.dataType.isInstanceOf[ArrayType]
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveExpressions {
+      case Concat(children)
+          if children.nonEmpty && children.forall(_.resolved) &&
+            children.exists(isArray) && children.exists(!isArray(_)) =>
+        Concat(children.map(e => if (isArray(e)) e else CreateArray(Seq(e))))
+    }
+}
+
+/** Resolves `reduce_agg(x, s0, inputFn, combineFn)` (reference:
+  * presto-main/.../operator/aggregation/ReduceAggregationFunction.java)
+  * to the native [[org.apache.spark.sql.catalyst.expressions.ReduceAgg]]
+  * DeclarativeAggregate. This must be a resolution rule rather than a
+  * registry entry: Spark's ResolveFunctions wraps a registry-resolved
+  * AggregateFunction into AggregateExpression BEFORE its
+  * lambda-arguments check, so any registry-resolved lambda-taking
+  * aggregate is structurally rejected (NON_HIGHER_ORDER_FUNCTION).
+  * Claiming the UnresolvedFunction here — later in the same resolution
+  * batch, before CheckAnalysis's UNRESOLVED_ROUTINE — sidesteps that;
+  * ResolveLambdaVariables then binds the lambdas inside the wrapped
+  * aggregate as usual.
+  */
+object ResolveReduceAgg extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ReduceAgg, ReduceAggCall}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveExpressions {
+    case c: ReduceAggCall =>
+      ReduceAgg(c.input, c.zero, c.inputFn, c.combineFn).toAggregateExpression()
+  }
+}
+
 /** Session-extension installer: `Engine.session` wires this in. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CountIfRewrite)
     ext.injectOptimizerRule(_ => UnnestCodegenRewrite)
+    ext.injectResolutionRule(_ => ConcatArrayElement)
+    ext.injectResolutionRule(_ => ResolveReduceAgg)
     PrestoFunctions.registerAll(ext)
   }
 }

@@ -239,6 +239,32 @@ object PrestoFunctions {
       case a => Not(ArrayExists(a(0), a(1)))
     },
 
+    // regexp_extract[_all] with the reference's defaults (reference:
+    // scalar/JoniRegexpFunctions.java): the 2-arg forms extract group 0
+    // (the whole match — Spark errors without an index), and
+    // regexp_extract returns NULL on no match where Spark's builtin
+    // returns ''. (An optional group that participates in a match but
+    // captures nothing still returns '' here — documented divergence.)
+    fd("regexp_extract") { a =>
+      val idx = if (a.lengthCompare(3) == 0) a(2) else Literal(0)
+      If(RLike(a(0), a(1)),
+        RegExpExtract(a(0), a(1), idx), Literal(null, StringType))
+    },
+    fd("regexp_extract_all") { a =>
+      val idx = if (a.lengthCompare(3) == 0) a(2) else Literal(0)
+      RegExpExtractAll(a(0), a(1), idx)
+    },
+    // regexp_replace: 2-arg deletes matches, 3-arg with a lambda applies
+    // the reference's capture-array replace (JoniRegexpReplaceLambda
+    // Function.java → functions/RegexpReplaceLambda), otherwise Spark's
+    // builtin ($g replacement syntax matches the reference's)
+    fd("regexp_replace") {
+      case Seq(s, p) => RegExpReplace(s, p, Literal(""))
+      case Seq(s, p, f: LambdaFunction) =>
+        RegexpReplaceLambda(s, p, f)
+      case a => RegExpReplace(a(0), a(1), a(2))
+    },
+
     // SQL-defined array helpers (reference: scalar/sql/ArraySqlFunctions
     // .java), lowered to codegen'd lambda expressions once element types
     // resolve (functions/ArrayExtras.scala)
@@ -311,6 +337,14 @@ object PrestoFunctions {
     // collect the arrays, flatten, dedup — staying generic over element
     // type, which a typed UDAF could not.
     fd("set_agg") { a => CollectSet(a.head) },
+    // reduce_agg(x, s0, inputFn, combineFn) (reference: presto-main/.../
+    // operator/aggregation/ReduceAggregationFunction.java): the registry
+    // entry is a scalar-shaped HOF placeholder (ResolveFunctions rejects
+    // lambda-taking AggregateFunctions structurally); the ResolveReduceAgg
+    // rule (CountIfRewrite.scala) swaps it for the native ReduceAgg
+    // DeclarativeAggregate — constant-size state, map-side partial
+    // aggregation through the user's combine lambda.
+    fd("reduce_agg") { a => ReduceAggCall(a(0), a(1), a(2), a(3)) },
     fd("set_union") { a =>
       ArrayDistinct(Flatten(CollectList(a.head).toAggregateExpression()))
     },
@@ -378,10 +412,16 @@ object PrestoFunctions {
       new ParseUrl(Seq(a(0), Literal("QUERY"), a(1)), false)
     },
 
-    // split_to_map(text, entryDelim, kvDelim) (reference: presto-main/
-    // .../operator/scalar/SplitToMapFunction.java) — Catalyst's
-    // StringToMap has the same contract and argument order.
-    fd("split_to_map") { a => StringToMap(a(0), a(1), a(2)) },
+    // split_to_map(text, entryDelim, kvDelim[, (k, v1, v2) -> r])
+    // (reference: presto-main/.../operator/scalar/SplitToMapFunction
+    // .java) — the 3-arg form is Catalyst's StringToMap (same contract
+    // and argument order, both raise on duplicate keys); the 4-arg form
+    // resolves duplicates through the lambda (functions/SplitToMapLambda).
+    fd("split_to_map") {
+      case Seq(s, ed, kvd, f: LambdaFunction) =>
+        SplitToMapLambda(s, ed, kvd, f)
+      case a => StringToMap(a(0), a(1), a(2))
+    },
 
     // infinity/nan literals and finiteness predicates (reference:
     // MathFunctions.java infinity/nan/isFinite/isInfinite; Spark has

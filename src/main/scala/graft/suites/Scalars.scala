@@ -607,6 +607,50 @@ object Scalars {
           |  timezone_hour(TIMESTAMP '2024-01-02 03:04:05') AS tz_h,
           |  timezone_minute(TIMESTAMP '2024-01-02 03:04:05') AS tz_m,
           |  to_milliseconds(parse_duration('90m')) AS dur_ms""".stripMargin)
+    },
+
+    // Lambda-taking scalar forms (references: operator/scalar/
+    // JoniRegexpReplaceLambdaFunction.java, SplitToMapFunction.java
+    // lambda overload, JoniRegexpFunctions.java group-0 defaults,
+    // ArrayConcatUtils.java element append) — all through the SQL facade;
+    // DuckDB replays each via an equivalent spelling (translate for the
+    // vowel-uppercase lambda, direct arithmetic for the merged map value).
+    Qdef.duckOnly(
+      "f22_lambda_hofs",
+      """SELECT doc_id,
+        |  translate(text, 'aeiou', 'AEIOU') AS vowels_up,
+        |  CASE WHEN regexp_matches(text, '[a-z]+')
+        |       THEN regexp_extract(text, '[a-z]+') END AS first_word,
+        |  CAST(NULL AS VARCHAR) AS no_match,
+        |  CAST(doc_id % 3 AS VARCHAR) || CAST(doc_id % 7 AS VARCHAR) AS a_merged,
+        |  'x-' || CAST(doc_id AS VARCHAR) AS arr_elem
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT doc_id,
+          |  regexp_replace(text, '([aeiou])', x -> upper(x[1])) AS vowels_up,
+          |  regexp_extract(text, '[a-z]+') AS first_word,
+          |  regexp_extract(text, 'zqzqzq[0-9]+') AS no_match,
+          |  element_at(split_to_map(concat('a:', CAST(doc_id % 3 AS VARCHAR), ';b:', CAST(doc_id % 5 AS VARCHAR), ';a:', CAST(doc_id % 7 AS VARCHAR)), ';', ':', (k, v1, v2) -> concat(v1, v2)), 'a') AS a_merged,
+          |  array_join(ARRAY['x'] || CAST(doc_id AS VARCHAR), '-') AS arr_elem
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)
+    },
+
+    // reduce_agg (reference: operator/aggregation/ReduceAggregation
+    // Function.java): native DeclarativeAggregate splicing the user
+    // lambdas into update/merge — DuckDB oracles the sum and max folds
+    // directly. (l_quantity is integral-valued, so the BIGINT casts
+    // agree between Spark truncation and DuckDB rounding.)
+    Qdef.duckOnly(
+      "f23_reduce_agg",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT l_returnflag,
+          |  reduce_agg(CAST(l_quantity AS BIGINT), CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b) AS qty_sum,
+          |  reduce_agg(CAST(l_quantity AS BIGINT), CAST(0 AS BIGINT), (a, b) -> IF(b > a, b, a), (a, b) -> IF(b > a, b, a)) AS qty_max
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
   )
 }

@@ -142,4 +142,85 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(one("SELECT json_array_contains('[1, 2, 3]', 2)") == true)
     assert(one("SELECT json_array_length('[1, 2, 3]')") == 3)
   }
+
+  test("regexp.rst examples: group-0 defaults, NULL on no match, lambda replace") {
+    assert(seq("""SELECT regexp_extract_all('1a 2b 14m', '\d+')""")
+      == Seq("1", "2", "14"))
+    assert(seq("""SELECT regexp_extract_all('1a 2b 14m', '(\d+)([a-z]+)', 2)""")
+      == Seq("a", "b", "m"))
+    assert(one("""SELECT regexp_extract('1a 2b 14m', '\d+')""") == "1")
+    assert(one("""SELECT regexp_extract('1a 2b 14m', '(\d+)([a-z]+)', 2)""") == "a")
+    assert(one("SELECT regexp_extract('hello', 'world')") == null)
+    assert(one("""SELECT regexp_replace('1a 2b 14m', '\d+[ab] ')""") == "14m")
+    assert(one("""SELECT regexp_replace('1a 2b 14m', '(\d+)([ab]) ', '3c$2 ')""")
+      == "3ca 3cb 14m")
+    // lambda replace (JoniRegexpReplaceLambdaFunction.java semantics)
+    assert(one("""SELECT regexp_replace('new york', '(\w)(\w*)', x -> upper(x[1]) || lower(x[2]))""")
+      == "New York")
+    // zero-width matches advance one character, keeping it in the output
+    assert(one("SELECT regexp_replace('abc', '', x -> 'X')") == "XaXbXcX")
+    // a NULL lambda result nulls the whole string
+    assert(one("""SELECT regexp_replace('ab', '(a)', x -> IF(x[1] = 'a', NULL, x[1]))""")
+      == null)
+    assert(seq("""SELECT regexp_split('1a 2b 14m', '\s*[a-z]+\s*')""")
+      == Seq("1", "2", "14", ""))
+  }
+
+  test("array.rst: element concatenation and comparator array_sort") {
+    assert(seq("SELECT ARRAY [1] || ARRAY [2]") == Seq(1, 2))
+    assert(seq("SELECT ARRAY [1] || 2") == Seq(1, 2))
+    assert(seq("SELECT 2 || ARRAY [1]") == Seq(2, 1))
+    assert(one("SELECT 'a' || 'b'") == "ab") // plain string concat untouched
+    assert(seq("SELECT array_sort(ARRAY [3, 2, 5, 1, 2], (x, y) -> IF(x < y, 1, IF(x = y, 0, -1)))")
+      == Seq(5, 3, 2, 2, 1))
+    assert(seq("SELECT array_sort(ARRAY ['bc', 'ab', 'dc'], (x, y) -> IF(x < y, 1, IF(x = y, 0, -1)))")
+      == Seq("dc", "bc", "ab"))
+  }
+
+  test("map.rst examples") {
+    assert(one("SELECT cardinality(map())") == 0)
+    assert(one("SELECT element_at(map(ARRAY[1,3], ARRAY[2,4]), 3)") == 4)
+    assert(one("SELECT cardinality(map_filter(MAP(ARRAY[], ARRAY[]), (k, v) -> true))") == 0)
+    assert(one("SELECT element_at(map_zip_with(MAP(ARRAY[1, 2, 3], ARRAY['a', 'b', 'c']), MAP(ARRAY[1, 2, 3], ARRAY['d', 'e', 'f']), (k, v1, v2) -> concat(v1, v2)), 1)")
+      == "ad")
+    assert(one("SELECT element_at(transform_keys(MAP(ARRAY [1, 2, 3], ARRAY ['a', 'b', 'c']), (k, v) -> k + 1), 4)")
+      == "c")
+    assert(one("SELECT element_at(transform_values(MAP(ARRAY [1, 2, 3], ARRAY [10, 20, 30]), (k, v) -> v + k), 3)")
+      == 33)
+  }
+
+  test("logical.rst three-valued logic examples") {
+    assert(one("SELECT CAST(null AS boolean) AND false") == false)
+    assert(one("SELECT CAST(null AS boolean) AND true") == null)
+    assert(one("SELECT CAST(null AS boolean) OR true") == true)
+    assert(one("SELECT CAST(null AS boolean) OR false") == null)
+    assert(one("SELECT NOT CAST(null AS boolean)") == null)
+  }
+
+  test("aggregate.rst reduce_agg examples") {
+    val sum = Engine.sql(spark, dir,
+      """SELECT id, reduce_agg(value, 0, (a, b) -> a + b, (a, b) -> a + b) AS r
+        |FROM (VALUES (1, 2), (1, 3), (1, 4), (2, 20), (2, 30), (2, 40)) AS t(id, value)
+        |GROUP BY id ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(sum == Seq((1, 9), (2, 90)))
+    val prod = Engine.sql(spark, dir,
+      """SELECT id, reduce_agg(value, 1, (a, b) -> a * b, (a, b) -> a * b) AS r
+        |FROM (VALUES (1, 2), (1, 3), (1, 4), (2, 20), (2, 30), (2, 40)) AS t(id, value)
+        |GROUP BY id ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(prod == Seq((1, 24), (2, 24000)))
+    // an empty (all-NULL) group is NULL like the reference, not the seed
+    assert(one("SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b) FROM (VALUES (CAST(NULL AS INTEGER))) AS t(x)")
+      == null)
+  }
+
+  test("string.rst split_to_map duplicate-key lambda examples") {
+    assert(one("SELECT element_at(split_to_map('a:1;b:2;a:3', ';', ':', (k, v1, v2) -> v1), 'a')")
+      == "1")
+    assert(one("SELECT element_at(split_to_map('a:1;b:2;a:3', ';', ':', (k, v1, v2) -> CONCAT(v1, v2)), 'a')")
+      == "13")
+    assert(one("SELECT element_at(split_to_map('a:1;b:2;a:3', ';', ':', (k, v1, v2) -> v2), 'b')")
+      == "2")
+  }
 }

@@ -190,4 +190,22 @@ class PlanSpec extends QueryAssertions {
     assert(plan.contains("*(1) HashAggregate"),
       s"partial aggregate must be inside a codegen stage:\n${plan.take(2000)}")
   }
+
+  test("reduce_agg: lambda fold runs as partial+final codegen aggregate") {
+    val df = Engine.sql(spark, sfDir,
+      """SELECT l_returnflag,
+        |  reduce_agg(CAST(l_quantity AS BIGINT), CAST(0 AS BIGINT),
+        |             (a, b) -> a + b, (a, b) -> a + b) AS qty_sum
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    // the user's input lambda folds map-side (constant-size state, no
+    // collect_list materialization), the combine lambda merges partials.
+    // (The stage itself is not whole-stage-codegen'd: the retained
+    // LambdaFunction children are CodegenFallback — same trade as every
+    // udaf-registered aggregate here; state stays O(1) either way.)
+    assert(plan.contains("partial_reduce_agg") || plan.contains("merge_reduce_agg"),
+      s"map-side partial reduce_agg expected:\n${plan.take(2000)}")
+    assert(!plan.contains("collect_list"),
+      s"reduce_agg must not materialize groups:\n${plan.take(2000)}")
+  }
 }
