@@ -55,6 +55,10 @@ object ConcatArrayElement extends Rule[LogicalPlan] {
       case Concat(children)
           if children.nonEmpty && children.forall(_.resolved) &&
             children.exists(isArray) && children.exists(!isArray(_)) =>
+        // a bare NULL operand wraps too (Spark's concat coercion has
+        // already stringified it by the time this rule fires): the
+        // element-append overload with an unknown-typed NULL appends a
+        // NULL element, matching the reference's resolution
         Concat(children.map(e => if (isArray(e)) e else CreateArray(Seq(e))))
     }
 }
