@@ -13,26 +13,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Lambda-taking scalar functions the reference has and Spark lacks,
-  * implemented as native Catalyst HigherOrderFunctions so Presto lambda
-  * syntax (`x -> …`) resolves through Spark's own lambda binding.
-  * CodegenFallback: both are regex-/parse-bound, not arithmetic-bound,
-  * so interpreted eval of the lambda body is not the bottleneck.
-  */
-trait GraftStringHof extends HigherOrderFunction with CodegenFallback {
-  /** Compiled-pattern cache: patterns are almost always literal, so a
-    * last-value cache avoids recompiling per row without unbounded
-    * growth for the rare dynamic-pattern case. */
-  @transient private var cachedSrc: UTF8String = _
-  @transient private var cachedPattern: Pattern = _
-  protected def patternFor(p: UTF8String): Pattern = {
-    if (cachedPattern == null || cachedSrc != p) {
-      cachedPattern = Pattern.compile(p.toString)
-      cachedSrc = p
-    }
-    cachedPattern
-  }
-}
+/* Lambda-taking scalar functions the reference has and Spark lacks,
+ * implemented as native Catalyst HigherOrderFunctions so Presto lambda
+ * syntax (`x -> …`) resolves through Spark's own lambda binding.
+ * CodegenFallback: all are regex-/parse-bound, not arithmetic-bound,
+ * so interpreted eval of the lambda body is not the bottleneck. */
 
 /** `regexp_replace(string, pattern, x -> …)` (reference: presto-main/
   * .../operator/scalar/JoniRegexpReplaceLambdaFunction.java): replaces
@@ -45,7 +30,24 @@ trait GraftStringHof extends HigherOrderFunction with CodegenFallback {
   */
 case class RegexpReplaceLambda(
     subject: Expression, regexp: Expression, function: Expression)
-  extends GraftStringHof with TernaryLike[Expression] {
+  extends HigherOrderFunction with CodegenFallback with TernaryLike[Expression] {
+
+  /** Compiled-pattern cache: patterns are almost always literal, so a
+    * last-value cache avoids recompiling per row without unbounded
+    * growth for the rare dynamic-pattern case. The key is CLONED —
+    * a buffer-backed UTF8String from a shuffle/scan row mutates in
+    * place, which would let a stale Pattern pass the equality check
+    * (Spark's own RegExpUtils.getPatternAndLastRegex clones for the
+    * same reason). */
+  @transient private var cachedSrc: UTF8String = _
+  @transient private var cachedPattern: Pattern = _
+  private def patternFor(p: UTF8String): Pattern = {
+    if (cachedPattern == null || cachedSrc != p) {
+      cachedPattern = Pattern.compile(p.toString)
+      cachedSrc = p.clone()
+    }
+    cachedPattern
+  }
 
   override def dataType: DataType = StringType
   // a NULL lambda result nulls the whole string even when every argument
@@ -122,7 +124,7 @@ case class RegexpReplaceLambda(
 case class SplitToMapLambda(
     text: Expression, entryDelim: Expression, kvDelim: Expression,
     function: Expression)
-  extends GraftStringHof with QuaternaryLike[Expression] {
+  extends HigherOrderFunction with CodegenFallback with QuaternaryLike[Expression] {
 
   override def dataType: DataType =
     MapType(StringType, StringType, valueContainsNull = true)
@@ -140,8 +142,11 @@ case class SplitToMapLambda(
 
   override def bindInternal(
       f: (Expression, Seq[(DataType, Boolean)]) => LambdaFunction): SplitToMapLambda =
+    // v1 is the ACCUMULATED value — a previous duplicate resolution may
+    // have returned NULL, which feeds back in, so its slot is nullable
+    // (non-nullable would let NullPropagation miscompile the body)
     copy(function = f(function,
-      (StringType, false) :: (StringType, false) :: (StringType, false) :: Nil))
+      (StringType, false) :: (StringType, true) :: (StringType, false) :: Nil))
 
   @transient private lazy val LambdaFunction(
     _, Seq(keyVar: NamedLambdaVariable, v1Var: NamedLambdaVariable,

@@ -43,6 +43,15 @@ object CountIfRewrite extends Rule[LogicalPlan] {
   * non-array inputs, wrap each non-array input as a 1-element array —
   * Spark's own ImplicitTypeCasts then unifies the element types, and
   * plain string/binary concatenation (no array input) is untouched.
+  *
+  * COUPLING: this rule runs after Spark's ConcatTypeCoercion within each
+  * resolution iteration. Under the engine's default ANSI mode that
+  * coercion cannot stringify an int next to an array (implicitCast
+  * fails), so the mixed shape survives to this rule with its original
+  * element type. A session that SETs spark.sql.ansi.enabled=false
+  * re-enables legacy stringify-everything coercion, and array||element
+  * would unify to array<string> — one more reason the facade keeps ANSI
+  * semantics (the reference is ANSI-typed throughout).
   */
 object ConcatArrayElement extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Concat, CreateArray, Expression}

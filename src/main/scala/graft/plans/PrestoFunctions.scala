@@ -247,8 +247,9 @@ object PrestoFunctions {
     // captures nothing still returns '' here — documented divergence.)
     fd("regexp_extract") { a =>
       val idx = if (a.lengthCompare(3) == 0) a(2) else Literal(0)
-      If(RLike(a(0), a(1)),
-        RegExpExtract(a(0), a(1), idx), Literal(null, StringType))
+      // single pass: group idx of the first match, NULL when the array
+      // of matches is empty (out-of-bounds access must not raise)
+      GetArrayItem(RegExpExtractAll(a(0), a(1), idx), Literal(0), failOnError = false)
     },
     fd("regexp_extract_all") { a =>
       val idx = if (a.lengthCompare(3) == 0) a(2) else Literal(0)

@@ -223,5 +223,23 @@ class DocVectorsSpec extends AnyFunSuite {
       == "13")
     assert(one("SELECT element_at(split_to_map('a:1;b:2;a:3', ';', ':', (k, v1, v2) -> v2), 'b')")
       == "2")
+    // v1 carries the PREVIOUS lambda result, which can be NULL — its
+    // lambda slot must be nullable or NullPropagation folds coalesce away
+    assert(one("SELECT element_at(split_to_map('a:1;a:2;a:3', ';', ':', (k, v1, v2) -> IF(v2 = '2', NULL, coalesce(v1, 'X'))), 'a')")
+      == "X")
+  }
+
+  test("lambda replace recompiles per-row patterns (cache keys are cloned)") {
+    // DISTRIBUTE BY 1 forces the rows through one shuffle partition whose
+    // reader reuses its row buffer: equal-length alternating patterns
+    // would hit a stale compiled Pattern if the cache key aliased the
+    // mutating UTF8String
+    val rows = Engine.sql(spark, dir,
+      """SELECT regexp_replace(s, p, x -> upper(x[1])) AS r
+        |FROM (SELECT * FROM (VALUES ('aaa', '(a)'), ('bbb', '(b)'), ('ccc', '(c)')) AS t(s, p)
+        |      DISTRIBUTE BY 1)
+        |ORDER BY r""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("AAA", "BBB", "CCC"))
   }
 }
