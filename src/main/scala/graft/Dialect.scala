@@ -278,6 +278,16 @@ object Dialect {
           out.append("CAST(").append(q.substring(k, end))
             .append(" AS ").append(lower.toUpperCase).append(')')
           i = end
+        } else if (lower == "row" && k < q.length && q(k) == '(' &&
+            !lastWordIs(out, "as")) {
+          // ROW(a, b) value constructor (SqlBase.g4 primaryExpression
+          // rowConstructor) → struct(a, b); positional field names differ
+          // (col1… vs field0…) but positional CASTs to a named ROW type
+          // land identically. The AS-guard keeps cast TARGETS (`AS
+          // ROW(...)`) out — those translate to struct<…> DDL in
+          // rewriteJsonCast.
+          out.append("struct(")
+          i = k + 1
         } else if (lower == "regexp_replace" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
           // 2-arg regexp_replace(s, p) removes matches (reference:
@@ -494,8 +504,51 @@ object Dialect {
       if (jsonLit.isDefined) preserveBackslashes(jsonLit.get.group(1))
       else if (el.startsWith("json_parse") || el.startsWith("json_extract"))
         rewrite(expr)
-      else return None
-    Some((s"from_json($source, '$ddl')", after))
+      else
+        // non-JSON source with a recognized complex target: translate the
+        // Presto type spelling to Spark DDL and keep it a plain cast
+        // (CAST(ROW(…) AS ROW(v1 BIGINT, …)) → CAST(struct(…) AS
+        // struct<v1:bigint,…>)
+        return Some((s"CAST(${rewrite(expr)} AS $ddl)", after))
+    // JSON → ROW accepts BOTH encodings in the reference (conversion.rst):
+    // a JSON object maps fields by NAME (from_json), a JSON ARRAY maps
+    // POSITIONALLY. from_json alone nulls out the array case, so for
+    // all-scalar-field row targets emit a runtime dispatch on the first
+    // non-blank character; rows with nested complex fields keep the
+    // object-only form (from_json).
+    rowScalarFields(tpe) match {
+      case Some(fields) =>
+        val positional = fields.zipWithIndex.map { case ((name, sparkType), i) =>
+          s"'$name', CAST(get_json_object($source, '$$[$i]') AS $sparkType)"
+        }.mkString("named_struct(", ", ", ")")
+        Some((
+          s"if(startswith(ltrim($source), '['), $positional, from_json($source, '$ddl'))",
+          after))
+      case None => Some((s"from_json($source, '$ddl')", after))
+    }
+  }
+
+  /** For a ROW(name type, …) text whose field types are all scalar: the
+    * (name, spark cast type) pairs; None otherwise. */
+  private def rowScalarFields(tpe: String): Option[Seq[(String, String)]] = {
+    val t = tpe.trim
+    if (!t.toLowerCase.startsWith("row")) return None
+    val open = t.indexOf('(')
+    if (open < 0 || !t.endsWith(")")) return None
+    val fields = parseParenArgs(t.substring(open), 0).map(_._1).getOrElse(return None)
+    val pairs = fields.map { f0 =>
+      val f = f0.trim
+      val sp = f.indexWhere(_.isWhitespace)
+      if (sp <= 0) None
+      else {
+        val tp = f.substring(sp + 1).trim
+        // scalar DDL only (no array</map</struct< nesting); parameterized
+        // scalars like varchar(20)/decimal(10,2) are fine
+        prestoTypeToDdl(tp).filter(!_.contains("<"))
+          .map(d => (f.substring(0, sp), d))
+      }
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.map(_.get)) else None
   }
 
   /** Presto type text → Spark DDL (the complex-type subset the JSON cast

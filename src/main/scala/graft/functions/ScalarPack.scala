@@ -85,7 +85,9 @@ object ScalarPack {
       case "h"  => 3600L * 1000 * 1000 * 1000
       case "d"  => 24L * 3600 * 1000 * 1000 * 1000
     }
-    java.time.Duration.ofNanos(math.round(v * nanosPerUnit))
+    // the reference converts through airlift Duration.toMillis — the
+    // interval carries MILLISECOND precision ('42.8ms' rounds to 43 ms)
+    java.time.Duration.ofMillis(math.round(v * nanosPerUnit / 1e6))
   }
 
   def registerAll(spark: SparkSession): Unit = {
@@ -169,8 +171,12 @@ object ScalarPack {
     //                     scalars like the reference.
     //   json_array_contains_{str,num,bool}  typed membership, dispatched
     //                     on the value argument's type by the builder.
-    //   json_array_get    negative index from the end; elements return as
-    //                     JSON text (strings keep their quotes).
+    //   json_array_get    negative index from the end; container elements
+    //                     return as JSON text, string scalars UNQUOTED
+    //                     and null elements as SQL NULL (the reference's
+    //                     documented wart — json.rst flags the result as
+    //                     "invalid JSON"; JsonFunctions.java jsonArrayGet
+    //                     uses getValueAsString).
     //   json_parse        validates + canonicalizes (throws on invalid,
     //                     like the reference); json_format is the
     //                     identity on canonical text.
@@ -209,7 +215,16 @@ object ScalarPack {
           else {
             val idx = if (i >= 0) i.toInt else n.size + i.toInt
             if (idx < 0 || idx >= n.size) None
-            else Some(nodeText(n.get(idx)))
+            else {
+              val el = n.get(idx)
+              // reference wart kept for compatibility (JsonFunctions.java
+              // jsonArrayGet uses getValueAsString, json.rst flags the
+              // result as "invalid JSON"): string elements come back
+              // UNQUOTED, a JSON null element is SQL NULL
+              if (el.isNull) None
+              else if (el.isTextual) Some(el.asText)
+              else Some(el.toString)
+            }
           }
         }.orNull)
     spark.udf.register("json_parse",

@@ -65,12 +65,14 @@ case class ToJsonText(child: Expression)
           s"$k:$value"
         }.mkString("{", ",", "}")
       case st: StructType =>
+        // the reference's default row→JSON cast renders POSITIONALLY as a
+        // JSON array (json.rst: CAST(ROW(123,'abc',true) AS ...) AS JSON
+        // = '[123,"abc",true]'; field names only appear under the
+        // non-default field_names_in_json_cast session property)
         val row = v.asInstanceOf[InternalRow]
         st.fields.zipWithIndex.map { case (f, i) =>
-          val value =
-            if (row.isNullAt(i)) "null" else render(row.get(i, f.dataType), f.dataType)
-          s"${quote(f.name)}:$value"
-        }.mkString("{", ",", "}")
+          if (row.isNullAt(i)) "null" else render(row.get(i, f.dataType), f.dataType)
+        }.mkString("[", ",", "]")
       case other =>
         throw new IllegalArgumentException(
           s"Cannot cast ${other.catalogString} to JSON")

@@ -66,8 +66,17 @@ object TriviaScalars {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
     override def foldable: Boolean = true
-    override def eval(input: InternalRow): Any =
-      UTF8String.fromString(prestoTypeName(child.dataType))
+    override def eval(input: InternalRow): Any = {
+      // a string LITERAL reports its parameterized length like the
+      // reference (typeof('cat') = varchar(3)); only literals carry one —
+      // column varchar lengths don't survive Spark's schema
+      val name = child match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) if v != null =>
+          s"varchar(${v.numChars})"
+        case _ => prestoTypeName(child.dataType)
+      }
+      UTF8String.fromString(name)
+    }
     override protected def withNewChildInternal(newChild: Expression): TypeOfPresto =
       copy(child = newChild)
   }

@@ -53,6 +53,30 @@ object PrestoFunctions {
   }
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
 
+  /** Input-type bit width for the reference's per-type shift overloads
+    * (BitwiseFunctions.java): TINYINT/SMALLINT/INTEGER wrap to 8/16/32
+    * bits; everything else (BIGINT and untyped literals) is 64. Builders
+    * run during function resolution, so argument types are resolved. */
+  private def bitWidthOf(e: Expression): Int =
+    (if (e.resolved) e.dataType else LongType) match {
+      case ByteType => 8
+      case ShortType => 16
+      case IntegerType => 32
+      case _ => 64
+    }
+
+  /** preserveSign (BitwiseFunctions.java): wrap a shifted value back into
+    * the w-bit signed range in 2's complement. */
+  private def preserveSign(x: Expression, w: Int): Expression = {
+    val mask = Literal((1L << w) - 1)
+    val signBit = Literal(1L << (w - 1))
+    val wrapped = If(
+      Not(EqualTo(BitwiseAnd(x, signBit), Literal(0L))),
+      BitwiseOr(x, BitwiseNot(mask)),
+      BitwiseAnd(x, mask))
+    wrapped
+  }
+
   private def parseUrl(url: Expression, part: String): Expression =
     new ParseUrl(Seq(url, Literal(part)), false)
 
@@ -191,7 +215,17 @@ object PrestoFunctions {
     fd("bitwise_or") { a => BitwiseOr(long(a(0)), long(a(1))) },
     fd("bitwise_xor") { a => BitwiseXor(long(a(0)), long(a(1))) },
     fd("bitwise_not") { a => BitwiseNot(long(a(0))) },
-    fd("bitwise_left_shift") { a => ShiftLeft(long(a(0)), Cast(a(1), IntegerType)) },
+    // per-type-width shifts (reference: BitwiseFunctions.java — the
+    // TINYINT/SMALLINT/INTEGER overloads wrap to the input's width; a
+    // shift of 64+ is 0, never a Java mod-64 shift). Results are BIGINT
+    // (the reference returns the input type; values agree).
+    fd("bitwise_left_shift") { a =>
+      val w = bitWidthOf(a(0))
+      val sh = Cast(a(1), LongType)
+      val shifted = ShiftLeft(long(a(0)), Cast(a(1), IntegerType))
+      If(GreaterThanOrEqual(sh, Literal(64L)), Literal(0L),
+        if (w == 64) shifted else preserveSign(shifted, w))
+    },
     fd("bitwise_arithmetic_shift_right") { a =>
       ShiftRight(long(a(0)), Cast(a(1), IntegerType)) },
     fd("bitwise_logical_shift_right") {
@@ -215,9 +249,42 @@ object PrestoFunctions {
         s"bitwise_shift_left expects 2 or 3 arguments, got ${a.length}")
     },
     fd("bitwise_right_shift") { a =>
-      ShiftRightUnsigned(long(a(0)), Cast(a(1), IntegerType)) },
+      val w = bitWidthOf(a(0))
+      val sh = Cast(a(1), LongType)
+      val masked =
+        if (w == 64) long(a(0))
+        else BitwiseAnd(long(a(0)), Literal((1L << w) - 1))
+      If(GreaterThanOrEqual(sh, Literal(64L)), Literal(0L),
+        If(EqualTo(sh, Literal(0L)), long(a(0)),
+          ShiftRightUnsigned(masked, Cast(a(1), IntegerType))))
+    },
     fd("bitwise_right_shift_arithmetic") { a =>
-      ShiftRight(long(a(0)), Cast(a(1), IntegerType)) },
+      val sh = Cast(a(1), LongType)
+      If(GreaterThanOrEqual(sh, Literal(64L)),
+        If(GreaterThanOrEqual(long(a(0)), Literal(0L)), Literal(0L), Literal(-1L)),
+        ShiftRight(long(a(0)), Cast(a(1), IntegerType)))
+    },
+    // bit_count(x[, bits]) (reference: BitwiseFunctions.java bitCount —
+    // 2-arg counts within an n-bit word after checking the value fits)
+    fd("bit_count") {
+      case Seq(x) => BitwiseCount(long(x))
+      case Seq(x, bits) =>
+        val v = long(x)
+        val b = Cast(bits, LongType)
+        val lowMask = Subtract(
+          ShiftLeft(Literal(1L), Cast(Subtract(b, Literal(1L)), IntegerType)),
+          Literal(1L))
+        val mask = Subtract(
+          ShiftLeft(Literal(1L), Cast(b, IntegerType)), Literal(1L))
+        If(EqualTo(b, Literal(64L)), Cast(BitwiseCount(v), LongType),
+          If(Or(LessThanOrEqual(b, Literal(1L)), GreaterThan(b, Literal(64L))),
+            Cast(RaiseError(Literal(
+              "Bits specified in bit_count must be between 2 and 64")), LongType),
+            If(Or(GreaterThan(v, lowMask), LessThan(v, BitwiseNot(lowMask))),
+              Cast(RaiseError(Literal(
+                "Number must be representable with the bits specified")), LongType),
+              Cast(BitwiseCount(BitwiseAnd(v, mask)), LongType))))
+    },
 
     // zip(a, b[, …]) (reference: scalar/ZipFunction.java — positional
     // row zip, shorter arrays NULL-padded): Spark's arrays_zip has the

@@ -151,15 +151,17 @@ object Extras {
     // Session/introspection trivia scalars through the facade (reference:
     // operator/scalar/TypeOfFunction.java, DataSizeFunctions.java,
     // WilsonInterval.java, SessionFunctions.java). typeof strings are OUR
-    // documented display names (varchar is unparameterized — Spark strings
-    // are unbounded); the oracle pins them plus exact data-size bytes and
-    // the Wilson formula replayed arithmetically.
+    // documented display names (string LITERALS report their parameterized
+    // length like the reference — typeof('x') = varchar(1) — while column
+    // varchars stay unparameterized: Spark strings are unbounded); the
+    // oracle pins them plus exact data-size bytes and the Wilson formula
+    // replayed arithmetically.
     Qdef.duckOnly(
       "e07_trivia_scalars",
       """SELECT
         |  'bigint' AS t_bigint,
         |  'double' AS t_double,
-        |  'varchar' AS t_varchar,
+        |  'varchar(1)' AS t_varchar,
         |  'array(integer)' AS t_array,
         |  'map(varchar, bigint)' AS t_map,
         |  CAST(2411724 AS BIGINT) AS mb_bytes,

@@ -115,6 +115,37 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(one("SELECT bitwise_shift_left(7, 2, 4)") == 12L)
     assert(one("SELECT bitwise_shift_left(7, 2, 64)") == 28L)
     assert(one("SELECT bitwise_logical_shift_right(12, 2, 4)") == 3L)
+    // per-type-width shifts (BitwiseFunctions.java overloads): narrow
+    // types mask to their width for the logical shift; shift >= 64 is 0
+    // (never Java's mod-64); shift 0 returns the value; arithmetic shift
+    // of a negative by >= 64 is -1
+    assert(one("SELECT bitwise_right_shift(SMALLINT '-8', 2)") == 16382L)
+    assert(one("SELECT bitwise_right_shift(TINYINT '-8', 2)") == 62L)
+    assert(one("SELECT bitwise_right_shift(8, 70)") == 0L)
+    assert(one("SELECT bitwise_right_shift(SMALLINT '-8', 0)") == -8L)
+    assert(one("SELECT bitwise_left_shift(TINYINT '-7', 2)") == -28L)
+    assert(one("SELECT bitwise_left_shift(SMALLINT '7', 2)") == 28L)
+    assert(one("SELECT bitwise_left_shift(TINYINT '7', 64)") == 0L)
+    assert(one("SELECT bitwise_right_shift_arithmetic(8, 70)") == 0L)
+    assert(one("SELECT bitwise_right_shift_arithmetic(-8, 70)") == -1L)
+    // 2-arg bit_count counts within an n-bit word (bitwise.rst examples)
+    assert(one("SELECT bit_count(9, 64)") == 2L)
+    assert(one("SELECT bit_count(9, 8)") == 2L)
+    assert(one("SELECT bit_count(-7, 64)") == 62L)
+    assert(one("SELECT bit_count(-7, 8)") == 6L)
+  }
+
+  test("conversion.rst typeof and ROW constructor casts") {
+    assert(one("SELECT typeof('cat')") == "varchar(3)")
+    assert(one("SELECT typeof(123)") == "integer")
+    // ROW(…) constructor + named-row cast + positional row→JSON array
+    assert(one("SELECT CAST(CAST(ROW(123, 'abc', true) AS ROW(v1 BIGINT, v2 VARCHAR, v3 BOOLEAN)) AS JSON)")
+      == """[123,"abc",true]""")
+    // JSON ARRAY → row maps positionally (object form maps by name)
+    assert(one("""SELECT CAST(JSON '[123,"abc",true]' AS ROW(v1 BIGINT, v2 VARCHAR, v3 BOOLEAN)).v2""")
+      == "abc")
+    // parse_duration carries millisecond precision like the reference
+    assert(one("SELECT to_milliseconds(parse_duration('42.8ms'))") == 43L)
   }
 
   test("array.rst combinations are positional over duplicate values") {

@@ -300,7 +300,9 @@ class FacadeSpec extends AnyFunSuite {
   test("trivia scalars: typeof / parse_presto_data_size / wilson / current_user") {
     assert(one("SELECT typeof(CAST(1 AS BIGINT))") == "bigint")
     assert(one("SELECT typeof(1.5E0)") == "double")
-    assert(one("SELECT typeof('x')") == "varchar")
+    // string literals carry their parameterized length (typeof('cat')
+    // = varchar(3) in conversion.rst); column varchars report bare varchar
+    assert(one("SELECT typeof('x')") == "varchar(1)")
     assert(one("SELECT typeof(NULL)") == "unknown")
     assert(one("SELECT typeof(ARRAY['a'])") == "array(varchar)")
     assert(one("SELECT typeof(CAST(1.5 AS DECIMAL(10, 2)))") == "decimal(10,2)")
@@ -325,7 +327,10 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT json_size('{\"a\": \"s\"}', '$.a')") == 0L)
     assert(one("SELECT json_array_contains('[1.5, 2.5]', 2.5)") == true)
     assert(one("SELECT json_array_contains('[\"1\"]', 1)") == false) // typed, no coercion
-    assert(one("SELECT json_array_get('[\"a\",\"b\"]', 0)") == "\"a\"") // JSON text keeps quotes
+    // reference wart (json.rst "invalid JSON" note): string elements
+    // come back UNQUOTED, container elements as JSON text
+    assert(one("SELECT json_array_get('[\"a\",\"b\"]', 0)") == "a")
+    assert(one("SELECT json_array_get('[\"a\", [3, 9]]', 1)") == "[3,9]")
     assert(one("SELECT json_array_get('[1]', 5)") == null)
     assertThrows[Exception](one("SELECT json_parse('{bad')"))
     assert(one("SELECT TRY(json_parse('{bad'))") == null)
