@@ -70,6 +70,14 @@ object Dialect {
     // token translation in the registered UDFs.
     "date_format"         -> "presto_date_format",
     "date_parse"          -> "presto_date_parse",
+    // Teradata compatibility pack (presto-teradata-functions/…/
+    // TeradataDateFunctions.java, TeradataStringFunctions.java): the
+    // reference spellings exist ONLY as the 2-arg Teradata forms, so the
+    // aliases are unconditional; `index` is strpos, which is Spark instr.
+    "to_char"             -> "teradata_to_char",
+    "to_timestamp"        -> "teradata_to_timestamp",
+    "to_date"             -> "teradata_to_date",
+    "index"               -> "instr",
   )
 
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'

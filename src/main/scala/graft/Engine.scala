@@ -78,6 +78,7 @@ object Engine {
     graft.functions.StatsCdf.registerAll(spark)
     graft.functions.IpFunctions.registerAll(spark)
     graft.functions.ToJsonText.register(spark)
+    graft.functions.Teradata.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

@@ -219,6 +219,34 @@ object Extras {
           |    CAST(1 AS DOUBLE), 'fixed_histogram_mle',
           |    CAST(0 AS DOUBLE), CAST(51 AS DOUBLE)), 6) AS h
           |FROM lineitem WHERE l_orderkey < 2000""".stripMargin)
+    },
+
+    // Teradata compatibility pack (reference: presto-teradata-functions/
+    // .../TeradataDateFunctions.java, TeradataStringFunctions.java):
+    // to_char/to_date/to_timestamp with the 8-specifier Teradata format
+    // dialect, index (= strpos), char2hexint (UTF-16BE hex). The DuckDB
+    // oracle replays the formats with strftime and rebuilds the UTF-16BE
+    // hex from per-char code points (ASCII rows → 00XX pairs).
+    Qdef.duckOnly(
+      "e09_teradata_compat",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y/%m/%d') AS d_str,
+        |  CAST(o_orderdate AS DATE) AS d_rt,
+        |  CAST(o_orderdate AS TIMESTAMP) AS ts_rt,
+        |  CAST(strpos(o_orderpriority, 'N') AS BIGINT) AS n_idx,
+        |  upper(concat(
+        |    '00', to_hex(ord(substr(o_orderpriority, 1, 1))),
+        |    '00', to_hex(ord(substr(o_orderpriority, 2, 1))))) AS hex2
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        graft.Engine.sql(s, dir,
+          """SELECT o_orderkey,
+            |  to_char(CAST(o_orderdate AS TIMESTAMP), 'yyyy/mm/dd') AS d_str,
+            |  to_date(to_char(CAST(o_orderdate AS TIMESTAMP), 'yyyy-mm-dd'), 'yyyy-mm-dd') AS d_rt,
+            |  to_timestamp(to_char(CAST(o_orderdate AS TIMESTAMP), 'dd.mm.yyyy hh24:mi:ss'), 'dd.mm.yyyy hh24:mi:ss') AS ts_rt,
+            |  CAST(index(o_orderpriority, 'N') AS BIGINT) AS n_idx,
+            |  char2hexint(substr(o_orderpriority, 1, 2)) AS hex2
+            |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)
     }
   )
 }

@@ -135,6 +135,28 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(one("SELECT bit_count(-7, 8)") == 6L)
   }
 
+  test("teradata.rst compatibility functions") {
+    // TeradataDateFunctions.java doc-comment examples: formatting always
+    // zero-pads two-position fields, parsing accepts single digits
+    assert(one("SELECT to_char(TIMESTAMP '1988-04-08 02:03:04', 'yyyy/mm/dd hh24:mi:ss')")
+      == "1988/04/08 02:03:04")
+    assert(one("SELECT to_timestamp('1988/4/8 2:3:4', 'yyyy/mm/dd hh24:mi:ss')")
+      == java.sql.Timestamp.valueOf("1988-04-08 02:03:04"))
+    assert(one("SELECT to_date('1988/04/08', 'yyyy/mm/dd')")
+      == java.sql.Date.valueOf("1988-04-08"))
+    // hh is the 1-12 clock (HOUR_OF_AMPM); yy parses reduced on base 2000
+    assert(one("SELECT to_char(TIMESTAMP '1988-04-08 14:03:04', 'hh:mi')") == "02:03")
+    assert(one("SELECT to_date('88/04/08', 'yy/mm/dd')")
+      == java.sql.Date.valueOf("2088-04-08"))
+    // punctuation and whitespace are the only literals; anything else is
+    // a loud tokenize error (DateFormat.g4 UNRECOGNIZED)
+    assertThrows[Exception](one("SELECT to_char(TIMESTAMP '1988-04-08 02:03:04', 'yyyyabc')"))
+    // TeradataStringFunctions.java: index = strpos, char2hexint = UTF-16BE hex
+    assert(one("SELECT index('high', 'ig')") == 2L)
+    assert(one("SELECT index('high', 'zz')") == 0L)
+    assert(one("SELECT char2hexint('Hello')") == "00480065006C006C006F")
+  }
+
   test("conversion.rst typeof and ROW constructor casts") {
     assert(one("SELECT typeof('cat')") == "varchar(3)")
     assert(one("SELECT typeof(123)") == "integer")
