@@ -149,6 +149,68 @@ object Dialect {
     }
   }
 
+  /** Start of the operand preceding `AT TIME ZONE` — operandStart plus
+    * the typed-literal case (`TIMESTAMP '…' AT TIME ZONE …`): a trailing
+    * string literal pulls in its type-keyword prefix when one is present.
+    * Leading arithmetic stays outside the wrap, matching the grammar's
+    * tight binding (SqlBase.g4 valueExpression: the AT alternative binds
+    * tighter than the arithmetic ones). */
+  private def atTzOperandStart(out: StringBuilder): Int = {
+    var i = out.length - 1
+    while (i >= 0 && out(i).isWhitespace) i -= 1
+    if (i >= 0 && out(i) == '\'') {
+      var j = i - 1
+      while (j >= 0 && out(j) != '\'') j -= 1
+      var k = j - 1
+      while (k >= 0 && out(k).isWhitespace) k -= 1
+      var w = k
+      while (w >= 0 && isWordChar(out(w))) w -= 1
+      val kw = out.substring(w + 1, k + 1).toLowerCase
+      if (kw == "timestamp" || kw == "date" || kw == "time") w + 1 else j
+    } else operandStart(out)
+  }
+
+  /** After the word `AT` (scanner is at the first non-space index
+    * `from`): if the text reads `TIME ZONE <zone>`, the translated zone
+    * SQL ('Region/City' literal kept verbatim; `INTERVAL '-08:00' HOUR TO
+    * MINUTE` becomes the signed offset literal) and the index just past
+    * the zone spec. None = not the operator → scanner leaves the word
+    * alone. */
+  private def parseAtTimeZone(q: String, from: Int): Option[(String, Int)] = {
+    def word(idx: Int): (String, Int) = {
+      var e = idx
+      while (e < q.length && isWordChar(q(e))) e += 1
+      (q.substring(idx, e), e)
+    }
+    val (w1, e1) = word(from)
+    if (!w1.equalsIgnoreCase("time")) return None
+    val k2 = nextNonSpace(q, e1)
+    val (w2, e2) = word(k2)
+    if (!w2.equalsIgnoreCase("zone")) return None
+    val k3 = nextNonSpace(q, e2)
+    if (k3 < q.length && q(k3) == '\'') {
+      val end = literalEnd(q, k3)
+      Some((q.substring(k3, end), end))
+    } else {
+      val (w3, e3) = word(k3)
+      if (!w3.equalsIgnoreCase("interval")) return None
+      val k4 = nextNonSpace(q, e3)
+      if (k4 >= q.length || q(k4) != '\'') return None
+      val end = literalEnd(q, k4)
+      val k5 = nextNonSpace(q, end); val (w5, e5) = word(k5)
+      if (!w5.equalsIgnoreCase("hour")) return None
+      val k6 = nextNonSpace(q, e5); val (w6, e6) = word(k6)
+      if (!w6.equalsIgnoreCase("to")) return None
+      val k7 = nextNonSpace(q, e6); val (w7, e7) = word(k7)
+      if (!w7.equalsIgnoreCase("minute")) return None
+      val raw = q.substring(k4 + 1, end - 1)
+      // ZoneId offsets need an explicit sign; Presto's interval literal
+      // may omit '+'
+      val signed = if (raw.startsWith("+") || raw.startsWith("-")) raw else "+" + raw
+      Some((s"'$signed'", e7))
+    }
+  }
+
   private val regexMeta = "\\^$.|?*+()[]{}"
 
   /** Presto string literals have NO backslash escapes (SqlBase.g4 —
@@ -285,6 +347,18 @@ object Dialect {
           val end = literalEnd(q, k)
           out.append("CAST(").append(q.substring(k, end))
             .append(" AS ").append(lower.toUpperCase).append(')')
+          i = end
+        } else if (lower == "at" && parseAtTimeZone(q, k).isDefined) {
+          // X AT TIME ZONE 'tz' (SqlBase.g4 valueExpression AT
+          // timeZoneSpecifier) → at_timezone(X, 'tz'): same instant,
+          // wall-clock re-rendered in tz. The operand is the trailing
+          // primary (typed literal, call, or identifier); rarer shapes
+          // (a trailing bare INTERVAL unit word) mis-wrap and fail loudly
+          // at analysis rather than silently changing meaning.
+          val (zoneSql, end) = parseAtTimeZone(q, k).get
+          val ins = atTzOperandStart(out)
+          out.insert(ins, "at_timezone(")
+          out.append(", ").append(zoneSql).append(')')
           i = end
         } else if (lower == "row" && k < q.length && q(k) == '(' &&
             !lastWordIs(out, "as")) {

@@ -363,9 +363,11 @@ object Scalars {
         .orderBy("o_orderkey")
     },
 
-    // at_timezone / with_timezone (reference: operator/scalar/
-    // DateTimeFunctions.java — both return TIMESTAMP WITH TIME ZONE; see
-    // README "Time zone semantics" for the TIMESTAMP narrowing). Rendered
+    // at_timezone / with_timezone + the AT TIME ZONE operator syntax
+    // (reference: operator/scalar/DateTimeFunctions.java, SqlBase.g4
+    // valueExpression AT timeZoneSpecifier — both return TIMESTAMP WITH
+    // TIME ZONE; see README "Time zone semantics" for the TIMESTAMP
+    // narrowing). Rendered
     // as wall-clock strings so both engines compare text, and DuckDB's ICU
     // AT TIME ZONE is the independent zone-rules oracle — including
     // America/Los_Angeles DST transitions across the 1992-1998 dates.
@@ -383,7 +385,7 @@ object Scalars {
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       graft.Engine.sql(s, dir,
         """SELECT o_orderkey,
-          |  date_format(at_timezone(ts, 'America/Los_Angeles'),
+          |  date_format(ts AT TIME ZONE 'America/Los_Angeles',
           |              '%Y-%m-%d %H:%i:%S') AS la_wall,
           |  date_format(with_timezone(ts, 'Asia/Kolkata'),
           |              '%Y-%m-%d %H:%i:%S') AS utc_of_kolkata_wall

@@ -135,6 +135,21 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(one("SELECT bit_count(-7, 8)") == 6L)
   }
 
+  test("datetime.rst AT TIME ZONE operator") {
+    // doc example (seconds spelled out — see README TIME/TSWTZ narrowing:
+    // the zone-qualified literal renders as a session-zone timestamp, so
+    // UTC-session wall-clock matches the documented LA wall-clock)
+    assert(one("SELECT TIMESTAMP '2012-10-31 01:00:00 UTC' AT TIME ZONE 'America/Los_Angeles'")
+      == java.sql.Timestamp.valueOf("2012-10-30 18:00:00"))
+    // interval-offset zone spec (SqlBase.g4 timeZoneSpecifier)
+    assert(one("SELECT TIMESTAMP '2012-10-31 01:00:00' AT TIME ZONE INTERVAL '-08:00' HOUR TO MINUTE")
+      == java.sql.Timestamp.valueOf("2012-10-30 17:00:00"))
+    // operand shapes: call and identifier; 'at' elsewhere stays a word
+    assert(one("SELECT CAST('2012-10-31' AS TIMESTAMP) AT TIME ZONE 'Asia/Kolkata'")
+      == java.sql.Timestamp.valueOf("2012-10-31 05:30:00"))
+    assert(one("SELECT at FROM (SELECT 7 AS at) t") == 7)
+  }
+
   test("teradata.rst compatibility functions") {
     // TeradataDateFunctions.java doc-comment examples: formatting always
     // zero-pads two-position fields, parsing accepts single digits
