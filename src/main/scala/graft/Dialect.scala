@@ -51,7 +51,6 @@ object Dialect {
     "arbitrary"           -> "any_value",
     "strpos"              -> "instr",
     "json_extract_scalar" -> "get_json_object",
-    "to_unixtime"         -> "unix_timestamp",
     "codepoint"           -> "ascii",
     "pow"                 -> "power",
     "is_nan"              -> "isnan",
@@ -211,6 +210,12 @@ object Dialect {
     }
   }
 
+  /** A timestamp literal body that stops at minutes and carries a zone
+    * tail: `2012-10-31 01:00 UTC` (group 1 = date+time, group 2 = the
+    * zone suffix including its leading space). */
+  private val tsMinutesZone =
+    """^(\d{4}-\d{2}-\d{2}[ T]\d{1,2}:\d{2})( [^:]+)$""".r
+
   private val regexMeta = "\\^$.|?*+()[]{}"
 
   /** Presto string literals have NO backslash escapes (SqlBase.g4 —
@@ -348,6 +353,26 @@ object Dialect {
           out.append("CAST(").append(q.substring(k, end))
             .append(" AS ").append(lower.toUpperCase).append(')')
           i = end
+        } else if (lower == "localtimestamp" && (k >= q.length || q(k) != '(')) {
+          // bare keyword form (SqlBase.g4 primaryExpression
+          // localtimestamp); the narrowed model renders the same wall
+          // clock as current_timestamp (README "Time zone semantics")
+          out.append("current_timestamp"); i = j
+        } else if (lower == "timestamp" && k < q.length && q(k) == '\'' && {
+          // Presto accepts seconds-less zone-qualified timestamp literals
+          // (`TIMESTAMP '2012-10-31 01:00 UTC'`); Spark's parser wants
+          // seconds before a zone suffix — splice in ':00'
+          val end = literalEnd(q, k)
+          val lit = q.substring(k + 1, end - 1)
+          tsMinutesZone.findFirstMatchIn(lit) match {
+            case Some(m) =>
+              out.append("TIMESTAMP '").append(m.group(1)).append(":00")
+                .append(m.group(2)).append('\'')
+              i = end; true
+            case None => false
+          }
+        }) {
+          // handled in the guard
         } else if (lower == "at" && parseAtTimeZone(q, k).isDefined) {
           // X AT TIME ZONE 'tz' (SqlBase.g4 valueExpression AT
           // timeZoneSpecifier) → at_timezone(X, 'tz'): same instant,

@@ -454,6 +454,38 @@ object PrestoFunctions {
     fd("with_timezone") { a =>
       FromUTCTimestamp(ToUTCTimestamp(a(0), a(1)), CurrentTimeZone()) },
 
+    // to_unixtime / from_unixtime (reference: DateTimeFunctions.java):
+    // to_unixtime returns DOUBLE epoch seconds WITH the fraction (Spark's
+    // unix_timestamp truncates to whole seconds); from_unixtime returns a
+    // TIMESTAMP (Spark's builtin formats a string). The 2- and 3-arg
+    // forms return TSWTZ in the reference — narrowed per README "Time
+    // zone semantics" to the wall-clock in the given zone / fixed offset.
+    fd("to_unixtime") { a => Cast(Cast(a.head, TimestampType), DoubleType) },
+    fd("from_unixtime") {
+      case Seq(u) => SecondsToTimestamp(dbl(u))
+      case Seq(u, tz) =>
+        FromUTCTimestamp(
+          ToUTCTimestamp(SecondsToTimestamp(dbl(u)), CurrentTimeZone()), tz)
+      case Seq(u, h, m) =>
+        // fixed offset of h*60+m minutes (DateTimeFunctions.java
+        // fromUnixTime(unixtime, hoursOffset, minutesOffset))
+        val total = Add(Multiply(long(h), Literal(60L)), long(m))
+        val absT = Abs(total)
+        val zone = FormatString(
+          Literal("%s%02d:%02d"),
+          If(LessThan(total, Literal(0L)), Literal("-"), Literal("+")),
+          IntegralDivide(absT, Literal(60L)),
+          Remainder(absT, Literal(60L)))
+        FromUTCTimestamp(
+          ToUTCTimestamp(SecondsToTimestamp(dbl(u)), CurrentTimeZone()), zone)
+      case a => throw new IllegalArgumentException(
+        s"from_unixtime expects 1 to 3 arguments, got ${a.length}")
+    },
+    // localtimestamp(p): precision is accepted and ignored (Spark
+    // timestamps are fixed micros); the bare no-parens keyword form is
+    // rewritten by the dialect scanner.
+    fd("localtimestamp") { _ => CurrentTimestamp() },
+
     // (Presto's 3-arg date_add/date_diff are handled in [[graft.Dialect]]:
     // Spark 4 ships its own 3-arg forms that the analyzer resolves ahead
     // of injected functions, but they want the unit as an UNQUOTED

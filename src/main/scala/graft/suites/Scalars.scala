@@ -397,6 +397,26 @@ object Scalars {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // to_unixtime / from_unixtime with reference types (reference:
+    // DateTimeFunctions.java): DOUBLE epoch seconds out, TIMESTAMP back,
+    // and the 2-arg zone form narrowed to its wall clock. DuckDB's
+    // epoch()/to_timestamp()/ICU AT TIME ZONE replay all three.
+    Qdef.duckOnly(
+      "f24_unixtime",
+      """SELECT o_orderkey,
+        |  CAST(epoch(o_orderdate) AS DOUBLE) AS ut,
+        |  CAST(o_orderdate AS TIMESTAMP) AS rt,
+        |  CAST(to_timestamp(epoch(o_orderdate)) AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS tokyo_wall
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        graft.Engine.sql(s, dir,
+          """SELECT o_orderkey,
+            |  to_unixtime(CAST(o_orderdate AS TIMESTAMP)) AS ut,
+            |  from_unixtime(to_unixtime(CAST(o_orderdate AS TIMESTAMP))) AS rt,
+            |  from_unixtime(to_unixtime(CAST(o_orderdate AS TIMESTAMP)), 'Asia/Tokyo') AS tokyo_wall
+            |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin)
+    },
+
     // Remaining named string/math scalars from SURVEY §2.8 (reference:
     // scalar/StringFunctions.java levenshteinDistance/hammingDistance/
     // normalize/toUtf8/fromUtf8/splitPart, MathFunctions.java

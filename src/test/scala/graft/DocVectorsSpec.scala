@@ -148,6 +148,28 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(one("SELECT CAST('2012-10-31' AS TIMESTAMP) AT TIME ZONE 'Asia/Kolkata'")
       == java.sql.Timestamp.valueOf("2012-10-31 05:30:00"))
     assert(one("SELECT at FROM (SELECT 7 AS at) t") == 7)
+    // the doc's seconds-less zone-qualified literal parses verbatim
+    assert(one("SELECT TIMESTAMP '2012-10-31 01:00 UTC' AT TIME ZONE 'America/Los_Angeles'")
+      == java.sql.Timestamp.valueOf("2012-10-30 18:00:00"))
+  }
+
+  test("datetime.rst unixtime round trips") {
+    // to_unixtime keeps the fraction (DOUBLE); from_unixtime returns a
+    // TIMESTAMP, with the 2-arg zone and 3-arg fixed-offset forms
+    // narrowed to their wall clocks (DateTimeFunctions.java fromUnixTime)
+    assert(one("SELECT to_unixtime(TIMESTAMP '2024-03-15 10:20:30.500')") == 1.7104980305e9)
+    assert(one("SELECT from_unixtime(1710498030.25)")
+      == java.sql.Timestamp.valueOf("2024-03-15 10:20:30.25"))
+    assert(one("SELECT from_unixtime(1710498030, 'America/Los_Angeles')")
+      == java.sql.Timestamp.valueOf("2024-03-15 03:20:30"))
+    // offset = hours*60 + minutes, sign from the total: (-5, 30) = -04:30
+    assert(one("SELECT from_unixtime(1710498030, 5, 30)")
+      == java.sql.Timestamp.valueOf("2024-03-15 15:50:30"))
+    assert(one("SELECT from_unixtime(1710498030, -5, 30)")
+      == java.sql.Timestamp.valueOf("2024-03-15 05:50:30"))
+    // bare localtimestamp keyword resolves (narrowed to current_timestamp)
+    assert(one("SELECT localtimestamp") != null)
+    assert(one("SELECT localtimestamp(3)") != null)
   }
 
   test("teradata.rst compatibility functions") {
