@@ -117,7 +117,8 @@ object MinHashLSH {
     * reuses the persisted shingle sets. */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, numHashes: Int = 64): DataFrame = {
+      threshold: Double = 0.5, numHashes: Int = 64,
+      materialize: Boolean = true): DataFrame = {
     val prepared = prepare(df, idCol, textCol, numHashes)
     try {
       val cands = candidatePairs(prepared, numHashes)
@@ -133,8 +134,10 @@ object MinHashLSH {
       // signature frame can be released before returning — a persist with
       // no matching release leaks a cached copy per invocation. At 100 TB
       // this eager step is a checkpoint to reliable storage with the same
-      // explicit lifecycle.
-      pairs.localCheckpoint(eager = true)
+      // explicit lifecycle. materialize = false skips it and returns the
+      // raw composed plan — the checkpointed frame's executed plan is just
+      // an RDD scan, useless for plan-shape tests.
+      if (materialize) pairs.localCheckpoint(eager = true) else pairs
     } finally prepared.unpersist(blocking = false)
   }
 }

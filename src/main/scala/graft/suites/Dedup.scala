@@ -1,14 +1,14 @@
 package graft.suites
 
 import graft.{Qdef, Tables}
-import graft.ops.{MinHashLSH, SimHash}
+import graft.ops.{EmbeddingDedup, MinHashLSH, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication corpus over `documents` (north-star LLM-pipeline ops,
   * SURVEY §7 Phase 5): exact dedup, MinHash+LSH near-dup, SimHash
-  * fingerprints, n-gram Jaccard. Everything is shuffle-on-key — no
-  * all-pairs joins, no driver-side collects.
+  * fingerprints, n-gram Jaccard, embedding-cosine near-dup. Everything
+  * is shuffle-on-key — no all-pairs joins, no driver-side collects.
   */
 object Dedup {
 
@@ -175,6 +175,41 @@ object Dedup {
         .repartition(64)
         .agg(expr("bottom_k_sample(CAST(doc_id AS STRING), 10L)").as("sample"))
         .select(explode(col("sample")).as("did"))
+    },
+
+    // Embedding-cosine near-duplicates: hashed-TF shingle embeddings
+    // (256 buckets, first-4-md5-hex-digits hash — engine-independent),
+    // sign-LSH candidates, exact-cosine verification at 0.8. Counts are
+    // integers, so both engines' dot products and norms are EXACT and
+    // the oracle's brute-force replay (bucket-join sparse dot) matches
+    // bit-for-bit. The `embeddings` table can't host this entry: its
+    // vectors are random near-orthogonal (max pairwise cosine 0.51), so
+    // any sensible threshold returns zero rows.
+    Qdef.duckOnly(
+      "d07_embedding_near_dup",
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |    i -> w[i] || '_' || coalesce(w[i+1], '') || '_' || coalesce(w[i+2], '')))) AS g
+        |  FROM sp),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(g), 1, 4)) AS INTEGER) % 256 AS bucket,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM sh GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(sum(c*c)) AS nr FROM cnt GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.c*b.c) AS d
+        |  FROM cnt a JOIN cnt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, round(cos, 6) AS cosine
+        |FROM (SELECT id1, id2, d/(na.nr*nb.nr) AS cos
+        |      FROM dots JOIN nrm na ON id1 = na.doc_id
+        |                JOIN nrm nb ON id2 = nb.doc_id)
+        |WHERE cos >= 0.8
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      EmbeddingDedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy("id1", "id2")
     }
   )
 }

@@ -82,10 +82,25 @@ class PlanSpec extends QueryAssertions {
   }
 
   test("d02: LSH near-dup plan has no cartesian product") {
-    val plan = planOf(run("d02_minhash_near_dup"))
+    // materialize = false: the production path localCheckpoints, whose
+    // executed plan is an RDD scan — asserting on that would be vacuous
+    val plan = planOf(ops.MinHashLSH.nearDuplicates(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 0.5,
+      materialize = false))
     assert(!plan.contains("CartesianProduct"), "all-pairs join would sink at scale")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "near-dup candidates must come from the band-key equi join")
+  }
+
+  test("d07: embedding near-dup candidates come from the LSH equi join") {
+    // materialize = false: the checkpointed production frame's plan is
+    // just an RDD scan, which would make these assertions vacuous
+    val plan = planOf(ops.EmbeddingDedup.nearDuplicates(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 0.8,
+      materialize = false))
+    assert(!plan.contains("CartesianProduct"), "all-pairs join would sink at scale")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (table, lshBucket) equi join")
   }
 
   test("j09/j10: as-of and range joins avoid nested-loop plans") {
