@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second ANN
+  * path next to [[VectorSearch.annTopK]]'s sign-LSH: a coarse k-means
+  * quantizer partitions the corpus into k inverted lists; a query probes
+  * only the `nprobe` lists whose centroids are nearest, then scores
+  * exact cosine inside them. Scan fraction ≈ nprobe/k on balanced lists
+  * (the classic IVF-Flat layout of the FAISS line of work).
+  *
+  * Everything is expressed as DataFrame ops that survive 100 TB:
+  *  - Training iterates Lloyd's algorithm with a BROADCAST k-row
+  *    centroid table — assignment is a broadcast join + min_by, the
+  *    update a posexplode → groupBy(cluster, dim) average. Only the k
+  *    centroid rows ever reach the driver (the same bounded-model
+  *    contour as [[VectorSearch.planeSigns]]), never the corpus.
+  *  - Init and iteration are DETERMINISTIC: seeds are the k vectors
+  *    with the smallest md5(id), and every centroid component is
+  *    rounded to 6 dp after each update so shuffle-order float jitter
+  *    cannot flip assignments between runs.
+  *  - Search is one plan: query → nprobe nearest centroids (broadcast
+  *    k rows + rank window) → equi-join on the cluster id against the
+  *    assigned corpus → exact cosine → top-k window. Each corpus vector
+  *    lives in exactly ONE list, so no candidate dedup is needed
+  *    (unlike multi-table LSH).
+  *
+  * The reference has no ANN operator (its nearest relative is
+  * cosine_similarity over sparse maps, presto-main/.../operator/scalar/
+  * MathFunctions.java); this is part of the training-data-pipeline
+  * extension surface.
+  */
+object IvfIndex {
+
+  /** Squared L2 distance between two float-array columns via the native
+    * codegen dot product: ||a-b||² = a·a − 2a·b + b·b. */
+  private def sqDist(a: String, b: String) =
+    expr(s"graft_dot($a, $a) - 2 * graft_dot($a, $b) + graft_dot($b, $b)")
+
+  /** Train k centroids with `iters` Lloyd passes over deterministic
+    * md5-ordered seeds. Returns a k-row frame (cluster, centroid) where
+    * centroid is Array[Float]; only these k rows are collected. */
+  def train(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    var centroids = c
+      .withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy("__h").limit(k)
+      .select(
+        (row_number().over(Window.orderBy("__h")) - 1).as("cluster"),
+        col("__v").cast("array<float>").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignTo(c, centroids)
+      centroids = assigned
+        .select(col("__cluster").as("cluster"),
+          posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("cluster", "__d")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
+        // 6-dp rounding: shuffle-order float jitter in avg() must not be
+        // able to flip a near-tie assignment between runs
+        .select(col("cluster"),
+          transform(col("__dm"), e => round(e("__m"), 6).cast("float"))
+            .as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast the k centroid rows, join,
+    * keep the argmin cluster per vector. */
+  private def assignTo(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .withColumn("__dist", sqDist("__v", "centroid"))
+      .groupBy("__id")
+      .agg(
+        min_by(col("cluster"), struct(col("__dist"), col("cluster"))).as("__cluster"),
+        first(col("__v")).as("__v"))
+
+  /** The inverted file: (id, vec, cluster) — cluster is the partition /
+    * bucketing key a 100-TB layout would persist by. */
+  def index(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignTo(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), centroids)
+      .select(col("__id").as("nid"), col("__v").as("nv"),
+        col("__cluster").as("ncluster"))
+
+  /** Probe the `nprobe` nearest lists per query and return exact-cosine
+    * top-k within them — the [[VectorSearch.cosineTopK]] output shape
+    * (qid, rank, nid, score). */
+  def search(
+      queries: DataFrame, idCol: String, vecCol: String,
+      indexed: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("__qdist"), col("cluster"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("__qdist", sqDist("qv", "centroid"))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cluster"))
+    val scored = probed
+      .join(indexed, col("cluster") === col("ncluster") && col("qid") =!= col("nid"))
+      .withColumn("score", VectorSearch.cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Candidate lists without scoring (for scan-fraction bounds). */
+  def candidates(
+      queries: DataFrame, idCol: String, vecCol: String,
+      indexed: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("__qdist"), col("cluster"))
+    q.crossJoin(broadcast(centroids))
+      .withColumn("__qdist", sqDist("qv", "centroid"))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cluster"))
+      .join(indexed, col("cluster") === col("ncluster") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+  }
+}

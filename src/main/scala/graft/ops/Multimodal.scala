@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -15,18 +16,21 @@ import org.apache.spark.sql.functions._
   * in batches — the shape a real decode/feature-extract pipeline has
   * (decoder initialized once per partition, rows streamed through it).
   *
-  * The codec is REAL: assets are genuine PNG images (encoded with
-  * `javax.imageio`, pure JVM, no native libs), synthesized
-  * deterministically from document bytes — each document's UTF-8 bytes
-  * become the pixels of a width-16 8-bit grayscale image (row-major,
-  * final row zero-padded), and `n_bytes` metadata carries the true
-  * content length the way a real container records its sample count.
-  * Feature extraction, frame sampling and resize all `ImageIO.read` the
-  * payload and work on ACTUALLY DECODED PIXELS; because grayscale PNG is
-  * lossless, a DuckDB oracle can replay every statistic from the source
-  * text. Non-image mimes fall back to a deterministic md5 fingerprint
-  * (documented divergence: no audio/video codec ships in the JVM), kept
-  * oracle-verified via the m05 fallback entry.
+  * The codecs are REAL: image assets are genuine PNG images (encoded
+  * with `javax.imageio`) and audio assets genuine RIFF/WAV PCM files
+  * (encoded with `javax.sound.sampled`) — both pure JVM, no native
+  * libs — synthesized deterministically from document bytes. A
+  * document's UTF-8 bytes become the pixels of a width-16 8-bit
+  * grayscale image (row-major, final row zero-padded) or the samples of
+  * an 8-bit mono 8 kHz PCM stream, and `n_bytes` metadata carries the
+  * true content length the way a real container records its sample
+  * count. Feature extraction, frame sampling and resize all
+  * `ImageIO.read` / `AudioSystem.getAudioInputStream` the payload and
+  * work on ACTUALLY DECODED samples; because grayscale PNG and PCM WAV
+  * are lossless, a DuckDB oracle can replay every statistic from the
+  * source text. Remaining mimes (video — no JVM codec exists) fall back
+  * to a deterministic md5 fingerprint, kept oracle-verified via the m05
+  * fallback entry.
   *
   * Reference capability analog: presto-main feature-extraction scalar
   * surface (presto-ml/src/main/java/com/facebook/presto/ml/MLFunctions
@@ -55,6 +59,60 @@ object Multimodal {
           (id, encodePng(content), "image/png", content.length.toLong)
         }
       }.toDF("asset_id", "payload", "mime", "n_bytes")
+  }
+
+  /** Synthesize real WAV assets from documents: payload = RIFF/WAV
+    * encoding of the text bytes as 8-bit unsigned mono PCM at
+    * [[SampleRate]] Hz. Runs per-partition like [[assets]]. */
+  def audioAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val content = text.getBytes(StandardCharsets.UTF_8)
+          (id, encodeWav(content), "audio/wav", content.length.toLong)
+        }
+      }.toDF("asset_id", "payload", "mime", "n_bytes")
+  }
+
+  /** 8-bit unsigned mono PCM sample rate for synthesized audio assets. */
+  val SampleRate = 8000f
+
+  private def pcmFormat: AudioFormat =
+    new AudioFormat(SampleRate, 8, 1, /* signed = */ false,
+      /* bigEndian = */ false)
+
+  /** Encode content bytes as a RIFF/WAV file — one 8-bit unsigned mono
+    * PCM sample per byte. Deterministic and lossless. */
+  private[graft] def encodeWav(content: Array[Byte]): Array[Byte] = {
+    val in = new AudioInputStream(
+      new ByteArrayInputStream(content), pcmFormat, content.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private[graft] final case class DecodedAudio(
+      samples: Array[Byte], sampleRate: Float, channels: Int)
+
+  /** Decode a WAV payload back to its PCM samples through the real
+    * javax.sound codec (container parse + format negotiation). */
+  private[graft] def decodeWav(payload: Array[Byte]): DecodedAudio = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      DecodedAudio(in.readAllBytes(), fmt.getSampleRate, fmt.getChannels)
+    } finally in.close()
+  }
+
+  /** Decoded audio content: samples trimmed to the `n_bytes` metadata,
+    * mirroring [[decodeContent]]. */
+  private def decodeAudioContent(
+      payload: Array[Byte], nBytes: Long): (DecodedAudio, Array[Byte]) = {
+    val d = decodeWav(payload)
+    (d, d.samples.take(math.min(nBytes, d.samples.length.toLong).toInt))
   }
 
   /** Raw-bytes asset table (mime text/plain) — exercises the non-image
@@ -121,8 +179,11 @@ object Multimodal {
     * image-mime payloads are DECODED with javax.imageio and featurized from
     * real pixels: [width, height, n_content_bytes, mean, min, max,
     * hist0..hist9] where hist_b = fraction of content pixels with
-    * sample/13 == b (clamped to bin 9). Other mimes get the md5
-    * fallback fingerprint (one double per hex digit / 100). */
+    * sample/13 == b (clamped to bin 9). audio-mime payloads are DECODED
+    * with javax.sound.sampled and featurized from real PCM samples with
+    * the same layout, [sample_rate, channels, n_samples, mean, min, max,
+    * hist0..hist9]. Other mimes get the md5 fallback fingerprint (one
+    * double per hex digit / 100). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -138,18 +199,24 @@ object Multimodal {
         val features =
           if (mime.startsWith("image/")) {
             val (d, content) = decodeContent(payload, nBytes)
-            pixelFeatures(d, content)
+            sampleFeatures(d.width, d.height, content)
+          } else if (mime.startsWith("audio/")) {
+            val (d, content) = decodeAudioContent(payload, nBytes)
+            sampleFeatures(d.sampleRate.toInt, d.channels, content)
           } else md5Features(md, payload)
         (id, features)
       }
     }.toDF("asset_id", "features")
   }
 
-  /** [[FeatureDim]] doubles from actually-decoded pixels. */
-  private def pixelFeatures(d: Decoded, content: Array[Byte]): Array[Double] = {
+  /** [[FeatureDim]] doubles from actually-decoded 8-bit samples (pixels
+    * or PCM): shape fields first, then mean/min/max and the 10-bin
+    * histogram over the unsigned sample values. */
+  private def sampleFeatures(
+      shape0: Int, shape1: Int, content: Array[Byte]): Array[Double] = {
     val f = new Array[Double](FeatureDim)
-    f(0) = d.width.toDouble
-    f(1) = d.height.toDouble
+    f(0) = shape0.toDouble
+    f(1) = shape1.toDouble
     f(2) = content.length.toDouble
     if (content.nonEmpty) {
       var sum = 0L
@@ -207,6 +274,7 @@ object Multimodal {
       rows.flatMap { case (id, payload, mime, nBytes) =>
         val content =
           if (mime.startsWith("image/")) decodeContent(payload, nBytes)._2
+          else if (mime.startsWith("audio/")) decodeAudioContent(payload, nBytes)._2
           else payload
         Iterator.range(0, maxFrames).flatMap { i =>
           val start = i * stride
@@ -246,6 +314,10 @@ object Multimodal {
             val (_, content) = decodeContent(payload, nBytes)
             val cropped = content.take(maxBytes)
             (encodePng(cropped), content.length.toLong, cropped.length.toLong)
+          } else if (mime.startsWith("audio/")) {
+            val (_, content) = decodeAudioContent(payload, nBytes)
+            val cropped = content.take(maxBytes)
+            (encodeWav(cropped), content.length.toLong, cropped.length.toLong)
           } else {
             (payload.take(maxBytes), payload.length.toLong,
               math.min(payload.length, maxBytes).toLong)
@@ -254,6 +326,7 @@ object Multimodal {
         md.reset()
         val decodedOut =
           if (mime.startsWith("image/")) decodeContent(outPayload, newBytes)._2
+          else if (mime.startsWith("audio/")) decodeAudioContent(outPayload, newBytes)._2
           else outPayload
         val contentMd5 = md.digest(decodedOut).map("%02x".format(_)).mkString
         (id, outPayload, mime, origBytes, newBytes, contentMd5)

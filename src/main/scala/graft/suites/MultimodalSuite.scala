@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal pipeline corpus: binary asset table → per-partition batched
   * decode + feature extraction → aggregable vectors. Assets are REAL PNGs
-  * (javax.imageio) synthesized deterministically from document bytes
-  * (pixels == utf-8 bytes at width 16, grayscale, lossless), so DuckDB
-  * replays every decoded-pixel statistic from the source text — the
-  * decode step itself is under oracle verification, not just the
-  * plumbing. m05 pins the non-image md5 fallback path.
+  * (javax.imageio) and REAL WAVs (javax.sound.sampled) synthesized
+  * deterministically from document bytes (pixels / PCM samples == utf-8
+  * bytes, lossless), so DuckDB replays every decoded-sample statistic
+  * from the source text — the decode step itself is under oracle
+  * verification, not just the plumbing. m05 pins the no-codec md5
+  * fallback path; m06/m07 the audio decoder.
   */
 object MultimodalSuite {
 
@@ -123,9 +124,9 @@ object MultimodalSuite {
         .orderBy("asset_id")
     },
 
-    // Non-image mimes take the documented md5-fingerprint fallback (no
-    // audio/video codec ships in the JVM); oracle-pinned so the fallback
-    // path stays verified alongside the real decoder.
+    // Mimes with no JVM codec (text, video) take the documented
+    // md5-fingerprint fallback; oracle-pinned so the fallback path stays
+    // verified alongside the real decoders.
     Qdef.duckOnly(
       "m05_codec_fallback",
       """SELECT CAST(doc_id AS BIGINT) AS asset_id,
@@ -145,6 +146,65 @@ object MultimodalSuite {
             "aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + x)"), 4)
             .as("feat_sum"),
           round(element_at(col("features"), 1), 4).as("f1"))
+        .orderBy("asset_id")
+    },
+
+    // Audio features from ACTUALLY DECODED PCM: the payload is a genuine
+    // RIFF/WAV file (javax.sound.sampled), one 8-bit unsigned sample per
+    // text byte at 8 kHz mono. The decoder parses the real container —
+    // format fields (sample_rate, channels) come from the WAV header, the
+    // stats from the decoded sample stream — and lossless PCM lets DuckDB
+    // replay everything from the source text.
+    Qdef.duckOnly(
+      "m06_audio_features",
+      """WITH px AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text)+1),
+        |      j -> ascii(substr(text, j, 1))) AS codes
+        |  FROM documents WHERE doc_id < 30
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |  CAST(8000 AS DOUBLE) AS sample_rate,
+        |  CAST(1 AS DOUBLE) AS channels,
+        |  CAST(n AS DOUBLE) AS n_samples,
+        |  round(list_avg(codes), 4) AS s_mean,
+        |  CAST(list_min(codes) AS DOUBLE) AS s_min,
+        |  CAST(list_max(codes) AS DOUBLE) AS s_max
+        |FROM px
+        |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      val feats = Multimodal.extractFeatures(
+        Multimodal.audioAssets(t(s, dir, "documents").filter(col("doc_id") < 30)))
+      feats.select(
+          col("asset_id"),
+          element_at(col("features"), 1).as("sample_rate"),
+          element_at(col("features"), 2).as("channels"),
+          element_at(col("features"), 3).as("n_samples"),
+          round(element_at(col("features"), 4), 4).as("s_mean"),
+          element_at(col("features"), 5).as("s_min"),
+          element_at(col("features"), 6).as("s_max"))
+        .orderBy("asset_id")
+    },
+
+    // Audio resize-to-budget: decode → crop samples → re-encode WAV; the
+    // digest is of the DECODED samples of the NEW payload, verifying the
+    // decode∘encode∘crop∘decode roundtrip through the real codec.
+    Qdef.duckOnly(
+      "m07_audio_resize",
+      """SELECT doc_id AS asset_id,
+        |  CAST(length(text) AS BIGINT) AS orig_bytes,
+        |  CAST(least(length(text), 200) AS BIGINT) AS n_bytes,
+        |  md5(substr(text, 1, 200)) AS content_md5
+        |FROM documents
+        |WHERE doc_id < 50
+        |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      Multimodal.resizePayload(
+          Multimodal.audioAssets(t(s, dir, "documents").filter(col("doc_id") < 50)),
+          maxBytes = 200)
+        .select(
+          col("asset_id"),
+          col("orig_bytes"),
+          col("n_bytes"),
+          col("content_md5"))
         .orderBy("asset_id")
     }
   )

@@ -1,13 +1,13 @@
 package graft.suites
 
 import graft.{Qdef, Tables}
-import graft.ops.VectorSearch
+import graft.ops.{IvfIndex, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity corpus over `embeddings` (north-star LLM-pipeline
-  * ops, SURVEY §7 Phase 5): exact cosine top-k as the baseline, LSH ANN
-  * as the scale path with a recall property check.
+  * ops, SURVEY §7 Phase 5): exact cosine top-k as the baseline, LSH and
+  * IVF ANN as the scale paths with recall property checks.
   */
 object Similarity {
 
@@ -71,6 +71,42 @@ object Similarity {
         .select(
           (col("recall") >= 0.5).as("recall_ok"),
           (col("scan_frac") <= 0.6).as("scan_bounded"))
+    },
+
+    // IVF ANN: k-means inverted lists, nprobe nearest probed, exact
+    // cosine inside. Same property contour as v02 — recall@5 vs the
+    // exact top-5 plus a scan bound, all ONE plan. Deterministic:
+    // md5-ordered seeds, 6-dp-rounded Lloyd updates (see IvfIndex).
+    // The only crossJoins are k-row centroid broadcasts. Measured at
+    // k=16/nprobe=8: recall 0.80 (both sf0.001 and sf0.01), max scan
+    // fraction 0.52-0.53 — floors at 0.5/0.65 cannot flake.
+    Qdef(
+      "v04_ivf_recall",
+      "SELECT true AS recall_ok, true AS scan_bounded") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = VectorSearch.cosineTopK(queries, emb, "vec_id", "embedding", 5)
+        .select(col("qid").as("eqid"), col("nid").as("enid"))
+      val centroids = IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      val indexed = IvfIndex.index(emb, "vec_id", "embedding", centroids)
+      val cands = IvfIndex.candidates(
+        queries, "vec_id", "embedding", indexed, centroids, nprobe = 8)
+      val approx = IvfIndex.search(
+          queries, "vec_id", "embedding", indexed, centroids, k = 5, nprobe = 8)
+        .select(col("qid"), col("nid"))
+      val recall = approx.join(exact,
+          col("qid") === col("eqid") && col("nid") === col("enid"))
+        .agg(count(lit(1)).cast("double").as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).cast("double").as("total")))
+        .select((col("hits") / col("total")).as("recall"))
+      val scan = cands.groupBy("qid").agg(count(lit(1)).as("cand_n"))
+        .agg(max("cand_n").cast("double").as("max_cand"))
+        .crossJoin(emb.agg(count(lit(1)).cast("double").as("corpus_n")))
+        .select((col("max_cand") / col("corpus_n")).as("scan_frac"))
+      recall.crossJoin(scan)
+        .select(
+          (col("recall") >= 0.5).as("recall_ok"),
+          (col("scan_frac") <= 0.65).as("scan_bounded"))
     },
 
     // Per-label vector statistics — the aggregate side of embedding

@@ -5,10 +5,11 @@ import java.nio.charset.StandardCharsets
 import graft.ops.Multimodal
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Codec-level properties of the multimodal PNG path: the corpus entries
-  * (m01–m05) verify pipeline results against DuckDB; these pin the codec
-  * itself — a real javax.imageio encode/decode must be lossless and
-  * deterministic for the oracle replay to be sound.
+/** Codec-level properties of the multimodal PNG/WAV paths: the corpus
+  * entries (m01–m07) verify pipeline results against DuckDB; these pin
+  * the codecs themselves — a real javax.imageio / javax.sound encode +
+  * decode must be lossless and deterministic for the oracle replay to be
+  * sound.
   */
 class MultimodalSpec extends AnyFunSuite {
 
@@ -41,5 +42,30 @@ class MultimodalSpec extends AnyFunSuite {
     val content = Array.tabulate(200)(i => ((i * 13) % 256).toByte)
     assert(Multimodal.encodePng(content).toSeq ==
       Multimodal.encodePng(content).toSeq)
+  }
+
+  private def wavRoundtrip(content: Array[Byte]): Unit = {
+    val wav = Multimodal.encodeWav(content)
+    // RIFF magic: a real container, not a fingerprint
+    assert(new String(wav.take(4), StandardCharsets.US_ASCII) == "RIFF")
+    assert(new String(wav.slice(8, 12), StandardCharsets.US_ASCII) == "WAVE")
+    val d = Multimodal.decodeWav(wav)
+    assert(d.sampleRate == Multimodal.SampleRate)
+    assert(d.channels == 1)
+    assert(d.samples.toSeq == content.toSeq)
+  }
+
+  test("wav encode/decode roundtrips PCM samples losslessly") {
+    wavRoundtrip("the quick brown fox jumps over the lazy dog"
+      .getBytes(StandardCharsets.UTF_8))
+    wavRoundtrip(Array.emptyByteArray)
+    wavRoundtrip(Array.tabulate(1)(i => i.toByte))
+    wavRoundtrip(Array.tabulate(553)(i => ((i * 31 + 5) % 256).toByte))
+  }
+
+  test("wav encoding is deterministic") {
+    val content = Array.tabulate(200)(i => ((i * 13) % 256).toByte)
+    assert(Multimodal.encodeWav(content).toSeq ==
+      Multimodal.encodeWav(content).toSeq)
   }
 }
