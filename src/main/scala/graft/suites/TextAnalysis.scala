@@ -141,6 +141,88 @@ object TextAnalysis {
             length(regexp_replace(col("text"), lit("data"), lit("")))) / 4)
             .cast("bigint").as("data_occurrences"))
         .orderBy("lang")
+    },
+
+    // Language-ID by character-trigram profile (the Cavnar-Trenkle 1994
+    // n-gram heuristic, distilled to an exactly-replayable form): train
+    // top-50 trigram profiles per language on the even doc_ids, classify
+    // the odd ones by distinct-trigram overlap, argmax with a
+    // deterministic (score DESC, lang ASC) tie-break. Output is the
+    // confusion matrix. HONEST CAVEAT: the synthetic corpus draws every
+    // language from one shared vocabulary, so there is no real language
+    // signal and accuracy sits near chance — what the oracle certifies is
+    // the CLASSIFIER (profile selection incl. count-ties, scoring,
+    // argmax), replayed prediction-for-prediction by DuckDB. Every stage
+    // is a shuffle on (lang, gram) / (doc, lang); the profile and
+    // language tables are broadcast-sized.
+    Qdef.duckOnly(
+      "x06_language_id",
+      """WITH grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, length(text) - 2),
+        |      i -> substr(text, i, 3))) AS g
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang, g FROM (
+        |    SELECT lang, g, row_number() OVER (
+        |      PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM grams WHERE doc_id % 2 = 0 GROUP BY lang, g) p
+        |  WHERE rn <= 50),
+        |test AS (
+        |  SELECT DISTINCT doc_id, lang AS actual, g
+        |  FROM grams WHERE doc_id % 2 = 1),
+        |langs AS (SELECT DISTINCT lang FROM profile),
+        |scores AS (
+        |  SELECT t.doc_id, t.actual, l.lang,
+        |    count(p.g) AS score
+        |  FROM (SELECT DISTINCT doc_id, actual FROM test) t
+        |  CROSS JOIN langs l
+        |  LEFT JOIN test tg ON tg.doc_id = t.doc_id
+        |  LEFT JOIN profile p ON p.lang = l.lang AND p.g = tg.g
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, actual, lang AS predicted FROM (
+        |    SELECT doc_id, actual, lang, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        |    FROM scores) r
+        |  WHERE rn = 1)
+        |SELECT actual, predicted, count(*) AS n
+        |FROM pred GROUP BY actual, predicted
+        |ORDER BY actual, predicted""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g"))
+      val profW = Window.partitionBy("plang")
+        .orderBy(col("cnt").desc, col("g").asc)
+      val profile = grams.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("plang"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(profW))
+        .filter(col("rn") <= 50)
+        .select(col("plang"), col("g"))
+      val test = grams.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang").as("actual"), col("g")).distinct()
+      val langs = profile.select(col("plang").as("cand")).distinct()
+      val overlap = test.join(broadcast(profile),
+          test("g") === profile("g"), "inner")
+        .groupBy(col("doc_id"), col("actual"), col("plang").as("cand"))
+        .agg(count(lit(1)).as("score"))
+      val scores = test.select("doc_id", "actual").distinct()
+        .crossJoin(broadcast(langs))
+        .join(overlap, Seq("doc_id", "actual", "cand"), "left")
+        .select(col("doc_id"), col("actual"), col("cand"),
+          coalesce(col("score"), lit(0L)).as("score"))
+      val predW = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand").asc)
+      scores
+        .withColumn("rn", row_number().over(predW))
+        .filter(col("rn") === 1)
+        .groupBy(col("actual"), col("cand").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
     }
   )
 }
