@@ -223,6 +223,91 @@ object TextAnalysis {
         .groupBy(col("actual"), col("cand").as("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy("actual", "predicted")
+    },
+
+    // BPE-ish token counting: the GPT-2-style pretokenizer contour —
+    // leading-space-merged letter runs / digit runs / punctuation runs —
+    // as a codegen'd regexp_extract_all. Counting (not the token texts)
+    // neutralizes engine corner cases, same policy as x03.
+    Qdef.duckOnly(
+      "x07_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-z]+')) AS BIGINT)
+        |    AS n_word_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT)
+        |    AS n_digit_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+        |    + 1 AS BIGINT) AS n_whitespace_tokens
+        |FROM documents
+        |WHERE doc_id < 40
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+            .cast("bigint").as("n_tokens"),
+          size(expr("regexp_extract_all(text, ' ?[a-z]+', 0)"))
+            .cast("bigint").as("n_word_tokens"),
+          size(expr("regexp_extract_all(text, ' ?[0-9]+', 0)"))
+            .cast("bigint").as("n_digit_tokens"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), lit(" "), lit(""))) + 1)
+            .cast("bigint").as("n_whitespace_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling-hash fingerprinting (winnowing, Schleimer et al. 2003):
+    // 5-gram polynomial hashes (base 31 over the byte codes — the sum
+    // maxes at ~2.4e8, so BIGINT arithmetic is exact and both engines
+    // agree bit-for-bit), then the distinct window-of-4 minima form the
+    // document's fingerprint set. The same sketch MOSS uses for
+    // plagiarism/near-dup detection; here the per-doc summary stats are
+    // the exactly-replayable certificate.
+    Qdef.duckOnly(
+      "x08_rolling_fingerprint",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 4),
+        |      i -> ascii(substr(text, i, 1)) * 923521
+        |         + ascii(substr(text, i+1, 1)) * 29791
+        |         + ascii(substr(text, i+2, 1)) * 961
+        |         + ascii(substr(text, i+3, 1)) * 31
+        |         + ascii(substr(text, i+4, 1))) AS hashes
+        |  FROM documents WHERE doc_id < 40),
+        |fp AS (
+        |  SELECT doc_id, hashes,
+        |    list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+        |      i -> list_min(hashes[i:i+3]))) AS fps
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(len(hashes) AS BIGINT) AS n_kgrams,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  CAST(list_min(fps) AS BIGINT) AS fp_min,
+        |  CAST(list_max(fps) AS BIGINT) AS fp_max,
+        |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+        |FROM fp
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .withColumn("hashes", expr(
+          """transform(sequence(1, length(text) - 4),
+            |  i -> cast(ascii(substring(text, i, 1)) * 923521
+            |     + ascii(substring(text, i+1, 1)) * 29791
+            |     + ascii(substring(text, i+2, 1)) * 961
+            |     + ascii(substring(text, i+3, 1)) * 31
+            |     + ascii(substring(text, i+4, 1)) as bigint))""".stripMargin))
+        .withColumn("fps", expr(
+          """array_distinct(transform(sequence(1, size(hashes) - 3),
+            |  i -> array_min(slice(hashes, i, 4))))""".stripMargin))
+        .select(
+          col("doc_id"),
+          size(col("hashes")).cast("bigint").as("n_kgrams"),
+          size(col("fps")).cast("bigint").as("n_fps"),
+          array_min(col("fps")).cast("bigint").as("fp_min"),
+          array_max(col("fps")).cast("bigint").as("fp_max"),
+          expr("aggregate(fps, 0L, (a, x) -> a + x)").cast("bigint").as("fp_sum"))
+        .orderBy("doc_id")
     }
   )
 }
