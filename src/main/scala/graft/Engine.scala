@@ -72,6 +72,7 @@ object Engine {
     graft.functions.KHyperLogLogSketch.registerAll(spark)
     graft.functions.Classification.registerAll(spark)
     graft.functions.TriviaScalars.registerAll(spark)
+    graft.functions.ColorPack.registerAll(spark)
     graft.functions.UnnestGenerator.register(spark)
     graft.functions.BinaryExtras.registerAll(spark)
     graft.functions.MiscExtras.registerAll(spark)

@@ -574,6 +574,67 @@ object PrestoFunctions {
           FunctionIdentifier("unicode_normalize"), Seq(a.head, form))
     },
 
+    // Color/visualization scalars (reference: scalar/ColorFunctions.java,
+    // docs functions/color.rst). COLOR surfaces as BIGINT (non-negative =
+    // 24-bit RGB, negative = system ANSI index encoded -(index+1));
+    // implementations in functions/ColorPack.scala, overloads dispatched
+    // here: color(varchar) parse / color(fraction, low, high) /
+    // color(x, lo, hi, low, high) both HSB-interpolating, render by
+    // argument shape (1-arg boolean ✓/✗ form), bar with the documented
+    // red→green defaults.
+    fd("color") { a =>
+      val catalog =
+        org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      a match {
+        case Seq(s) =>
+          catalog.lookupFunction(
+            FunctionIdentifier("graft_color_parse"), Seq(Cast(s, StringType)))
+        case Seq(f, lo, hi) =>
+          catalog.lookupFunction(
+            FunctionIdentifier("graft_color_interp"),
+            Seq(dbl(f), long(lo), long(hi)))
+        case Seq(x, lo, hi, lc, hc) =>
+          catalog.lookupFunction(
+            FunctionIdentifier("graft_color_interp"),
+            Seq(Divide(Subtract(dbl(x), dbl(lo)), Subtract(dbl(hi), dbl(lo))),
+              long(lc), long(hc)))
+        case args => throw new IllegalArgumentException(
+          s"color expects 1, 3, or 5 arguments, got ${args.length}")
+      }
+    },
+    fd("rgb") { a =>
+      org.apache.spark.sql.SparkSession.active.sessionState.catalog
+        .lookupFunction(FunctionIdentifier("graft_color_rgb"),
+          Seq(long(a(0)), long(a(1)), long(a(2))))
+    },
+    fd("render") { a =>
+      val catalog =
+        org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      a match {
+        case Seq(b) =>
+          catalog.lookupFunction(
+            FunctionIdentifier("graft_color_render_bool"), Seq(b))
+        case Seq(v, c) =>
+          catalog.lookupFunction(
+            FunctionIdentifier("graft_color_render"),
+            Seq(Cast(v, StringType), long(c)))
+        case args => throw new IllegalArgumentException(
+          s"render expects 1 or 2 arguments, got ${args.length}")
+      }
+    },
+    fd("bar") { a =>
+      val catalog =
+        org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      val (lo, hi) = a match {
+        case Seq(_, _) => (Literal(0xFF0000L), Literal(0x00FF00L))
+        case Seq(_, _, lc, hc) => (long(lc), long(hc))
+        case args => throw new IllegalArgumentException(
+          s"bar expects 2 or 4 arguments, got ${args.length}")
+      }
+      catalog.lookupFunction(FunctionIdentifier("graft_color_bar"),
+        Seq(dbl(a(0)), long(a(1)), lo, hi))
+    },
+
     // approx_percentile under the reference's overload set (reference:
     // operator/aggregation/ApproximatePercentileAggregations.java +
     // ApproximateWeightedPercentileAggregations.java): Presto's 3-arg form

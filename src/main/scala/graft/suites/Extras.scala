@@ -247,6 +247,44 @@ object Extras {
             |  CAST(index(o_orderpriority, 'N') AS BIGINT) AS n_idx,
             |  char2hexint(substr(o_orderpriority, 1, 2)) AS hex2
             |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Color/visualization scalars (reference: scalar/ColorFunctions.java)
+    // over real rows: rgb/color-parse arithmetic, render's ANSI framing
+    // (chr(27) escapes replayed literally by DuckDB), and bar's
+    // block-count/padding geometry. The HSB interior interpolation isn't
+    // SQL-replayable — its corners (fraction 0/1 = exact endpoints) are
+    // covered here via bar's first/last block escapes, the midpoints in
+    // ColorPackSpec.
+    Qdef.duckOnly(
+      "e10_color_functions",
+      """SELECT o_orderkey,
+        |  65536 * (o_orderkey % 256) + 256 * 32 + 64 AS rgb_val,
+        |  CASE o_orderkey % 3 WHEN 0 THEN 16711680
+        |    WHEN 1 THEN 1118481 ELSE -2 END AS parsed,
+        |  chr(27) || '[38;5;' ||
+        |    CAST(16 + ((o_orderkey % 256) * 6 // 256) * 36 + 0 * 6 + 1
+        |      AS VARCHAR) || 'm' || o_orderstatus || chr(27) || '[0m'
+        |    AS rendered,
+        |  chr(27) || '[38;5;2m' || chr(10003) || chr(27) || '[0m' AS r_true,
+        |  CAST(10 + length(chr(27) || '[0m')
+        |    + 10 * length(chr(27) || '[38;5;46m') AS BIGINT) AS bar_len,
+        |  9 AS bar_blocks
+        |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        graft.Engine.sql(s, dir,
+          """SELECT o_orderkey,
+            |  rgb(o_orderkey % 256, 32, 64) AS rgb_val,
+            |  CASE o_orderkey % 3 WHEN 0 THEN color('#f00')
+            |    WHEN 1 THEN color('#111') ELSE color('red') END AS parsed,
+            |  render(o_orderstatus, rgb(o_orderkey % 256, 0, 64)) AS rendered,
+            |  render(true) AS r_true,
+            |  CAST(length(bar(1.0, 10, rgb(0, 255, 0), rgb(0, 255, 0)))
+            |    AS BIGINT) AS bar_len,
+            |  CAST(length(regexp_replace(
+            |      bar(0.999, 10, color('#0f0'), color('#0f0')),
+            |      '[^█]', '')) AS BIGINT) AS bar_blocks
+            |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin)
     }
   )
 }

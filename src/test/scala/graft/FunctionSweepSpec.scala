@@ -20,10 +20,8 @@ class FunctionSweepSpec extends AnyFunSuite {
 
   /** Deliberately not implemented; each with the reason a user sees. */
   private val deferred = Map(
-    "bar" -> "color family — SURVEY-deferred (terminal rendering helpers)",
-    "color" -> "color family — SURVEY-deferred",
-    "render" -> "color family — SURVEY-deferred",
-    "rgb" -> "color family — SURVEY-deferred",
+    // color family (bar/color/render/rgb) implemented round 7:
+    // functions/ColorPack.scala, dispatched in PrestoFunctions
     "secure_random" -> "nondeterministic by design; use rand()",
     "secure_rand" -> "nondeterministic by design; use rand()",
     "localtime" -> "TIME type scoped out (README time-zone narrowing)",
