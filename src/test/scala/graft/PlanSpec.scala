@@ -92,6 +92,33 @@ class PlanSpec extends QueryAssertions {
       "near-dup candidates must come from the band-key equi join")
   }
 
+  test("IVF layout: probing inverted lists is a partition-pruned scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = ops.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+    val indexed = ops.IvfIndex.index(emb, "vec_id", "embedding", centroids)
+    // the 100-TB layout: inverted lists persisted partitioned BY CLUSTER,
+    // so an nprobe search reads only the probed lists off storage
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    indexed.write.mode("overwrite").partitionBy("ncluster").parquet(out)
+    val lists = spark.read.parquet(out)
+    // static probe set → partition filters at the scan
+    val static = lists.filter(col("ncluster").isin(1, 3, 5))
+      .queryExecution.executedPlan.toString
+    assert(static.contains("PartitionFilters") && static.contains("ncluster"),
+      static.take(2000))
+    // runtime probe set (nearest centroids of a query) → DPP subquery
+    val probed = centroids
+      .withColumn("d", expr(
+        "graft_dot(centroid, centroid)")) // any derived ranking works here
+      .orderBy("d").limit(4)
+      .select(col("cluster"))
+    val dynamic = lists.join(probed, col("ncluster") === col("cluster"))
+      .agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(dynamic.contains("dynamicpruning"), dynamic.take(3000))
+  }
+
   test("d07: embedding near-dup candidates come from the LSH equi join") {
     // materialize = false: the checkpointed production frame's plan is
     // just an RDD scan, which would make these assertions vacuous
