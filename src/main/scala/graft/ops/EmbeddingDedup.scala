@@ -114,19 +114,31 @@ object EmbeddingDedup {
       planes: Int = 8, tables: Int = 8,
       materialize: Boolean = true): DataFrame = {
     val raw = shingleCounts(df, idCol, textCol)
-    if (!materialize) return verifiedPairs(raw, minCosine, planes, tables)
-    val cnt = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Same persist lifecycle as MinHashLSH.nearDuplicates: materialize
-    // the (small) verified-pair set, then release the cached counts.
-    try verifiedPairs(cnt, minCosine, planes, tables).localCheckpoint(eager = true)
-    finally cnt.unpersist(blocking = false)
+    if (!materialize)
+      return pairsFrom(lshBuckets(raw, planes, tables), densify(raw),
+        minCosine, planes)
+    // Persist every frame the candidate join consumes twice: the counts
+    // feed both densify and the projection, the bucket assignment is both
+    // sides of the self-join, and the vectors back both pair-id joins —
+    // without the caches each is recomputed through the sign-matrix
+    // shuffle (measured ~2x end-to-end at sf0.1). Same explicit
+    // persist/release lifecycle as MinHashLSH.nearDuplicates.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cnt = raw.persist(lvl)
+    val vecs = densify(cnt).persist(lvl)
+    val assign = lshBuckets(cnt, planes, tables).persist(lvl)
+    try pairsFrom(assign, vecs, minCosine, planes).localCheckpoint(eager = true)
+    finally {
+      assign.unpersist(blocking = false)
+      vecs.unpersist(blocking = false)
+      cnt.unpersist(blocking = false)
+    }
   }
 
-  /** LSH candidates -> exact-cosine verification over the sparse counts. */
-  private def verifiedPairs(
-      cnt: DataFrame, minCosine: Double, planes: Int, tables: Int): DataFrame = {
-    val vecs = densify(cnt)
-    val assign = lshBuckets(cnt, planes, tables)
+  /** LSH candidates -> exact-cosine verification. */
+  private def pairsFrom(
+      assign: DataFrame, vecs: DataFrame,
+      minCosine: Double, planes: Int): DataFrame = {
     // 1-bit multiprobe on the left side only: XOR distance is symmetric,
     // so every hamming<=1 pair is found regardless of id order.
     val probes = assign.select(col("__id").as("id1"), col("__t"),
