@@ -229,17 +229,20 @@ object Udfs {
 
     // KHyperLogLog joinability/uniqueness sketch (reference: type/
     // khyperloglog/KHyperLogLog.java): custkey → distinct order
-    // priorities. Fixture keys fit under K=4096 (exact path), so
-    // cardinality EQUALS the exact distinct-key count, the uniqueness
-    // distribution EQUALS the exact per-key histogram, and the digest
-    // built by merging per-status partials equals the direct digest
-    // bit-for-bit. (Overflow estimator unit-tested in SketchSpec.)
+    // priorities. The key domain is bounded (custkey % 3000) so the
+    // sketch stays in its exact sub-K regime at EVERY scale factor
+    // (sf0.1 has 14999 raw custkeys vs K=4096, which would flip the
+    // exact checks): cardinality EQUALS the exact distinct-key count,
+    // the uniqueness distribution EQUALS the exact per-key histogram,
+    // and the digest built by merging per-status partials equals the
+    // direct digest bit-for-bit. (Overflow estimator + past-cap merge
+    // determinism are unit-tested in SketchSpec.)
     Qdef(
       "c08_khyperloglog",
       """SELECT true AS merge_ok, true AS card_ok, true AS dist_ok, true AS reid_ok
         |FROM (SELECT 1) one""".stripMargin) { (s, dir) =>
       val ord = t(s, dir, "orders")
-        .select(col("o_custkey").cast("string").as("x"),
+        .select((col("o_custkey") % 3000).cast("string").as("x"),
           col("o_orderpriority").as("y"), col("o_orderstatus"))
       val direct = ord.agg(expr("khyperloglog_agg(x, y)").as("d"))
       val viaMerge = ord.groupBy("o_orderstatus")
