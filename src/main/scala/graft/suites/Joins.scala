@@ -113,10 +113,15 @@ object Joins {
     // pre-aggregated join on the DataFrame side, real LATERAL in the SQL.
     Qdef(
       "j07_lateral",
+      // LEFT JOIN LATERAL ... ON TRUE, not the comma form: a correlated
+      // scalar-aggregate lateral yields one row per outer row in the
+      // reference (max over an empty group = NULL), but DuckDB lowers the
+      // comma form to an inner join and DROPS outer rows with no matches
+      // — visible at sf0.001 where only 10 of 25 nations have suppliers.
       """SELECT n_name, top_bal
-        |FROM nation,
-        |LATERAL (SELECT max(s_acctbal) AS top_bal FROM supplier
-        |         WHERE s_nationkey = n_nationkey) t
+        |FROM nation
+        |LEFT JOIN LATERAL (SELECT max(s_acctbal) AS top_bal FROM supplier
+        |                   WHERE s_nationkey = n_nationkey) t ON TRUE
         |ORDER BY n_name""".stripMargin) { (s, dir) =>
       val topPerNation = t(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
