@@ -1218,6 +1218,11 @@ object Dialect {
   final case class DeallocateStmt(name: String) extends PreparedOp
   final case class DescribeInputStmt(name: String) extends PreparedOp
   final case class DescribeOutputStmt(name: String) extends PreparedOp
+  /** SHOW STATS FOR t | SHOW STATS FOR (SELECT …) (reference:
+    * sql/show-stats.rst; rewrite in sql/rewrite/ShowStatsRewrite.java).
+    * `target` is either a bare table name or the inner query text. */
+  final case class ShowStatsStmt(target: String, isQuery: Boolean)
+      extends PreparedOp
 
   private val PrepareRe =
     "(?is)^\\s*prepare\\s+([a-z_][a-z0-9_]*)\\s+from\\s+(.+?)[;\\s]*$".r
@@ -1230,6 +1235,10 @@ object Dialect {
     "(?is)^\\s*describe\\s+input\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
   private val DescribeOutputRe =
     "(?is)^\\s*describe\\s+output\\s+([a-z_][a-z0-9_]*)[;\\s]*$".r
+  private val ShowStatsTableRe =
+    "(?is)^\\s*show\\s+stats\\s+for\\s+([a-z_][a-z0-9_.]*)[;\\s]*$".r
+  private val ShowStatsQueryRe =
+    "(?is)^\\s*show\\s+stats\\s+for\\s*\\((.+)\\)[;\\s]*$".r
 
   def classifyPrepared(q: String): Option[PreparedOp] = q match {
     case PrepareRe(name, body) => Some(PrepareStmt(name.toLowerCase, body))
@@ -1239,6 +1248,8 @@ object Dialect {
     case DeallocateRe(name) => Some(DeallocateStmt(name.toLowerCase))
     case DescribeInputRe(name) => Some(DescribeInputStmt(name.toLowerCase))
     case DescribeOutputRe(name) => Some(DescribeOutputStmt(name.toLowerCase))
+    case ShowStatsTableRe(t) => Some(ShowStatsStmt(t.toLowerCase, isQuery = false))
+    case ShowStatsQueryRe(inner) => Some(ShowStatsStmt(inner, isQuery = true))
     case _ => None
   }
 

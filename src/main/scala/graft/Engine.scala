@@ -204,9 +204,92 @@ object Engine {
         }
         spark.sql(rows.mkString("SELECT * FROM VALUES ", ", ",
           " AS t(`Column Name`, `Catalog`, `Schema`, `Table`, `Type`, `Type Size`, `Aliased`)"))
+      case Some(Dialect.ShowStatsStmt(target, isQuery)) =>
+        val df =
+          if (isQuery) spark.sql(translate(target)) else spark.table(target)
+        showStats(spark, df)
       case None =>
         spark.sql(translate(query))
     }
+  }
+
+  /** SHOW STATS result (reference: sql/rewrite/ShowStatsRewrite.java and
+    * docs sql/show-stats.rst): one row per column + a summary row with
+    * the reference's seven-column shape. The reference surfaces the
+    * connector's PRE-COMPUTED estimates; a parquet scan catalog has
+    * none, so the stats are computed on demand in ONE distributed
+    * aggregation pass over the frame (documented divergence: exact
+    * values and scan cost instead of stored estimates — at warehouse
+    * scale a user would persist these like ANALYZE does).
+    *
+    * data_size: fixed-width types report width*non_null_count,
+    * strings/binary the summed byte length, else NULL.
+    * low_value/high_value: numeric, date and timestamp columns only,
+    * rendered as varchar. The single collected row is the bounded
+    * aggregate, never data. */
+  private def showStats(
+      spark: SparkSession, df: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    def width(dt: DataType): Option[Int] = dt match {
+      case BooleanType | ByteType => Some(1)
+      case ShortType => Some(2)
+      case IntegerType | FloatType | DateType => Some(4)
+      case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8)
+      case _: DecimalType => Some(16)
+      case _ => None
+    }
+    def ranged(dt: DataType): Boolean = dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val size = f.dataType match {
+        case StringType => sum(octet_length(c)).cast("double")
+        case BinaryType => sum(length(c)).cast("double")
+        case dt => width(dt) match {
+          case Some(w) => (count(c) * w).cast("double")
+          case None => lit(null).cast("double")
+        }
+      }
+      Seq(
+        count(c).cast("double").as(s"__cnt$i"),
+        countDistinct(c).cast("double").as(s"__ndv$i"),
+        size.as(s"__size$i"),
+        (if (ranged(f.dataType)) min(c).cast("string")
+         else lit(null).cast("string")).as(s"__lo$i"),
+        (if (ranged(f.dataType)) max(c).cast("string")
+         else lit(null).cast("string")).as(s"__hi$i"))
+    } :+ count(lit(1)).cast("double").as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Double]("__total")
+    def d(n: String): java.lang.Double =
+      if (row.isNullAt(row.fieldIndex(n))) null
+      else java.lang.Double.valueOf(row.getAs[Double](n))
+    val colRows = fields.zipWithIndex.map { case (f, i) =>
+      val cnt = row.getAs[Double](s"__cnt$i")
+      val nullsFrac: java.lang.Double =
+        if (total == 0) null else java.lang.Double.valueOf((total - cnt) / total)
+      org.apache.spark.sql.Row(
+        f.name, d(s"__size$i"), d(s"__ndv$i"), nullsFrac,
+        null.asInstanceOf[java.lang.Double],
+        row.getAs[String](s"__lo$i"), row.getAs[String](s"__hi$i"))
+    } :+ org.apache.spark.sql.Row(
+      null, null, null, null, java.lang.Double.valueOf(total), null, null)
+    val schema = StructType(Seq(
+      StructField("column_name", StringType),
+      StructField("data_size", DoubleType),
+      StructField("distinct_values_count", DoubleType),
+      StructField("nulls_fraction", DoubleType),
+      StructField("row_count", DoubleType),
+      StructField("low_value", StringType),
+      StructField("high_value", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(colRows.toSeq).asJava),
+      schema)
   }
 
   /** Translate Presto-dialect SQL to Spark SQL — see [[Dialect]] for the

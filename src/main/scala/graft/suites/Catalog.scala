@@ -612,6 +612,41 @@ object Catalog {
           |               '10.' || CAST(n_nationkey AS VARCHAR) || '.42.1') AS member
           |FROM nation
           |ORDER BY k""".stripMargin)
+    },
+
+    // SHOW STATS FOR table (reference: sql/show-stats.rst, rewrite in
+    // sql/rewrite/ShowStatsRewrite.java): the seven-column shape with one
+    // row per column + the summary row. Ours computes the values in one
+    // distributed aggregation (the reference returns connector
+    // estimates); DuckDB replays every number exactly — widths follow
+    // the fixture's physical types (INTEGER = 4 bytes).
+    Qdef.duckOnly(
+      "k21_show_stats",
+      """SELECT 'n_nationkey' AS column_name,
+        |  CAST(4 * count(n_nationkey) AS DOUBLE) AS data_size,
+        |  CAST(count(DISTINCT n_nationkey) AS DOUBLE) AS distinct_values_count,
+        |  CAST(count(*) - count(n_nationkey) AS DOUBLE) / count(*) AS nulls_fraction,
+        |  CAST(NULL AS DOUBLE) AS row_count,
+        |  CAST(min(n_nationkey) AS VARCHAR) AS low_value,
+        |  CAST(max(n_nationkey) AS VARCHAR) AS high_value
+        |FROM nation
+        |UNION ALL
+        |SELECT 'n_name', CAST(sum(strlen(n_name)) AS DOUBLE),
+        |  CAST(count(DISTINCT n_name) AS DOUBLE),
+        |  CAST(count(*) - count(n_name) AS DOUBLE) / count(*),
+        |  NULL, NULL, NULL
+        |FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey', CAST(4 * count(n_regionkey) AS DOUBLE),
+        |  CAST(count(DISTINCT n_regionkey) AS DOUBLE),
+        |  CAST(count(*) - count(n_regionkey) AS DOUBLE) / count(*),
+        |  NULL, CAST(min(n_regionkey) AS VARCHAR),
+        |  CAST(max(n_regionkey) AS VARCHAR)
+        |FROM nation
+        |UNION ALL
+        |SELECT NULL, NULL, NULL, NULL, CAST(count(*) AS DOUBLE), NULL, NULL
+        |FROM nation""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir, "SHOW STATS FOR nation")
     }
   )
 }

@@ -297,6 +297,24 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("SHOW STATS FOR table and for a (SELECT ...) subset") {
+    // reference shape: sql/show-stats.rst — per-column rows + a summary
+    // row whose column_name is NULL and row_count the frame's row count
+    val full = Engine.sql(spark, dir, "SHOW STATS FOR region").collect()
+    assert(full.map(r => Option(r.getString(0))).count(_.isEmpty) == 1)
+    val summary = full.find(_.isNullAt(0)).get
+    assert(summary.getDouble(4) == 5.0) // region has 5 rows
+    assert(full.length == 3) // 2 fixture columns + summary
+    // the query form computes over the filtered projection only
+    val sub = Engine.sql(spark, dir,
+      "SHOW STATS FOR (SELECT r_name FROM region WHERE r_regionkey < 2)")
+      .collect()
+    assert(sub.length == 2)
+    assert(sub.find(_.isNullAt(0)).get.getDouble(4) == 2.0)
+    val nameRow = sub.find(r => r.getString(0) == "r_name").get
+    assert(nameRow.getDouble(2) == 2.0) // distinct_values_count
+  }
+
   test("trivia scalars: typeof / parse_presto_data_size / wilson / current_user") {
     assert(one("SELECT typeof(CAST(1 AS BIGINT))") == "bigint")
     assert(one("SELECT typeof(1.5E0)") == "double")
