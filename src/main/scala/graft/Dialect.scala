@@ -522,6 +522,21 @@ object Dialect {
           // bare unbounded VARCHAR (Presto-legal) — Spark requires a
           // length, so it maps to STRING; VARCHAR(n) passes through
           out.append("STRING"); i = j
+        } else if ((lower == "hyperloglog" || lower == "p4hyperloglog") &&
+            (k >= q.length || q(k) != '(')) {
+          // sketch type tokens re-type to their Spark state types, so
+          // CAST(stored AS HyperLogLog) is the identity re-type of the
+          // hyperloglog.rst storage example
+          out.append("BINARY"); i = j
+        } else if (lower == "qdigest" || lower == "tdigest") {
+          // with or without the (double) parameter
+          val end = if (k < q.length && q(k) == '(') {
+            val close = q.indexOf(')', k)
+            if (close == -1) j else close + 1
+          } else j
+          out.append(
+            if (lower == "qdigest") "ARRAY<BIGINT>" else "ARRAY<DOUBLE>")
+          i = end
         } else { out.append(word); i = j }
       } else if (c == '[') {
         val ins = operandStart(out)
@@ -706,6 +721,12 @@ object Dialect {
       case "date"                               => Some("date")
       case "timestamp"                          => Some("timestamp")
       case "varbinary"                          => Some("binary")
+      // sketch types surface as their Spark state types (COVERAGE §2.4):
+      // CAST(x AS HyperLogLog) on a stored varbinary sketch is the
+      // identity re-type of docs/functions/hyperloglog.rst's example
+      case "hyperloglog" | "p4hyperloglog"      => Some("binary")
+      case "qdigest" | "qdigest(double)"        => Some("array<bigint>")
+      case "tdigest" | "tdigest(double)"        => Some("array<double>")
       case d if d.startsWith("decimal(") && d.endsWith(")") => Some(d)
       case _                                    => None
     }

@@ -622,6 +622,30 @@ object PrestoFunctions {
           s"render expects 1 or 2 arguments, got ${args.length}")
       }
     },
+    // Polymorphic merge(sketch) (reference: aggregation/MergeFunction —
+    // one name across HyperLogLog / qdigest / tdigest / KHyperLogLog).
+    // Spark's registry is monomorphic, so the builder dispatches on the
+    // RESOLVED argument type: the four sketch states have pairwise
+    // distinct Spark types (binary / array<bigint> / array<double> /
+    // array<struct>). SetDigest keeps merge_set_digest, same as the
+    // reference.
+    fd("merge") { a =>
+      require(a.length == 1, s"merge expects 1 argument, got ${a.length}")
+      val name = a.head.dataType match {
+        case org.apache.spark.sql.types.BinaryType => "merge_hll"
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => "merge_qdigest"
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => "merge_tdigest"
+        case org.apache.spark.sql.types.ArrayType(
+          _: org.apache.spark.sql.types.StructType, _) => "merge_khll"
+        case dt => throw new IllegalArgumentException(
+          s"merge: not a sketch state type: ${dt.simpleString}")
+      }
+      org.apache.spark.sql.SparkSession.active.sessionState.catalog
+        .lookupFunction(FunctionIdentifier(name), a)
+    },
+
     fd("bar") { a =>
       val catalog =
         org.apache.spark.sql.SparkSession.active.sessionState.catalog

@@ -297,6 +297,32 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("polymorphic merge over stored sketches (hyperloglog.rst pattern)") {
+    // per-group approx_set cast to varbinary (the storage roundtrip from
+    // docs/functions/hyperloglog.rst), merged back under the reference's
+    // polymorphic merge() spelling; same estimate as the direct sketch
+    val direct = Engine.sql(spark, dir,
+      "SELECT hll_cardinality(approx_set(o_custkey)) AS n FROM orders")
+      .head().getLong(0)
+    val merged = Engine.sql(spark, dir,
+      """SELECT hll_cardinality(merge(CAST(hll AS HyperLogLog))) AS n
+        |FROM (SELECT CAST(approx_set(o_custkey) AS VARBINARY) AS hll
+        |      FROM orders GROUP BY o_orderstatus) t""".stripMargin)
+      .head().getLong(0)
+    assert(direct == merged)
+    // tdigest and qdigest states dispatch by their array element types
+    val td = Engine.sql(spark, dir,
+      """SELECT round(td_value_at_quantile(merge(d), 0.5), 4) AS v
+        |FROM (SELECT tdigest_agg(o_totalprice) AS d
+        |      FROM orders GROUP BY o_orderstatus) t""".stripMargin)
+    assert(!td.head().isNullAt(0))
+    val qd = Engine.sql(spark, dir,
+      """SELECT value_at_quantile(merge(d), 0.5) AS v
+        |FROM (SELECT qdigest_agg(o_totalprice) AS d
+        |      FROM orders GROUP BY o_orderstatus) t""".stripMargin)
+    assert(!qd.head().isNullAt(0))
+  }
+
   test("SHOW STATS FOR table and for a (SELECT ...) subset") {
     // reference shape: sql/show-stats.rst — per-column rows + a summary
     // row whose column_name is NULL and row_count the frame's row count

@@ -24,8 +24,9 @@ class FunctionSweepSpec extends AnyFunSuite {
     // functions/ColorPack.scala, dispatched in PrestoFunctions
     "secure_random" -> "nondeterministic by design; use rand()",
     "secure_rand" -> "nondeterministic by design; use rand()",
-    "localtime" -> "TIME type scoped out (README time-zone narrowing)",
-    "merge" -> "polymorphic over sketch types; spelled merge_hll / merge_qdigest / merge_tdigest here")
+    "localtime" -> "TIME type scoped out (README time-zone narrowing)")
+  // "merge" left the list in round 7: PrestoFunctions dispatches the
+  // polymorphic name on the resolved sketch-state type
 
   private val referenceNames: Seq[String] = Seq(
     "abs", "acos", "all_match", "any_match", "approx_distinct", "approx_percentile",
