@@ -109,6 +109,16 @@ object Dialect {
     * `[` subscript applies to: a (possibly dotted) identifier, a
     * backtick-quoted identifier, or a balanced (...) call including its
     * function name. Quote-aware when balancing backwards. */
+  /** True when the last word already emitted into `out` is `AS` — the
+    * cast-context guard for sketch type tokens. */
+  private def prevWordIsAs(out: StringBuilder): Boolean = {
+    var e = out.length
+    while (e > 0 && out.charAt(e - 1).isWhitespace) e -= 1
+    var s = e
+    while (s > 0 && isWordChar(out.charAt(s - 1))) s -= 1
+    e - s == 2 && out.substring(s, e).equalsIgnoreCase("as")
+  }
+
   private def operandStart(out: StringBuilder): Int = {
     var i = out.length - 1
     while (i >= 0 && out(i).isWhitespace) i -= 1
@@ -523,12 +533,14 @@ object Dialect {
           // length, so it maps to STRING; VARCHAR(n) passes through
           out.append("STRING"); i = j
         } else if ((lower == "hyperloglog" || lower == "p4hyperloglog") &&
-            (k >= q.length || q(k) != '(')) {
+            (k >= q.length || q(k) != '(') && prevWordIsAs(out)) {
           // sketch type tokens re-type to their Spark state types, so
           // CAST(stored AS HyperLogLog) is the identity re-type of the
-          // hyperloglog.rst storage example
+          // hyperloglog.rst storage example. Gated on a preceding AS:
+          // these are plausible column names outside a cast.
           out.append("BINARY"); i = j
-        } else if (lower == "qdigest" || lower == "tdigest") {
+        } else if ((lower == "qdigest" || lower == "tdigest") &&
+            prevWordIsAs(out)) {
           // with or without the (double) parameter
           val end = if (k < q.length && q(k) == '(') {
             val close = q.indexOf(')', k)

@@ -21,6 +21,22 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT my_strpos(x) FROM t")
   }
 
+  test("sketch type tokens rewrite only in cast position (after AS)") {
+    assert(Engine.translate("SELECT CAST(h AS HyperLogLog) FROM t")
+      == "SELECT CAST(h AS BINARY) FROM t")
+    assert(Engine.translate("SELECT CAST(d AS qdigest(double)) FROM t")
+      == "SELECT CAST(d AS ARRAY<BIGINT>) FROM t")
+    assert(Engine.translate("SELECT CAST(d AS TDIGEST) FROM t")
+      == "SELECT CAST(d AS ARRAY<DOUBLE>) FROM t")
+    // plausible column names outside a cast survive untouched
+    assert(Engine.translate("SELECT tdigest, qdigest, hyperloglog FROM t")
+      == "SELECT tdigest, qdigest, hyperloglog FROM t")
+    // an alias named like a sketch type is NOT a cast... but follows AS —
+    // the one accepted ambiguity, documented here: rename such aliases
+    assert(Engine.translate("SELECT x AS tdigest2 FROM t")
+      == "SELECT x AS tdigest2 FROM t")
+  }
+
   test("whitespace before parenthesis is tolerated") {
     assert(Engine.translate("SELECT json_extract_scalar (j, '$.a')")
       == "SELECT get_json_object(j, '$.a')")
