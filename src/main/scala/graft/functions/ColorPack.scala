@@ -118,18 +118,30 @@ object ColorPack {
   }
 
   /** Internal-name UDF registration; the public overloaded names are
-    * dispatched in PrestoFunctions. */
+    * dispatched in PrestoFunctions. Boxed parameters + null guards:
+    * reference scalars return NULL on any NULL argument (no @SqlNullable
+    * on ColorFunctions.java), where a primitive-typed Scala UDF would
+    * throw. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("graft_color_parse", (s: String) => parseColor(s))
+    spark.udf.register("graft_color_parse",
+      (s: String) => if (s == null) null else java.lang.Long.valueOf(parseColor(s)))
     spark.udf.register("graft_color_rgb",
-      (r: Long, g: Long, b: Long) => rgb(r, g, b))
+      (r: java.lang.Long, g: java.lang.Long, b: java.lang.Long) =>
+        if (r == null || g == null || b == null) null
+        else java.lang.Long.valueOf(rgb(r, g, b)))
     spark.udf.register("graft_color_interp",
-      (f: Double, lo: Long, hi: Long) => interpolate(f, lo, hi))
+      (f: java.lang.Double, lo: java.lang.Long, hi: java.lang.Long) =>
+        if (f == null || lo == null || hi == null) null
+        else java.lang.Long.valueOf(interpolate(f, lo, hi)))
     spark.udf.register("graft_color_render",
-      (v: String, c: Long) => render(v, c))
+      (v: String, c: java.lang.Long) =>
+        if (v == null || c == null) null else render(v, c))
     spark.udf.register("graft_color_render_bool",
-      (b: Boolean) => renderBoolean(b))
+      (b: java.lang.Boolean) => if (b == null) null else renderBoolean(b))
     spark.udf.register("graft_color_bar",
-      (p: Double, w: Long, lo: Long, hi: Long) => bar(p, w, lo, hi))
+      (p: java.lang.Double, w: java.lang.Long,
+       lo: java.lang.Long, hi: java.lang.Long) =>
+        if (p == null || w == null || lo == null || hi == null) null
+        else bar(p, w, lo, hi))
   }
 }

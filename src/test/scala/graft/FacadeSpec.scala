@@ -297,6 +297,15 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("color scalars propagate NULL like the reference") {
+    val r = Engine.sql(spark, dir,
+      """SELECT color(CAST(NULL AS VARCHAR)) AS c1,
+        |  rgb(CAST(NULL AS BIGINT), 0, 0) AS c2,
+        |  render(CAST(NULL AS VARCHAR), rgb(255, 0, 0)) AS c3,
+        |  bar(CAST(NULL AS DOUBLE), 10) AS c4""".stripMargin).head()
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"col $i must be NULL"))
+  }
+
   test("polymorphic merge over stored sketches (hyperloglog.rst pattern)") {
     // per-group approx_set cast to varbinary (the storage roundtrip from
     // docs/functions/hyperloglog.rst), merged back under the reference's
