@@ -332,4 +332,26 @@ class DocVectorsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(rows == Seq("AAA", "BBB", "CCC"))
   }
+
+  test("decimal.rst result-type rules: matches, and the two pinned divergences") {
+    // addition follows the SQL-standard formula both dialects share
+    // (reference docs functions/decimal.rst "precision and scale"):
+    // p = max(s1,s2) + max(p1-s1,p2-s2) + 1, s = max(s1,s2)
+    assert(one("SELECT typeof(CAST(1.2 AS DECIMAL(3,1)) + CAST(1.25 AS DECIMAL(4,2)))")
+      == "decimal(5,2)")
+    // typed DECIMAL literals size to their digits, like the reference
+    assert(one("SELECT typeof(DECIMAL '1.2')") == "decimal(2,1)")
+    assert(one("SELECT typeof(1.25)") == "decimal(3,2)")
+    // PINNED DIVERGENCES (documented, value-compatible):
+    //  - multiplication: reference p = p1+p2; Spark reserves one more
+    //    integral digit (p1+p2+1) — wider type, identical values
+    assert(one("SELECT typeof(CAST(1.2 AS DECIMAL(3,1)) * CAST(1.25 AS DECIMAL(4,2)))")
+      == "decimal(8,3)")
+    //  - division: reference s = max(s1,s2); Spark carries extra scale
+    //    (s1 + p2 + 1 capped) — same quotient up to trailing zeros
+    assert(one("SELECT typeof(CAST(1.2 AS DECIMAL(3,1)) / CAST(1.25 AS DECIMAL(4,2)))")
+      == "decimal(10,6)")
+    assert(one("SELECT CAST(CAST(1.2 AS DECIMAL(3,1)) / CAST(1.25 AS DECIMAL(4,2)) AS DECIMAL(6,2))")
+      .toString == "0.96")
+  }
 }
