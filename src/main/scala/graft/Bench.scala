@@ -42,6 +42,32 @@ object Bench {
       }
     }
 
+    // Single-thread CPU canary: a fixed 200M-step xorshift loop, timed
+    // after one JIT warmup pass. The SAME COMMIT has measured 11.2 s and
+    // 18.3 s totals on this box hours apart while the canary moved
+    // 2.2 s → 3.2 s in step — the ratio against a reference canary
+    // normalizes totals across host-speed states the way load_average
+    // (which only sees runnable queue depth, not frequency/steal
+    // throttling) cannot.
+    def cpuCanary(): Double = {
+      def pass(): Long = {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        x
+      }
+      pass() // JIT warmup
+      val t0 = System.nanoTime()
+      val sink = pass()
+      val t = (System.nanoTime() - t0) / 1e9
+      if (sink == 42L) println("") // keep the loop un-elidable
+      t
+    }
+    val canaryPre = cpuCanary()
+
     // (name, min, median, max): the spread is the contention detector — on
     // a quiet box min≈median; a loaded box shows median/min ratios of 2-3×
     // on queries whose code didn't change, so a slow total self-flags as
@@ -52,6 +78,7 @@ object Bench {
       if (runs.isEmpty) None
       else Some((q.name, runs.head, runs(runs.size / 2), runs.last))
     }
+    val canaryPost = cpuCanary()
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -68,7 +95,7 @@ object Bench {
     val loadAvg = osBean.getSystemLoadAverage // -1.0 if unavailable
     val procs = Runtime.getRuntime.availableProcessors
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"available_processors":$procs,"load_average":$loadAvg}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost]}""")
     spark.stop()
   }
 }
