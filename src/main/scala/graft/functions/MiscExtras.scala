@@ -183,7 +183,36 @@ object MiscExtras {
         else java.lang.Long.valueOf(((offsetSeconds(ts.toInstant) / 60) % 60).toLong))
     spark.udf.register("to_milliseconds",
       (d: java.time.Duration) => if (d == null) null else java.lang.Long.valueOf(d.toMillis))
+    // secure_random family (reference: scalar/MathFunctions.java:699-797,
+    // deterministic = false): a REAL java.security.SecureRandom per
+    // executor thread — the reference's CSPRNG contract, which Spark's
+    // XORShift rand() does not meet. Overload dispatch (0-arg double /
+    // 2-arg same-as-input) lives in PrestoFunctions; asNondeterministic
+    // stops Catalyst from constant-folding or deduplicating calls.
+    spark.udf.register("graft_secure_random0",
+      org.apache.spark.sql.functions.udf(
+        () => secureRng.get().nextDouble()).asNondeterministic())
+    spark.udf.register("graft_secure_random_double",
+      org.apache.spark.sql.functions.udf(
+        (lo: java.lang.Double, hi: java.lang.Double) =>
+          if (lo == null || hi == null) null
+          else {
+            require(lo < hi, "lower must be less than upper")
+            java.lang.Double.valueOf(
+              lo + secureRng.get().nextDouble() * (hi - lo))
+          }).asNondeterministic())
+    spark.udf.register("graft_secure_random_long",
+      org.apache.spark.sql.functions.udf(
+        (lo: java.lang.Long, hi: java.lang.Long) =>
+          if (lo == null || hi == null) null
+          else {
+            require(lo < hi, "lower must be less than upper")
+            java.lang.Long.valueOf(lo + secureRng.get().nextLong(hi - lo))
+          }).asNondeterministic())
   }
+
+  private val secureRng: ThreadLocal[java.security.SecureRandom] =
+    ThreadLocal.withInitial(() => new java.security.SecureRandom())
 
   private def offsetSeconds(i: Instant): Int =
     graft.Engine.currentZone.getRules.getOffset(i).getTotalSeconds

@@ -138,6 +138,26 @@ object PrestoFunctions {
     * the digest-builder + td_values_at_quantiles composition — ONE
     * weighted digest queried per percentile, the reference's plan shape
     * (ApproximateWeightedPercentileAggregations array overload). */
+  /** secure_random overload dispatch — see the fd("secure_random") doc. */
+  private def secureRandomBuilder(a: Seq[Expression]): Expression = {
+    val catalog =
+      org.apache.spark.sql.SparkSession.active.sessionState.catalog
+    a match {
+      case Seq() =>
+        catalog.lookupFunction(FunctionIdentifier("graft_secure_random0"), Nil)
+      case Seq(lo, hi) if isIntegralTyped(lo) && isIntegralTyped(hi) =>
+        Cast(catalog.lookupFunction(
+          FunctionIdentifier("graft_secure_random_long"),
+          Seq(long(lo), long(hi))), lo.dataType)
+      case Seq(lo, hi) =>
+        catalog.lookupFunction(
+          FunctionIdentifier("graft_secure_random_double"),
+          Seq(dbl(lo), dbl(hi)))
+      case args => throw new IllegalArgumentException(
+        s"secure_random expects 0 or 2 arguments, got ${args.length}")
+    }
+  }
+
   private def weightedPercentile(
       x: Expression, w: Expression, p: Expression): Expression =
     if (numericValueOf(w).contains(1.0)) new ApproximatePercentile(x, p)
@@ -622,6 +642,16 @@ object PrestoFunctions {
           s"render expects 1 or 2 arguments, got ${args.length}")
       }
     },
+    // secure_random / secure_rand (reference: scalar/MathFunctions.java
+    // :699-797): 0-arg → double in [0,1); 2-arg → same type as the
+    // inputs, lower <= x < upper. Integral-typed argument pairs route to
+    // the long variant and cast back to the input type (the reference's
+    // tinyint/smallint/integer/bigint overloads); anything else runs in
+    // double. The UDFs are registered asNondeterministic with a real
+    // per-thread SecureRandom (functions/MiscExtras.scala).
+    fd("secure_random") { a => secureRandomBuilder(a) },
+    fd("secure_rand") { a => secureRandomBuilder(a) },
+
     // Polymorphic merge(sketch) (reference: aggregation/MergeFunction —
     // one name across HyperLogLog / qdigest / tdigest / KHyperLogLog).
     // Spark's registry is monomorphic, so the builder dispatches on the

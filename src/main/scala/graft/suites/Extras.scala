@@ -285,6 +285,27 @@ object Extras {
             |      bar(0.999, 10, color('#0f0'), color('#0f0')),
             |      '[^█]', '')) AS BIGINT) AS bar_blocks
             |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // secure_random (reference: scalar/MathFunctions.java:699-797) —
+    // property oracle, necessarily: a CSPRNG cannot be replayed. Bounds
+    // hold for every row, the integral form keeps its input type, and
+    // 500 draws are not all equal (collision probability ~0).
+    Qdef(
+      "e11_secure_random",
+      "SELECT true AS in_unit, true AS in_range, true AS long_typed, true AS varied"
+    ) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  bool_and(u >= 0.0 AND u < 1.0) AS in_unit,
+          |  bool_and(r >= -5.0 AND r < 5.0) AS in_range,
+          |  bool_and(b >= 10 AND b < 20) AS long_typed,
+          |  count(DISTINCT u) > 1 AS varied
+          |FROM (
+          |  SELECT secure_random() AS u,
+          |         secure_random(-5.0, 5.0) AS r,
+          |         secure_rand(10, 20) AS b
+          |  FROM orders WHERE o_orderkey < 500) t""".stripMargin)
     }
   )
 }

@@ -20,13 +20,11 @@ class FunctionSweepSpec extends AnyFunSuite {
 
   /** Deliberately not implemented; each with the reason a user sees. */
   private val deferred = Map(
-    // color family (bar/color/render/rgb) implemented round 7:
-    // functions/ColorPack.scala, dispatched in PrestoFunctions
-    "secure_random" -> "nondeterministic by design; use rand()",
-    "secure_rand" -> "nondeterministic by design; use rand()",
     "localtime" -> "TIME type scoped out (README time-zone narrowing)")
-  // "merge" left the list in round 7: PrestoFunctions dispatches the
-  // polymorphic name on the resolved sketch-state type
+  // Left the list in round 7: "merge" (PrestoFunctions dispatches the
+  // polymorphic name on the resolved sketch-state type), the color
+  // family (functions/ColorPack.scala), and secure_random/secure_rand
+  // (real per-thread SecureRandom, asNondeterministic — e11 prop entry)
 
   private val referenceNames: Seq[String] = Seq(
     "abs", "acos", "all_match", "any_match", "approx_distinct", "approx_percentile",
