@@ -523,6 +523,18 @@ object Dialect {
           out.append(functionAliases(lower)).append('(')
           stack.prepend(new Frame('('))
           i = k + 1
+        } else if ((lower == "random" || lower == "rand") &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(a =>
+              a._1.lengthCompare(1) == 0 && a._1.head.nonEmpty)) {
+          // Presto's random(n) is a BIGINT in [0, n) (reference:
+          // scalar/MathFunctions.java random(n) overloads); Spark's
+          // rand(n) reads n as a SEED and returns a double — a silent
+          // semantic trap, so the facade rewrites the 1-arg form to the
+          // bounded generator. 0-arg random() stays Spark's rand().
+          out.append("graft_random_long").append('(')
+          stack.prepend(new Frame('('))
+          i = k + 1
         } else if (lower == "varbinary" && (k >= q.length || q(k) != '(')) {
           // Presto's VARBINARY type token (SqlBase.g4 baseType) — Spark
           // spells it BINARY; the bare-word guard leaves any

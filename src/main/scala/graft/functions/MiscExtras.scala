@@ -201,6 +201,19 @@ object MiscExtras {
             java.lang.Double.valueOf(
               lo + secureRng.get().nextDouble() * (hi - lo))
           }).asNondeterministic())
+    // random(n)/rand(n): bigint in [0, n) via ThreadLocalRandom, the
+    // reference's own generator shape (MathFunctions.java random(n));
+    // the Dialect rewrites the 1-arg spelling here because Spark's
+    // builtin rand(seed) would otherwise shadow it
+    spark.udf.register("graft_random_long",
+      org.apache.spark.sql.functions.udf(
+        (n: java.lang.Long) =>
+          if (n == null) null
+          else {
+            require(n > 0, "bound must be positive")
+            java.lang.Long.valueOf(
+              java.util.concurrent.ThreadLocalRandom.current().nextLong(n))
+          }).asNondeterministic())
     spark.udf.register("graft_secure_random_long",
       org.apache.spark.sql.functions.udf(
         (lo: java.lang.Long, hi: java.lang.Long) =>

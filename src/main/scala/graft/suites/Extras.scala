@@ -293,18 +293,21 @@ object Extras {
     // 500 draws are not all equal (collision probability ~0).
     Qdef(
       "e11_secure_random",
-      "SELECT true AS in_unit, true AS in_range, true AS long_typed, true AS varied"
+      "SELECT true AS in_unit, true AS in_range, true AS long_typed, " +
+        "true AS varied, true AS rand_bounded"
     ) { (s, dir) =>
       graft.Engine.sql(s, dir,
         """SELECT
           |  bool_and(u >= 0.0 AND u < 1.0) AS in_unit,
           |  bool_and(r >= -5.0 AND r < 5.0) AS in_range,
           |  bool_and(b >= 10 AND b < 20) AS long_typed,
-          |  count(DISTINCT u) > 1 AS varied
+          |  count(DISTINCT u) > 1 AS varied,
+          |  bool_and(rn >= 0 AND rn < 10) AS rand_bounded
           |FROM (
           |  SELECT secure_random() AS u,
           |         secure_random(-5.0, 5.0) AS r,
-          |         secure_rand(10, 20) AS b
+          |         secure_rand(10, 20) AS b,
+          |         random(10) AS rn
           |  FROM orders WHERE o_orderkey < 500) t""".stripMargin)
     }
   )

@@ -21,6 +21,17 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT my_strpos(x) FROM t")
   }
 
+  test("random(n) rewrites to the bounded generator; random() stays rand") {
+    assert(Engine.translate("SELECT random(5) FROM t")
+      == "SELECT graft_random_long(5) FROM t")
+    assert(Engine.translate("SELECT rand(n_max) FROM t")
+      == "SELECT graft_random_long(n_max) FROM t")
+    assert(Engine.translate("SELECT random() FROM t")
+      == "SELECT random() FROM t")
+    // column named random survives
+    assert(Engine.translate("SELECT random FROM t") == "SELECT random FROM t")
+  }
+
   test("sketch type tokens rewrite only in cast position (after AS)") {
     assert(Engine.translate("SELECT CAST(h AS HyperLogLog) FROM t")
       == "SELECT CAST(h AS BINARY) FROM t")
