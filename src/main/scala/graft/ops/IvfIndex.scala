@@ -41,10 +41,24 @@ object IvfIndex {
 
   /** Train k centroids with `iters` Lloyd passes over deterministic
     * md5-ordered seeds. Returns a k-row frame (cluster, centroid) where
-    * centroid is Array[Float]; only these k rows are collected. */
+    * centroid is Array[Float]; only these k rows are collected.
+    *
+    * Every Lloyd pass ends in a MATERIALIZATION BARRIER (an eager
+    * localCheckpoint of the k bounded rows — the same lifecycle as
+    * [[MinHashLSH.nearDuplicates]] / [[EmbeddingDedup.nearDuplicates]];
+    * a 100-TB pipeline writes them to reliable storage instead). Without
+    * the barrier the returned frame's lineage holds `iters` full-corpus
+    * assignment passes, and EVERY downstream consumer (index, each probe,
+    * each search) silently re-executes the whole training — a ~(iters ×
+    * consumers)× multiplier on the most expensive stage at scale. With it,
+    * training runs exactly once: one corpus pass per iteration, k rows
+    * checkpointed, and consumers see a constant-size leaf.
+    * `materialize = false` keeps the raw composed plan for plan-shape
+    * assertions (a checkpointed frame's executed plan is just an RDD scan,
+    * which would make them vacuous). */
   def train(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 2): DataFrame = {
+      k: Int, iters: Int = 2, materialize: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     var centroids = c
       .withColumn("__h", md5(col("__id").cast("string")))
@@ -54,7 +68,7 @@ object IvfIndex {
         col("__v").cast("array<float>").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assignTo(c, centroids)
-      centroids = assigned
+      val updated = assigned
         .select(col("__cluster").as("cluster"),
           posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy("cluster", "__d")
@@ -66,6 +80,10 @@ object IvfIndex {
         .select(col("cluster"),
           transform(col("__dm"), e => round(e("__m"), 6).cast("float"))
             .as("centroid"))
+      // per-iteration barrier: iteration i+1's assignment must not drag
+      // iteration i's corpus pass along in its lineage
+      centroids =
+        if (materialize) updated.localCheckpoint(eager = true) else updated
     }
     centroids
   }
@@ -81,14 +99,20 @@ object IvfIndex {
         first(col("__v")).as("__v"))
 
   /** The inverted file: (id, vec, cluster) — cluster is the partition /
-    * bucketing key a 100-TB layout would persist by. */
+    * bucketing key a 100-TB layout would persist by (see the PlanSpec
+    * partitioned-write test). `materialize = true` ends in the same eager
+    * localCheckpoint barrier as [[train]], so callers probing the index
+    * more than once (recall + scan-fraction branches, repeated searches)
+    * pay the assignment pass exactly once. */
   def index(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame =
-    assignTo(
+      centroids: DataFrame, materialize: Boolean = false): DataFrame = {
+    val assigned = assignTo(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), centroids)
       .select(col("__id").as("nid"), col("__v").as("nv"),
         col("__cluster").as("ncluster"))
+    if (materialize) assigned.localCheckpoint(eager = true) else assigned
+  }
 
   /** Probe the `nprobe` nearest lists per query and return exact-cosine
     * top-k within them — the [[VectorSearch.cosineTopK]] output shape

@@ -95,7 +95,11 @@ class PlanSpec extends QueryAssertions {
   test("IVF layout: probing inverted lists is a partition-pruned scan") {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val centroids = ops.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+    // materialize = false, as in the d02/d07 plan tests: a checkpointed
+    // centroid leaf has no stats, which starves the DPP benefit heuristic
+    // this test exercises; production probes read the PERSISTED lists
+    val centroids = ops.IvfIndex.train(emb, "vec_id", "embedding", k = 16,
+      materialize = false)
     val indexed = ops.IvfIndex.index(emb, "vec_id", "embedding", centroids)
     // the 100-TB layout: inverted lists persisted partitioned BY CLUSTER,
     // so an nprobe search reads only the probed lists off storage
@@ -117,6 +121,25 @@ class PlanSpec extends QueryAssertions {
       .agg(count(lit(1)))
       .queryExecution.executedPlan.toString
     assert(dynamic.contains("dynamicpruning"), dynamic.take(3000))
+  }
+
+  test("IVF search plan holds one corpus scan — no Lloyd-iteration lineage") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = ops.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+    val indexed = ops.IvfIndex.index(emb, "vec_id", "embedding", centroids,
+      materialize = true)
+    val plan = planOf(ops.IvfIndex.search(
+      queries, "vec_id", "embedding", indexed, centroids, k = 5, nprobe = 8))
+    // train checkpointed its k rows and index checkpointed the inverted
+    // file, so the only parquet scan left in the search plan is the query
+    // side; an unmaterialized lineage would drag in one corpus scan per
+    // Lloyd pass per consumer
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly the query-side scan, got $scans:\n${plan.take(3000)}")
+    assert(plan.contains("Scan ExistingRDD"), // the checkpointed leaves
+      plan.take(2000))
   }
 
   test("d07: embedding near-dup candidates come from the LSH equi join") {
