@@ -808,10 +808,16 @@ object Dialect {
     var dir: Option[Boolean] = None // Some(true)=desc
     val keys = items.map { item0 =>
       var item = item0.trim
-      item = "(?is)^(.*?)\\s+nulls\\s+(?:first|last)$".r
-        .findFirstMatchIn(item).map(_.group(1).trim).getOrElse(item)
+      val nm = "(?is)^(.*?)\\s+nulls\\s+(first|last)$".r.findFirstMatchIn(item)
+      val nullsFirst = nm.map(_.group(2).equalsIgnoreCase("first"))
+      item = nm.map(_.group(1).trim).getOrElse(item)
       val m = "(?is)^(.*?)\\s+(asc|desc)$".r.findFirstMatchIn(item)
       val thisDesc = m.exists(_.group(2).equalsIgnoreCase("desc")) // absent = ASC
+      // array_sort pins NULL keys last ascending / first descending; an
+      // explicit qualifier demanding the opposite cannot be honored →
+      // None, so the original text fails loudly at Spark's parser rather
+      // than silently sorting NULLs to the wrong end
+      nullsFirst.foreach { nf => if (nf != thisDesc) return None }
       val key = m.map(_.group(1).trim).getOrElse(item)
       dir match {
         case None => dir = Some(thisDesc)

@@ -19,17 +19,82 @@ import org.apache.spark.sql.SparkSession
   */
 object IpFunctions {
 
-  // InetAddress.getByName falls back to a blocking DNS lookup for any
-  // non-literal string — a per-row network call at scale, and hostname
-  // resolution where the reference raises INVALID_FUNCTION_ARGUMENT.
-  // Only literal v4 dotted-quads and v6 colon forms are accepted.
-  private val V4 = "\\d{1,3}(\\.\\d{1,3}){3}".r
-  private val V6 = "[0-9a-fA-F:]*:[0-9a-fA-F:]*(:\\d{1,3}(\\.\\d{1,3}){3})?".r
+  // The bytes are parsed directly — never via InetAddress.getByName,
+  // whose fallback for any non-literal string is a blocking DNS lookup
+  // (a per-row network call at scale, and hostname resolution where the
+  // reference raises INVALID_FUNCTION_ARGUMENT). Direct parsing also
+  // range-checks every field: '999.0.0.1' is rejected, not resolved.
+  private def parse(ip: String): Array[Byte] =
+    if (ip.indexOf(':') >= 0) parseV6(ip)
+    else parseV4(ip)
 
-  private def parse(ip: String): Array[Byte] = {
-    val isLiteral = V4.matches(ip) || V6.matches(ip)
-    require(isLiteral, s"Invalid IP address literal: '$ip'")
-    InetAddress.getByName(ip).getAddress
+  private def parseV4(ip: String): Array[Byte] = {
+    val parts = ip.split("\\.", -1)
+    require(parts.length == 4, s"Invalid IP address literal: '$ip'")
+    val out = new Array[Byte](4)
+    var i = 0
+    while (i < 4) {
+      val p = parts(i)
+      // 1-3 digits, no sign, no leading '+' — and the VALUE must fit a byte
+      require(p.nonEmpty && p.length <= 3 && p.forall(_.isDigit),
+        s"Invalid IP address literal: '$ip'")
+      val v = p.toInt
+      require(v <= 255, s"Invalid IP address literal: '$ip'")
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  private def parseV6(ip: String): Array[Byte] = {
+    val bad = s"Invalid IP address literal: '$ip'"
+    // split around at most one '::'; each side is ':'-separated groups
+    val dcIdx = ip.indexOf("::")
+    require(dcIdx < 0 || ip.indexOf("::", dcIdx + 1) < 0, bad)
+    def groupsOf(s: String): Array[String] =
+      if (s.isEmpty) Array.empty else s.split(":", -1)
+    val (headStr, tailStr) =
+      if (dcIdx >= 0) (ip.substring(0, dcIdx), ip.substring(dcIdx + 2))
+      else (ip, "")
+    var head = groupsOf(headStr)
+    var tail = groupsOf(tailStr)
+    // an embedded dotted-quad may terminate the last group (e.g. ::ffff:1.2.3.4)
+    var v4Bytes: Array[Byte] = null
+    val last =
+      if (dcIdx >= 0) { if (tail.nonEmpty) tail.last else "" }
+      else if (head.nonEmpty) head.last else ""
+    if (last.indexOf('.') >= 0) {
+      v4Bytes = parseV4(last)
+      if (dcIdx >= 0) tail = tail.dropRight(1) else head = head.dropRight(1)
+    }
+    def hex(g: String): Int = {
+      require(g.nonEmpty && g.length <= 4 &&
+        g.forall(c => c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
+        bad)
+      Integer.parseInt(g, 16)
+    }
+    val v4Groups = if (v4Bytes == null) 0 else 2
+    val named = head.length + tail.length + v4Groups
+    require(if (dcIdx >= 0) named < 8 else named == 8, bad)
+    require(head.forall(_.nonEmpty) && tail.forall(_.nonEmpty), bad)
+    val groups = new Array[Int](8 - v4Groups)
+    var i = 0
+    head.foreach { g => groups(i) = hex(g); i += 1 }
+    i = groups.length - tail.length
+    tail.foreach { g => groups(i) = hex(g); i += 1 }
+    val out = new Array[Byte](16)
+    i = 0
+    while (i < groups.length) {
+      out(2 * i) = (groups(i) >> 8).toByte
+      out(2 * i + 1) = groups(i).toByte
+      i += 1
+    }
+    if (v4Bytes != null) System.arraycopy(v4Bytes, 0, out, 12, 4)
+    // IPv4-mapped (::ffff:a.b.c.d) narrows to the 4-byte form, matching
+    // java.net's Inet4Address canonicalization the rendering relies on
+    val mapped = (0 until 10).forall(out(_) == 0) &&
+      out(10) == -1 && out(11) == -1
+    if (mapped) java.util.Arrays.copyOfRange(out, 12, 16) else out
   }
 
   /** Canonical text form: dotted quad for v4; RFC 5952 for v6 (lowercase

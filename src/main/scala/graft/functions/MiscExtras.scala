@@ -111,13 +111,18 @@ object MiscExtras {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     var entryStart = 0
     var done = false
-    while (!done && entryStart <= s.length) {
-      if (entryStart == s.length) { done = true }
+    // every entry — including an empty one left by a trailing entry
+    // delimiter ('a=1,') — must contain the kv delimiter exactly once:
+    // the reference raises on the empty trailing entry rather than
+    // silently dropping it (SplitToMultimapFunction's exactly-once
+    // contract). Only a wholly-empty input yields the empty map.
+    while (!done) {
+      val entryEnd = s.indexOf(entryDelim, entryStart)
+      val pair =
+        if (entryEnd >= 0) s.substring(entryStart, entryEnd)
+        else s.substring(entryStart)
+      if (entryStart == 0 && entryEnd < 0 && pair.isEmpty) { done = true }
       else {
-        val entryEnd = s.indexOf(entryDelim, entryStart)
-        val pair =
-          if (entryEnd >= 0) s.substring(entryStart, entryEnd)
-          else s.substring(entryStart)
         val keyEnd = pair.indexOf(kvDelim)
         require(keyEnd >= 0,
           s"Key-value delimiter must appear exactly once in each entry. Bad input: $pair")

@@ -159,7 +159,7 @@ object TextAnalysis {
       "x06_language_id",
       """WITH grams AS (
         |  SELECT doc_id, lang,
-        |    unnest(list_transform(generate_series(1, length(text) - 2),
+        |    unnest(list_transform(generate_series(1, greatest(length(text) - 2, 0)),
         |      i -> substr(text, i, 3))) AS g
         |  FROM documents),
         |profile AS (
@@ -193,7 +193,7 @@ object TextAnalysis {
       val docs = t(s, dir, "documents")
       val grams = docs.select(col("doc_id"), col("lang"),
         explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
           .as("g"))
       val profW = Window.partitionBy("plang")
         .orderBy(col("cnt").desc, col("g").asc)
@@ -269,7 +269,7 @@ object TextAnalysis {
       "x08_rolling_fingerprint",
       """WITH h AS (
         |  SELECT doc_id,
-        |    list_transform(generate_series(1, length(text) - 4),
+        |    list_transform(generate_series(1, greatest(length(text) - 4, 0)),
         |      i -> ascii(substr(text, i, 1)) * 923521
         |         + ascii(substr(text, i+1, 1)) * 29791
         |         + ascii(substr(text, i+2, 1)) * 961
@@ -278,7 +278,7 @@ object TextAnalysis {
         |  FROM documents WHERE doc_id < 40),
         |fp AS (
         |  SELECT doc_id, hashes,
-        |    list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+        |    list_distinct(list_transform(generate_series(1, greatest(len(hashes) - 3, 0)),
         |      i -> list_min(hashes[i:i+3]))) AS fps
         |  FROM h)
         |SELECT doc_id,
@@ -291,14 +291,14 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 40)
         .withColumn("hashes", expr(
-          """transform(sequence(1, length(text) - 4),
+          """transform(sequence(1, greatest(length(text) - 4, 0)),
             |  i -> cast(ascii(substring(text, i, 1)) * 923521
             |     + ascii(substring(text, i+1, 1)) * 29791
             |     + ascii(substring(text, i+2, 1)) * 961
             |     + ascii(substring(text, i+3, 1)) * 31
             |     + ascii(substring(text, i+4, 1)) as bigint))""".stripMargin))
         .withColumn("fps", expr(
-          """array_distinct(transform(sequence(1, size(hashes) - 3),
+          """array_distinct(transform(sequence(1, greatest(size(hashes) - 3, 0)),
             |  i -> array_min(slice(hashes, i, 4))))""".stripMargin))
         .select(
           col("doc_id"),

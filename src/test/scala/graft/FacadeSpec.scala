@@ -159,6 +159,13 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT strrpos('abc', 'z')") == 0L)
     assert(one("SELECT element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a')")
       .asInstanceOf[scala.collection.Seq[String]] == Seq("1", "3"))
+    // a trailing entry delimiter leaves an empty entry with no kv
+    // delimiter — an error, as in the reference's exactly-once contract
+    val trailing = intercept[Exception](
+      one("SELECT split_to_multimap('a=1,', ',', '=')"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(trailing).contains("exactly once"), chain(trailing))
     assert(one("SELECT format_datetime(TIMESTAMP '2024-01-02 03:04:05', 'yyyy/MM/dd HH:mm')")
       == "2024/01/02 03:04")
     assert(one("SELECT parse_datetime('2024-01-02 03:04:05', 'yyyy-MM-dd HH:mm:ss')")
@@ -212,6 +219,23 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT is_subnet_of('192.168.3.144/30', '192.168.3.128/26')") == false)
     // 2-arg regexp_replace removes matches
     assert(one("SELECT regexp_replace('1a 2b 14m', '\\d+[ab] ')") == "14m")
+  }
+
+  test("ip literals are parsed directly — bad octets rejected, no DNS fallback") {
+    // out-of-range octet: InvalidFunctionArgument in the reference, never
+    // a hostname lookup
+    val e = intercept[Exception](one("SELECT ip_prefix('999.0.0.1', 8)"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("Invalid IP address literal"), chain(e))
+    intercept[Exception](one("SELECT ip_subnet_min('1.2.3/8')"))
+    intercept[Exception](one("SELECT ip_prefix('1:2:3:4:5:6:7:8:9', 8)"))
+    intercept[Exception](one("SELECT ip_prefix('1::2::3', 8)"))
+    intercept[Exception](one("SELECT ip_prefix('12345::1', 8)"))
+    // valid forms still canonicalize (RFC 5952 + v4-mapped narrowing)
+    assert(one("SELECT ip_prefix('::', 0)") == "::/0")
+    assert(one("SELECT ip_prefix('::ffff:192.168.0.1', 24)") == "192.168.0.0/24")
+    assert(one("SELECT ip_subnet_max('2001:db8::/126')") == "2001:db8::3")
   }
 
   test("parse_duration returns a day-time interval") {
