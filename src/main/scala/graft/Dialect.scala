@@ -790,9 +790,10 @@ object Dialect {
     * direction (mixed ASC/DESC returns None → original text fails loudly
     * at Spark's parser). DISTINCT is supported when ordering by the
     * aggregated expression itself (the SQL-standard-compatible case).
-    * KNOWN DIVERGENCE: a NULL sort key sorts last ascending / first
-    * descending (array_sort semantics); the reference defaults NULLS
-    * LAST in both directions.
+    * KNOWN DIVERGENCE: a NULL sort key sorts first ascending / last
+    * descending (array_sort compares struct fields nulls-first); the
+    * reference defaults NULLS LAST in both directions, so the unqualified
+    * ascending rewrite diverges on NULL keys (descending matches).
     */
   private def rewriteOrderedArrayAgg(argText: String): Option[String] = {
     val obIdx = findTopLevelOrderBy(argText).getOrElse(return None)
@@ -813,11 +814,13 @@ object Dialect {
       item = nm.map(_.group(1).trim).getOrElse(item)
       val m = "(?is)^(.*?)\\s+(asc|desc)$".r.findFirstMatchIn(item)
       val thisDesc = m.exists(_.group(2).equalsIgnoreCase("desc")) // absent = ASC
-      // array_sort pins NULL keys last ascending / first descending; an
-      // explicit qualifier demanding the opposite cannot be honored →
+      // array_sort compares struct fields with null-first ordering
+      // (measured: a NULL key sorts FIRST ascending, so LAST after
+      // reverse() for descending); an explicit qualifier demanding the
+      // opposite (NULLS LAST asc / NULLS FIRST desc) cannot be honored →
       // None, so the original text fails loudly at Spark's parser rather
       // than silently sorting NULLs to the wrong end
-      nullsFirst.foreach { nf => if (nf != thisDesc) return None }
+      nullsFirst.foreach { nf => if (nf == thisDesc) return None }
       val key = m.map(_.group(1).trim).getOrElse(item)
       dir match {
         case None => dir = Some(thisDesc)

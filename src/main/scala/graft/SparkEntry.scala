@@ -17,6 +17,13 @@ object SparkEntry {
       suites.Extras.defs ++ suites.MultimodalSuite.defs ++
       suites.General.defs ++ suites.Conformance.defs ++ suites.Catalog.defs
 
+  /** Pinned corpus size, asserted by CorpusSpec: a shrinking corpus (an
+    * entry dropped because its builder throws) must FAIL a test, not
+    * silently disappear from the driver's correctness artifact (that is
+    * exactly what happened to st01/st02/st05 in round 8). Update this
+    * number whenever entries are added or intentionally removed. */
+  val expectedCorpusSize: Int = 207
+
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */
   def benchDefs: Seq[Qdef] = {

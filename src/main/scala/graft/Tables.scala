@@ -57,15 +57,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     tuneScans(spark, dir)
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    // reader refuses; read it as a raw long (nanosAsLong, set in
-    // Engine.session) and surface a micros-precision timestamp column so
-    // every downstream operator sees a normal TimestampType.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) — which Spark's
+    // vectorized reader only accepts as a raw long (nanosAsLong, set in
+    // Engine.session) — and as TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    // which Spark infers as TIMESTAMP_NTZ. Normalize both to a plain
+    // TimestampType `ts` so every downstream operator (including
+    // withWatermark, which rejects NTZ event time) sees one type. The
+    // session TZ is pinned UTC (Engine.session), so the NTZ→instant cast
+    // is value-preserving.
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (name == "events") df.schema("ts").dataType match {
       // `div` (integral division) — col/1000L would go through double and
       // lose exactness past 2^53 epoch-nanos.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
     else df
   }
 

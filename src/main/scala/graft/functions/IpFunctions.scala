@@ -35,8 +35,10 @@ object IpFunctions {
     var i = 0
     while (i < 4) {
       val p = parts(i)
-      // 1-3 digits, no sign, no leading '+' — and the VALUE must fit a byte
-      require(p.nonEmpty && p.length <= 3 && p.forall(_.isDigit),
+      // 1-3 ASCII digits (isDigit would admit Unicode digits like '٢',
+      // which Integer.parseInt happily parses), no sign, no leading '+'
+      // — and the VALUE must fit a byte
+      require(p.nonEmpty && p.length <= 3 && p.forall(c => c >= '0' && c <= '9'),
         s"Invalid IP address literal: '$ip'")
       val v = p.toInt
       require(v <= 255, s"Invalid IP address literal: '$ip'")
@@ -69,7 +71,7 @@ object IpFunctions {
     }
     def hex(g: String): Int = {
       require(g.nonEmpty && g.length <= 4 &&
-        g.forall(c => c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
+        g.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
         bad)
       Integer.parseInt(g, 16)
     }

@@ -109,31 +109,26 @@ object MiscExtras {
     require(entryDelim != kvDelim,
       "entryDelimiter and keyValueDelimiter must not be the same")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    // Loop while entryStart < length, like the reference's
+    // SplitToMultimapFunction: a TRAILING entry delimiter ('a=1,') leaves
+    // entryStart == length and the loop exits before ever seeing the empty
+    // trailing entry → {a:[1]}. Empty entries at the start or middle
+    // (',a=1', 'a=1,,b=2') ARE seen and fail the exactly-once contract.
     var entryStart = 0
-    var done = false
-    // every entry — including an empty one left by a trailing entry
-    // delimiter ('a=1,') — must contain the kv delimiter exactly once:
-    // the reference raises on the empty trailing entry rather than
-    // silently dropping it (SplitToMultimapFunction's exactly-once
-    // contract). Only a wholly-empty input yields the empty map.
-    while (!done) {
+    while (entryStart < s.length) {
       val entryEnd = s.indexOf(entryDelim, entryStart)
       val pair =
         if (entryEnd >= 0) s.substring(entryStart, entryEnd)
         else s.substring(entryStart)
-      if (entryStart == 0 && entryEnd < 0 && pair.isEmpty) { done = true }
-      else {
-        val keyEnd = pair.indexOf(kvDelim)
-        require(keyEnd >= 0,
-          s"Key-value delimiter must appear exactly once in each entry. Bad input: $pair")
-        val value = pair.substring(keyEnd + kvDelim.length)
-        require(!value.contains(kvDelim),
-          s"Key-value delimiter must appear exactly once in each entry. Bad input: $pair")
-        val key = pair.substring(0, keyEnd)
-        out(key) = out.getOrElse(key, Vector.empty) :+ value
-        if (entryEnd < 0) done = true
-        else entryStart = entryEnd + entryDelim.length
-      }
+      val keyEnd = pair.indexOf(kvDelim)
+      require(keyEnd >= 0,
+        s"Key-value delimiter must appear exactly once in each entry. Bad input: $pair")
+      val value = pair.substring(keyEnd + kvDelim.length)
+      require(!value.contains(kvDelim),
+        s"Key-value delimiter must appear exactly once in each entry. Bad input: $pair")
+      val key = pair.substring(0, keyEnd)
+      out(key) = out.getOrElse(key, Vector.empty) :+ value
+      entryStart = if (entryEnd < 0) s.length else entryEnd + entryDelim.length
     }
     out.view.mapValues(_.toSeq).toMap
   }

@@ -18,7 +18,9 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingOps {
 
   /** `events` as a stream: same schema + ts normalization as Tables.load
-    * (nanos→micros), via the file stream source. */
+    * (nanos-as-long → micros; TIMESTAMP_NTZ → TimestampType — watermarks
+    * reject NTZ event time, and the session TZ is pinned UTC so the cast
+    * is value-preserving), via the file stream source. */
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -27,9 +29,13 @@ object StreamingOps {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming query to completion over the available data and

@@ -191,9 +191,15 @@ object TextAnalysis {
         |ORDER BY actual, predicted""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
+      // Guard the WHOLE expression: Spark's sequence(1, 0) is [1, 0]
+      // (step -1 inferred when start > stop), so greatest(…, 0) alone
+      // cannot produce an empty gram list for short texts the way
+      // DuckDB's generate_series(1, 0) does.
       val grams = docs.select(col("doc_id"), col("lang"),
         explode(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+          """case when length(text) < 3 then cast(array() as array<string>)
+            |else transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+            |end""".stripMargin))
           .as("g"))
       val profW = Window.partitionBy("plang")
         .orderBy(col("cnt").desc, col("g").asc)
@@ -290,16 +296,21 @@ object TextAnalysis {
         |FROM fp
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 40)
+        // whole-expression guards — Spark sequence(1, 0) is [1, 0], see x06
         .withColumn("hashes", expr(
-          """transform(sequence(1, greatest(length(text) - 4, 0)),
+          """case when length(text) < 5 then cast(array() as array<bigint>)
+            |else transform(sequence(1, length(text) - 4),
             |  i -> cast(ascii(substring(text, i, 1)) * 923521
             |     + ascii(substring(text, i+1, 1)) * 29791
             |     + ascii(substring(text, i+2, 1)) * 961
             |     + ascii(substring(text, i+3, 1)) * 31
-            |     + ascii(substring(text, i+4, 1)) as bigint))""".stripMargin))
+            |     + ascii(substring(text, i+4, 1)) as bigint))
+            |end""".stripMargin))
         .withColumn("fps", expr(
-          """array_distinct(transform(sequence(1, greatest(size(hashes) - 3, 0)),
-            |  i -> array_min(slice(hashes, i, 4))))""".stripMargin))
+          """case when size(hashes) < 4 then cast(array() as array<bigint>)
+            |else array_distinct(transform(sequence(1, size(hashes) - 3),
+            |  i -> array_min(slice(hashes, i, 4))))
+            |end""".stripMargin))
         .select(
           col("doc_id"),
           size(col("hashes")).cast("bigint").as("n_kgrams"),

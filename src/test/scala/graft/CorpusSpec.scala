@@ -18,4 +18,12 @@ class CorpusSpec extends QueryAssertions {
   test("oracle keys subset of query keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("corpus size is pinned (shrinkage is loud)") {
+    assert(SparkEntry.allDefs.size == SparkEntry.expectedCorpusSize,
+      s"allDefs has ${SparkEntry.allDefs.size} entries, expected " +
+        s"${SparkEntry.expectedCorpusSize} — update the pin if intentional")
+    // Distinct names too: a duplicate would silently collapse in the map.
+    assert(SparkEntry.queries.size == SparkEntry.expectedCorpusSize)
+  }
 }

@@ -126,16 +126,17 @@ class DialectSpec extends AnyFunSuite {
     val mixed = Engine.translate("SELECT array_agg(x ORDER BY y ASC, z DESC) FROM t")
     assert(mixed.contains("array_agg(x ORDER BY y ASC"), mixed)
     // a NULLS qualifier that contradicts array_sort's placement (asc →
-    // nulls last, desc → nulls first) also stays verbatim — loud failure,
-    // never a silent NULL-placement change
-    val nf = Engine.translate("SELECT array_agg(x ORDER BY y NULLS FIRST) FROM t")
-    assert(nf.contains("array_agg(x ORDER BY y NULLS FIRST"), nf)
-    val nl = Engine.translate("SELECT array_agg(x ORDER BY y DESC NULLS LAST) FROM t")
-    assert(nl.contains("array_agg(x ORDER BY y DESC NULLS LAST"), nl)
+    // nulls FIRST, desc → nulls LAST; struct fields compare nulls-first)
+    // also stays verbatim — loud failure, never a silent NULL-placement
+    // change
+    val nl = Engine.translate("SELECT array_agg(x ORDER BY y NULLS LAST) FROM t")
+    assert(nl.contains("array_agg(x ORDER BY y NULLS LAST"), nl)
+    val nf = Engine.translate("SELECT array_agg(x ORDER BY y DESC NULLS FIRST) FROM t")
+    assert(nf.contains("array_agg(x ORDER BY y DESC NULLS FIRST"), nf)
     // a qualifier that AGREES with the placement still rewrites
-    assert(Engine.translate("SELECT array_agg(x ORDER BY y NULLS LAST) FROM t")
+    assert(Engine.translate("SELECT array_agg(x ORDER BY y NULLS FIRST) FROM t")
       == "SELECT transform(array_sort(array_agg(named_struct('__o0', y, '__v', x))), __graft_g -> __graft_g.__v) FROM t")
-    assert(Engine.translate("SELECT array_agg(x ORDER BY y DESC NULLS FIRST) FROM t")
+    assert(Engine.translate("SELECT array_agg(x ORDER BY y DESC NULLS LAST) FROM t")
       == "SELECT transform(reverse(array_sort(array_agg(named_struct('__o0', y, '__v', x)))), __graft_g -> __graft_g.__v) FROM t")
     // plain array_agg untouched
     assert(Engine.translate("SELECT array_agg(x) FROM t")

@@ -159,13 +159,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT strrpos('abc', 'z')") == 0L)
     assert(one("SELECT element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a')")
       .asInstanceOf[scala.collection.Seq[String]] == Seq("1", "3"))
-    // a trailing entry delimiter leaves an empty entry with no kv
-    // delimiter — an error, as in the reference's exactly-once contract
-    val trailing = intercept[Exception](
-      one("SELECT split_to_multimap('a=1,', ',', '=')"))
+    // a TRAILING entry delimiter is dropped (the reference's
+    // while (entryStart < length) loop never sees the empty last entry):
+    // 'a=1,' → {a:[1]}
+    assert(one("SELECT element_at(split_to_multimap('a=1,', ',', '='), 'a')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("1"))
+    // but an empty entry at the start or middle IS seen and violates the
+    // exactly-once contract
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
-    assert(chain(trailing).contains("exactly once"), chain(trailing))
+    val leading = intercept[Exception](
+      one("SELECT split_to_multimap(',a=1', ',', '=')"))
+    assert(chain(leading).contains("exactly once"), chain(leading))
+    val middle = intercept[Exception](
+      one("SELECT split_to_multimap('a=1,,b=2', ',', '=')"))
+    assert(chain(middle).contains("exactly once"), chain(middle))
     assert(one("SELECT format_datetime(TIMESTAMP '2024-01-02 03:04:05', 'yyyy/MM/dd HH:mm')")
       == "2024/01/02 03:04")
     assert(one("SELECT parse_datetime('2024-01-02 03:04:05', 'yyyy-MM-dd HH:mm:ss')")
@@ -232,6 +240,9 @@ class FacadeSpec extends AnyFunSuite {
     intercept[Exception](one("SELECT ip_prefix('1:2:3:4:5:6:7:8:9', 8)"))
     intercept[Exception](one("SELECT ip_prefix('1::2::3', 8)"))
     intercept[Exception](one("SELECT ip_prefix('12345::1', 8)"))
+    // non-ASCII Unicode digits (Integer.parseInt accepts them) rejected
+    intercept[Exception](one("SELECT ip_prefix('٢٥٥.0.0.1', 8)"))
+    intercept[Exception](one("SELECT ip_prefix('٢::1', 8)"))
     // valid forms still canonicalize (RFC 5952 + v4-mapped narrowing)
     assert(one("SELECT ip_prefix('::', 0)") == "::/0")
     assert(one("SELECT ip_prefix('::ffff:192.168.0.1', 24)") == "192.168.0.0/24")
