@@ -15,14 +15,15 @@ object SparkEntry {
       suites.TextAnalysis.defs ++ suites.Streaming.defs ++
       suites.Ordering.defs ++ suites.Storage.defs ++ suites.Udfs.defs ++
       suites.Extras.defs ++ suites.MultimodalSuite.defs ++
-      suites.General.defs ++ suites.Conformance.defs ++ suites.Catalog.defs
+      suites.General.defs ++ suites.Conformance.defs ++ suites.Catalog.defs ++
+      suites.TpcdsShapes.defs
 
   /** Pinned corpus size, asserted by CorpusSpec: a shrinking corpus (an
     * entry dropped because its builder throws) must FAIL a test, not
     * silently disappear from the driver's correctness artifact (that is
     * exactly what happened to st01/st02/st05 in round 8). Update this
     * number whenever entries are added or intentionally removed. */
-  val expectedCorpusSize: Int = 207
+  val expectedCorpusSize: Int = 215
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */
@@ -34,7 +35,13 @@ object SparkEntry {
       // round-3 additions: joins/aggs/windows + LLM-pipeline ops
       "q09_product_profit", "q13_customer_distribution", "q18_large_orders",
       "q21_waiting_supplier", "w08_topn_per_group", "a01_distinct_aggs",
-      "d02_minhash_near_dup", "d05_training_pipeline", "v01_cosine_topk")
+      "d02_minhash_near_dup", "d05_training_pipeline", "v01_cosine_topk",
+      // round-9 additions: the heavy round-7 ops and a text-analysis
+      // representative were previously unbenched
+      "d07_embedding_near_dup", "v04_ivf_recall", "x06_language_id",
+      // TPC-DS-shape representatives: widest star fan-in + the
+      // derived-agg/double-dimension-join composition
+      "ds03_cross_nation_brand", "ds07_cross_nation_orders")
     allDefs.filter(q => headline(q.name))
   }
 

@@ -1,0 +1,324 @@
+package graft.suites
+
+import graft.{Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-DS query SHAPES ported onto the fixture schema (reference:
+  * presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/
+  * q03,q07,q19,q27,q34,q42,q46,q68.sql). The TPC-H-ish fixtures have no
+  * date_dim/store/demographics tables, so each port keeps the reference
+  * query's STRUCTURE — star-join fan-in, derived-table aggregation with
+  * HAVING-style bounds, ROLLUP + GROUPING(), a dimension joined twice
+  * with an inequality between the two copies, disjunctive dimension
+  * filters — while drawing dimensions from orders/customer/supplier/
+  * part/nation. These compositions are where optimizer regressions hide
+  * (join reorder, partial-agg pushdown, grouping-expansion width), which
+  * is why they join the corpus even though every individual operator is
+  * already covered.
+  *
+  * Scale notes: every query is a fact-table scan (lineitem) joined to
+  * dimensions. `nation` (25 rows) is explicitly broadcast; part/orders/
+  * customer joins are left to Catalyst + AQE, which broadcast them at
+  * small SF and shuffle-hash at 100 TB where they outgrow the threshold.
+  * ORDER BY ... LIMIT in the DataFrame programs lowers to TopN
+  * (TakeOrderedAndProject), never a global sort. Queries whose sort key
+  * is a float sum either omit LIMIT or use a limit comfortably above the
+  * group count so the DuckDB/Spark last-bit float divergence can't change
+  * the row cut.
+  */
+object TpcdsShapes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // q03 shape: date-dim ⋆ fact ⋆ item star, month filter on the date
+    // dimension, attribute filter on the item, group by (year, brand).
+    // LIMIT 300 > the 7×25 max group count: the sort key is a float sum,
+    // so a tight limit could cut differently across engines.
+    Qdef(
+      "ds01_brand_by_year",
+      """SELECT year(o_orderdate) AS d_year, p_brand AS brand,
+        |  round(sum(l_extendedprice), 2) AS sum_agg
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 15 AND month(o_orderdate) = 11
+        |GROUP BY year(o_orderdate), p_brand
+        |ORDER BY d_year ASC, sum_agg DESC, brand ASC
+        |LIMIT 300""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(month(col("o_orderdate")) === 11)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "part").filter(col("p_size") === 15),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).as("d_year"), col("p_brand").as("brand"))
+        .agg(round(sum("l_extendedprice"), 2).as("sum_agg"))
+        .orderBy(col("d_year").asc, col("sum_agg").desc, col("brand").asc)
+        .limit(300)
+    },
+
+    // q07 shape: star join with two "demographics" predicates (market
+    // segment + order priority stand in for cd_gender/cd_marital_status)
+    // and FOUR avg aggregates over the fact measures.
+    Qdef(
+      "ds02_item_averages",
+      """SELECT p_brand AS item_id,
+        |  round(avg(l_quantity), 6) AS agg1,
+        |  round(avg(l_extendedprice), 6) AS agg2,
+        |  round(avg(l_discount), 6) AS agg3,
+        |  round(avg(l_tax), 6) AS agg4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+        |  AND year(o_orderdate) = 1996
+        |GROUP BY p_brand
+        |ORDER BY item_id
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1996),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("item_id"))
+        .agg(
+          round(avg("l_quantity"), 6).as("agg1"),
+          round(avg("l_extendedprice"), 6).as("agg2"),
+          round(avg("l_discount"), 6).as("agg3"),
+          round(avg("l_tax"), 6).as("agg4"))
+        .orderBy("item_id")
+        .limit(100)
+    },
+
+    // q19 shape: 7-table star with a SUBSTRING INEQUALITY between two
+    // dimension copies (customer nation prefix <> supplier nation prefix
+    // stands in for ca_zip <> s_zip) — a residual predicate no join
+    // implementation can use as a key.
+    Qdef(
+      "ds03_cross_nation_brand",
+      """SELECT p_brand AS brand, p_type,
+        |  round(sum(l_extendedprice), 2) AS ext_price
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE month(o_orderdate) = 11 AND p_size BETWEEN 1 AND 15
+        |  AND substring(cn.n_name, 8, 1) <> substring(sn.n_name, 8, 1)
+        |GROUP BY p_brand, p_type
+        |ORDER BY brand, p_type""".stripMargin) { (s, dir) =>
+      val cn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("c_nation"))
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("s_nation"))
+      t(s, dir, "orders").filter(month(col("o_orderdate")) === 11)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "part").filter(col("p_size").between(1, 15)),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+        .join(broadcast(sn), col("s_nationkey") === col("snk"))
+        .filter(substring(col("c_nation"), 8, 1) =!= substring(col("s_nation"), 8, 1))
+        .groupBy(col("p_brand").as("brand"), col("p_type"))
+        .agg(round(sum("l_extendedprice"), 2).as("ext_price"))
+        .orderBy("brand", "p_type")
+    },
+
+    // q27 shape: ROLLUP over (item, state-analog) with GROUPING() in the
+    // projection and four averages.
+    Qdef(
+      "ds04_rollup_grouping",
+      """SELECT coalesce(p_brand, 'ALL') AS brand,
+        |  coalesce(n_name, 'ALL') AS s_state,
+        |  CAST(grouping(n_name) AS INT) AS g_state,
+        |  round(avg(l_quantity), 6) AS agg1,
+        |  round(avg(l_extendedprice), 6) AS agg2,
+        |  round(avg(l_discount), 6) AS agg3,
+        |  round(avg(l_tax), 6) AS agg4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 10
+        |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |GROUP BY ROLLUP (p_brand, n_name)
+        |ORDER BY brand, s_state""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "part").filter(col("p_size") < 10),
+          col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_brand"), col("n_name"))
+        .agg(
+          grouping(col("n_name")).cast("int").as("g_state"),
+          round(avg("l_quantity"), 6).as("agg1"),
+          round(avg("l_extendedprice"), 6).as("agg2"),
+          round(avg("l_discount"), 6).as("agg3"),
+          round(avg("l_tax"), 6).as("agg4"))
+        .select(
+          coalesce(col("p_brand"), lit("ALL")).as("brand"),
+          coalesce(col("n_name"), lit("ALL")).as("s_state"),
+          col("g_state"), col("agg1"), col("agg2"), col("agg3"), col("agg4"))
+        .orderBy("brand", "s_state")
+    },
+
+    // q34 shape: derived-table count per ticket (order) with a BETWEEN
+    // bound on the count, disjunctive month ranges on the date dimension,
+    // then a join back to customer.
+    Qdef(
+      "ds05_lines_per_order_band",
+      """SELECT c_name, o_orderkey, cnt
+        |FROM (
+        |  SELECT l_orderkey, count(*) AS cnt
+        |  FROM lineitem
+        |  GROUP BY l_orderkey) dn
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE cnt BETWEEN 6 AND 7
+        |  AND (month(o_orderdate) BETWEEN 1 AND 3
+        |    OR month(o_orderdate) BETWEEN 10 AND 12)
+        |  AND o_orderpriority = '1-URGENT'
+        |ORDER BY c_name, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val dn = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(6, 7))
+      dn.join(t(s, dir, "orders").filter(
+          (month(col("o_orderdate")).between(1, 3) ||
+            month(col("o_orderdate")).between(10, 12)) &&
+            col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("cnt"))
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    },
+
+    // q42 shape: date-dim ⋆ fact ⋆ item with a category grouping; no
+    // LIMIT (the reference sorts by the float sum — canonical row compare
+    // makes presentation order irrelevant without a cut).
+    Qdef(
+      "ds06_category_by_year",
+      """SELECT year(o_orderdate) AS d_year, p_type,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#12' AND month(o_orderdate) = 11
+        |GROUP BY year(o_orderdate), p_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(month(col("o_orderdate")) === 11)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "part").filter(col("p_brand") === "Brand#12"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).as("d_year"), col("p_type"))
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"))
+    },
+
+    // q46 shape: derived per-(order, supplier-nation) aggregation joined
+    // back through customer to the nation dimension A SECOND TIME, with
+    // an inequality between the two dimension copies (home nation <>
+    // nation bought from).
+    Qdef(
+      "ds07_cross_nation_orders",
+      """WITH dn AS (
+        |  SELECT l_orderkey, s_nationkey AS bought_nk,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS amt,
+        |    round(sum(l_extendedprice * l_tax), 2) AS tax_amt
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY l_orderkey, s_nationkey)
+        |SELECT c_name, home.n_name AS home_nation,
+        |  bought.n_name AS bought_nation, l_orderkey AS orderkey,
+        |  amt, tax_amt
+        |FROM dn
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation home ON c_nationkey = home.n_nationkey
+        |JOIN nation bought ON bought_nk = bought.n_nationkey
+        |WHERE home.n_name <> bought.n_name AND o_totalprice > 400000
+        |ORDER BY c_name, orderkey, bought_nation
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val dn = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_orderkey"), col("s_nationkey").as("bought_nk"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("amt"),
+          round(sum(col("l_extendedprice") * col("l_tax")), 2).as("tax_amt"))
+      val home = t(s, dir, "nation")
+        .select(col("n_nationkey").as("hnk"), col("n_name").as("home_nation"))
+      val bought = t(s, dir, "nation")
+        .select(col("n_nationkey").as("bnk"), col("n_name").as("bought_nation"))
+      dn.join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(home), col("c_nationkey") === col("hnk"))
+        .join(broadcast(bought), col("bought_nk") === col("bnk"))
+        .filter(col("home_nation") =!= col("bought_nation"))
+        .select(col("c_name"), col("home_nation"), col("bought_nation"),
+          col("l_orderkey").as("orderkey"), col("amt"), col("tax_amt"))
+        .orderBy("c_name", "orderkey", "bought_nation")
+        .limit(100)
+    },
+
+    // q68 shape: the q46 family with a day-of-month band instead of the
+    // price threshold and different measures (extended price + tax sums),
+    // demonstrating the same double-dimension join under a different
+    // residual.
+    Qdef(
+      "ds08_early_month_orders",
+      """WITH dn AS (
+        |  SELECT l_orderkey, s_nationkey AS bought_nk,
+        |    round(sum(l_extendedprice), 2) AS extended_price,
+        |    round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY l_orderkey, s_nationkey)
+        |SELECT c_name, home.n_name AS home_nation,
+        |  bought.n_name AS bought_nation, l_orderkey AS orderkey,
+        |  extended_price, total_qty
+        |FROM dn
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation home ON c_nationkey = home.n_nationkey
+        |JOIN nation bought ON bought_nk = bought.n_nationkey
+        |WHERE home.n_name <> bought.n_name
+        |  AND day(o_orderdate) BETWEEN 1 AND 2
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY c_name, orderkey, bought_nation
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val dn = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_orderkey"), col("s_nationkey").as("bought_nk"))
+        .agg(
+          round(sum("l_extendedprice"), 2).as("extended_price"),
+          round(sum("l_quantity"), 2).as("total_qty"))
+      val home = t(s, dir, "nation")
+        .select(col("n_nationkey").as("hnk"), col("n_name").as("home_nation"))
+      val bought = t(s, dir, "nation")
+        .select(col("n_nationkey").as("bnk"), col("n_name").as("bought_nation"))
+      dn.join(t(s, dir, "orders").filter(
+          dayofmonth(col("o_orderdate")).between(1, 2) &&
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(home), col("c_nationkey") === col("hnk"))
+        .join(broadcast(bought), col("bought_nk") === col("bnk"))
+        .filter(col("home_nation") =!= col("bought_nation"))
+        .select(col("c_name"), col("home_nation"), col("bought_nation"),
+          col("l_orderkey").as("orderkey"), col("extended_price"),
+          col("total_qty"))
+        .orderBy("c_name", "orderkey", "bought_nation")
+        .limit(100)
+    })
+}
