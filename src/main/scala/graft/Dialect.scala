@@ -1259,7 +1259,125 @@ object Dialect {
   }
 
   def translate(query: String): String =
-    injectNullOrdering(rewrite(rewriteUnnest(rewriteStatement(query))))
+    injectNullOrdering(rewrite(rewriteUnnest(
+      rewriteCreateFunction(rewriteStatement(query)))))
+
+  /** SQL-invoked function DDL (reference: presto-parser/.../SqlBase.g4:72-77
+    * `createFunction` with `routineCharacteristics` + `routineBody`;
+    * SQL-function registration path presto-main/.../metadata/
+    * BuiltInTypeAndFunctionNamespaceManager.java:862-867) → Spark's
+    * native SQL UDF DDL, which is the same statement family. The shim
+    * handles the dialect gaps:
+    *   - parameter/return types speak Presto (`varchar`,
+    *     `array(double)`) → Spark DDL (`string`, `array<double>`);
+    *   - `COMMENT '…'` is dropped (metadata only);
+    *   - `RETURNS NULL ON NULL INPUT` has no Spark spelling — the body
+    *     is wrapped in `CASE WHEN p IS NULL OR … THEN NULL ELSE (body)
+    *     END`, which is the exact semantics; `CALLED ON NULL INPUT`,
+    *     `LANGUAGE SQL` and `[NOT] DETERMINISTIC` pass through;
+    *   - a qualified name collapses to its last part (Spark temporary
+    *     functions are single-part and permanent ones land in the
+    *     session catalog's default schema — KNOWN DIVERGENCE from the
+    *     reference's mandatory catalog.schema.name addressing).
+    * `DROP [TEMPORARY] FUNCTION [IF EXISTS] name[(types)]` likewise
+    * collapses the name and drops the overload-disambiguating type list
+    * (Spark functions are names, not signatures). The RETURN body is
+    * left untouched here — the main rewrite pass translates it like any
+    * other expression text.
+    */
+  private val CreateFunHead =
+    "(?is)^(\\s*)create\\s+(or\\s+replace\\s+)?(temporary\\s+)?function\\s+([a-z_][a-z0-9_.]*)\\s*\\(".r
+  private val DropFunRe =
+    // the optional overload type list may nest parens: (varchar, array(double))
+    "(?is)^(\\s*)drop\\s+(temporary\\s+)?function\\s+(if\\s+exists\\s+)?([a-z_][a-z0-9_.]*)\\s*(\\(.*\\))?\\s*$".r
+
+  private def rewriteCreateFunction(q: String): String = {
+    DropFunRe.findFirstMatchIn(q).foreach { m =>
+      val tmp = if (m.group(2) != null) "TEMPORARY " else ""
+      val ifex = if (m.group(3) != null) "IF EXISTS " else ""
+      val name = m.group(4).split('.').last
+      return s"${m.group(1)}DROP ${tmp}FUNCTION $ifex$name"
+    }
+    val head = CreateFunHead.findFirstMatchIn(q).getOrElse(return q)
+    val orReplace = if (head.group(2) != null) "OR REPLACE " else ""
+    val temporary = if (head.group(3) != null) "TEMPORARY " else ""
+    val name = head.group(4).split('.').last
+    val (rawParams, afterParams) =
+      parseParenArgs(q, head.end - 1).getOrElse(return q)
+    def toDdl(t: String): String = prestoTypeToDdl(t).getOrElse(
+      throw new IllegalArgumentException(
+        s"Unsupported type in CREATE FUNCTION: $t"))
+    val ParamDecl = "(?is)^([a-z_][a-z0-9_]*)\\s+(.+)$".r
+    val params = rawParams.filter(_.nonEmpty).map {
+      case ParamDecl(pn, pt) => (pn, toDdl(pt.trim))
+      case p => throw new IllegalArgumentException(
+        s"Malformed parameter declaration in CREATE FUNCTION: $p")
+    }
+    val rest = q.substring(afterParams)
+    val RetHead = "(?is)^\\s*returns\\s+".r
+    val afterRet = RetHead.findFirstMatchIn(rest).getOrElse(return q).end
+    // scan the return type: runs to the first top-level keyword that can
+    // follow it (COMMENT / LANGUAGE / [NOT] DETERMINISTIC / RETURNS NULL
+    // / CALLED / the final RETURN); type text itself may contain parens
+    // and commas (map(varchar, array(double)))
+    val stops = Set("comment", "language", "deterministic", "not",
+      "called", "return", "returns")
+    var i = afterRet
+    var depth = 0
+    var typeEnd = -1
+    while (i < rest.length && typeEnd < 0) {
+      val c = rest(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && c.isLetter) {
+        var j = i
+        while (j < rest.length && isWordChar(rest(j))) j += 1
+        if (stops(rest.substring(i, j).toLowerCase) && i > afterRet) typeEnd = i
+        else i = j
+      } else i += 1
+    }
+    if (typeEnd < 0) typeEnd = rest.length
+    val retDdl = toDdl(rest.substring(afterRet, typeEnd).trim)
+    // characteristics zone: word-walk to the final top-level RETURN
+    var k = typeEnd
+    var nullOnNull = false
+    val kept = mutable.ArrayBuffer.empty[String]
+    var body: String = null
+    while (k < rest.length && body == null) {
+      val c = rest(k)
+      if (c == '\'') k = literalEnd(rest, k) // a skipped COMMENT literal
+      else if (c.isLetter) {
+        var j = k
+        while (j < rest.length && isWordChar(rest(j))) j += 1
+        val w = rest.substring(k, j).toLowerCase
+        w match {
+          case "return" => body = rest.substring(j)
+          case "returns" => nullOnNull = true; k = j // RETURNS NULL ON NULL INPUT
+          case "called" => kept += "CALLED ON NULL INPUT"; k = j
+          case "language" => kept += "LANGUAGE SQL"; k = j
+          case "deterministic" =>
+            if (kept.lastOption.contains("NOT")) {
+              kept.remove(kept.length - 1); kept += "NOT DETERMINISTIC"
+            } else kept += "DETERMINISTIC"
+            k = j
+          case "not" => kept += "NOT"; k = j
+          case "null" | "on" | "input" | "sql" | "comment" => k = j
+          case other => throw new IllegalArgumentException(
+            s"Unsupported CREATE FUNCTION characteristic: $other")
+        }
+      } else k += 1
+    }
+    if (body == null) return q
+    val finalBody =
+      if (nullOnNull && params.nonEmpty)
+        params.map { case (pn, _) => s"$pn IS NULL" }
+          .mkString("CASE WHEN ", " OR ", s" THEN NULL ELSE (${body.trim}) END")
+      else body.trim
+    val paramList = params.map { case (pn, pt) => s"$pn $pt" }.mkString(", ")
+    val chars = if (kept.isEmpty) "" else kept.mkString(" ", " ", "")
+    s"${head.group(1)}CREATE $orReplace${temporary}FUNCTION $name($paramList) " +
+      s"RETURNS $retDdl$chars RETURN $finalBody"
+  }
 
   /** PREPARE / EXECUTE … USING / DEALLOCATE PREPARE (reference:
     * presto-parser/.../SqlBase.g4:131-133 + ExecuteTask positional

@@ -647,6 +647,36 @@ object Catalog {
         |SELECT NULL, NULL, NULL, NULL, CAST(count(*) AS DOUBLE), NULL, NULL
         |FROM nation""".stripMargin) { (s, dir) =>
       graft.Engine.sql(s, dir, "SHOW STATS FOR nation")
+    },
+
+    // SQL-invoked functions (reference: SqlBase.g4:72-77 createFunction;
+    // registration BuiltInTypeAndFunctionNamespaceManager.java:862-867):
+    // CREATE TEMPORARY FUNCTION … RETURN through the facade, then a
+    // query that calls it — the oracle is the same query with the
+    // function body inlined, so the result certifies the macro-expansion
+    // semantics end to end. OR REPLACE keeps the entry idempotent within
+    // a session.
+    Qdef(
+      "k22_create_function",
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_net
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_k22_net(
+          |  price DOUBLE, disc DOUBLE)
+          |RETURNS DOUBLE
+          |LANGUAGE SQL DETERMINISTIC
+          |RETURN price * (1 - disc)""".stripMargin).collect()
+      graft.Engine.sql(s, dir,
+        """SELECT l_returnflag,
+          |  round(sum(graft_k22_net(l_extendedprice, l_discount)), 2) AS revenue,
+          |  round(avg(graft_k22_net(l_extendedprice, l_discount)), 4) AS avg_net
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     }
   )
 }

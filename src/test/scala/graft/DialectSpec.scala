@@ -182,6 +182,26 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT element_at(element_at(a, 1), 2) FROM t")
   }
 
+  test("CREATE FUNCTION translates Presto grammar to Spark SQL UDF DDL") {
+    val t = Engine.translate(
+      "CREATE FUNCTION example.default.f(x varchar, ys array(double)) " +
+        "RETURNS double RETURNS NULL ON NULL INPUT RETURN cardinality(ys) + length(x)")
+    assert(t.contains("CREATE FUNCTION f(x string, ys array<double>)"), t)
+    assert(t.contains("RETURNS double"), t)
+    assert(t.contains("CASE WHEN x IS NULL OR ys IS NULL THEN NULL ELSE"), t)
+    // characteristics pass through; COMMENT is dropped
+    val c = Engine.translate(
+      "CREATE OR REPLACE TEMPORARY FUNCTION g(x double) RETURNS double " +
+        "COMMENT 'doubles it' LANGUAGE SQL NOT DETERMINISTIC RETURN x * 2")
+    assert(c.contains("CREATE OR REPLACE TEMPORARY FUNCTION g(x double)"), c)
+    assert(c.contains("LANGUAGE SQL NOT DETERMINISTIC RETURN x * 2"), c)
+    assert(!c.toLowerCase.contains("comment"), c)
+    // DROP collapses the qualified name and the type-list disambiguator
+    assert(Engine.translate(
+      "DROP FUNCTION IF EXISTS example.default.f(varchar, array(double))")
+      == "DROP FUNCTION IF EXISTS f")
+  }
+
   test("double-quoted identifiers become backticks") {
     assert(Engine.translate("""SELECT "order key" FROM t""")
       == "SELECT `order key` FROM t")

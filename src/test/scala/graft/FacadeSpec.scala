@@ -653,6 +653,46 @@ class FacadeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative"), e.getMessage)
   }
 
+  test("CREATE FUNCTION ... RETURN registers a SQL-invoked function") {
+    def ddl(sql: String): Unit = Engine.sql(spark, dir, sql).collect()
+    // Presto types + routine characteristics, TEMPORARY form
+    ddl("""CREATE TEMPORARY FUNCTION graft_f1(x DOUBLE)
+          |RETURNS DOUBLE
+          |LANGUAGE SQL DETERMINISTIC
+          |RETURN x * 2""".stripMargin)
+    assert(one("SELECT graft_f1(21.0)") == 42.0)
+    // OR REPLACE takes effect
+    ddl("CREATE OR REPLACE TEMPORARY FUNCTION graft_f1(x DOUBLE) RETURNS DOUBLE RETURN x * 3")
+    assert(one("SELECT graft_f1(14.0)") == 42.0)
+    // parameter name SHADOWS a column of the same name: the argument is
+    // bound positionally, not captured from the enclosing row scope
+    ddl("CREATE TEMPORARY FUNCTION graft_shadow(v BIGINT) RETURNS BIGINT RETURN v + 1")
+    assert(one("SELECT graft_shadow(v) FROM (SELECT 41L AS v)") == 42L)
+    assert(one("SELECT graft_shadow(v * 10) FROM (SELECT 4L AS v)") == 41L)
+    // Presto varchar/array(…) types map to Spark DDL; body goes through
+    // the dialect rewrite (|| concat)
+    ddl("""CREATE TEMPORARY FUNCTION graft_greet(name VARCHAR)
+          |RETURNS VARCHAR RETURN 'hello, ' || name""".stripMargin)
+    assert(one("SELECT graft_greet('world')") == "hello, world")
+    ddl("""CREATE TEMPORARY FUNCTION graft_second(xs ARRAY(DOUBLE))
+          |RETURNS DOUBLE RETURN xs[2]""".stripMargin)
+    assert(one("SELECT graft_second(ARRAY[1.0, 5.0])") == 5.0)
+    // RETURNS NULL ON NULL INPUT wraps the body in a null guard
+    ddl("""CREATE TEMPORARY FUNCTION graft_nn(x DOUBLE, y DOUBLE)
+          |RETURNS DOUBLE
+          |RETURNS NULL ON NULL INPUT
+          |RETURN coalesce(x, 0.0) + coalesce(y, 0.0)""".stripMargin)
+    assert(one("SELECT graft_nn(1.0, 2.0)") == 3.0)
+    assert(one("SELECT graft_nn(1.0, CAST(NULL AS DOUBLE))") == null)
+    // qualified reference-style name collapses to its last part
+    ddl("CREATE TEMPORARY FUNCTION example.default.graft_q(x BIGINT) RETURNS BIGINT RETURN x")
+    assert(one("SELECT graft_q(7L)") == 7L)
+    // DROP FUNCTION with the Presto type-list disambiguator
+    ddl("DROP TEMPORARY FUNCTION graft_q")
+    ddl("DROP FUNCTION IF EXISTS graft_never_created(double)")
+    intercept[Exception](one("SELECT graft_q(7L)"))
+  }
+
   test("UNNEST argument scan survives comments and quoted identifiers") {
     // a comment containing ')' and ',' inside the argument list
     assert(Engine.sql(spark, dir,
