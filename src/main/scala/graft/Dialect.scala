@@ -468,6 +468,28 @@ object Dialect {
           }
           out.append(s"CAST('$body' AS DECIMAL(${math.max(digits, 1)}, $scale))")
           i = end
+        } else if (lower == "time" && k < q.length && q(k) == '\'') {
+          // Presto typed literal TIME 'HH:MM[:SS[.fff]]' (SqlBase.g4
+          // typeConstructor; presto-common/.../type/TimeType.java).
+          // Spark has no TIME type — DOCUMENTED NARROWING: a time-of-day
+          // value is carried as a TimestampType anchored on the epoch day
+          // (TIME '12:34:56' ≡ TIMESTAMP '1970-01-01 12:34:56'), which
+          // preserves comparisons, interval arithmetic (wrap-around
+          // surfaces as the next day's time-of-day — format with
+          // 'HH:mm:ss' to read it back), and extraction functions.
+          // TIME WITH TIME ZONE literals (a zone suffix after the time)
+          // stay verbatim and fail loudly at Spark's parser.
+          val end = literalEnd(q, k)
+          val body = q.substring(k + 1, end - 1).trim
+          if (body.matches("\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?")) {
+            out.append(s"TIMESTAMP '1970-01-01 $body'")
+            i = end
+          } else { out.append(word); i = j }
+        } else if (lower == "localtime" && (k >= q.length || q(k) != '(')) {
+          // Presto's bare localtime keyword (SqlBase.g4 primaryExpression
+          // LOCALTIME; DateTimeFunctions.java) → the registered 0-arg
+          // function, under the same epoch-day TIME narrowing.
+          out.append("localtime()"); i = j
         } else if (lower == "split" && k < q.length && q(k) == '(') {
           out.append("split(")
           stack.prepend(new Frame('p'))

@@ -97,6 +97,18 @@ object Engine {
         else java.time.format.DateTimeFormatter
           .ofPattern(prestoDateFormat(fmt))
           .format(ts.toInstant.atZone(currentZone).toLocalDateTime))
+    // localtime (reference: DateTimeFunctions.java localTime — TIME in
+    // the session zone) under the documented TIME narrowing: the current
+    // session-zone wall-clock time-of-day anchored on the epoch day.
+    // Millisecond precision, matching the reference's TIME resolution.
+    spark.udf.register("localtime", () => {
+      val now = java.time.LocalTime.now(currentZone)
+        .truncatedTo(java.time.temporal.ChronoUnit.MILLIS)
+      java.sql.Timestamp.from(
+        java.time.LocalDateTime.of(java.time.LocalDate.EPOCH, now)
+          .atZone(currentZone).toInstant)
+    }).asNondeterministic()
+
     spark.udf.register("presto_date_parse",
       (s: String, fmt: String) =>
         if (s == null || fmt == null) null

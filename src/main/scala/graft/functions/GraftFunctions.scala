@@ -192,6 +192,56 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** Seeded reservoir sample (reference: operator/aggregation/
+    * reservoirsample/UnweightedDoubleReservoirSample.java — a uniform
+    * k-sample maintained under merge). The reference draws from an
+    * unseeded RNG, so its sample is irreproducible across runs and
+    * partitionings; here the "random" variate is a 64-bit digest of
+    * (seed, value), which is uniform when the digest is uniform, keyed
+    * by the caller's seed (a new seed = a fresh independent sample), and
+    * EXACTLY replayable by any engine: the sample is the k values with
+    * the smallest md5(seed || ':' || value), i.e.
+    * `ORDER BY substr(md5(seed || ':' || v), 1, 16) LIMIT k`.
+    * States merge by union-then-keep-k-smallest, so partials ship across
+    * exchanges and the sample never concentrates on one node until the
+    * final k rows — the same scale shape as bottom_k_sample above.
+    */
+  class ReservoirSampleAgg(enc: Encoder[(Int, Seq[(Long, String)])])
+      extends Aggregator[(String, Long, String), (Int, Seq[(Long, String)]), Seq[String]] {
+
+    /** Sign-flipped first 8 md5 bytes of "seed:value" — signed ordering
+      * equals the lexicographic order of the md5 hex prefix. */
+    private def hashOf(seed: String, v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((seed + ":" + v).getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(md).getLong ^ Long.MinValue
+    }
+
+    private def trim(s: Seq[(Long, String)], k: Int): Seq[(Long, String)] =
+      if (s.length <= k) s else s.sorted.take(k)
+
+    def zero: (Int, Seq[(Long, String)]) = (0, Vector.empty)
+    def reduce(
+        b: (Int, Seq[(Long, String)]),
+        a: (String, Long, String)): (Int, Seq[(Long, String)]) =
+      if (a == null || a._1 == null) b
+      else {
+        val k = if (b._1 > 0) b._1 else a._2.toInt
+        (k, trim(b._2 :+ ((hashOf(if (a._3 == null) "" else a._3, a._1), a._1)), k))
+      }
+    def merge(
+        b1: (Int, Seq[(Long, String)]),
+        b2: (Int, Seq[(Long, String)])): (Int, Seq[(Long, String)]) = {
+      val k = math.max(b1._1, b2._1)
+      if (k == 0) (0, Vector.empty) else (k, trim(b1._2 ++ b2._2, k))
+    }
+    def finish(r: (Int, Seq[(Long, String)])): Seq[String] =
+      r._2.sorted.map(_._2)
+    def bufferEncoder: Encoder[(Int, Seq[(Long, String)])] = enc
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Register everything on the session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     val mapEnc: Encoder[Map[String, Long]] = {
@@ -212,6 +262,8 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Seq[(Long, String)])]()
     spark.udf.register("bottom_k_sample", udaf(new BottomKSampleAgg(bkEnc),
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
+    spark.udf.register("reservoir_sample", udaf(new ReservoirSampleAgg(bkEnc),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.STRING)))
     ScalarPack.registerAll(spark)
   }
 }

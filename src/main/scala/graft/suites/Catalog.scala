@@ -677,6 +677,35 @@ object Catalog {
           |FROM lineitem
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // TIME literals + localtime (reference: presto-common/.../type/
+    // TimeType.java; DateTimeFunctions.java localTime) under the
+    // documented epoch-day narrowing (Dialect: TIME 'HH:MM:SS' ≡
+    // TIMESTAMP '1970-01-01 HH:MM:SS'). The oracle runs DuckDB's REAL
+    // TIME type over the same expressions — extraction, comparison and
+    // wrap-around interval arithmetic must agree, which is exactly what
+    // the narrowing claims to preserve. localtime is nondeterministic,
+    // so only its range is certified.
+    Qdef.duckOnly(
+      "k23_time_literals",
+      """SELECT
+        |  CAST(hour(TIME '23:45:01') AS BIGINT) AS h,
+        |  CAST(minute(TIME '23:45:01') AS BIGINT) AS m,
+        |  CAST(second(TIME '23:45:01') AS BIGINT) AS s,
+        |  TIME '08:00:00' < TIME '09:30:00' AS cmp,
+        |  CAST(TIME '23:30:00' + INTERVAL 90 MINUTE AS VARCHAR) AS wrapped,
+        |  CAST(TIME '23:30:00' - INTERVAL 45 MINUTE AS VARCHAR) AS back,
+        |  true AS lt_ok""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  CAST(hour(TIME '23:45:01') AS BIGINT) AS h,
+          |  CAST(minute(TIME '23:45:01') AS BIGINT) AS m,
+          |  CAST(second(TIME '23:45:01') AS BIGINT) AS s,
+          |  TIME '08:00:00' < TIME '09:30:00' AS cmp,
+          |  date_format(TIME '23:30:00' + INTERVAL '90' MINUTE, '%H:%i:%s') AS wrapped,
+          |  date_format(TIME '23:30:00' - INTERVAL '45' MINUTE, '%H:%i:%s') AS back,
+          |  hour(localtime) BETWEEN 0 AND 23 AS lt_ok""".stripMargin)
     }
   )
 }

@@ -177,6 +177,27 @@ object Dedup {
         .select(explode(col("sample")).as("did"))
     },
 
+    // SEEDED reservoir sample (reference: operator/aggregation/
+    // reservoirsample/ — a uniform k-sample maintained under merge; ours
+    // replaces the reference's unseeded RNG with a (seed, value)-keyed
+    // digest so the sample is reproducible, idempotent across retries,
+    // and independent per seed). DuckDB replays the EXACT sample from
+    // the same seed; repartition(64) exercises the distributed merge,
+    // which must not change the result.
+    Qdef.duckOnly(
+      "d08_reservoir_sample",
+      """SELECT CAST(doc_id AS VARCHAR) AS did
+        |FROM documents
+        |ORDER BY substr(md5('graft-r9:' || CAST(doc_id AS VARCHAR)), 1, 16)
+        |LIMIT 12""".stripMargin) { (s, dir) =>
+      graft.Engine.registerFunctions(s)
+      t(s, dir, "documents")
+        .repartition(64)
+        .agg(expr("reservoir_sample(CAST(doc_id AS STRING), 12L, 'graft-r9')")
+          .as("sample"))
+        .select(explode(col("sample")).as("did"))
+    },
+
     // Embedding-cosine near-duplicates: hashed-TF shingle embeddings
     // (256 buckets, first-4-md5-hex-digits hash — engine-independent),
     // sign-LSH candidates, exact-cosine verification at 0.8. Counts are

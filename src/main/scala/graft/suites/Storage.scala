@@ -136,6 +136,28 @@ object Storage {
       src.write.mode(SaveMode.Overwrite).parquet(out)
       src.write.mode(SaveMode.Append).parquet(out)
       s.read.parquet(out).agg(count(lit(1)).as("n"))
+    },
+
+    // Metadata-only DELETE (reference: MetadataDeleteOptimizer.java):
+    // DELETE WHERE <partition predicate> drops whole partition
+    // directories — O(partitions), zero row rewrites — then the read-back
+    // aggregate must equal the oracle's post-delete state. Non-partition
+    // predicates are rejected loudly (MetadataDeleteSpec).
+    Qdef(
+      "w09_metadata_delete",
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderstatus <> 'O'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val out = scratch("graft_mdel")
+      slice(s, dir).write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(out)
+      graft.ops.MetadataDelete.deleteWhere(s, out, col("o_orderstatus") === "O")
+      graft.ops.MetadataDelete.table(s, out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -653,6 +653,32 @@ class FacadeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative"), e.getMessage)
   }
 
+  test("TIME literals narrow to epoch-day timestamps with correct arithmetic") {
+    val row = Engine.sql(spark, dir,
+      """SELECT hour(TIME '23:45:01') AS h,
+        |  TIME '08:00:00' < TIME '09:30:00' AS cmp,
+        |  date_format(TIME '23:30:00' + INTERVAL '90' MINUTE, '%H:%i:%s') AS wrapped,
+        |  date_format(TIME '23:30:00' - INTERVAL '45' MINUTE, '%H:%i:%s') AS back,
+        |  hour(localtime) AS lt_h""".stripMargin).collect()(0)
+    assert(row.getAs[Any]("h").toString == "23")
+    assert(row.getAs[Boolean]("cmp"))
+    assert(row.getAs[String]("wrapped") == "01:00:00") // wrap-around
+    assert(row.getAs[String]("back") == "22:45:00")
+    val h = row.getAs[Any]("lt_h").toString.toInt
+    assert(h >= 0 && h <= 23)
+  }
+
+  test("reservoir_sample is seeded, reproducible, and seed-sensitive") {
+    def sample(seed: String): Seq[String] =
+      Engine.sql(spark, dir,
+        s"SELECT reservoir_sample(CAST(o_orderkey AS VARCHAR), 5L, '$seed') FROM orders")
+        .collect()(0).getSeq[String](0).toSeq
+    val a = sample("s1")
+    assert(a.length == 5)
+    assert(sample("s1") == a)       // same seed → identical sample
+    assert(sample("s2") != a)       // fresh seed → independent sample
+  }
+
   test("CREATE FUNCTION ... RETURN registers a SQL-invoked function") {
     def ddl(sql: String): Unit = Engine.sql(spark, dir, sql).collect()
     // Presto types + routine characteristics, TEMPORARY form
