@@ -81,6 +81,43 @@ class PlanSpec extends QueryAssertions {
       multi.take(2000))
   }
 
+  test("ds01: star join lowers to TopN with part filter pushed to its scan") {
+    val plan = planOf(run("ds01_brand_by_year"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the p_size = 15 dimension filter reaches the part scan, not a
+    // post-join Filter over fact rows
+    assert("PushedFilters: \\[[^\\]]*p_size".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("ds03/ds07: wide stars broadcast nation and never go nested-loop") {
+    for (name <- Seq("ds03_cross_nation_brand", "ds07_cross_nation_orders")) {
+      val plan = planOf(run(name))
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: BNLJ")
+      assert(plan.contains("BroadcastHashJoin"), s"$name: nation should broadcast")
+    }
+  }
+
+  test("ds04: rollup runs as a partial-final Expand aggregation") {
+    val plan = planOf(run("ds04_rollup_grouping"))
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert(plan.contains("partial_"), "grouping expansion must combine map-side")
+  }
+
+  test("ds05: the count band filters the derived table before the joins") {
+    val plan = planOf(run("ds05_lines_per_order_band"))
+    // the cnt BETWEEN 6 AND 7 band must sit directly on the aggregate
+    // output (a Filter over the cnt attribute feeding the join), not
+    // after the customer join — at 100 TB the band drops ~everything,
+    // so filtering early is the difference between joining a sliver and
+    // joining the corpus
+    val filterLines = plan.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("cnt#") && l.contains(">= 6")).toSeq
+    assert(filterLines.nonEmpty,
+      plan.linesIterator.filter(_.contains("Filter")).mkString("\n"))
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
