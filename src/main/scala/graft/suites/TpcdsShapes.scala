@@ -36,12 +36,15 @@ object TpcdsShapes {
 
     // q03 shape: date-dim ⋆ fact ⋆ item star, month filter on the date
     // dimension, attribute filter on the item, group by (year, brand).
-    // LIMIT 300 > the 7×25 max group count: the sort key is a float sum,
-    // so a tight limit could cut differently across engines.
+    // Price sums run in DECIMAL (the measures are 2-decimal-quantized,
+    // so decimal sums are EXACT and engine-identical — double sums
+    // differ in the last ULP and flip round()/format boundaries, which
+    // the sf0.1 gate replay caught on ds07). LIMIT 300 > the 7×25 max
+    // group count keeps the cut row-stable regardless of sort-key ties.
     Qdef(
       "ds01_brand_by_year",
       """SELECT year(o_orderdate) AS d_year, p_brand AS brand,
-        |  round(sum(l_extendedprice), 2) AS sum_agg
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_agg
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -54,7 +57,7 @@ object TpcdsShapes {
         .join(t(s, dir, "part").filter(col("p_size") === 15),
           col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("o_orderdate")).as("d_year"), col("p_brand").as("brand"))
-        .agg(round(sum("l_extendedprice"), 2).as("sum_agg"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_agg"))
         .orderBy(col("d_year").asc, col("sum_agg").desc, col("brand").asc)
         .limit(300)
     },
@@ -103,7 +106,7 @@ object TpcdsShapes {
     Qdef(
       "ds03_cross_nation_brand",
       """SELECT p_brand AS brand, p_type,
-        |  round(sum(l_extendedprice), 2) AS ext_price
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ext_price
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -129,7 +132,7 @@ object TpcdsShapes {
         .join(broadcast(sn), col("s_nationkey") === col("snk"))
         .filter(substring(col("c_nation"), 8, 1) =!= substring(col("s_nation"), 8, 1))
         .groupBy(col("p_brand").as("brand"), col("p_type"))
-        .agg(round(sum("l_extendedprice"), 2).as("ext_price"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("ext_price"))
         .orderBy("brand", "p_type")
     },
 
@@ -211,7 +214,7 @@ object TpcdsShapes {
     Qdef(
       "ds06_category_by_year",
       """SELECT year(o_orderdate) AS d_year, p_type,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -222,7 +225,7 @@ object TpcdsShapes {
         .join(t(s, dir, "part").filter(col("p_brand") === "Brand#12"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("o_orderdate")).as("d_year"), col("p_type"))
-        .agg(round(sum("l_extendedprice"), 2).as("sum_price"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
     },
 
     // q46 shape: derived per-(order, supplier-nation) aggregation joined
@@ -233,8 +236,8 @@ object TpcdsShapes {
       "ds07_cross_nation_orders",
       """WITH dn AS (
         |  SELECT l_orderkey, s_nationkey AS bought_nk,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS amt,
-        |    round(sum(l_extendedprice * l_tax), 2) AS tax_amt
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS amt,
+        |    sum(CAST(l_extendedprice * l_tax AS DECIMAL(18,4))) AS tax_amt
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  GROUP BY l_orderkey, s_nationkey)
@@ -249,19 +252,28 @@ object TpcdsShapes {
         |WHERE home.n_name <> bought.n_name AND o_totalprice > 400000
         |ORDER BY c_name, orderkey, bought_nation
         |LIMIT 100""".stripMargin) { (s, dir) =>
+      // The oracle keeps the reference's WITH-first spelling; OUR plan
+      // joins the SELECTIVE orders filter into the derived table BEFORE
+      // the aggregation (identical result — o_orderkey is unique and the
+      // filter is per-order), so at 100 TB the groupBy aggregates the
+      // surviving sliver of lineitem, not the whole fact table.
+      val keep = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_custkey"))
       val dn = t(s, dir, "lineitem")
+        .join(keep, col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("l_orderkey"), col("s_nationkey").as("bought_nk"))
+        .groupBy(col("l_orderkey"), col("o_custkey"),
+          col("s_nationkey").as("bought_nk"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("amt"),
-          round(sum(col("l_extendedprice") * col("l_tax")), 2).as("tax_amt"))
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("amt"),
+          sum((col("l_extendedprice") * col("l_tax"))
+            .cast("decimal(18,4)")).as("tax_amt"))
       val home = t(s, dir, "nation")
         .select(col("n_nationkey").as("hnk"), col("n_name").as("home_nation"))
       val bought = t(s, dir, "nation")
         .select(col("n_nationkey").as("bnk"), col("n_name").as("bought_nation"))
-      dn.join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      dn.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(home), col("c_nationkey") === col("hnk"))
         .join(broadcast(bought), col("bought_nk") === col("bnk"))
         .filter(col("home_nation") =!= col("bought_nation"))
@@ -279,8 +291,8 @@ object TpcdsShapes {
       "ds08_early_month_orders",
       """WITH dn AS (
         |  SELECT l_orderkey, s_nationkey AS bought_nk,
-        |    round(sum(l_extendedprice), 2) AS extended_price,
-        |    round(sum(l_quantity), 2) AS total_qty
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS extended_price,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  GROUP BY l_orderkey, s_nationkey)
@@ -297,21 +309,24 @@ object TpcdsShapes {
         |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
         |ORDER BY c_name, orderkey, bought_nation
         |LIMIT 100""".stripMargin) { (s, dir) =>
+      // same filter-before-aggregate restructuring as ds07
+      val keep = t(s, dir, "orders").filter(
+          dayofmonth(col("o_orderdate")).between(1, 2) &&
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_custkey"))
       val dn = t(s, dir, "lineitem")
+        .join(keep, col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("l_orderkey"), col("s_nationkey").as("bought_nk"))
+        .groupBy(col("l_orderkey"), col("o_custkey"),
+          col("s_nationkey").as("bought_nk"))
         .agg(
-          round(sum("l_extendedprice"), 2).as("extended_price"),
-          round(sum("l_quantity"), 2).as("total_qty"))
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("extended_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
       val home = t(s, dir, "nation")
         .select(col("n_nationkey").as("hnk"), col("n_name").as("home_nation"))
       val bought = t(s, dir, "nation")
         .select(col("n_nationkey").as("bnk"), col("n_name").as("bought_nation"))
-      dn.join(t(s, dir, "orders").filter(
-          dayofmonth(col("o_orderdate")).between(1, 2) &&
-            col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      dn.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(home), col("c_nationkey") === col("hnk"))
         .join(broadcast(bought), col("bought_nk") === col("bnk"))
         .filter(col("home_nation") =!= col("bought_nation"))
