@@ -335,5 +335,83 @@ object TpcdsShapes {
           col("total_qty"))
         .orderBy("c_name", "orderkey", "bought_nation")
         .limit(100)
+    },
+
+    // q51 shape: two per-day series FULL OUTER JOINed on the date, then
+    // cumulative windows over the joined frame and a comparison between
+    // the two running sums. The unpartitioned window is bounded by DAYS
+    // (365 rows/year after the pre-aggregation), never by data size —
+    // the daily rollup shuffles on the date key first, so at 100 TB the
+    // window input is still one year of rows.
+    Qdef(
+      "ds09_cumulative_channels",
+      """WITH u AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
+        |  GROUP BY CAST(o_orderdate AS DATE)),
+        |l AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  WHERE o_orderpriority = '5-LOW' AND year(o_orderdate) = 1996
+        |  GROUP BY CAST(o_orderdate AS DATE)),
+        |j AS (
+        |  SELECT coalesce(u.d, l.d) AS d, u.rev AS urev, l.rev AS lrev
+        |  FROM u FULL OUTER JOIN l ON u.d = l.d),
+        |c AS (
+        |  SELECT d,
+        |    sum(coalesce(urev, 0)) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_urgent,
+        |    sum(coalesce(lrev, 0)) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_low
+        |  FROM j)
+        |SELECT d, cum_urgent, cum_low
+        |FROM c
+        |WHERE cum_urgent > cum_low
+        |ORDER BY d""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def daily(prio: String, out: String): DataFrame =
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority") === prio &&
+            year(col("o_orderdate")) === 1996)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as(out))
+      val u = daily("1-URGENT", "urev")
+      val l = daily("5-LOW", "lrev").withColumnRenamed("d", "ld")
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.join(l, col("d") === col("ld"), "full_outer")
+        .select(coalesce(col("d"), col("ld")).as("d"),
+          col("urev"), col("lrev"))
+        .withColumn("cum_urgent", sum(coalesce(col("urev"), lit(0))).over(w))
+        .withColumn("cum_low", sum(coalesce(col("lrev"), lit(0))).over(w))
+        .filter(col("cum_urgent") > col("cum_low"))
+        .select("d", "cum_urgent", "cum_low")
+        .orderBy("d")
+    },
+
+    // q88 shape: a row of independent scalar aggregates (quantity-band
+    // counts) comma-joined into one result. The ORACLE keeps the
+    // reference's N-subquery spelling (N scans); OUR plan computes all
+    // bands in ONE pass with conditional aggregation — at 100 TB that is
+    // one fact scan instead of six, the exact scan-sharing rewrite the
+    // reference's optimizer performs via CTE reuse. PlanSpec pins the
+    // single-scan shape.
+    Qdef(
+      "ds10_band_counts",
+      """SELECT a.h1, b.h2, c.h3, d.h4, e.h5, f.h6 FROM
+        |  (SELECT count(*) AS h1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 8) a,
+        |  (SELECT count(*) AS h2 FROM lineitem WHERE l_quantity BETWEEN 9 AND 16) b,
+        |  (SELECT count(*) AS h3 FROM lineitem WHERE l_quantity BETWEEN 17 AND 24) c,
+        |  (SELECT count(*) AS h4 FROM lineitem WHERE l_quantity BETWEEN 25 AND 32) d,
+        |  (SELECT count(*) AS h5 FROM lineitem WHERE l_quantity BETWEEN 33 AND 40) e,
+        |  (SELECT count(*) AS h6 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) f""".stripMargin) { (s, dir) =>
+      def band(lo: Int, hi: Int, out: String) =
+        count(when(col("l_quantity").between(lo, hi), 1)).as(out)
+      t(s, dir, "lineitem").agg(
+        band(1, 8, "h1"), band(9, 16, "h2"), band(17, 24, "h3"),
+        band(25, 32, "h4"), band(33, 40, "h5"), band(41, 50, "h6"))
     })
 }

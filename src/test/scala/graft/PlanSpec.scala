@@ -118,6 +118,13 @@ class PlanSpec extends QueryAssertions {
       plan.linesIterator.filter(_.contains("Filter")).mkString("\n"))
   }
 
+  test("ds10: six band counts share ONE lineitem scan") {
+    val plan = planOf(run("ds10_band_counts"))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected one shared scan, got $scans")
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
