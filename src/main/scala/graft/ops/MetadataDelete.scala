@@ -67,6 +67,8 @@ object MetadataDelete {
     * is not directory-partitioned.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Int = {
+    require(new File(path).isDirectory,
+      s"Metadata delete target does not exist or is not a directory: $path")
     val cols = partitionColumns(path)
     require(cols.nonEmpty,
       s"Metadata delete requires a directory-partitioned table: $path")

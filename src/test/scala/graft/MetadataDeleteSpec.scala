@@ -69,5 +69,10 @@ class MetadataDeleteSpec extends QueryAssertions {
     val un = intercept[IllegalArgumentException](
       MetadataDelete.deleteWhere(spark, flat, col("n_nationkey") === 1))
     assert(un.getMessage.contains("directory-partitioned"), un.getMessage)
+    // a nonexistent target is a clean error, not an NPE
+    val gone = intercept[IllegalArgumentException](
+      MetadataDelete.deleteWhere(spark, "/tmp/graft_no_such_dir",
+        col("x") === 1))
+    assert(gone.getMessage.contains("does not exist"), gone.getMessage)
   }
 }
