@@ -216,7 +216,16 @@ object TextAnalysis {
           test("g") === profile("g"), "inner")
         .groupBy(col("doc_id"), col("actual"), col("plang").as("cand"))
         .agg(count(lit(1)).as("score"))
-      val scores = test.select("doc_id", "actual").distinct()
+      // The scored-document base is (doc_id, lang) of the odd half —
+      // available straight from the documents scan. Deriving it as
+      // test.select(...).distinct() (the oracle's spelling) would
+      // re-execute the whole gram explosion + distinct a second time;
+      // the only divergence to preserve is that a doc too short for any
+      // gram is absent from the oracle's test CTE, hence the length
+      // filter.
+      val scores = docs
+        .filter(col("doc_id") % 2 === 1 && length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang").as("actual"))
         .crossJoin(broadcast(langs))
         .join(overlap, Seq("doc_id", "actual", "cand"), "left")
         .select(col("doc_id"), col("actual"), col("cand"),
