@@ -372,6 +372,38 @@ object Aggregates {
           |WHERE o_orderkey < 300
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Ordered array_agg with NULL sort keys under an explicit NULLS
+    // qualifier: the facade honors NULLS FIRST ascending (array_sort
+    // compares struct fields nulls-first — round-9 ADVICE fix; the
+    // contradictory qualifiers fail loudly instead). DuckDB replays the
+    // exact element order with its native ORDER BY … NULLS FIRST. NULL
+    // keys come from a LEFT JOIN miss so both engines build them the
+    // same way.
+    Qdef.duckOnly(
+      "a17_ordered_array_agg_nulls",
+      """SELECT c_mktsegment,
+        |  array_to_string(list(CAST(c_custkey AS VARCHAR)
+        |    ORDER BY o_orderkey NULLS FIRST, c_custkey), ',') AS keys_nf
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, min(o_orderkey) AS o_orderkey
+        |           FROM orders WHERE o_orderkey < 500 GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |WHERE c_custkey < 80
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT c_mktsegment,
+          |  array_join(array_agg(CAST(c_custkey AS VARCHAR)
+          |    ORDER BY o_orderkey NULLS FIRST, c_custkey), ',') AS keys_nf
+          |FROM customer
+          |LEFT JOIN (SELECT o_custkey, min(o_orderkey) AS o_orderkey
+          |           FROM orders WHERE o_orderkey < 500 GROUP BY o_custkey) o
+          |  ON c_custkey = o_custkey
+          |WHERE c_custkey < 80
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
     }
   )
 }
