@@ -193,6 +193,34 @@ object Streaming {
         .orderBy("event_type")
     },
 
+    // APPEND-mode watermark eviction — the production emission semantics
+    // (st01 runs complete mode): a window row is emitted exactly when
+    // the final watermark passes its end, so the still-open last window
+    // is withheld. With Trigger.AvailableNow the final watermark is
+    // max(ts) - delay, which the oracle replays in batch: emitted iff
+    // w_start + 1 day <= max(ts) - 1 hour (verified empirically — 29 of
+    // 30 daily windows at sf0.001, the in-progress one held back).
+    Qdef.duckOnly(
+      "st09_append_watermark_eviction",
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour' AS w
+        |  FROM events),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS w_start,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT w_start, cnt FROM agg, wm
+        |WHERE w_start + INTERVAL '1 day' <= w
+        |ORDER BY w_start""".stripMargin) { (s, dir) =>
+      val stream = StreamingOps.streamEvents(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w_start"), col("cnt"))
+      StreamingOps.runToCompletion(stream, s, mode = "append")
+        .orderBy("w_start")
+    },
+
     // Sliding windows (1 day, 12-hour slide): every event lands in exactly
     // two windows; the oracle unions the two alignments explicitly.
     Qdef.duckOnly(
