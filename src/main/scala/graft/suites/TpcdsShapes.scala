@@ -413,5 +413,44 @@ object TpcdsShapes {
       t(s, dir, "lineitem").agg(
         band(1, 8, "h1"), band(9, 16, "h2"), band(17, 24, "h3"),
         band(25, 32, "h4"), band(33, 40, "h5"), band(41, 50, "h6"))
+    },
+
+    // q11/q4 shape: a per-(customer, year) CTE referenced TWICE and
+    // self-joined to find customers whose next-year spend outgrew a
+    // ratio threshold — the canonical CTE-reuse composition. Our plan
+    // expands the CTE per branch, which lets each branch push ITS year
+    // filter into the orders scan (yr = 1996 and yr = 1997 become two
+    // pruned scans) instead of materializing the two-year aggregate and
+    // filtering after — at 100 TB each branch reads only its year.
+    Qdef(
+      "ds11_year_over_year",
+      """WITH yearly AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey, year(o_orderdate))
+        |SELECT c_name, y1.total AS total_prev, y2.total AS total_next
+        |FROM yearly y1
+        |JOIN yearly y2 ON y1.o_custkey = y2.o_custkey
+        |JOIN customer ON y1.o_custkey = c_custkey
+        |WHERE y1.yr = 1996 AND y2.yr = 1997
+        |  AND y2.total > y1.total * 1.5
+        |ORDER BY c_name
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      def yearly(yr: Int, out: String): DataFrame =
+        t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy(col("o_custkey").as(s"ck_$out"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as(out))
+      yearly(1996, "total_prev")
+        .join(yearly(1997, "total_next"),
+          col("ck_total_prev") === col("ck_total_next"))
+        .filter(col("total_next") > col("total_prev") * 1.5)
+        .join(t(s, dir, "customer"),
+          col("ck_total_prev") === col("c_custkey"))
+        .select(col("c_name"), col("total_prev"), col("total_next"))
+        .orderBy("c_name")
+        .limit(100)
     })
 }
