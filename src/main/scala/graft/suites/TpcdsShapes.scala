@@ -438,9 +438,13 @@ object TpcdsShapes {
         |  AND y2.total > y1.total * 1.5
         |ORDER BY c_name
         |LIMIT 100""".stripMargin) { (s, dir) =>
+      // year(col) = yr is opaque to parquet row-group pruning; the
+      // equivalent half-open range on the raw column reaches the scan
+      // as a pushed filter (PlanSpec asserts it)
       def yearly(yr: Int, out: String): DataFrame =
         t(s, dir, "orders")
-          .filter(year(col("o_orderdate")) === yr)
+          .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp_ntz"))
           .groupBy(col("o_custkey").as(s"ck_$out"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as(out))
       yearly(1996, "total_prev")

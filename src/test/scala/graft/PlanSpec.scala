@@ -125,6 +125,14 @@ class PlanSpec extends QueryAssertions {
     assert(scans == 1, s"expected one shared scan, got $scans")
   }
 
+  test("ds11: each year branch pushes its date range into its own scan") {
+    val plan = planOf(run("ds11_year_over_year"))
+    val pushed = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate") &&
+        l.contains("GreaterThanOrEqual")).size
+    assert(pushed == 2, s"expected 2 range-pruned orders scans, got $pushed")
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
