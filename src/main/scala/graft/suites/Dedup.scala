@@ -177,6 +177,58 @@ object Dedup {
         .select(explode(col("sample")).as("did"))
     },
 
+    // Duplicate-CLUSTER assignment: connected components over the
+    // n-gram-Jaccard pair graph (threshold 0.45 on the d04 pair set) by
+    // distributed min-label propagation (`ops/DupComponents`) — the
+    // transitive-closure step real dedup pipelines run after pair
+    // detection (A≈B, B≈C must collapse even though A,C never paired;
+    // the fixture yields 3-doc chains, so multi-round propagation is
+    // exercised). DuckDB replays the exact closure with a RECURSIVE
+    // CTE; singleton docs keep themselves as representative via the
+    // left join.
+    Qdef.duckOnly(
+      "d09_dup_clusters",
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |      i -> substr(text, i, 3))) AS grams
+        |  FROM documents WHERE doc_id < 60),
+        |pairs AS (
+        |  SELECT x.doc_id AS ia, y.doc_id AS ib
+        |  FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.45),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |          UNION SELECT ib, ia FROM pairs),
+        |reach(node, other) AS (
+        |  SELECT doc_id, doc_id FROM g
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.other = e.src)
+        |SELECT node AS doc_id, CAST(min(other) AS BIGINT) AS rep
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("source"),
+          array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("grams"))
+      val x = g.select(col("doc_id").as("a"), col("source").as("src1"),
+        col("grams").as("g1"))
+      val y = g.select(col("doc_id").as("b"), col("source").as("src2"),
+        col("grams").as("g2"))
+      // raw (unrounded) ratio on BOTH engines so the threshold crossing
+      // is decided identically
+      val pairs = x.join(y, col("src1") === col("src2") && col("a") < col("b"))
+        .filter(size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2"))) >= 0.45)
+        .select(col("a"), col("b"))
+      val comp = graft.ops.DupComponents.components(pairs)
+      g.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).cast("bigint").as("rep"))
+        .orderBy("doc_id")
+    },
+
     // SEEDED reservoir sample (reference: operator/aggregation/
     // reservoirsample/ — a uniform k-sample maintained under merge; ours
     // replaces the reference's unseeded RNG with a (seed, value)-keyed
