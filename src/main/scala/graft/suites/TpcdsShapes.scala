@@ -456,5 +456,31 @@ object TpcdsShapes {
         .select(col("c_name"), col("total_prev"), col("total_next"))
         .orderBy("c_name")
         .limit(100)
+    },
+
+    // q23 flavor: a HAVING threshold drawn from an uncorrelated scalar
+    // subquery over the same fact table (best-customer selection). The
+    // one-row average broadcasts; the per-customer aggregate is filtered
+    // against it post-agg — the threshold never forces a second
+    // data-sized pass.
+    Qdef(
+      "ds12_having_scalar_subquery",
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  > 5 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val threshold = t(s, dir, "orders")
+        .agg((avg("o_totalprice") * 5).as("thr"))
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .join(broadcast(threshold))
+        .filter(col("spend") > col("thr"))
+        .select(col("o_custkey"), col("n_orders"), col("spend"))
+        .orderBy("o_custkey")
     })
 }
