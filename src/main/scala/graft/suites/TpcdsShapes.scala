@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** TPC-DS query SHAPES ported onto the fixture schema (reference:
   * presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/
-  * q03,q07,q19,q27,q34,q42,q46,q68.sql). The TPC-H-ish fixtures have no
+  * q03,q07,q10,q14_1,q19,q27,q34,q42,q46,q67,q68.sql). The TPC-H-ish
+  * fixtures have no
   * date_dim/store/demographics tables, so each port keeps the reference
   * query's STRUCTURE — star-join fan-in, derived-table aggregation with
   * HAVING-style bounds, ROLLUP + GROUPING(), a dimension joined twice
@@ -39,12 +40,17 @@ object TpcdsShapes {
     // Price sums run in DECIMAL (the measures are 2-decimal-quantized,
     // so decimal sums are EXACT and engine-identical — double sums
     // differ in the last ULP and flip round()/format boundaries, which
-    // the sf0.1 gate replay caught on ds07). LIMIT 300 > the 7×25 max
-    // group count keeps the cut row-stable regardless of sort-key ties.
+    // the sf0.1 gate replay caught on ds07). The FINAL projection casts
+    // the decimal sum to DOUBLE (the n03_decimal_sum pattern): the
+    // driver's hasher canonicalizes raw Spark decimal(28,2) vs DuckDB
+    // DECIMAL(38,2) output differently, while an identical exact decimal
+    // casts to an identical double on both engines. LIMIT 300 > the 7×25
+    // max group count keeps the cut row-stable regardless of sort-key
+    // ties.
     Qdef(
       "ds01_brand_by_year",
       """SELECT year(o_orderdate) AS d_year, p_brand AS brand,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_agg
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_agg
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -57,7 +63,8 @@ object TpcdsShapes {
         .join(t(s, dir, "part").filter(col("p_size") === 15),
           col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("o_orderdate")).as("d_year"), col("p_brand").as("brand"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_agg"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_agg"))
         .orderBy(col("d_year").asc, col("sum_agg").desc, col("brand").asc)
         .limit(300)
     },
@@ -106,7 +113,7 @@ object TpcdsShapes {
     Qdef(
       "ds03_cross_nation_brand",
       """SELECT p_brand AS brand, p_type,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ext_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ext_price
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -132,7 +139,8 @@ object TpcdsShapes {
         .join(broadcast(sn), col("s_nationkey") === col("snk"))
         .filter(substring(col("c_nation"), 8, 1) =!= substring(col("s_nation"), 8, 1))
         .groupBy(col("p_brand").as("brand"), col("p_type"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("ext_price"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("ext_price"))
         .orderBy("brand", "p_type")
     },
 
@@ -214,7 +222,7 @@ object TpcdsShapes {
     Qdef(
       "ds06_category_by_year",
       """SELECT year(o_orderdate) AS d_year, p_type,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -225,7 +233,8 @@ object TpcdsShapes {
         .join(t(s, dir, "part").filter(col("p_brand") === "Brand#12"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("o_orderdate")).as("d_year"), col("p_type"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
     },
 
     // q46 shape: derived per-(order, supplier-nation) aggregation joined
@@ -243,7 +252,7 @@ object TpcdsShapes {
         |  GROUP BY l_orderkey, s_nationkey)
         |SELECT c_name, home.n_name AS home_nation,
         |  bought.n_name AS bought_nation, l_orderkey AS orderkey,
-        |  amt, tax_amt
+        |  CAST(amt AS DOUBLE) AS amt, CAST(tax_amt AS DOUBLE) AS tax_amt
         |FROM dn
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -278,7 +287,9 @@ object TpcdsShapes {
         .join(broadcast(bought), col("bought_nk") === col("bnk"))
         .filter(col("home_nation") =!= col("bought_nation"))
         .select(col("c_name"), col("home_nation"), col("bought_nation"),
-          col("l_orderkey").as("orderkey"), col("amt"), col("tax_amt"))
+          col("l_orderkey").as("orderkey"),
+          col("amt").cast("double").as("amt"),
+          col("tax_amt").cast("double").as("tax_amt"))
         .orderBy("c_name", "orderkey", "bought_nation")
         .limit(100)
     },
@@ -298,7 +309,8 @@ object TpcdsShapes {
         |  GROUP BY l_orderkey, s_nationkey)
         |SELECT c_name, home.n_name AS home_nation,
         |  bought.n_name AS bought_nation, l_orderkey AS orderkey,
-        |  extended_price, total_qty
+        |  CAST(extended_price AS DOUBLE) AS extended_price,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
         |FROM dn
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -331,8 +343,9 @@ object TpcdsShapes {
         .join(broadcast(bought), col("bought_nk") === col("bnk"))
         .filter(col("home_nation") =!= col("bought_nation"))
         .select(col("c_name"), col("home_nation"), col("bought_nation"),
-          col("l_orderkey").as("orderkey"), col("extended_price"),
-          col("total_qty"))
+          col("l_orderkey").as("orderkey"),
+          col("extended_price").cast("double").as("extended_price"),
+          col("total_qty").cast("double").as("total_qty"))
         .orderBy("c_name", "orderkey", "bought_nation")
         .limit(100)
     },
@@ -367,7 +380,8 @@ object TpcdsShapes {
         |    sum(coalesce(lrev, 0)) OVER (ORDER BY d
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_low
         |  FROM j)
-        |SELECT d, cum_urgent, cum_low
+        |SELECT d, CAST(cum_urgent AS DOUBLE) AS cum_urgent,
+        |  CAST(cum_low AS DOUBLE) AS cum_low
         |FROM c
         |WHERE cum_urgent > cum_low
         |ORDER BY d""".stripMargin) { (s, dir) =>
@@ -388,7 +402,9 @@ object TpcdsShapes {
         .withColumn("cum_urgent", sum(coalesce(col("urev"), lit(0))).over(w))
         .withColumn("cum_low", sum(coalesce(col("lrev"), lit(0))).over(w))
         .filter(col("cum_urgent") > col("cum_low"))
-        .select("d", "cum_urgent", "cum_low")
+        .select(col("d"),
+          col("cum_urgent").cast("double").as("cum_urgent"),
+          col("cum_low").cast("double").as("cum_low"))
         .orderBy("d")
     },
 
@@ -430,12 +446,14 @@ object TpcdsShapes {
         |  FROM orders
         |  WHERE year(o_orderdate) IN (1996, 1997)
         |  GROUP BY o_custkey, year(o_orderdate))
-        |SELECT c_name, y1.total AS total_prev, y2.total AS total_next
+        |SELECT c_name, CAST(y1.total AS DOUBLE) AS total_prev,
+        |  CAST(y2.total AS DOUBLE) AS total_next
         |FROM yearly y1
         |JOIN yearly y2 ON y1.o_custkey = y2.o_custkey
         |JOIN customer ON y1.o_custkey = c_custkey
         |WHERE y1.yr = 1996 AND y2.yr = 1997
-        |  AND y2.total > y1.total * 1.5
+        |  AND CAST(y2.total AS DECIMAL(18,2)) * 2
+        |    > CAST(y1.total AS DECIMAL(18,2)) * 3
         |ORDER BY c_name
         |LIMIT 100""".stripMargin) { (s, dir) =>
       // year(col) = yr is opaque to parquet row-group pruning; the
@@ -447,40 +465,266 @@ object TpcdsShapes {
             col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp_ntz"))
           .groupBy(col("o_custkey").as(s"ck_$out"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as(out))
+      // the ratio test runs in integer-multiplied DECIMAL on both engines
+      // (next*2 > prev*3 ⇔ next > prev*1.5, exact) — a double comparison
+      // can flip a customer sitting within one ULP of the threshold.
+      // Both factors are cast down to DECIMAL(18,2) first so the product
+      // stays inside 38 digits on both engines (DuckDB's sum yields
+      // DECIMAL(38,2), which no multiplication survives).
       yearly(1996, "total_prev")
         .join(yearly(1997, "total_next"),
           col("ck_total_prev") === col("ck_total_next"))
-        .filter(col("total_next") > col("total_prev") * 1.5)
+        .filter(col("total_next").cast("decimal(18,2)") * 2 >
+          col("total_prev").cast("decimal(18,2)") * 3)
         .join(t(s, dir, "customer"),
           col("ck_total_prev") === col("c_custkey"))
-        .select(col("c_name"), col("total_prev"), col("total_next"))
+        .select(col("c_name"),
+          col("total_prev").cast("double").as("total_prev"),
+          col("total_next").cast("double").as("total_next"))
         .orderBy("c_name")
         .limit(100)
     },
 
     // q23 flavor: a HAVING threshold drawn from an uncorrelated scalar
     // subquery over the same fact table (best-customer selection). The
-    // one-row average broadcasts; the per-customer aggregate is filtered
-    // against it post-agg — the threshold never forces a second
-    // data-sized pass.
+    // one-row totals frame broadcasts; the per-customer aggregate is
+    // filtered against it post-agg — the threshold never forces a second
+    // data-sized pass. The threshold test `spend > 5 * avg(all)` is
+    // rewritten `spend * n > 5 * total` so BOTH engines compare in exact
+    // decimal arithmetic (a double avg differs by summation order and can
+    // flip a customer within one ULP of the boundary); factors are cast
+    // down so the products stay inside 38 digits on both engines.
     Qdef(
       "ds12_having_scalar_subquery",
       """SELECT o_custkey, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders
         |GROUP BY o_custkey
-        |HAVING sum(CAST(o_totalprice AS DECIMAL(18,2)))
-        |  > 5 * (SELECT avg(o_totalprice) FROM orders)
+        |HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    * CAST((SELECT count(*) FROM orders) AS DECIMAL(12,0))
+        |  > 5 * CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+        |    AS DECIMAL(20,2))
         |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
-      val threshold = t(s, dir, "orders")
-        .agg((avg("o_totalprice") * 5).as("thr"))
+      val totals = t(s, dir, "orders")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(20,2)").as("tot_spend"),
+          count(lit(1)).cast("decimal(12,0)").as("n_all"))
       t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-        .join(broadcast(threshold))
-        .filter(col("spend") > col("thr"))
-        .select(col("o_custkey"), col("n_orders"), col("spend"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend_dec"))
+        .join(broadcast(totals))
+        .filter(col("spend_dec").cast("decimal(18,2)") * col("n_all") >
+          lit(5) * col("tot_spend"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("spend_dec").cast("double").as("spend"))
         .orderBy("o_custkey")
+    },
+
+    // q14_1 shape: a three-channel INTERSECT defines the qualifying
+    // dimension-attribute set ("items sold in every channel"), which then
+    // restricts a fact aggregation. Channels here are month/returnflag
+    // slices; the intersect key is the (brand, type) pair, mirroring
+    // q14's (brand_id, class_id, category_id) triple. INTERSECT lowers to
+    // distinct + semi joins on the bounded attribute-pair domain (≤ a few
+    // thousand pairs regardless of fact size), and the resulting pair set
+    // is explicitly broadcast into the main star — at 100 TB the three
+    // channel scans shuffle only deduped pairs, never fact rows, and the
+    // final join adds no exchange.
+    Qdef(
+      "ds13_cross_channel_brands",
+      """WITH cross_pairs AS (
+        |  SELECT p_brand AS brand, p_type AS ptype
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE month(o_orderdate) = 1 AND l_quantity < 10
+        |  INTERSECT
+        |  SELECT p_brand, p_type
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE month(o_orderdate) = 2 AND l_quantity < 10
+        |  INTERSECT
+        |  SELECT p_brand, p_type
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'R' AND l_quantity < 5)
+        |SELECT year(o_orderdate) AS yr, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN cross_pairs ON p_brand = brand AND p_type = ptype
+        |GROUP BY year(o_orderdate)
+        |ORDER BY yr""".stripMargin) { (s, dir) =>
+      def channel(f: DataFrame => DataFrame, joinOrders: Boolean): DataFrame = {
+        val base =
+          if (joinOrders)
+            t(s, dir, "lineitem")
+              .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          else t(s, dir, "lineitem")
+        f(base).join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"), col("p_type").as("ptype"))
+      }
+      val pairs = channel(
+          _.filter(month(col("o_orderdate")) === 1 && col("l_quantity") < 10),
+          joinOrders = true)
+        .intersect(channel(
+          _.filter(month(col("o_orderdate")) === 2 && col("l_quantity") < 10),
+          joinOrders = true))
+        .intersect(channel(
+          _.filter(col("l_returnflag") === "R" && col("l_quantity") < 5),
+          joinOrders = false))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(pairs),
+          col("p_brand") === col("brand") &&
+            col("p_type") === col("ptype"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("yr")
+    },
+
+    // q67 shape: ROLLUP over the item hierarchy, then rank() PARTITIONed
+    // by the top level ORDER BY the rolled-up sum, keeping the top-k per
+    // partition — subtotal rows (NULL brand) rank alongside detail rows
+    // exactly as q67's rollup output does. The rank's sort key stays
+    // DECIMAL (exact, engine-identical — a double sort key could swap
+    // two brands within a ULP and change the rank cut); only the FINAL
+    // projection casts to DOUBLE. The window input is the rolled-up
+    // aggregate (bounded by the attribute domain), never fact-sized.
+    Qdef(
+      "ds14_rollup_topk_per_type",
+      """WITH base AS (
+        |  SELECT p_type, p_brand,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sumsales
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 6
+        |  GROUP BY ROLLUP (p_type, p_brand))
+        |SELECT p_type, p_brand, CAST(sumsales AS DOUBLE) AS sumsales, rk
+        |FROM (
+        |  SELECT p_type, p_brand, sumsales,
+        |    rank() OVER (PARTITION BY p_type ORDER BY sumsales DESC) AS rk
+        |  FROM base) ranked
+        |WHERE rk <= 5
+        |ORDER BY p_type, p_brand""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+          year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) <= 6),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .rollup(col("p_type"), col("p_brand"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sumsales"))
+      val w = Window.partitionBy("p_type").orderBy(col("sumsales").desc)
+      base.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("p_type"), col("p_brand"),
+          col("sumsales").cast("double").as("sumsales"), col("rk"))
+        .orderBy("p_type", "p_brand")
+    },
+
+    // q10/q35 shape: demographic group counts over customers qualified by
+    // one mandatory EXISTS channel AND a disjunction of two more EXISTS
+    // channels. The disjunction of correlated EXISTS is algebraically a
+    // semi join against the UNION of the two channels' key sets — the
+    // plan is two LeftSemi hash joins on c_custkey (the mandatory channel
+    // and the union), no per-row subquery execution and no fact-side
+    // fan-out; the returned-lineitem channel projects only its custkeys
+    // before the union.
+    Qdef(
+      "ds15_exists_channel_union",
+      """SELECT c_mktsegment, n_name, count(*) AS cnt
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND year(o_orderdate) = 1996)
+        |  AND (EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  OR EXISTS (
+        |    SELECT 1 FROM orders
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |    WHERE o_custkey = c_custkey AND l_returnflag = 'R'))
+        |GROUP BY c_mktsegment, n_name
+        |ORDER BY c_mktsegment, n_name""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val in1996 = orders
+        .filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val urgent = orders
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val returned = orders
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(in1996, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(urgent.union(returned),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment", "n_name")
+    },
+
+    // q14_2 flavor: a WITH … INTERSECT CTE consumed by TWO union
+    // branches ("parts active in both years", then per-year stats over
+    // exactly that set). Our plan expands the CTE per branch — the two
+    // intersect subplans are IDENTICAL, so Spark's ReuseExchange/AQE
+    // stage reuse materializes the underlying shuffles once; each branch
+    // meanwhile pushes ITS year range into its own orders scan (the
+    // ds11 pattern). The semi join keeps the fact rows on their existing
+    // partitioning — no new exchange on the probe side.
+    Qdef(
+      "ds16_intersect_cte_reuse",
+      """WITH active_parts AS (
+        |  SELECT l_partkey AS pk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT l_partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1997)
+        |SELECT 'y1996' AS channel, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN active_parts ON l_partkey = pk
+        |WHERE year(o_orderdate) = 1996
+        |UNION ALL
+        |SELECT 'y1997' AS channel, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN active_parts ON l_partkey = pk
+        |WHERE year(o_orderdate) = 1997
+        |ORDER BY channel""".stripMargin) { (s, dir) =>
+      def yearLines(yr: Int): DataFrame =
+        t(s, dir, "lineitem").join(
+          t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+      val active = yearLines(1996).select("l_partkey")
+        .intersect(yearLines(1997).select("l_partkey"))
+      def branch(yr: Int, tag: String): DataFrame =
+        yearLines(yr)
+          .join(active.withColumnRenamed("l_partkey", "pk"),
+            col("l_partkey") === col("pk"), "left_semi")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+          .select(lit(tag).as("channel"), col("n_lines"), col("revenue"))
+      branch(1996, "y1996").union(branch(1997, "y1997")).orderBy("channel")
     })
 }
