@@ -205,6 +205,16 @@ object GraftFunctions {
     * States merge by union-then-keep-k-smallest, so partials ship across
     * exchanges and the sample never concentrates on one node until the
     * final k rows — the same scale shape as bottom_k_sample above.
+    *
+    * Duplicates caveat: the digest is keyed by (seed, value) only, so
+    * every occurrence of a duplicate value hashes identically and sorts
+    * adjacently — the k-smallest cut effectively samples the DISTINCT
+    * value set (with duplicates clumping in or out together), not the
+    * row multiset the reference's per-row RNG samples. Exact uniform
+    * row sampling holds for distinct-valued inputs (d08 samples doc_id,
+    * which is unique); callers sampling a multiset who want per-row
+    * uniformity should key by a unique row id or include an occurrence
+    * index in the hashed value.
     */
   class ReservoirSampleAgg(enc: Encoder[(Int, Seq[(Long, String)])])
       extends Aggregator[(String, Long, String), (Int, Seq[(Long, String)]), Seq[String]] {

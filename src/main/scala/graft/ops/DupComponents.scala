@@ -48,6 +48,12 @@ object DupComponents {
       labels = next
       iter += 1
     }
+    // Fail loud rather than return partially-propagated labels: a chain
+    // longer than maxIters would otherwise yield wrong cluster
+    // representatives silently.
+    require(changed == 0,
+      s"DupComponents did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters")
     labels.select(col("node"), col("lbl").as("rep"))
   }
 }
