@@ -1257,8 +1257,10 @@ object Dialect {
     * option lists (SqlBase.g4:105-106) → Spark's spellings: TYPE
     * DISTRIBUTED maps to EXPLAIN FORMATTED (the per-exchange-stage
     * view), TYPE LOGICAL/VALIDATE to EXPLAIN, FORMAT options drop.
-    * EXPLAIN ANALYZE is left verbatim → loud Spark parse error (it
-    * EXECUTES in the reference; silently degrading to a static plan
+    * EXPLAIN ANALYZE never reaches this rewriter: Engine.sql intercepts
+    * it and EXECUTES the statement, emitting the executed plan with
+    * observed per-operator metrics (graft.plans.ExplainAnalyze — the
+    * reference's ExplainAnalyzeOperator semantics; a static plan here
     * would lie). SHOW TABLES/COLUMNS/FUNCTIONS and DESCRIBE parse in
     * both dialects and pass through untouched. Trailing statement
     * terminators are stripped — Presto clients send `;`, Spark's parser

@@ -171,8 +171,20 @@ object Engine {
     * session state, not translation): PREPARE and DEALLOCATE return a
     * one-row acknowledgment frame like the reference's OK result.
     */
+  private val ExplainAnalyzeRe =
+    "(?is)^\\s*EXPLAIN\\s+ANALYZE(\\s+VERBOSE)?\\b(.*)$".r
+
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    ExplainAnalyzeRe.findFirstMatchIn(query) match {
+      case Some(m) =>
+        // EXPLAIN ANALYZE executes the statement and reports the observed
+        // per-operator metrics (reference: operator/ExplainAnalyzeOperator
+        // .java; SqlBase.g4:103) — see graft.plans.ExplainAnalyze.
+        return graft.plans.ExplainAnalyze.run(
+          spark, spark.sql(translate(m.group(2))), verbose = m.group(1) != null)
+      case None =>
+    }
     Dialect.classifyPrepared(query) match {
       case Some(Dialect.PrepareStmt(name, body)) =>
         preparedFor(spark).put(name, body)

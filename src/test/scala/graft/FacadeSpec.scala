@@ -332,6 +332,31 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("EXPLAIN ANALYZE executes and reports observed per-operator metrics") {
+    val df = Engine.sql(spark, dir,
+      """EXPLAIN ANALYZE
+        |SELECT n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    assert(df.columns.toSeq == Seq("Query Plan"))
+    val text = df.collect()(0).getString(0)
+    // the query RAN: the header carries the real output row count (25
+    // nations) and join + aggregate operators carry observed rows-output
+    assert(text.contains("output rows: 25"), text)
+    assert(text.contains("Join"), text)
+    assert(text.contains("Aggregate"), text)
+    // at least one operator line shows a populated numOutputRows metric
+    assert("numOutputRows: [1-9]".r.findFirstIn(text).isDefined, text)
+    // the scans really appear under the AQE wrappers (not rendered as a
+    // leaf AdaptiveSparkPlan)
+    assert(text.contains("Scan"), text)
+    // VERBOSE widens the metric set
+    val verbose = Engine.sql(spark, dir,
+      "EXPLAIN ANALYZE VERBOSE SELECT count(*) FROM orders")
+      .collect()(0).getString(0)
+    assert(verbose.contains("output rows: 1"), verbose)
+  }
+
   test("color scalars propagate NULL like the reference") {
     val r = Engine.sql(spark, dir,
       """SELECT color(CAST(NULL AS VARCHAR)) AS c1,
