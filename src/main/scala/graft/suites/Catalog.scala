@@ -706,6 +706,45 @@ object Catalog {
           |  date_format(TIME '23:30:00' + INTERVAL '90' MINUTE, '%H:%i:%s') AS wrapped,
           |  date_format(TIME '23:30:00' - INTERVAL '45' MINUTE, '%H:%i:%s') AS back,
           |  hour(localtime) BETWEEN 0 AND 23 AS lt_ok""".stripMargin)
+    },
+
+    // DESCRIBE INPUT of a prepared statement (reference: SqlBase.g4:134,
+    // sql/rewrite/DescribeInputRewrite.java): one (Position, Type) row
+    // per `?` placeholder, 0-based. Types surface as 'unknown' —
+    // parameters aren't typed before binding. The oracle is the
+    // reference-documented literal frame (duckOnly: the column names are
+    // double-quoted); FacadeSpec additionally value-asserts the facade
+    // path including the zero-parameter all-NULL row.
+    Qdef.duckOnly(
+      "k24_describe_input",
+      """SELECT * FROM (VALUES (0, 'unknown'), (1, 'unknown'))
+        |  AS t("Position", "Type") ORDER BY "Position"""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """PREPARE graft_k24 FROM
+          |SELECT o_orderpriority, count(*) AS cnt FROM orders
+          |WHERE o_totalprice > ? AND o_orderdate < CAST(? AS DATE)
+          |GROUP BY o_orderpriority""".stripMargin)
+      graft.Engine.sql(s, dir, "DESCRIBE INPUT graft_k24")
+    },
+
+    // DESCRIBE OUTPUT (reference: SqlBase.g4:135-137,
+    // sql/rewrite/DescribeOutputRewrite.java): one row per output column
+    // of the prepared statement, typed by ANALYZING (not executing) the
+    // body with parameters bound to NULL. Documented divergences:
+    // Catalog/Schema/Table are empty (temp views carry no origin),
+    // Type Size is 0, Aliased always true.
+    Qdef.duckOnly(
+      "k25_describe_output",
+      """SELECT * FROM (VALUES
+        |  ('o_orderpriority', '', '', '', 'varchar', 0, true),
+        |  ('cnt', '', '', '', 'bigint', 0, true))
+        |  AS t("Column Name", "Catalog", "Schema", "Table", "Type",
+        |       "Type Size", "Aliased")""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """PREPARE graft_k25 FROM
+          |SELECT o_orderpriority, count(*) AS cnt FROM orders
+          |WHERE o_totalprice > ? GROUP BY o_orderpriority""".stripMargin)
+      graft.Engine.sql(s, dir, "DESCRIBE OUTPUT graft_k25")
     }
   )
 }
