@@ -133,6 +133,41 @@ class PlanSpec extends QueryAssertions {
     assert(pushed == 2, s"expected 2 range-pruned orders scans, got $pushed")
   }
 
+  test("ds13: the intersect pair set broadcasts into the star; no nested loop") {
+    val plan = planOf(run("ds13_cross_channel_brands"))
+    assert(!plan.contains("CartesianProduct"), "cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bounded (brand, type) pair set must broadcast")
+    // INTERSECT lowers to an aggregate + join, never a nested loop
+    assert(plan.contains("LeftSemi") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
+  test("ds14: rollup + windowed top-k runs Expand then a bounded Window") {
+    val plan = planOf(run("ds14_rollup_topk_per_type"))
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_"), "rollup must combine map-side")
+  }
+
+  test("ds15: the EXISTS disjunction lowers to semi joins, no per-row subquery") {
+    val plan = planOf(run("ds15_exists_channel_union"))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ")
+  }
+
+  test("ds16: both branches push their year range; semi join against the CTE") {
+    val plan = planOf(run("ds16_intersect_cte_reuse"))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    val pushed = plan.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate") &&
+        l.contains("GreaterThanOrEqual"))
+    // 2 branch scans + 2 intersect-side scans, each range-pruned
+    assert(pushed >= 2, s"expected range-pruned orders scans, got $pushed")
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
