@@ -158,6 +158,29 @@ object Storage {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Row-level DELETE via copy-on-write (reference: operator/
+    // DeleteOperator.java): a NON-partition predicate rewrites only the
+    // files containing matches (RowLevelDeleteSpec proves untouched files
+    // stay byte-identical), then the read-back aggregate must equal the
+    // oracle's post-delete state.
+    Qdef(
+      "w10_row_level_delete",
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |  AND NOT (o_orderpriority = '5-LOW' AND o_totalprice < 100000)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val out = scratch("graft_rdel")
+      slice(s, dir).repartition(4).write.mode(SaveMode.Overwrite).parquet(out)
+      graft.ops.RowLevelDelete.deleteWhere(s, out,
+        col("o_orderpriority") === "5-LOW" && col("o_totalprice") < 100000)
+      graft.ops.RowLevelDelete.table(s, out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }
