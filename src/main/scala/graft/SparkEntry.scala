@@ -23,7 +23,7 @@ object SparkEntry {
     * silently disappear from the driver's correctness artifact (that is
     * exactly what happened to st01/st02/st05 in round 8). Update this
     * number whenever entries are added or intentionally removed. */
-  val expectedCorpusSize: Int = 226
+  val expectedCorpusSize: Int = 233
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */
@@ -41,7 +41,10 @@ object SparkEntry {
       "d07_embedding_near_dup", "v04_ivf_recall", "x06_language_id",
       // TPC-DS-shape representatives: widest star fan-in + the
       // derived-agg/double-dimension-join composition
-      "ds03_cross_nation_brand", "ds07_cross_nation_orders")
+      "ds03_cross_nation_brand", "ds07_cross_nation_orders",
+      // round-10 addition: the only multi-round iterative-shuffle
+      // workload class in the corpus (label-propagation components)
+      "d09_dup_clusters")
     allDefs.filter(q => headline(q.name))
   }
 

@@ -46,13 +46,21 @@ object Verify {
     failed
   }
 
+  /** args: <sfDir> <outDir> [nameRegex] — the optional regex restricts
+    * the run (and the dumped oracle_sql.json) to matching entry names,
+    * for fast local iteration on a slice; the driver's 2-arg invocation
+    * is unchanged and runs everything. */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    val keep: String => Boolean =
+      if (args.length > 2) { val r = args(2).r; n => r.findFirstIn(n).isDefined }
+      else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cores = cpus, shufflePartitions = cpus)
-    runAll(spark, sfDir, outDir, SparkEntry.queries)
+    runAll(spark, sfDir, outDir, SparkEntry.queries.filter(kv => keep(kv._1)))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      jsonObj(SparkEntry.oracleSql))
+      jsonObj(SparkEntry.oracleSql.filter(kv => keep(kv._1))))
     spark.stop()
   }
 }
