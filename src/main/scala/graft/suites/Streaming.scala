@@ -241,6 +241,30 @@ object Streaming {
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
         .orderBy("w_start", "event_type")
+    },
+
+    // Stream-static join: the streaming events enrich against a STATIC
+    // dimension (customer) before a streaming aggregation — the pattern
+    // every production enrichment pipeline runs. The static side needs
+    // no watermark and no state: Spark re-plans it per microbatch and
+    // broadcasts it when small; state lives only in the downstream
+    // count aggregation. The oracle is the batch join — stream-static
+    // joins are exactly batch-equivalent under AvailableNow.
+    Qdef(
+      "st10_stream_static_join",
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val static = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val stream = StreamingOps.streamEvents(s, dir)
+        .join(static, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      StreamingOps.runToCompletion(stream, s)
+        .orderBy("c_mktsegment")
     }
   )
 }

@@ -328,6 +328,71 @@ object TextAnalysis {
           array_max(col("fps")).cast("bigint").as("fp_max"),
           expr("aggregate(fps, 0L, (a, x) -> a + x)").cast("bigint").as("fp_sum"))
         .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination — the training-pipeline step that removes
+    // training documents sharing any word n-gram with a held-out eval set
+    // (the GPT-3/PaLM "13-gram overlap" protocol, shortened to 5-grams for
+    // the synthetic docs; doc_id % 20 == 0 stands in for the benchmark).
+    // Scale shape: eval sets are SMALL regardless of corpus size, so the
+    // distinct eval-gram set builds cheaply and BROADCASTS; the training
+    // side explodes to grams map-side, hash-joins the broadcast set, and
+    // contracts to distinct contaminated doc_ids before the anti join —
+    // at 100 TB nothing shuffles except gram hits and doc ids, and the
+    // corpus itself is touched by exactly one scan per side.
+    // TextDecontaminationSpec value-asserts against an independent
+    // driver-side recomputation (duckOnly entries are only
+    // frame-executed by CorpusSpec).
+    Qdef.duckOnly(
+      "x09_decontamination",
+      """WITH gr AS (
+        |  SELECT doc_id, source,
+        |    list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')) AS grams
+        |  FROM documents),
+        |eval_grams AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM gr WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM gr
+        |        WHERE doc_id % 20 <> 0) t
+        |  WHERE gram IN (SELECT gram FROM eval_grams))
+        |SELECT source,
+        |  count(*) AS n_train,
+        |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM hits))
+        |    AS BIGINT) AS n_removed,
+        |  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+        |    AS BIGINT) AS n_clean
+        |FROM documents
+        |WHERE doc_id % 20 <> 0
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // whole-expression short-doc guard — Spark sequence(1, 0) is [1, 0]
+      def withGrams(df: DataFrame): DataFrame = df
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("grams", expr(
+          """case when size(words) < 5 then cast(array() as array<string>)
+            |else transform(sequence(1, size(words) - 4),
+            |  i -> concat_ws(' ', slice(words, i, 5)))
+            |end""".stripMargin))
+      val evalGrams = withGrams(docs.filter(col("doc_id") % 20 === 0))
+        .select(explode(col("grams")).as("gram")).distinct()
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val hits = withGrams(train)
+        .select(col("doc_id").as("hit_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(evalGrams), "gram")
+        .select("hit_id").distinct()
+      train
+        .join(hits, col("doc_id") === col("hit_id"), "left_outer")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_train"),
+          count(col("hit_id")).as("n_removed"),
+          sum(when(col("hit_id").isNull, 1).otherwise(0))
+            .cast("bigint").as("n_clean"))
+        .orderBy("source")
     }
   )
 }
