@@ -229,6 +229,40 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Domain-mixture sampling: the pretraining step that downsamples each
+    // source to a target mixture (web 10%, books 75%, ... — here a CASE
+    // rate spec). The keep decision is a deterministic per-doc hash
+    // against a per-source threshold: substr(md5(doc_id), 1, 4) is 16
+    // uniform bits, kept iff below the source's hex threshold (rate =
+    // hexval/65536) — purely map-side (no join, no shuffle beyond the
+    // count aggregation), idempotent across retries, exactly replayable
+    // by any engine, and the sample composes with d06/d08 (different
+    // hash keys = independent draws). Counts are exact on both engines.
+    Qdef(
+      "d10_domain_mixture",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE substr(md5(CAST(doc_id AS STRING)), 1, 4) <
+        |    CASE source WHEN 'src1' THEN '1000' WHEN 'src2' THEN '4000'
+        |      WHEN 'src3' THEN '8000' WHEN 'src4' THEN 'c000'
+        |      WHEN 'src5' THEN 'f000' ELSE '6000' END) AS BIGINT) AS n_kept
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val thr = when(col("source") === "src1", "1000")
+        .when(col("source") === "src2", "4000")
+        .when(col("source") === "src3", "8000")
+        .when(col("source") === "src4", "c000")
+        .when(col("source") === "src5", "f000")
+        .otherwise("6000")
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(substring(md5(col("doc_id").cast("string")), 1, 4) < thr, 1))
+            .as("n_kept"))
+        .orderBy("source")
+    },
+
     // SEEDED reservoir sample (reference: operator/aggregation/
     // reservoirsample/ — a uniform k-sample maintained under merge; ours
     // replaces the reference's unseeded RNG with a (seed, value)-keyed
