@@ -726,5 +726,76 @@ object TpcdsShapes {
               .cast("double").as("revenue"))
           .select(lit(tag).as("channel"), col("n_lines"), col("revenue"))
       branch(1996, "y1996").union(branch(1997, "y1997")).orderBy("channel")
+    },
+
+    // q97 shape: two channel key-sets FULL OUTER joined to count the
+    // overlap (customers active in both months / only one). Each channel
+    // pre-aggregates to distinct keys BEFORE the join — the full-outer
+    // join sees two deduped key columns, never fact rows, and the
+    // conditional counts collapse to a single row map-side.
+    Qdef(
+      "ds17_channel_overlap",
+      """WITH a AS (
+        |  SELECT o_custkey AS ck FROM orders
+        |  WHERE month(o_orderdate) = 1 GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey AS ck FROM orders
+        |  WHERE month(o_orderdate) = 2 GROUP BY o_custkey)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE a.ck IS NOT NULL AND b.ck IS NOT NULL)
+        |    AS BIGINT) AS both_ch,
+        |  CAST(count(*) FILTER (WHERE a.ck IS NOT NULL AND b.ck IS NULL)
+        |    AS BIGINT) AS only_first,
+        |  CAST(count(*) FILTER (WHERE a.ck IS NULL AND b.ck IS NOT NULL)
+        |    AS BIGINT) AS only_second
+        |FROM a FULL OUTER JOIN b ON a.ck = b.ck""".stripMargin) { (s, dir) =>
+      def channel(m: Int, out: String): DataFrame =
+        t(s, dir, "orders").filter(month(col("o_orderdate")) === m)
+          .select(col("o_custkey").as(out)).distinct()
+      channel(1, "a_ck").join(channel(2, "b_ck"),
+          col("a_ck") === col("b_ck"), "full_outer")
+        .agg(
+          count(when(col("a_ck").isNotNull && col("b_ck").isNotNull, 1))
+            .as("both_ch"),
+          count(when(col("a_ck").isNotNull && col("b_ck").isNull, 1))
+            .as("only_first"),
+          count(when(col("a_ck").isNull && col("b_ck").isNotNull, 1))
+            .as("only_second"))
+    },
+
+    // q78 flavor: facts in one channel with NO activity in another —
+    // parts sold urgent but never low-priority. The excluded key set is
+    // deduped before a LeftAnti hash join on l_partkey (l_partkey is
+    // non-null, so NOT IN needs no null-aware fallback); the anti join
+    // runs on the already-filtered urgent sliver.
+    Qdef(
+      "ds18_anti_channel_parts",
+      """WITH low_parts AS (
+        |  SELECT DISTINCT l_partkey AS lp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '5-LOW')
+        |SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND l_partkey NOT IN (SELECT lp FROM low_parts)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val lowParts = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "5-LOW"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("lp")).distinct()
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(lowParts, col("l_partkey") === col("lp"), "left_anti")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("p_brand")
     })
 }

@@ -168,6 +168,18 @@ class PlanSpec extends QueryAssertions {
     assert(pushed >= 2, s"expected range-pruned orders scans, got $pushed")
   }
 
+  test("ds17/ds18: overlap counts full-outer join deduped keys; anti join lowers to LeftAnti") {
+    val p17 = planOf(run("ds17_channel_overlap"))
+    assert(p17.contains("FullOuter"), p17.take(2000))
+    // both channels dedup BEFORE the join — aggregates under it, so the
+    // full-outer join never sees fact rows
+    assert(p17.contains("HashAggregate"), p17.take(2000))
+    val p18 = planOf(run("ds18_anti_channel_parts"))
+    assert(p18.contains("LeftAnti"), p18.take(2000))
+    assert(!p18.contains("BroadcastNestedLoopJoin"),
+      "non-null key NOT IN must not fall back to null-aware BNLJ")
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
