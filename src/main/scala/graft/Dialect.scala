@@ -477,14 +477,32 @@ object Dialect {
           // preserves comparisons, interval arithmetic (wrap-around
           // surfaces as the next day's time-of-day — format with
           // 'HH:mm:ss' to read it back), and extraction functions.
-          // TIME WITH TIME ZONE literals (a zone suffix after the time)
-          // stay verbatim and fail loudly at Spark's parser.
+          //
+          // TIME WITH TIME ZONE literals (offset suffix; reference
+          // TimeWithTimeZoneType.java + DateTimeEncoding.java) narrow to
+          // the epoch-day UTC INSTANT: Spark's timestamp parser applies
+          // the offset, so TIME '10:00:00 +05:30' becomes the 04:30 UTC
+          // instant — ordering and equality match the reference's
+          // UTC-normalized comparison (a -02:00 evening time correctly
+          // sorts past midnight into the next epoch day). DOCUMENTED
+          // DIVERGENCE: the original offset is not retained, so
+          // extraction and rendering speak the session zone, not the
+          // literal's zone (the reference keeps the zone alongside the
+          // millis). Named-zone TIMESTAMP '.. America/X' literals need
+          // no rewrite — Spark parses them to the correct instant under
+          // the same session-zone rendering narrowing.
           val end = literalEnd(q, k)
           val body = q.substring(k + 1, end - 1).trim
-          if (body.matches("\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?")) {
-            out.append(s"TIMESTAMP '1970-01-01 $body'")
-            i = end
-          } else { out.append(word); i = j }
+          val TzTime = "(\\d{1,2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?)\\s*([+-]\\d{2}:\\d{2})".r
+          body match {
+            case _ if body.matches("\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?") =>
+              out.append(s"TIMESTAMP '1970-01-01 $body'")
+              i = end
+            case TzTime(timePart, offset) =>
+              out.append(s"TIMESTAMP '1970-01-01 $timePart$offset'")
+              i = end
+            case _ => out.append(word); i = j
+          }
         } else if (lower == "localtime" && (k >= q.length || q(k) != '(')) {
           // Presto's bare localtime keyword (SqlBase.g4 primaryExpression
           // LOCALTIME; DateTimeFunctions.java) → the registered 0-arg

@@ -745,6 +745,35 @@ object Catalog {
           |SELECT o_orderpriority, count(*) AS cnt FROM orders
           |WHERE o_totalprice > ? GROUP BY o_orderpriority""".stripMargin)
       graft.Engine.sql(s, dir, "DESCRIBE OUTPUT graft_k25")
+    },
+
+    // TIME WITH TIME ZONE + named-zone TIMESTAMP literals (reference:
+    // TimeWithTimeZoneType.java, DateTimeEncoding.java, SqlBase.g4
+    // typeConstructor) under the documented UTC-instant narrowing: the
+    // offset is applied at parse (TIME '10:00:00 +05:30' ≡ the 04:30
+    // epoch-day UTC instant), so cross-offset equality and ordering
+    // match the reference's UTC-normalized comparison; the original
+    // zone is NOT retained (extraction/rendering speak the session
+    // zone). The oracle replays the offset arithmetic with plain
+    // interval math; FacadeSpec value-asserts the facade path.
+    Qdef.duckOnly(
+      "k26_time_with_tz",
+      """SELECT
+        |  CAST(hour(TIMESTAMP '1970-01-01 10:00:00' - INTERVAL 330 MINUTE)
+        |    AS BIGINT) AS h_utc,
+        |  (TIMESTAMP '1970-01-01 10:00:00' - INTERVAL 330 MINUTE)
+        |    = TIMESTAMP '1970-01-01 04:30:00' AS cmp_eq,
+        |  (TIMESTAMP '1970-01-01 23:00:00' + INTERVAL 120 MINUTE)
+        |    > (TIMESTAMP '1970-01-01 10:00:00' - INTERVAL 330 MINUTE) AS ord_ok,
+        |  CAST(hour(TIMESTAMP '2001-08-22 03:04:05' + INTERVAL 7 HOUR)
+        |    AS BIGINT) AS ts_h""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """SELECT
+          |  CAST(hour(TIME '10:00:00 +05:30') AS BIGINT) AS h_utc,
+          |  TIME '10:00:00 +05:30' = TIME '04:30:00' AS cmp_eq,
+          |  TIME '23:00:00 -02:00' > TIME '10:00:00 +05:30' AS ord_ok,
+          |  CAST(hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
+          |    AS BIGINT) AS ts_h""".stripMargin)
     }
   )
 }

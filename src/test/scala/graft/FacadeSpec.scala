@@ -693,6 +693,29 @@ class FacadeSpec extends AnyFunSuite {
     assert(h >= 0 && h <= 23)
   }
 
+  test("TIME WITH TIME ZONE literals normalize to UTC instants") {
+    // the offset applies at parse: 10:00+05:30 IS 04:30 UTC, so
+    // cross-offset equality/ordering match the reference's UTC
+    // normalization; extraction speaks the session zone (UTC here) —
+    // the documented narrowing (the original offset is not retained)
+    val row = Engine.sql(spark, dir,
+      """SELECT CAST(hour(TIME '10:00:00 +05:30') AS BIGINT) AS h_utc,
+        |  TIME '10:00:00 +05:30' = TIME '04:30:00' AS cmp_eq,
+        |  TIME '10:00:00+05:30' = TIME '04:30:00' AS nospace_eq,
+        |  TIME '23:00:00 -02:00' > TIME '10:00:00 +05:30' AS ord_ok,
+        |  CAST(hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
+        |    AS BIGINT) AS ts_h""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("h_utc") == 4L)
+    assert(row.getAs[Boolean]("cmp_eq"))
+    assert(row.getAs[Boolean]("nospace_eq"))
+    assert(row.getAs[Boolean]("ord_ok")) // -02:00 evening sorts past midnight
+    assert(row.getAs[Long]("ts_h") == 10L) // PDT = UTC-7 in August
+    // a malformed zone suffix still fails loudly rather than silently
+    // parsing as something else
+    assertThrows[Exception](
+      Engine.sql(spark, dir, "SELECT TIME '10:00:00 Mars/Olympus'"))
+  }
+
   test("reservoir_sample is seeded, reproducible, and seed-sensitive") {
     def sample(seed: String): Seq[String] =
       Engine.sql(spark, dir,
