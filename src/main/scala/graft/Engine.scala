@@ -80,6 +80,7 @@ object Engine {
     graft.functions.IpFunctions.registerAll(spark)
     graft.functions.ToJsonText.register(spark)
     graft.functions.Teradata.registerAll(spark)
+    graft.functions.GeoFunctions.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

@@ -16,14 +16,14 @@ object SparkEntry {
       suites.Ordering.defs ++ suites.Storage.defs ++ suites.Udfs.defs ++
       suites.Extras.defs ++ suites.MultimodalSuite.defs ++
       suites.General.defs ++ suites.Conformance.defs ++ suites.Catalog.defs ++
-      suites.TpcdsShapes.defs
+      suites.TpcdsShapes.defs ++ suites.Geo.defs
 
   /** Pinned corpus size, asserted by CorpusSpec: a shrinking corpus (an
     * entry dropped because its builder throws) must FAIL a test, not
     * silently disappear from the driver's correctness artifact (that is
     * exactly what happened to st01/st02/st05 in round 8). Update this
     * number whenever entries are added or intentionally removed. */
-  val expectedCorpusSize: Int = 239
+  val expectedCorpusSize: Int = 246
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */
@@ -44,7 +44,11 @@ object SparkEntry {
       "ds03_cross_nation_brand", "ds07_cross_nation_orders",
       // round-10 addition: the only multi-round iterative-shuffle
       // workload class in the corpus (label-propagation components)
-      "d09_dup_clusters")
+      "d09_dup_clusters",
+      // round-10 addition: the grid spatial join (filter-and-refine
+      // equi-join — a distinct shuffle/fan-out shape from every other
+      // join in the headline set)
+      "geo04_distance_join")
     allDefs.filter(q => headline(q.name))
   }
 

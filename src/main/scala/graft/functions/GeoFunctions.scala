@@ -1,0 +1,948 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Planar geospatial scalars (reference: presto-geospatial/src/main/java/
+  * com/facebook/presto/plugin/geospatial/GeoFunctions.java, spherical
+  * distance from presto-geospatial-toolkit/.../SphericalGeographyUtils
+  * .java:82-108, Bing tiles from BingTileFunctions.java + BingTileUtils
+  * .java:133-196).
+  *
+  * Type narrowing (SURVEY §1.2): the reference's GEOMETRY type is an
+  * Esri-serialized VARBINARY; ours is the geometry's canonical WKT as
+  * VARCHAR, and BINGTILE is the tile's quadkey as VARCHAR. Same values,
+  * string-typed — every function below parses/prints WKT at the edges and
+  * computes on a small geometry ADT in between. All computation is
+  * per-row and local (no driver state, no lookups), so each scalar
+  * parallelizes exactly like any other projection at 100 TB.
+  *
+  * Supported geometry kinds: POINT, MULTIPOINT, LINESTRING,
+  * MULTILINESTRING, POLYGON (with holes), MULTIPOLYGON, and
+  * GEOMETRYCOLLECTION EMPTY (which ST_Boundary of a point produces).
+  * Full overlay ops (ST_Union/Intersection/Difference/Buffer) stay
+  * deferred with the Esri computational-geometry core; predicates,
+  * measures, hulls and simplification are implemented from the published
+  * algorithms (ray casting, shoelace, monotone chain, Douglas-Peucker).
+  */
+object GeoFunctions {
+
+  // ---------------------------------------------------------------- model
+
+  final case class Pt(x: Double, y: Double)
+
+  sealed trait Geom
+  final case class GPoint(pt: Option[Pt]) extends Geom
+  final case class GMultiPoint(pts: Vector[Pt]) extends Geom
+  final case class GLineString(pts: Vector[Pt]) extends Geom
+  final case class GMultiLineString(lines: Vector[Vector[Pt]]) extends Geom
+  /** rings are stored CLOSED (first == last vertex); head is the shell */
+  final case class GPolygon(rings: Vector[Vector[Pt]]) extends Geom
+  final case class GMultiPolygon(polys: Vector[Vector[Vector[Pt]]]) extends Geom
+  final case class GCollection(geoms: Vector[Geom]) extends Geom
+
+  private def invalid(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  // ------------------------------------------------------------ WKT parse
+
+  /** Minimal WKT reader for the supported kinds. Tolerates arbitrary
+    * whitespace; case-insensitive tags; EMPTY at any level. */
+  def parse(wkt: String): Geom = {
+    val p = new WktParser(wkt)
+    val g = p.geometry()
+    p.expectEnd()
+    g
+  }
+
+  private final class WktParser(s: String) {
+    private var i = 0
+    private def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def word(): String = {
+      skipWs()
+      val start = i
+      while (i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '_')) i += 1
+      if (i == start) invalid(s"Invalid WKT: expected a geometry tag at offset $start in '$s'")
+      s.substring(start, i).toUpperCase
+    }
+    private def peekEmpty(): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, i, "EMPTY", 0, 5)) { i += 5; true } else false
+    }
+    private def expect(c: Char): Unit = {
+      skipWs()
+      if (i >= s.length || s.charAt(i) != c) invalid(s"Invalid WKT: expected '$c' at offset $i in '$s'")
+      i += 1
+    }
+    private def tryComma(): Boolean = {
+      skipWs()
+      if (i < s.length && s.charAt(i) == ',') { i += 1; true } else false
+    }
+    private def number(): Double = {
+      skipWs()
+      val start = i
+      while (i < s.length && !s.charAt(i).isWhitespace &&
+             s.charAt(i) != ',' && s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
+      if (i == start) invalid(s"Invalid WKT: expected a number at offset $start in '$s'")
+      try java.lang.Double.parseDouble(s.substring(start, i))
+      catch { case _: NumberFormatException =>
+        invalid(s"Invalid WKT: bad number '${s.substring(start, i)}' in '$s'") }
+    }
+    private def point(): Pt = { val x = number(); val y = number(); Pt(x, y) }
+    private def pointList(): Vector[Pt] = {
+      expect('(')
+      val b = Vector.newBuilder[Pt]
+      b += point()
+      while (tryComma()) b += point()
+      expect(')')
+      b.result()
+    }
+    private def ringList(): Vector[Vector[Pt]] = {
+      expect('(')
+      val b = Vector.newBuilder[Vector[Pt]]
+      b += closedRing(pointList())
+      while (tryComma()) b += closedRing(pointList())
+      expect(')')
+      b.result()
+    }
+    private def closedRing(pts: Vector[Pt]): Vector[Pt] = {
+      if (pts.length < 3) invalid("Invalid WKT: a polygon ring needs at least 3 distinct points")
+      if (pts.head == pts.last) pts else pts :+ pts.head
+    }
+    def geometry(): Geom = word() match {
+      case "POINT" =>
+        if (peekEmpty()) GPoint(None)
+        else { expect('('); val p = point(); expect(')'); GPoint(Some(p)) }
+      case "MULTIPOINT" =>
+        if (peekEmpty()) GMultiPoint(Vector.empty)
+        else {
+          // both MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+          expect('(')
+          skipWs()
+          val b = Vector.newBuilder[Pt]
+          def one(): Unit = {
+            skipWs()
+            if (i < s.length && s.charAt(i) == '(') { expect('('); b += point(); expect(')') }
+            else b += point()
+          }
+          one()
+          while (tryComma()) one()
+          expect(')')
+          GMultiPoint(b.result())
+        }
+      case "LINESTRING" =>
+        if (peekEmpty()) GLineString(Vector.empty) else GLineString(pointList())
+      case "MULTILINESTRING" =>
+        if (peekEmpty()) GMultiLineString(Vector.empty)
+        else {
+          expect('(')
+          val b = Vector.newBuilder[Vector[Pt]]
+          b += pointList()
+          while (tryComma()) b += pointList()
+          expect(')')
+          GMultiLineString(b.result())
+        }
+      case "POLYGON" =>
+        if (peekEmpty()) GPolygon(Vector.empty) else GPolygon(ringList())
+      case "MULTIPOLYGON" =>
+        if (peekEmpty()) GMultiPolygon(Vector.empty)
+        else {
+          expect('(')
+          val b = Vector.newBuilder[Vector[Vector[Pt]]]
+          b += ringList()
+          while (tryComma()) b += ringList()
+          expect(')')
+          GMultiPolygon(b.result())
+        }
+      case "GEOMETRYCOLLECTION" =>
+        if (peekEmpty()) GCollection(Vector.empty)
+        else {
+          expect('(')
+          val b = Vector.newBuilder[Geom]
+          b += geometry()
+          while (tryComma()) b += geometry()
+          expect(')')
+          GCollection(b.result())
+        }
+      case other => invalid(s"Invalid WKT: unsupported geometry type $other")
+    }
+    def expectEnd(): Unit = {
+      skipWs()
+      if (i != s.length) invalid(s"Invalid WKT: trailing content at offset $i in '$s'")
+    }
+  }
+
+  // ------------------------------------------------------------ WKT print
+
+  /** Integer-valued coordinates print without a decimal part (the JTS
+    * WKTWriter convention the reference's ST_AsText follows). */
+  def num(v: Double): String =
+    if (v == Math.rint(v) && Math.abs(v) < 9.007199254740992e15) v.toLong.toString
+    else v.toString
+
+  private def pt(p: Pt): String = s"${num(p.x)} ${num(p.y)}"
+  private def seqStr(pts: Seq[Pt]): String = pts.map(pt).mkString("(", ", ", ")")
+
+  def print(g: Geom): String = g match {
+    case GPoint(None)           => "POINT EMPTY"
+    case GPoint(Some(p))        => s"POINT (${pt(p)})"
+    case GMultiPoint(ps) if ps.isEmpty => "MULTIPOINT EMPTY"
+    case GMultiPoint(ps)        => "MULTIPOINT " + seqStr(ps)
+    case GLineString(ps) if ps.isEmpty => "LINESTRING EMPTY"
+    case GLineString(ps)        => "LINESTRING " + seqStr(ps)
+    case GMultiLineString(ls) if ls.isEmpty => "MULTILINESTRING EMPTY"
+    case GMultiLineString(ls)   => "MULTILINESTRING " + ls.map(seqStr).mkString("(", ", ", ")")
+    case GPolygon(rs) if rs.isEmpty => "POLYGON EMPTY"
+    case GPolygon(rs)           => "POLYGON " + rs.map(seqStr).mkString("(", ", ", ")")
+    case GMultiPolygon(ps) if ps.isEmpty => "MULTIPOLYGON EMPTY"
+    case GMultiPolygon(ps)      => "MULTIPOLYGON " + ps.map(rs => rs.map(seqStr).mkString("(", ", ", ")")).mkString("(", ", ", ")")
+    case GCollection(gs) if gs.isEmpty => "GEOMETRYCOLLECTION EMPTY"
+    case GCollection(gs)        => "GEOMETRYCOLLECTION (" + gs.map(print).mkString(", ") + ")"
+  }
+
+  /** reference GeometryType.java:23-30 standardName() values */
+  def typeName(g: Geom): String = g match {
+    case _: GPoint           => "ST_Point"
+    case _: GMultiPoint      => "ST_MultiPoint"
+    case _: GLineString      => "ST_LineString"
+    case _: GMultiLineString => "ST_MultiLineString"
+    case _: GPolygon         => "ST_Polygon"
+    case _: GMultiPolygon    => "ST_MultiPolygon"
+    case _: GCollection      => "ST_GeomCollection"
+  }
+
+  // --------------------------------------------------------- decomposition
+
+  def vertices(g: Geom): Vector[Pt] = g match {
+    case GPoint(p)            => p.toVector
+    case GMultiPoint(ps)      => ps
+    case GLineString(ps)      => ps
+    case GMultiLineString(ls) => ls.flatten
+    case GPolygon(rs)         => rs.flatten
+    case GMultiPolygon(ps)    => ps.flatten.flatten
+    case GCollection(gs)      => gs.flatMap(vertices)
+  }
+
+  /** All line segments: linestring edges plus polygon ring edges. */
+  def segments(g: Geom): Vector[(Pt, Pt)] = {
+    def edges(ps: Vector[Pt]): Vector[(Pt, Pt)] =
+      if (ps.length < 2) Vector.empty else ps.zip(ps.tail)
+    g match {
+      case _: GPoint | _: GMultiPoint => Vector.empty
+      case GLineString(ps)      => edges(ps)
+      case GMultiLineString(ls) => ls.flatMap(edges)
+      case GPolygon(rs)         => rs.flatMap(edges)
+      case GMultiPolygon(ps)    => ps.flatten.flatMap(edges)
+      case GCollection(gs)      => gs.flatMap(segments)
+    }
+  }
+
+  /** The areal components, as ring lists (shell + holes). */
+  def arealParts(g: Geom): Vector[Vector[Vector[Pt]]] = g match {
+    case GPolygon(rs) if rs.nonEmpty => Vector(rs)
+    case GMultiPolygon(ps)           => ps
+    case GCollection(gs)             => gs.flatMap(arealParts)
+    case _                           => Vector.empty
+  }
+
+  def isEmpty(g: Geom): Boolean = vertices(g).isEmpty
+
+  def envelope(g: Geom): Option[(Double, Double, Double, Double)] = {
+    val vs = vertices(g)
+    if (vs.isEmpty) None
+    else Some((vs.map(_.x).min, vs.map(_.y).min, vs.map(_.x).max, vs.map(_.y).max))
+  }
+
+  // ------------------------------------------------------------- measures
+
+  /** Signed area of a closed ring (shoelace); positive = counterclockwise. */
+  def signedArea(ring: Vector[Pt]): Double = {
+    var a = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      a += ring(i).x * ring(i + 1).y - ring(i + 1).x * ring(i).y
+      i += 1
+    }
+    a / 2
+  }
+
+  def area(g: Geom): Double = g match {
+    case GPolygon(rs) if rs.nonEmpty =>
+      Math.abs(signedArea(rs.head)) - rs.tail.map(r => Math.abs(signedArea(r))).sum
+    case GMultiPolygon(ps) => ps.map(rs => area(GPolygon(rs))).sum
+    case GCollection(gs)   => gs.map(area).sum
+    case _                 => 0.0 // the reference's getArea: non-areal geometry has area 0
+  }
+
+  private def segLen(a: Pt, b: Pt): Double = Math.hypot(b.x - a.x, b.y - a.y)
+
+  /** reference ST_Length: LINESTRING / MULTILINESTRING only. */
+  def length(g: Geom): Double = g match {
+    case GLineString(ps)      => ps.zip(ps.drop(1)).map { case (a, b) => segLen(a, b) }.sum
+    case GMultiLineString(ls) => ls.map(ps => length(GLineString(ps))).sum
+    case other => invalid(s"ST_Length only applies to LineString or MultiLineString. Input type is: ${typeName(other)}")
+  }
+
+  def centroid(g: Geom): Option[Pt] = g match {
+    case GPoint(p)       => p
+    case GMultiPoint(ps) if ps.nonEmpty =>
+      Some(Pt(ps.map(_.x).sum / ps.length, ps.map(_.y).sum / ps.length))
+    case GLineString(ps) if ps.length >= 2 =>
+      // length-weighted midpoint average; degenerate zero-length line falls
+      // back to the vertex average
+      val segs = ps.zip(ps.tail)
+      val total = segs.map { case (a, b) => segLen(a, b) }.sum
+      if (total == 0) centroid(GMultiPoint(ps))
+      else {
+        val cx = segs.map { case (a, b) => (a.x + b.x) / 2 * segLen(a, b) }.sum / total
+        val cy = segs.map { case (a, b) => (a.y + b.y) / 2 * segLen(a, b) }.sum / total
+        Some(Pt(cx, cy))
+      }
+    case GPolygon(rs) if rs.nonEmpty =>
+      // area-weighted shoelace centroid; holes subtract
+      var ax = 0.0; var ay = 0.0; var atot = 0.0
+      rs.zipWithIndex.foreach { case (ring, idx) =>
+        val sa = signedArea(ring)
+        val w = if (idx == 0) Math.abs(sa) else -Math.abs(sa)
+        if (sa != 0) {
+          var cx = 0.0; var cy = 0.0
+          var i = 0
+          while (i < ring.length - 1) {
+            val cross = ring(i).x * ring(i + 1).y - ring(i + 1).x * ring(i).y
+            cx += (ring(i).x + ring(i + 1).x) * cross
+            cy += (ring(i).y + ring(i + 1).y) * cross
+            i += 1
+          }
+          // cx/(6*sa) is the ring centroid; weight by ±|area|
+          ax += cx / (6 * sa) * w
+          ay += cy / (6 * sa) * w
+          atot += w
+        }
+      }
+      if (atot == 0) centroid(GMultiPoint(rs.head.dropRight(1)))
+      else Some(Pt(ax / atot, ay / atot))
+    case GMultiPolygon(ps) if ps.nonEmpty =>
+      val parts = ps.map(rs => (centroid(GPolygon(rs)), area(GPolygon(rs))))
+      val atot = parts.map(_._2).sum
+      if (atot == 0) None
+      else Some(Pt(
+        parts.collect { case (Some(c), a) => c.x * a }.sum / atot,
+        parts.collect { case (Some(c), a) => c.y * a }.sum / atot))
+    case _ => None
+  }
+
+  // ----------------------------------------------------------- predicates
+
+  /** 0 = outside, 1 = on boundary, 2 = interior — even-odd ray cast over
+    * the ring set (holes flip parity naturally). */
+  def locateInRings(p: Pt, rings: Vector[Vector[Pt]]): Int = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      var i = 0
+      while (i < ring.length - 1) {
+        val a = ring(i); val b = ring(i + 1)
+        if (onSegment(p, a, b)) return 1
+        // crossing test: edge straddles the horizontal ray to +inf
+        if ((a.y > p.y) != (b.y > p.y)) {
+          val xCross = a.x + (p.y - a.y) / (b.y - a.y) * (b.x - a.x)
+          if (xCross > p.x) inside = !inside
+        }
+        i += 1
+      }
+      r += 1
+    }
+    if (inside) 2 else 0
+  }
+
+  private def onSegment(p: Pt, a: Pt, b: Pt): Boolean = {
+    val cross = (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)
+    if (cross != 0) return false
+    p.x >= Math.min(a.x, b.x) && p.x <= Math.max(a.x, b.x) &&
+      p.y >= Math.min(a.y, b.y) && p.y <= Math.max(a.y, b.y)
+  }
+
+  private def pointSegDistance(p: Pt, a: Pt, b: Pt): Double = {
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) return segLen(p, a)
+    val t = Math.max(0.0, Math.min(1.0, ((p.x - a.x) * dx + (p.y - a.y) * dy) / len2))
+    Math.hypot(p.x - (a.x + t * dx), p.y - (a.y + t * dy))
+  }
+
+  private def segsIntersect(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Boolean = {
+    def orient(a: Pt, b: Pt, c: Pt): Int = {
+      val v = (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+      if (v > 0) 1 else if (v < 0) -1 else 0
+    }
+    val o1 = orient(p1, p2, q1); val o2 = orient(p1, p2, q2)
+    val o3 = orient(q1, q2, p1); val o4 = orient(q1, q2, p2)
+    if (o1 != o2 && o3 != o4) return true
+    (o1 == 0 && onSegment(q1, p1, p2)) || (o2 == 0 && onSegment(q2, p1, p2)) ||
+      (o3 == 0 && onSegment(p1, q1, q2)) || (o4 == 0 && onSegment(p2, q1, q2))
+  }
+
+  private def segSegDistance(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Double =
+    if (segsIntersect(p1, p2, q1, q2)) 0.0
+    else Seq(
+      pointSegDistance(p1, q1, q2), pointSegDistance(p2, q1, q2),
+      pointSegDistance(q1, p1, p2), pointSegDistance(q2, p1, p2)).min
+
+  /** Min Euclidean distance between the two geometries' point sets
+    * (reference ST_Distance; 0 when they intersect, including one
+    * geometry lying inside the other's interior). NULL (None) when
+    * either is empty — the reference returns NULL for empty inputs. */
+  def distance(a: Geom, b: Geom): Option[Double] = {
+    if (isEmpty(a) || isEmpty(b)) return None
+    // containment in an areal component → 0 (covers "inside, no edges close")
+    def insideAreal(vs: Vector[Pt], host: Geom): Boolean =
+      arealParts(host).exists(rings => vs.exists(v => locateInRings(v, rings) > 0))
+    if (insideAreal(vertices(b), a) || insideAreal(vertices(a), b)) return Some(0.0)
+    val segA = segments(a); val segB = segments(b)
+    val ptsA = vertices(a); val ptsB = vertices(b)
+    var best = Double.PositiveInfinity
+    if (segA.isEmpty && segB.isEmpty) {
+      for (p <- ptsA; q <- ptsB) best = Math.min(best, segLen(p, q))
+    } else if (segA.isEmpty) {
+      for (p <- ptsA; (q1, q2) <- segB) best = Math.min(best, pointSegDistance(p, q1, q2))
+    } else if (segB.isEmpty) {
+      for (q <- ptsB; (p1, p2) <- segA) best = Math.min(best, pointSegDistance(q, p1, p2))
+    } else {
+      for ((p1, p2) <- segA; (q1, q2) <- segB) {
+        best = Math.min(best, segSegDistance(p1, p2, q1, q2))
+        if (best == 0) return Some(0.0)
+      }
+    }
+    Some(best)
+  }
+
+  def intersects(a: Geom, b: Geom): Option[Boolean] = {
+    if (isEmpty(a) || isEmpty(b)) return None
+    // envelope reject first — the common case at scale
+    (envelope(a), envelope(b)) match {
+      case (Some((ax0, ay0, ax1, ay1)), Some((bx0, by0, bx1, by1)))
+          if ax1 < bx0 || bx1 < ax0 || ay1 < by0 || by1 < ay0 =>
+        Some(false)
+      case _ => distance(a, b).map(_ == 0.0)
+    }
+  }
+
+  /** OGC Contains under the supported-combination narrowing: the left
+    * side must be areal (POLYGON/MULTIPOLYGON), the right a POINT or
+    * MULTIPOINT. Every right point must lie in the closure and at least
+    * one strictly in the interior (a point only on the boundary is NOT
+    * contained — OGC requires an interior intersection). Other
+    * combinations raise a clear unsupported error rather than a wrong
+    * answer. */
+  def contains(a: Geom, b: Geom): Option[Boolean] = {
+    if (isEmpty(a) || isEmpty(b)) return None
+    val parts = arealParts(a)
+    if (parts.isEmpty)
+      invalid(s"ST_Contains supports an areal left argument (Polygon or MultiPolygon) under the WKT narrowing. Input type is: ${typeName(a)}")
+    val pts = b match {
+      case GPoint(Some(p))                 => Vector(p)
+      case GMultiPoint(ps) if ps.nonEmpty  => ps
+      case other =>
+        invalid(s"ST_Contains supports a Point or MultiPoint right argument under the WKT narrowing. Input type is: ${typeName(other)}")
+    }
+    val locs = pts.map(p => parts.map(rings => locateInRings(p, rings)).max)
+    Some(locs.forall(_ > 0) && locs.exists(_ == 2))
+  }
+
+  // --------------------------------------------------- hulls and simplify
+
+  /** Monotone-chain convex hull; returns a point / linestring / polygon
+    * depending on the hull's dimension (the reference's ST_ConvexHull
+    * degenerates the same way). */
+  def convexHull(g: Geom): Geom = {
+    val ps = vertices(g).distinct.sortBy(p => (p.x, p.y))
+    if (ps.isEmpty) return GPoint(None)
+    if (ps.length == 1) return GPoint(Some(ps.head))
+    def cross(o: Pt, a: Pt, b: Pt): Double =
+      (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+    def half(pts: Vector[Pt]): Vector[Pt] = {
+      var h = Vector.empty[Pt]
+      for (p <- pts) {
+        while (h.length >= 2 && cross(h(h.length - 2), h(h.length - 1), p) <= 0)
+          h = h.dropRight(1)
+        h = h :+ p
+      }
+      h
+    }
+    val hull = half(ps).dropRight(1) ++ half(ps.reverse).dropRight(1)
+    if (hull.length == 2 || hull.isEmpty) {
+      // collinear input: the hull is the extreme segment
+      val lo = ps.head; val hi = ps.last
+      if (lo == hi) GPoint(Some(lo)) else GLineString(Vector(lo, hi))
+    } else GPolygon(Vector(hull :+ hull.head))
+  }
+
+  /** Douglas-Peucker simplification (reference simplify_geometry). */
+  def simplify(g: Geom, tolerance: Double): Geom = {
+    require(tolerance >= 0 && !tolerance.isNaN, "simplification tolerance must be a non-negative finite number")
+    def dp(ps: Vector[Pt]): Vector[Pt] = {
+      if (ps.length < 3) return ps
+      val a = ps.head; val b = ps.last
+      var worst = -1.0; var worstIdx = -1
+      var i = 1
+      while (i < ps.length - 1) {
+        val d = if (a == b) segLen(ps(i), a) else pointSegDistance(ps(i), a, b)
+        if (d > worst) { worst = d; worstIdx = i }
+        i += 1
+      }
+      if (worst <= tolerance) Vector(a, b)
+      else dp(ps.take(worstIdx + 1)) ++ dp(ps.drop(worstIdx)).tail
+    }
+    def ring(ps: Vector[Pt]): Vector[Pt] = {
+      val out = dp(ps)
+      if (out.length < 4) ps else out // never collapse a ring below a triangle
+    }
+    g match {
+      case GLineString(ps)      => GLineString(dp(ps))
+      case GMultiLineString(ls) => GMultiLineString(ls.map(dp))
+      case GPolygon(rs)         => GPolygon(rs.map(ring))
+      case GMultiPolygon(ps)    => GMultiPolygon(ps.map(_.map(ring)))
+      case other                => other
+    }
+  }
+
+  // ----------------------------------------------- line locate/interpolate
+
+  /** reference line_locate_point: fraction of the line's length at the
+    * point's closest projection; NULL for empty inputs. */
+  def lineLocatePoint(line: Geom, point: Geom): Option[Double] = (line, point) match {
+    case (GLineString(ps), GPoint(Some(p))) if ps.length >= 2 =>
+      val segs = ps.zip(ps.tail)
+      val total = segs.map { case (a, b) => segLen(a, b) }.sum
+      if (total == 0) return Some(0.0)
+      var best = Double.PositiveInfinity
+      var bestAt = 0.0
+      var walked = 0.0
+      for ((a, b) <- segs) {
+        val d = pointSegDistance(p, a, b)
+        if (d < best) {
+          best = d
+          val len2 = (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+          val t = if (len2 == 0) 0.0
+            else Math.max(0.0, Math.min(1.0,
+              ((p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y)) / len2))
+          bestAt = walked + t * segLen(a, b)
+        }
+        walked += segLen(a, b)
+      }
+      Some(bestAt / total)
+    case (GLineString(_), GPoint(None)) => None
+    case (l, p) => invalid(s"line_locate_point applies to (LineString, Point). Input types are: ${typeName(l)}, ${typeName(p)}")
+  }
+
+  /** reference line_interpolate_point: the point at the given fraction of
+    * the line's length. */
+  def lineInterpolatePoint(line: Geom, fraction: Double): Geom = line match {
+    case GLineString(ps) if ps.length >= 2 =>
+      require(fraction >= 0 && fraction <= 1, s"line_interpolate_point: fraction must be in [0, 1], got $fraction")
+      val segs = ps.zip(ps.tail)
+      val total = segs.map { case (a, b) => segLen(a, b) }.sum
+      if (total == 0) return GPoint(Some(ps.head))
+      var target = fraction * total
+      for ((a, b) <- segs) {
+        val l = segLen(a, b)
+        if (target <= l && l > 0)
+          return GPoint(Some(Pt(a.x + (b.x - a.x) * target / l, a.y + (b.y - a.y) * target / l)))
+        target -= l
+      }
+      GPoint(Some(ps.last))
+    case other => invalid(s"line_interpolate_point applies to a LineString. Input type is: ${typeName(other)}")
+  }
+
+  // -------------------------------------------------------------- validity
+
+  /** Basic validity: rings closed with ≥ 4 points, finite coordinates, no
+    * self-intersecting rings (O(edges²) pairwise check — geometry vertex
+    * counts are per-row small, never data-sized). Returns the first
+    * failure reason, or None when valid (reference
+    * geometry_invalid_reason / ST_IsValid). */
+  def invalidReason(g: Geom): Option[String] = {
+    val vs = vertices(g)
+    if (vs.exists(p => p.x.isNaN || p.y.isNaN || p.x.isInfinite || p.y.isInfinite))
+      return Some("Invalid coordinates: non-finite value")
+    def ringCheck(ring: Vector[Pt]): Option[String] = {
+      if (ring.length < 4) return Some("Polygon ring has fewer than 3 distinct points")
+      if (Math.abs(signedArea(ring)) == 0) return Some("Polygon ring has zero area")
+      val edges = ring.zip(ring.tail)
+      var i = 0
+      while (i < edges.length) {
+        var j = i + 2
+        // skip adjacent edges (they share a vertex); the wrap-around pair
+        // (first, last) is adjacent too
+        val lastJ = if (i == 0) edges.length - 1 else edges.length
+        while (j < lastJ) {
+          val (p1, p2) = edges(i); val (q1, q2) = edges(j)
+          if (segsIntersect(p1, p2, q1, q2)) return Some("Polygon ring self-intersects")
+          j += 1
+        }
+        i += 1
+      }
+      None
+    }
+    arealParts(g).flatten.flatMap(ringCheck).headOption
+  }
+
+  // ----------------------------------------------------- spherical distance
+
+  /** reference SphericalGeographyUtils.java:82-108 — spherical Vincenty,
+    * R = 6371.01 km; arguments validated to the lat/lon domains. */
+  def greatCircleDistance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    def checkLat(l: Double): Unit = require(l >= -90 && l <= 90, s"Latitude must be between -90 and 90, got $l")
+    def checkLon(l: Double): Unit = require(l >= -180 && l <= 180, s"Longitude must be between -180 and 180, got $l")
+    checkLat(lat1); checkLat(lat2); checkLon(lon1); checkLon(lon2)
+    val rl1 = Math.toRadians(lat1); val rl2 = Math.toRadians(lat2)
+    val sin1 = Math.sin(rl1); val cos1 = Math.cos(rl1)
+    val sin2 = Math.sin(rl2); val cos2 = Math.cos(rl2)
+    val dLon = Math.toRadians(lon1) - Math.toRadians(lon2)
+    val cosDLon = Math.cos(dLon)
+    val t1 = cos2 * Math.sin(dLon)
+    val t2 = cos1 * sin2 - sin1 * cos2 * cosDLon
+    val t3 = sin1 * sin2 + cos1 * cos2 * cosDLon
+    Math.atan2(Math.sqrt(t1 * t1 + t2 * t2), t3) * 6371.01
+  }
+
+  // ------------------------------------------------------------ Bing tiles
+
+  /** BINGTILE narrowing: a tile is its quadkey VARCHAR (one base-4 digit
+    * per zoom level, reference BingTile.toQuadKey). Formulas from
+    * BingTileUtils.java:133-196 (pixel-space mapping with clipping). */
+  private val MaxBingZoom = 23
+  private val MinBingLat = -85.05112878
+  private val MaxBingLat = 85.05112878
+
+  private def checkZoom(zoom: Int): Unit =
+    require(zoom >= 0 && zoom <= MaxBingZoom, s"Zoom level must be in [0, $MaxBingZoom], got $zoom")
+
+  private def axisToTile(axis: Double, zoom: Int): Int = {
+    val mapSize = 256L << zoom
+    val pixel = Math.min(Math.max(axis * mapSize, 0.0), (mapSize - 1).toDouble).toLong
+    (pixel / 256).toInt
+  }
+
+  def latLonToTile(lat: Double, lon: Double, zoom: Int): (Int, Int) = {
+    checkZoom(zoom)
+    require(lat >= MinBingLat && lat <= MaxBingLat, s"Latitude must be between $MinBingLat and $MaxBingLat, got $lat")
+    require(lon >= -180 && lon <= 180, s"Longitude must be between -180 and 180, got $lon")
+    val x = (lon + 180) / 360
+    val sinLat = Math.sin(lat * Math.PI / 180)
+    val y = 0.5 - Math.log((1 + sinLat) / (1 - sinLat)) / (4 * Math.PI)
+    (axisToTile(x, zoom), axisToTile(y, zoom))
+  }
+
+  def tileToQuadKey(x: Int, y: Int, zoom: Int): String = {
+    checkZoom(zoom)
+    require(x >= 0 && x < (1 << zoom) && y >= 0 && y < (1 << zoom),
+      s"XY coordinates for a Bing tile at zoom level $zoom must be within [0, ${1 << zoom}) range")
+    val sb = new StringBuilder
+    var level = zoom
+    while (level > 0) {
+      val mask = 1 << (level - 1)
+      var digit = 0
+      if ((x & mask) != 0) digit += 1
+      if ((y & mask) != 0) digit += 2
+      sb.append(('0' + digit).toChar)
+      level -= 1
+    }
+    sb.toString
+  }
+
+  def quadKeyToTile(quadKey: String): (Int, Int, Int) = {
+    val zoom = quadKey.length
+    checkZoom(zoom)
+    var x = 0; var y = 0
+    var level = zoom
+    for (c <- quadKey) {
+      val mask = 1 << (level - 1)
+      c match {
+        case '0' =>
+        case '1' => x |= mask
+        case '2' => y |= mask
+        case '3' => x |= mask; y |= mask
+        case other => invalid(s"Invalid QuadKey digit sequence: $quadKey (bad digit '$other')")
+      }
+      level -= 1
+    }
+    (x, y, zoom)
+  }
+
+  /** Tile envelope corners (west/south/east/north edges from
+    * BingTileUtils.tileXToLongitude / tileYToLatitude). */
+  def tileEnvelope(x: Int, y: Int, zoom: Int): (Double, Double, Double, Double) = {
+    val tiles = 1 << zoom
+    def lonOf(tx: Int): Double = 360 * (Math.min(Math.max(tx, 0), tiles).toDouble / tiles - 0.5)
+    def latOf(ty: Int): Double = {
+      val yy = 0.5 - Math.min(Math.max(ty, 0), tiles).toDouble / tiles
+      90 - 360 * Math.atan(Math.exp(-yy * 2 * Math.PI)) / Math.PI
+    }
+    (lonOf(x), latOf(y + 1), lonOf(x + 1), latOf(y))
+  }
+
+  /** Tile envelope as a WKT polygon. */
+  def tilePolygon(quadKey: String): String = {
+    val (x, y, zoom) = quadKeyToTile(quadKey)
+    val (w, s, e, n) = tileEnvelope(x, y, zoom)
+    print(GPolygon(Vector(Vector(Pt(w, s), Pt(e, s), Pt(e, n), Pt(w, n), Pt(w, s)))))
+  }
+
+  /** The zoom-level tiles intersecting the geometry (reference
+    * geometry_to_bing_tiles — findMinimalTileCovering prunes a quad-tree
+    * against the geometry; we enumerate the envelope's tile range and
+    * keep the tiles whose box intersects the geometry, the same result
+    * set). Bounded fail-loud like the reference's MAX_COVERING_COUNT. */
+  def geometryToBingTiles(g: Geom, zoom: Int, maxTiles: Int = 4096): Seq[String] = {
+    checkZoom(zoom)
+    envelope(g) match {
+      case None => Seq.empty
+      case Some((x0, y0, x1, y1)) =>
+        require(y0 >= MinBingLat && y1 <= MaxBingLat,
+          s"Latitude span for the geometry must be in [$MinBingLat, $MaxBingLat] range")
+        require(x0 >= -180 && x1 <= 180,
+          s"Longitude span for the geometry must be in [-180, 180] range")
+        val (tx0, ty1) = latLonToTile(y0, x0, zoom) // south-west → max tile y
+        val (tx1, ty0) = latLonToTile(y1, x1, zoom) // north-east → min tile y
+        val n = (tx1 - tx0 + 1).toLong * (ty1 - ty0 + 1).toLong
+        require(n <= maxTiles,
+          s"geometry covers $n tiles at zoom $zoom (> $maxTiles); use a coarser zoom")
+        val isBox = g match {
+          case GPolygon(Vector(ring)) =>
+            ring.length == 5 && ring.map(_.x).distinct.size == 2 && ring.map(_.y).distinct.size == 2
+          case _: GPoint => true
+          case _ => false
+        }
+        for {
+          ty <- ty0 to ty1
+          tx <- tx0 to tx1
+          if isBox || {
+            val (w, s, e, nn) = tileEnvelope(tx, ty, zoom)
+            val box = GPolygon(Vector(Vector(Pt(w, s), Pt(e, s), Pt(e, nn), Pt(w, nn), Pt(w, s))))
+            intersects(box, g).contains(true)
+          }
+        } yield tileToQuadKey(tx, ty, zoom)
+    }
+  }
+
+  // ---------------------------------------------------------- registration
+
+  /** Register every geospatial scalar on the session. All are plain Scala
+    * UDFs over VARCHAR geometry — acceptable here because WKT parsing is
+    * inherently interpretive (the reference likewise funnels every call
+    * through its Esri deserializer); the hot relational path (the grid
+    * cells of [[graft.ops.SpatialJoin]]) stays in built-in codegen'd
+    * expressions. */
+  def registerAll(spark: SparkSession): Unit = {
+    val u = spark.udf
+    def g1[R: reflect.runtime.universe.TypeTag](name: String)(f: Geom => R): Unit =
+      u.register(name, (wkt: String) => if (wkt == null) null.asInstanceOf[R] else f(parse(wkt)))
+    def g2[R: reflect.runtime.universe.TypeTag](name: String)(f: (Geom, Geom) => R): Unit =
+      u.register(name, (a: String, b: String) =>
+        if (a == null || b == null) null.asInstanceOf[R] else f(parse(a), parse(b)))
+
+    u.register("st_point", (x: Double, y: Double) => print(GPoint(Some(Pt(x, y)))))
+    g1("st_geometry_from_text")(print)
+    u.register("st_geometryfromtext", (wkt: String) => if (wkt == null) null else print(parse(wkt)))
+    g1("st_astext")(print)
+    g1("st_geometrytype")(typeName)
+    u.register("st_linefromtext", (wkt: String) => if (wkt == null) null else parse(wkt) match {
+      case l: GLineString => print(l)
+      case other => invalid(s"ST_LineFromText requires a LINESTRING literal. Input type is: ${typeName(other)}")
+    })
+    u.register("st_polygon", (wkt: String) => if (wkt == null) null else parse(wkt) match {
+      case p: GPolygon => print(p)
+      case other => invalid(s"ST_Polygon requires a POLYGON literal. Input type is: ${typeName(other)}")
+    })
+    u.register("st_multipoint", (pts: Seq[String]) =>
+      if (pts == null) null
+      else print(GMultiPoint(pts.toVector.zipWithIndex.map {
+        case (w, i) =>
+          if (w == null) invalid(s"Invalid input to ST_MultiPoint: null at index ${i + 1}")
+          parse(w) match {
+            case GPoint(Some(p)) => p
+            case other => invalid(s"Invalid input to ST_MultiPoint: geometry is not a point: ${typeName(other)} at index ${i + 1}")
+          }
+      })))
+
+    def pointCoord(name: String, pick: Pt => Double): Unit =
+      u.register(name, (wkt: String) => if (wkt == null) null else parse(wkt) match {
+        case GPoint(Some(p)) => java.lang.Double.valueOf(pick(p))
+        case GPoint(None)    => null
+        case other => invalid(s"$name requires a Point. Input type is: ${typeName(other)}")
+      })
+    pointCoord("st_x", _.x)
+    pointCoord("st_y", _.y)
+
+    def envCoord(name: String, pick: ((Double, Double, Double, Double)) => Double): Unit =
+      g1[java.lang.Double](name)(g => envelope(g) match {
+        case Some(e) => java.lang.Double.valueOf(pick(e))
+        case None    => null
+      })
+    envCoord("st_xmin", _._1)
+    envCoord("st_ymin", _._2)
+    envCoord("st_xmax", _._3)
+    envCoord("st_ymax", _._4)
+
+    g1[java.lang.Double]("st_area")(g => java.lang.Double.valueOf(area(g)))
+    g1[java.lang.Double]("st_length")(g => java.lang.Double.valueOf(length(g)))
+    g1[String]("st_centroid")(g => print(GPoint(centroid(g))))
+    g1[java.lang.Boolean]("st_isempty")(g => java.lang.Boolean.valueOf(isEmpty(g)))
+    g1[java.lang.Boolean]("st_isclosed") {
+      case GLineString(ps) => java.lang.Boolean.valueOf(ps.nonEmpty && ps.head == ps.last)
+      case GMultiLineString(ls) => java.lang.Boolean.valueOf(ls.nonEmpty && ls.forall(ps => ps.nonEmpty && ps.head == ps.last))
+      case other => invalid(s"ST_IsClosed applies to LineString or MultiLineString. Input type is: ${typeName(other)}")
+    }
+    g1[java.lang.Boolean]("st_isring") {
+      case GLineString(ps) =>
+        java.lang.Boolean.valueOf(ps.length >= 4 && ps.head == ps.last &&
+          invalidReason(GPolygon(Vector(ps))).isEmpty)
+      case other => invalid(s"ST_IsRing applies to a LineString. Input type is: ${typeName(other)}")
+    }
+    g1[java.lang.Boolean]("st_isvalid")(g => java.lang.Boolean.valueOf(invalidReason(g).isEmpty))
+    g1[String]("geometry_invalid_reason")(g => invalidReason(g).orNull)
+    g1[java.lang.Integer]("st_numpoints")(g => java.lang.Integer.valueOf(vertices(g).length))
+    g1[java.lang.Integer]("st_numgeometries")(g => java.lang.Integer.valueOf(g match {
+      case g2 if isEmpty(g2)    => 0
+      case GMultiPoint(ps)      => ps.length
+      case GMultiLineString(ls) => ls.length
+      case GMultiPolygon(ps)    => ps.length
+      case GCollection(gs)      => gs.length
+      case _                    => 1
+    }))
+    g1[java.lang.Integer]("st_dimension")(g => java.lang.Integer.valueOf(g match {
+      case _: GPoint | _: GMultiPoint           => 0
+      case _: GLineString | _: GMultiLineString => 1
+      case _: GPolygon | _: GMultiPolygon       => 2
+      case GCollection(gs)                      => if (gs.isEmpty) 0 else gs.map {
+        case _: GPoint | _: GMultiPoint => 0
+        case _: GLineString | _: GMultiLineString => 1
+        case _ => 2
+      }.max
+    }))
+    u.register("st_coorddim", (wkt: String) => if (wkt == null) null else { parse(wkt); java.lang.Integer.valueOf(2) })
+
+    g1[String]("st_startpoint") {
+      case GLineString(ps) if ps.nonEmpty => print(GPoint(Some(ps.head)))
+      case GLineString(_) => null
+      case other => invalid(s"ST_StartPoint applies to a LineString. Input type is: ${typeName(other)}")
+    }
+    g1[String]("st_endpoint") {
+      case GLineString(ps) if ps.nonEmpty => print(GPoint(Some(ps.last)))
+      case GLineString(_) => null
+      case other => invalid(s"ST_EndPoint applies to a LineString. Input type is: ${typeName(other)}")
+    }
+    u.register("st_pointn", (wkt: String, n: Int) => if (wkt == null) null else parse(wkt) match {
+      case GLineString(ps) => if (n >= 1 && n <= ps.length) print(GPoint(Some(ps(n - 1)))) else null
+      case other => invalid(s"ST_PointN applies to a LineString. Input type is: ${typeName(other)}")
+    })
+    u.register("st_geometryn", (wkt: String, n: Int) => if (wkt == null) null else {
+      val g = parse(wkt)
+      val parts: Vector[Geom] = g match {
+        case GMultiPoint(ps)      => ps.map(p => GPoint(Some(p)))
+        case GMultiLineString(ls) => ls.map(GLineString)
+        case GMultiPolygon(ps)    => ps.map(GPolygon)
+        case GCollection(gs)      => gs
+        case single               => Vector(single)
+      }
+      if (n >= 1 && n <= parts.length) print(parts(n - 1)) else null
+    })
+    g1[String]("st_envelope")(g => envelope(g) match {
+      case None => "POLYGON EMPTY"
+      case Some((x0, y0, x1, y1)) =>
+        if (x0 == x1 && y0 == y1) print(GPoint(Some(Pt(x0, y0))))
+        else if (x0 == x1 || y0 == y1) print(GLineString(Vector(Pt(x0, y0), Pt(x1, y1))))
+        else print(GPolygon(Vector(Vector(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1), Pt(x0, y0)))))
+    })
+    g1[String]("st_boundary") {
+      case _: GPoint | _: GMultiPoint => "GEOMETRYCOLLECTION EMPTY"
+      case GLineString(ps) =>
+        if (ps.isEmpty || ps.head == ps.last) "MULTIPOINT EMPTY"
+        else print(GMultiPoint(Vector(ps.head, ps.last)))
+      case GMultiLineString(ls) =>
+        val ends = ls.filter(ps => ps.nonEmpty && ps.head != ps.last).flatMap(ps => Vector(ps.head, ps.last))
+        if (ends.isEmpty) "MULTIPOINT EMPTY" else print(GMultiPoint(ends))
+      case GPolygon(rs) =>
+        if (rs.isEmpty) "MULTILINESTRING EMPTY"
+        else if (rs.length == 1) print(GLineString(rs.head))
+        else print(GMultiLineString(rs))
+      case GMultiPolygon(ps) =>
+        val rings = ps.flatten
+        if (rings.isEmpty) "MULTILINESTRING EMPTY" else print(GMultiLineString(rings))
+      case GCollection(_) => invalid("ST_Boundary does not apply to GeometryCollection under the WKT narrowing")
+    }
+    g1[String]("st_exteriorring") {
+      case GPolygon(rs) if rs.nonEmpty => print(GLineString(rs.head))
+      case GPolygon(_) => null
+      case other => invalid(s"ST_ExteriorRing applies to a Polygon. Input type is: ${typeName(other)}")
+    }
+    g1[java.lang.Integer]("st_numinteriorring") {
+      case GPolygon(rs) => java.lang.Integer.valueOf(Math.max(0, rs.length - 1))
+      case other => invalid(s"ST_NumInteriorRing applies to a Polygon. Input type is: ${typeName(other)}")
+    }
+    u.register("st_interiorringn", (wkt: String, n: Int) => if (wkt == null) null else parse(wkt) match {
+      case GPolygon(rs) => if (n >= 1 && n < rs.length) print(GLineString(rs(n))) else null
+      case other => invalid(s"ST_InteriorRingN applies to a Polygon. Input type is: ${typeName(other)}")
+    })
+
+    g2[java.lang.Double]("st_distance")((a, b) => distance(a, b) match {
+      case Some(d) => java.lang.Double.valueOf(d)
+      case None    => null
+    })
+    g2[java.lang.Boolean]("st_intersects")((a, b) => intersects(a, b) match {
+      case Some(v) => java.lang.Boolean.valueOf(v)
+      case None    => null
+    })
+    g2[java.lang.Boolean]("st_disjoint")((a, b) => intersects(a, b) match {
+      case Some(v) => java.lang.Boolean.valueOf(!v)
+      case None    => null
+    })
+    g2[java.lang.Boolean]("st_contains")((a, b) => contains(a, b) match {
+      case Some(v) => java.lang.Boolean.valueOf(v)
+      case None    => null
+    })
+    g2[java.lang.Boolean]("st_within")((a, b) => contains(b, a) match {
+      case Some(v) => java.lang.Boolean.valueOf(v)
+      case None    => null
+    })
+
+    g1[String]("st_convexhull")(g => print(convexHull(g)))
+    u.register("simplify_geometry", (wkt: String, tol: Double) =>
+      if (wkt == null) null else print(simplify(parse(wkt), tol)))
+    g2[java.lang.Double]("line_locate_point")((l, p) => lineLocatePoint(l, p) match {
+      case Some(f) => java.lang.Double.valueOf(f)
+      case None    => null
+    })
+    u.register("line_interpolate_point", (wkt: String, f: Double) =>
+      if (wkt == null) null else print(lineInterpolatePoint(parse(wkt), f)))
+
+    u.register("great_circle_distance",
+      (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+        greatCircleDistance(lat1, lon1, lat2, lon2))
+
+    u.register("bing_tile", (x: Int, y: Int, zoom: Int) => tileToQuadKey(x, y, zoom))
+    u.register("bing_tile_at", (lat: Double, lon: Double, zoom: Int) => {
+      val (x, y) = latLonToTile(lat, lon, zoom)
+      tileToQuadKey(x, y, zoom)
+    })
+    u.register("bing_tile_quadkey", (q: String) => if (q == null) null else { quadKeyToTile(q); q })
+    u.register("bing_tile_zoom_level", (q: String) =>
+      if (q == null) null else java.lang.Integer.valueOf(quadKeyToTile(q)._3))
+    u.register("bing_tile_coordinates", (q: String) =>
+      if (q == null) null else { val (x, y, _) = quadKeyToTile(q); (x, y) })
+    u.register("bing_tile_polygon", (q: String) => if (q == null) null else tilePolygon(q))
+    u.register("geometry_to_bing_tiles", (wkt: String, zoom: Int) =>
+      if (wkt == null) null.asInstanceOf[Seq[String]]
+      else geometryToBingTiles(parse(wkt), zoom))
+    u.register("bing_tiles_around", (lat: Double, lon: Double, zoom: Int) => {
+      val (tx, ty) = latLonToTile(lat, lon, zoom)
+      val max = (1 << zoom) - 1
+      for {
+        i <- Seq(-1, 0, 1); j <- Seq(-1, 0, 1)
+        x = tx + i; y = ty + j
+        if x >= 0 && x <= max && y >= 0 && y <= max
+      } yield tileToQuadKey(x, y, zoom)
+    })
+  }
+}

@@ -1,0 +1,250 @@
+package graft.suites
+
+import graft.{Engine, Qdef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial corpus (reference: presto-geospatial/.../GeoFunctions.java,
+  * BingTileFunctions.java; spherical distance presto-geospatial-toolkit/
+  * .../SphericalGeographyUtils.java; spatial join operator/
+  * SpatialJoinOperator.java). The fixtures carry no coordinates, so every
+  * entry derives deterministic integer coordinates from table keys IN THE
+  * QUERY — identically on the Spark and DuckDB sides. Integer coordinates
+  * keep the geometric classifications exact (cross products and squared
+  * distances are integer-valued doubles), so boundary cases can't flip on
+  * floating-point noise between engines; only genuinely continuous
+  * outputs (distances, Mercator tiles) are compared as doubles.
+  *
+  * DuckDB has no spatial extension here, so each oracle re-derives the
+  * geometry math in plain SQL: point distance as sqrt of squares, the
+  * diamond polygon's containment as an L1-ball test, the parallelogram's
+  * area in closed form, Bing tiles from the published pixel formulas.
+  * That makes these oracles INDEPENDENT derivations, not mirrors of the
+  * implementation.
+  */
+object Geo {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[Qdef] = Seq(
+
+    // Point constructors/accessors + Euclidean distance over key-derived
+    // supplier coordinates. WKT text is asserted byte-for-byte (the
+    // canonical integer rendering), the distance as a double.
+    Qdef(
+      "geo01_point_scalars",
+      """SELECT s_suppkey,
+        |  'POINT (' || CAST((s_suppkey * 7) % 100 AS VARCHAR) || ' ' ||
+        |    CAST((s_suppkey * 13) % 100 AS VARCHAR) || ')' AS wkt,
+        |  CAST((s_suppkey * 7) % 100 AS DOUBLE) AS px,
+        |  CAST((s_suppkey * 13) % 100 AS DOUBLE) AS py,
+        |  sqrt(power((s_suppkey * 7) % 100 - 50.0, 2)
+        |     + power((s_suppkey * 13) % 100 - 50.0, 2)) AS dist_c
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      t(s, dir, "supplier")
+        .selectExpr(
+          "s_suppkey",
+          "st_astext(st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100)) AS wkt",
+          "st_x(st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100)) AS px",
+          "st_y(st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100)) AS py",
+          "st_distance(st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100), st_point(50, 50)) AS dist_c")
+        .orderBy("s_suppkey")
+    },
+
+    // Ray-cast point-in-polygon vs the diamond |x-50|+|y-50| ≤ 50, whose
+    // containment has a closed form the oracle derives independently.
+    // Distinguishes OGC Contains (interior only — boundary points are NOT
+    // contained) from Intersects (closure) on exact integer boundaries.
+    Qdef(
+      "geo02_polygon_contains",
+      """SELECT
+        |  count(*) FILTER (WHERE abs((c_custkey * 3) % 101 - 50)
+        |    + abs((c_custkey * 11) % 101 - 50) < 50) AS n_interior,
+        |  count(*) FILTER (WHERE abs((c_custkey * 3) % 101 - 50)
+        |    + abs((c_custkey * 11) % 101 - 50) = 50) AS n_boundary,
+        |  count(*) FILTER (WHERE abs((c_custkey * 3) % 101 - 50)
+        |    + abs((c_custkey * 11) % 101 - 50) > 50) AS n_outside
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      val diamond = "POLYGON ((50 0, 100 50, 50 100, 0 50, 50 0))"
+      t(s, dir, "customer")
+        .selectExpr(
+          s"st_contains('$diamond', st_point((c_custkey * 3) % 101, (c_custkey * 11) % 101)) AS inside",
+          s"st_intersects('$diamond', st_point((c_custkey * 3) % 101, (c_custkey * 11) % 101)) AS touching")
+        .agg(
+          count(when(col("inside"), 1)).as("n_interior"),
+          count(when(!col("inside") && col("touching"), 1)).as("n_boundary"),
+          count(when(!col("touching"), 1)).as("n_outside"))
+    },
+
+    // Measures over a per-nation parallelogram (0 0, w 0, w+sh h, sh h):
+    // shoelace area, area-weighted centroid, envelope, plus ST_Length of
+    // its first two edges as a linestring — each with a closed-form
+    // oracle.
+    Qdef(
+      "geo03_polygon_measures",
+      """SELECT n_nationkey,
+        |  CAST((10 + n_nationkey) * (5 + n_nationkey % 7) AS DOUBLE) AS area,
+        |  CAST((10 + n_nationkey + n_nationkey % 5) / 2.0 AS DOUBLE) AS cx,
+        |  CAST((5 + n_nationkey % 7) / 2.0 AS DOUBLE) AS cy,
+        |  CAST(10 + n_nationkey + n_nationkey % 5 AS DOUBLE) AS xmax,
+        |  (10 + n_nationkey)
+        |    + sqrt(power(n_nationkey % 5, 2) + power(n_nationkey % 7 + 5, 2)) AS border_len
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      t(s, dir, "nation")
+        .selectExpr(
+          "n_nationkey",
+          "10 + n_nationkey AS w", "5 + n_nationkey % 7 AS h", "n_nationkey % 5 AS sh")
+        .selectExpr(
+          "n_nationkey",
+          """concat('POLYGON ((0 0, ', w, ' 0, ', w + sh, ' ', h, ', ', sh, ' ', h, ', 0 0))')
+            |  AS poly""".stripMargin,
+          "concat('LINESTRING (0 0, ', w, ' 0, ', w + sh, ' ', h, ')') AS border")
+        .selectExpr(
+          "n_nationkey",
+          "st_area(poly) AS area",
+          "st_x(st_centroid(poly)) AS cx",
+          "st_y(st_centroid(poly)) AS cy",
+          "st_xmax(poly) AS xmax",
+          "st_length(border) AS border_len")
+        .orderBy("n_nationkey")
+    },
+
+    // Grid-partitioned distance join (ops/SpatialJoin.distanceWithin):
+    // supplier × customer point pairs within radius 5, verified against a
+    // plain theta-join oracle. The squared distance is reported as an
+    // exact BIGINT so the pair set and the measure are float-proof; the
+    // Spark plan is an EQUI-join on packed grid cells (PlanSpec pins no
+    // cartesian/BNLJ), never the oracle's all-pairs comparison.
+    Qdef(
+      "geo04_distance_join",
+      """SELECT s_suppkey, c_custkey,
+        |  CAST(power((s_suppkey * 7) % 100 - (c_custkey * 3) % 101, 2)
+        |     + power((s_suppkey * 13) % 100 - (c_custkey * 11) % 101, 2) AS BIGINT) AS dist2
+        |FROM supplier, customer
+        |WHERE power((s_suppkey * 7) % 100 - (c_custkey * 3) % 101, 2)
+        |    + power((s_suppkey * 13) % 100 - (c_custkey * 11) % 101, 2) <= 25
+        |ORDER BY s_suppkey, c_custkey""".stripMargin) { (s, dir) =>
+      val sup = t(s, dir, "supplier").selectExpr(
+        "s_suppkey",
+        "CAST((s_suppkey * 7) % 100 AS DOUBLE) AS sx",
+        "CAST((s_suppkey * 13) % 100 AS DOUBLE) AS sy")
+      val cust = t(s, dir, "customer").selectExpr(
+        "c_custkey",
+        "CAST((c_custkey * 3) % 101 AS DOUBLE) AS cx",
+        "CAST((c_custkey * 11) % 101 AS DOUBLE) AS cy")
+      graft.ops.SpatialJoin.distanceWithin(sup, "sx", "sy", cust, "cx", "cy", 5.0)
+        .selectExpr(
+          "s_suppkey", "c_custkey",
+          "CAST((sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS BIGINT) AS dist2")
+        .orderBy("s_suppkey", "c_custkey")
+    },
+
+    // Grid-partitioned containment join (ops/SpatialJoin.containsJoin):
+    // per-nation axis-aligned rectangles against customer points; OGC
+    // Contains keeps the open interior only, which the oracle states as
+    // strict inequalities on the integer coordinates.
+    Qdef(
+      "geo05_contains_join",
+      """SELECT n_nationkey, count(*) AS n_points
+        |FROM nation
+        |JOIN customer
+        |  ON (c_custkey * 3) % 101 > (n_nationkey * 7) % 50
+        | AND (c_custkey * 3) % 101 < (n_nationkey * 7) % 50 + 12
+        | AND (c_custkey * 11) % 101 > (n_nationkey * 11) % 50
+        | AND (c_custkey * 11) % 101 < (n_nationkey * 11) % 50 + 9
+        |GROUP BY n_nationkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      val rects = t(s, dir, "nation").selectExpr(
+        "n_nationkey",
+        """concat('POLYGON ((',
+          |  (n_nationkey * 7) % 50, ' ', (n_nationkey * 11) % 50, ', ',
+          |  (n_nationkey * 7) % 50 + 12, ' ', (n_nationkey * 11) % 50, ', ',
+          |  (n_nationkey * 7) % 50 + 12, ' ', (n_nationkey * 11) % 50 + 9, ', ',
+          |  (n_nationkey * 7) % 50, ' ', (n_nationkey * 11) % 50 + 9, ', ',
+          |  (n_nationkey * 7) % 50, ' ', (n_nationkey * 11) % 50, '))')
+          |AS rect""".stripMargin)
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey",
+        "CAST((c_custkey * 3) % 101 AS DOUBLE) AS px",
+        "CAST((c_custkey * 11) % 101 AS DOUBLE) AS py")
+      graft.ops.SpatialJoin.containsJoin(rects, "rect", pts, "px", "py", cellSize = 10.0)
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("n_nationkey")
+    },
+
+    // Bing tiles at zoom 6 over key-derived lat/lon (the +0.3 fraction
+    // keeps every point ≥ 0.05° from any tile edge, so the JVM's and
+    // DuckDB's last-ulp ln/sin differences can't flip a tile). The oracle
+    // re-derives tile X/Y from the published Bing pixel formulas and the
+    // quadkey digit-by-digit.
+    Qdef(
+      "geo06_bing_tiles",
+      """WITH pts AS (
+        |  SELECT p_partkey,
+        |    (p_partkey * 13) % 120 - 60 + 0.3 AS lat,
+        |    (p_partkey * 29) % 360 - 180 + 0.3 AS lon
+        |  FROM part),
+        |txy AS (
+        |  SELECT p_partkey,
+        |    CAST(floor((lon + 180) / 360 * 64) AS INT) AS tx,
+        |    CAST(floor((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat))))
+        |      / (4 * pi())) * 64) AS INT) AS ty
+        |  FROM pts)
+        |SELECT p_partkey, tx, ty,
+        |  CAST(CAST(floor(tx / 32.0) AS INT) % 2 + 2 * (CAST(floor(ty / 32.0) AS INT) % 2) AS VARCHAR)
+        |  || CAST(CAST(floor(tx / 16.0) AS INT) % 2 + 2 * (CAST(floor(ty / 16.0) AS INT) % 2) AS VARCHAR)
+        |  || CAST(CAST(floor(tx / 8.0) AS INT) % 2 + 2 * (CAST(floor(ty / 8.0) AS INT) % 2) AS VARCHAR)
+        |  || CAST(CAST(floor(tx / 4.0) AS INT) % 2 + 2 * (CAST(floor(ty / 4.0) AS INT) % 2) AS VARCHAR)
+        |  || CAST(CAST(floor(tx / 2.0) AS INT) % 2 + 2 * (CAST(floor(ty / 2.0) AS INT) % 2) AS VARCHAR)
+        |  || CAST(tx % 2 + 2 * (ty % 2) AS VARCHAR) AS quadkey
+        |FROM txy
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      t(s, dir, "part")
+        .selectExpr(
+          "p_partkey",
+          "(p_partkey * 13) % 120 - 60 + 0.3 AS lat",
+          "(p_partkey * 29) % 360 - 180 + 0.3 AS lon")
+        .selectExpr(
+          "p_partkey",
+          "bing_tile_coordinates(bing_tile_at(lat, lon, 6))._1 AS tx",
+          "bing_tile_coordinates(bing_tile_at(lat, lon, 6))._2 AS ty",
+          "bing_tile_at(lat, lon, 6) AS quadkey")
+        .orderBy("p_partkey")
+    },
+
+    // Spherical distance to a fixed point (reference
+    // SphericalGeographyUtils.java:82-108 — spherical Vincenty,
+    // R = 6371.01 km); the oracle restates the formula in SQL.
+    Qdef(
+      "geo07_great_circle",
+      """SELECT p_partkey,
+        |  6371.01 * atan2(
+        |    sqrt(power(cos(radians(40.7)) * sin(radians((p_partkey * 29) % 360 - 180 + 0.3) - radians(-74.0)), 2)
+        |       + power(cos(radians((p_partkey * 13) % 120 - 60 + 0.3)) * sin(radians(40.7))
+        |           - sin(radians((p_partkey * 13) % 120 - 60 + 0.3)) * cos(radians(40.7))
+        |             * cos(radians((p_partkey * 29) % 360 - 180 + 0.3) - radians(-74.0)), 2)),
+        |    sin(radians((p_partkey * 13) % 120 - 60 + 0.3)) * sin(radians(40.7))
+        |      + cos(radians((p_partkey * 13) % 120 - 60 + 0.3)) * cos(radians(40.7))
+        |        * cos(radians((p_partkey * 29) % 360 - 180 + 0.3) - radians(-74.0))) AS km
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      t(s, dir, "part")
+        .selectExpr(
+          "p_partkey",
+          """great_circle_distance(
+            |  (p_partkey * 13) % 120 - 60 + 0.3,
+            |  (p_partkey * 29) % 360 - 180 + 0.3,
+            |  40.7, -74.0) AS km""".stripMargin)
+        .orderBy("p_partkey")
+    })
+}

@@ -1,0 +1,211 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the geometry core (reference semantics:
+  * presto-geospatial/.../GeoFunctions.java) — parser/printer round trips,
+  * exact boundary classification, measures, hull, simplification, Bing
+  * tiles, spherical distance — plus SQL-level checks through the
+  * registered functions and the grid spatial joins.
+  */
+class GeoSpec extends AnyFunSuite {
+
+  private def p(wkt: String): Geom = GeoFunctions.parse(wkt)
+
+  test("WKT round trips canonically") {
+    val cases = Seq(
+      "POINT (1 2)",
+      "POINT (-1.5 2.25)",
+      "POINT EMPTY",
+      "MULTIPOINT (1 2, 3 4)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "GEOMETRYCOLLECTION EMPTY")
+    for (w <- cases) assert(GeoFunctions.print(p(w)) === w, w)
+  }
+
+  test("WKT parser tolerates whitespace, case, unclosed rings, nested multipoint parens") {
+    assert(GeoFunctions.print(p("point( 3  4 )")) === "POINT (3 4)")
+    assert(GeoFunctions.print(p("MULTIPOINT ((1 2), (3 4))")) === "MULTIPOINT (1 2, 3 4)")
+    // an unclosed ring closes on parse (the reference's reader does the same)
+    assert(GeoFunctions.print(p("POLYGON ((0 0, 4 0, 4 4, 0 4))")) ===
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    intercept[IllegalArgumentException](p("POINT (1)"))
+    intercept[IllegalArgumentException](p("TRIANGLE (0 0, 1 1, 2 2)"))
+    intercept[IllegalArgumentException](p("POINT (1 2) extra"))
+  }
+
+  test("area: shoelace with holes; length; centroid") {
+    assert(area(p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")) === 100.0)
+    assert(area(p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")) === 96.0)
+    assert(area(p("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))")) === 5.0)
+    assert(area(p("LINESTRING (0 0, 5 5)")) === 0.0)
+    assert(length(p("LINESTRING (0 0, 3 4, 3 10)")) === 11.0)
+    intercept[IllegalArgumentException](length(p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))
+    assert(centroid(p("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")) === Some(Pt(2.0, 1.0)))
+    assert(centroid(p("MULTIPOINT (0 0, 2 0, 2 2, 0 2)")) === Some(Pt(1.0, 1.0)))
+    assert(centroid(p("LINESTRING (0 0, 0 4)")) === Some(Pt(0.0, 2.0)))
+  }
+
+  test("contains: interior true, boundary false, hole excluded; intersects keeps closure") {
+    val square = p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    def pt(x: Double, y: Double) = GPoint(Some(Pt(x, y)))
+    assert(contains(square, pt(5, 5)) === Some(true))
+    assert(contains(square, pt(10, 5)) === Some(false)) // on boundary: NOT contained
+    assert(contains(square, pt(11, 5)) === Some(false))
+    assert(intersects(square, pt(10, 5)) === Some(true)) // boundary IS intersecting
+    val holey = p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(contains(holey, pt(5, 5)) === Some(false)) // inside the hole
+    assert(contains(holey, pt(2, 2)) === Some(true))
+    // multipoint: all in closure, at least one interior
+    assert(contains(square, p("MULTIPOINT (5 5, 10 5)")) === Some(true))
+    assert(contains(square, p("MULTIPOINT (10 5, 0 5)")) === Some(false)) // all boundary
+    assert(contains(square, p("MULTIPOINT (5 5, 11 5)")) === Some(false))
+    intercept[IllegalArgumentException](contains(p("LINESTRING (0 0, 1 1)"), pt(0, 0)))
+  }
+
+  test("distance: point/segment/polygon combinations") {
+    val square = p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(distance(p("POINT (13 14)"), p("POINT (10 10)")) === Some(5.0))
+    assert(distance(square, p("POINT (5 5)")) === Some(0.0)) // interior
+    assert(distance(square, p("POINT (13 14)")) === Some(5.0)) // to the corner
+    assert(distance(square, p("POINT (15 5)")) === Some(5.0)) // to the edge
+    assert(distance(p("LINESTRING (0 0, 10 0)"), p("LINESTRING (5 3, 5 13)")) === Some(3.0))
+    assert(distance(p("LINESTRING (0 0, 10 10)"), p("LINESTRING (0 10, 10 0)")) === Some(0.0))
+    // polygon fully inside polygon (no edge crossings) is distance 0
+    assert(distance(square, p("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")) === Some(0.0))
+    assert(distance(p("POINT EMPTY"), p("POINT (1 1)")) === None)
+  }
+
+  test("convex hull, simplify, line locate/interpolate") {
+    assert(GeoFunctions.print(convexHull(p("MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2, 1 3)"))) ===
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(GeoFunctions.print(convexHull(p("MULTIPOINT (0 0, 1 1, 2 2)"))) ===
+      "LINESTRING (0 0, 2 2)")
+    assert(GeoFunctions.print(simplify(p("LINESTRING (0 0, 1 0.01, 2 0, 3 2, 4 0)"), 0.1)) ===
+      "LINESTRING (0 0, 2 0, 3 2, 4 0)")
+    assert(lineLocatePoint(p("LINESTRING (0 0, 10 0)"), p("POINT (3 5)")) === Some(0.3))
+    assert(GeoFunctions.print(lineInterpolatePoint(p("LINESTRING (0 0, 10 0)"), 0.25)) ===
+      "POINT (2.5 0)")
+    intercept[IllegalArgumentException](lineInterpolatePoint(p("LINESTRING (0 0, 10 0)"), 1.5))
+  }
+
+  test("validity: self-intersection and degenerate rings are invalid") {
+    assert(invalidReason(p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")) === None)
+    // bow-tie
+    assert(invalidReason(p("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")).isDefined)
+    assert(invalidReason(p("POLYGON ((0 0, 5 0, 10 0, 0 0))")).isDefined) // zero area
+  }
+
+  test("bing tiles: quadkey round trip, containment, envelope") {
+    assert(tileToQuadKey(3, 5, 3) === "213")
+    assert(quadKeyToTile("213") === ((3, 5, 3)))
+    assert(tileToQuadKey(0, 0, 1) === "0")
+    intercept[IllegalArgumentException](tileToQuadKey(8, 0, 3)) // x out of range
+    intercept[IllegalArgumentException](quadKeyToTile("0142")) // bad digit
+    // a point maps into the tile whose polygon contains it
+    val (tx, ty) = latLonToTile(47.6, -122.3, 10)
+    val tile = tileToQuadKey(tx, ty, 10)
+    val poly = GeoFunctions.parse(tilePolygon(tile))
+    assert(contains(poly, GPoint(Some(Pt(-122.3, 47.6)))) === Some(true))
+    // zoom-0 tile covers the whole clipped world
+    assert(tilePolygon("").startsWith("POLYGON ((-180"))
+  }
+
+  test("geometry_to_bing_tiles covers exactly the intersecting tiles") {
+    // a point yields its single containing tile
+    val ptTiles = geometryToBingTiles(p("POINT (-122.3 47.6)"), 10)
+    val (tx, ty) = latLonToTile(47.6, -122.3, 10)
+    assert(ptTiles === Seq(tileToQuadKey(tx, ty, 10)))
+    // a diagonal line across several tiles keeps only the touched ones:
+    // its envelope square at this zoom is larger than the tile set hit
+    val lineTiles = geometryToBingTiles(p("LINESTRING (0.1 0.1, 10 10)"), 6)
+    val boxTiles = geometryToBingTiles(p("POLYGON ((0.1 0.1, 10 0.1, 10 10, 0.1 10, 0.1 0.1))"), 6)
+    assert(lineTiles.nonEmpty && boxTiles.nonEmpty)
+    assert(lineTiles.toSet.subsetOf(boxTiles.toSet))
+    assert(lineTiles.size < boxTiles.size, s"diagonal must prune: $lineTiles vs $boxTiles")
+    // every returned tile really intersects the line
+    for (t <- lineTiles)
+      assert(intersects(GeoFunctions.parse(tilePolygon(t)), p("LINESTRING (0.1 0.1, 10 10)")) === Some(true))
+    intercept[IllegalArgumentException](
+      geometryToBingTiles(p("POLYGON ((-179 -60, 179 -60, 179 60, -179 60, -179 -60))"), 15))
+  }
+
+  test("great_circle_distance matches the spherical Vincenty formula") {
+    assert(greatCircleDistance(40, 70, 40, 70) === 0.0)
+    // NYC -> LA, known ~3936 km on the R=6371.01 sphere
+    val nycLa = greatCircleDistance(40.7128, -74.0060, 34.0522, -118.2437)
+    assert(Math.abs(nycLa - 3936) < 10, s"got $nycLa")
+    // symmetric
+    assert(greatCircleDistance(10, 20, 30, 40) === greatCircleDistance(30, 40, 10, 20))
+    intercept[IllegalArgumentException](greatCircleDistance(91, 0, 0, 0))
+  }
+
+  // ------------------------------------------------------------ SQL level
+
+  private val spark = TestSpark.spark
+
+  test("geospatial scalars through SQL") {
+    Engine.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT
+        |  st_astext(st_point(1, 2)) AS wkt,
+        |  st_geometrytype('LINESTRING (0 0, 1 1)') AS gt,
+        |  st_area('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS a,
+        |  st_contains('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (2 2)') AS c,
+        |  st_envelope('LINESTRING (1 1, 5 3)') AS env,
+        |  st_numpoints('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS np,
+        |  st_boundary('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS bd,
+        |  bing_tile_at(47.6, -122.3, 10) AS tile,
+        |  st_x(st_centroid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS ccx
+        |""".stripMargin).head()
+    assert(row.getString(0) === "POINT (1 2)")
+    assert(row.getString(1) === "ST_LineString")
+    assert(row.getDouble(2) === 16.0)
+    assert(row.getBoolean(3))
+    assert(row.getString(4) === "POLYGON ((1 1, 5 1, 5 3, 1 3, 1 1))")
+    assert(row.getInt(5) === 5)
+    assert(row.getString(6) === "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")
+    assert(row.getString(7).length === 10)
+    assert(row.getDouble(8) === 2.0)
+  }
+
+  test("null geometry inputs propagate NULL through the scalar surface") {
+    Engine.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT st_astext(CAST(NULL AS STRING)) AS a,
+        |       st_distance(CAST(NULL AS STRING), 'POINT (0 0)') AS b,
+        |       st_x('POINT EMPTY') AS c""".stripMargin).head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("distance join finds exactly the within-radius pairs, without a cartesian plan") {
+    import TestSpark.spark.implicits._
+    val left = Seq((1, 0.0, 0.0), (2, 100.0, 100.0)).toDF("lid", "lx", "ly")
+    val right = Seq((10, 3.0, 4.0), (11, 5.01, 0.0), (12, 103.0, 96.0), (13, 0.0, 0.0))
+      .toDF("rid", "rx", "ry")
+    val joined = graft.ops.SpatialJoin.distanceWithin(left, "lx", "ly", right, "rx", "ry", 5.0)
+    val pairs = joined.select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(pairs === Set((1, 10), (1, 13), (2, 12)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(1500))
+  }
+
+  test("contains join refines grid candidates with exact containment") {
+    import TestSpark.spark.implicits._
+    val polys = Seq(
+      (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      (2, "POLYGON ((20 20, 30 20, 25 30, 20 20))")).toDF("pid", "poly")
+    val pts = Seq((100, 5.0, 5.0), (101, 10.0, 5.0), (102, 25.0, 22.0), (103, 25.0, 35.0))
+      .toDF("ptid", "x", "y")
+    val joined = graft.ops.SpatialJoin.containsJoin(polys, "poly", pts, "x", "y", cellSize = 8.0)
+    val pairs = joined.select("pid", "ptid").as[(Int, Int)].collect().toSet
+    // 101 is on polygon 1's boundary — OGC Contains excludes it
+    assert(pairs === Set((1, 100), (2, 102)))
+  }
+}

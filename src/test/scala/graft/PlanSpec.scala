@@ -372,4 +372,17 @@ class PlanSpec extends QueryAssertions {
     assert(!plan.contains("collect_list"),
       s"reduce_agg must not materialize groups:\n${plan.take(2000)}")
   }
+
+  test("geo04/geo05: grid spatial joins plan as equi joins, never cartesian") {
+    // the reference extracts these to SpatialJoinOperator with a
+    // broadcast R-tree (ExtractSpatialJoins.java); our partitioned-grid
+    // equivalent must hit a hash/merge EQUI join on the packed cell key,
+    // with the exact geometry predicate as a post-join filter only
+    for (name <- Seq("geo04_distance_join", "geo05_contains_join")) {
+      val plan = planOf(run(name))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name must not degrade to an all-pairs join:\n${plan.take(2000)}")
+      assert(plan.contains("__cell"), s"$name should join on the packed grid cell")
+    }
+  }
 }
