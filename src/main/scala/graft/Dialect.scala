@@ -55,6 +55,9 @@ object Dialect {
     "pow"                 -> "power",
     "is_nan"              -> "isnan",
     "levenshtein_distance" -> "levenshtein",
+    // Presto chr is a Unicode code-point constructor
+    // (StringFunctions.java:69); Spark's chr is ASCII mod 256.
+    "chr"                 -> "presto_chr",
     "fail"                -> "raise_error",
     // regexp_split: Presto's is regex-based like Spark's own split
     "regexp_split"        -> "split",

@@ -81,6 +81,8 @@ object Engine {
     graft.functions.ToJsonText.register(spark)
     graft.functions.Teradata.registerAll(spark)
     graft.functions.GeoFunctions.registerAll(spark)
+    graft.functions.MlFunctions.registerAll(spark)
+    graft.functions.I18nFunctions.registerAll(spark)
 
     // Presto's MySQL-'%'-token date dialect (reference: presto-main/.../
     // operator/scalar/DateTimeFunctions.java dateFormat/dateParse) —

@@ -136,6 +136,18 @@ object MiscExtras {
   private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
   def registerAll(spark: SparkSession): Unit = {
+    // Presto chr(n) is a Unicode CODE POINT constructor (reference:
+    // presto-main/.../operator/scalar/StringFunctions.java:69-77); Spark's
+    // built-in chr is ASCII-mod-256. Dialect aliases chr → presto_chr.
+    spark.udf.register("presto_chr",
+      (n: java.lang.Long) =>
+        if (n == null) null
+        else {
+          require(n >= 0 && n <= Character.MAX_CODE_POINT &&
+            !(n >= 0xD800L && n <= 0xDFFFL),
+            s"Not a valid Unicode code point: $n")
+          new String(Character.toChars(n.toInt))
+        })
     spark.udf.register("json_extract",
       (j: String, p: String) => jsonExtract(j, p).map(_.toString).orNull)
     spark.udf.register("is_json_scalar",
