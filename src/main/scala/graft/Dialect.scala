@@ -1441,6 +1441,32 @@ object Dialect {
   final case class ShowStatsStmt(target: String, isQuery: Boolean)
       extends PreparedOp
 
+  /** View DDL (reference grammar SqlBase.g4:64-71 createView/dropView/
+    * createMaterializedView/dropMaterializedView/refreshMaterializedView;
+    * SHOW CREATE [MATERIALIZED] VIEW at :108-109). Qualified names collapse
+    * to the last part (same KNOWN DIVERGENCE as CREATE FUNCTION — Spark
+    * temp views are single-part); SECURITY DEFINER/INVOKER and COMMENT are
+    * accepted and dropped (no principal/metadata model here). */
+  final case class CreateViewStmt(name: String, body: String, orReplace: Boolean)
+      extends PreparedOp
+  final case class DropViewStmt(name: String, ifExists: Boolean) extends PreparedOp
+  final case class ShowCreateViewStmt(name: String) extends PreparedOp
+  final case class CreateMatViewStmt(
+      name: String, ifNotExists: Boolean, partitionedBy: Seq[String],
+      body: String) extends PreparedOp
+  final case class DropMatViewStmt(name: String, ifExists: Boolean)
+      extends PreparedOp
+  final case class RefreshMatViewStmt(name: String, predicate: String)
+      extends PreparedOp
+  final case class ShowCreateMatViewStmt(name: String) extends PreparedOp
+
+  /** ANALYZE table [WITH (props)] (reference: SqlBase.g4:60; docs
+    * sql/analyze.rst — collects table+column statistics and persists them;
+    * subsequent SHOW STATS serves the stored values). The WITH properties
+    * are connector-specific (Hive partitions lists); parquet fixtures are
+    * unpartitioned, so properties are accepted and ignored. */
+  final case class AnalyzeStmt(table: String) extends PreparedOp
+
   private val PrepareRe =
     "(?is)^\\s*prepare\\s+([a-z_][a-z0-9_]*)\\s+from\\s+(.+?)[;\\s]*$".r
   private val ExecuteUsingRe =
@@ -1456,6 +1482,40 @@ object Dialect {
     "(?is)^\\s*show\\s+stats\\s+for\\s+([a-z_][a-z0-9_.]*)[;\\s]*$".r
   private val ShowStatsQueryRe =
     "(?is)^\\s*show\\s+stats\\s+for\\s*\\((.+)\\)[;\\s]*$".r
+  private val CreateViewRe =
+    ("(?is)^\\s*create\\s+(or\\s+replace\\s+)?view\\s+([a-z_][\\w.]*)\\s+" +
+      "(?:security\\s+(?:definer|invoker)\\s+)?as\\s+(.+?)[;\\s]*$").r
+  private val DropViewRe =
+    "(?is)^\\s*drop\\s+view\\s+(if\\s+exists\\s+)?([a-z_][\\w.]*)[;\\s]*$".r
+  private val ShowCreateViewRe =
+    "(?is)^\\s*show\\s+create\\s+view\\s+([a-z_][\\w.]*)[;\\s]*$".r
+  private val CreateMatViewRe =
+    ("(?is)^\\s*create\\s+materialized\\s+view\\s+(if\\s+not\\s+exists\\s+)?" +
+      "([a-z_][\\w.]*)\\s*(?:comment\\s+'[^']*'\\s*)?" +
+      "(?:with\\s*\\((.*?)\\)\\s*)?as\\s+(.+?)[;\\s]*$").r
+  private val DropMatViewRe =
+    ("(?is)^\\s*drop\\s+materialized\\s+view\\s+(if\\s+exists\\s+)?" +
+      "([a-z_][\\w.]*)[;\\s]*$").r
+  private val RefreshMatViewRe =
+    ("(?is)^\\s*refresh\\s+materialized\\s+view\\s+([a-z_][\\w.]*)\\s+" +
+      "where\\s+(.+?)[;\\s]*$").r
+  private val ShowCreateMatViewRe =
+    "(?is)^\\s*show\\s+create\\s+materialized\\s+view\\s+([a-z_][\\w.]*)[;\\s]*$".r
+  private val AnalyzeRe =
+    "(?is)^\\s*analyze\\s+([a-z_][\\w.]*)\\s*(?:with\\s*\\(.*?\\)\\s*)?[;\\s]*$".r
+
+  /** partitioned_by = ARRAY['c1','c2'] out of a CREATE MATERIALIZED VIEW
+    * WITH properties list (reference MV property; other properties are
+    * accepted and ignored — storage is always the session parquet dir). */
+  private def partitionedByOf(props: String): Seq[String] =
+    "(?is)partitioned_by\\s*=\\s*array\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(props)
+      .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  private def lastPart(name: String): String =
+    name.substring(name.lastIndexOf('.') + 1).toLowerCase
 
   def classifyPrepared(q: String): Option[PreparedOp] = q match {
     case PrepareRe(name, body) => Some(PrepareStmt(name.toLowerCase, body))
@@ -1467,6 +1527,19 @@ object Dialect {
     case DescribeOutputRe(name) => Some(DescribeOutputStmt(name.toLowerCase))
     case ShowStatsTableRe(t) => Some(ShowStatsStmt(t.toLowerCase, isQuery = false))
     case ShowStatsQueryRe(inner) => Some(ShowStatsStmt(inner, isQuery = true))
+    case CreateMatViewRe(ine, name, props, body) =>
+      Some(CreateMatViewStmt(lastPart(name), ine != null,
+        partitionedByOf(if (props == null) "" else props), body))
+    case DropMatViewRe(ifex, name) =>
+      Some(DropMatViewStmt(lastPart(name), ifex != null))
+    case RefreshMatViewRe(name, pred) =>
+      Some(RefreshMatViewStmt(lastPart(name), pred))
+    case ShowCreateMatViewRe(name) => Some(ShowCreateMatViewStmt(lastPart(name)))
+    case AnalyzeRe(name) => Some(AnalyzeStmt(lastPart(name)))
+    case CreateViewRe(orRepl, name, body) =>
+      Some(CreateViewStmt(lastPart(name), body, orRepl != null))
+    case DropViewRe(ifex, name) => Some(DropViewStmt(lastPart(name), ifex != null))
+    case ShowCreateViewRe(name) => Some(ShowCreateViewStmt(lastPart(name)))
     case _ => None
   }
 

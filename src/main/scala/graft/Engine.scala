@@ -232,12 +232,123 @@ object Engine {
         spark.sql(rows.mkString("SELECT * FROM VALUES ", ", ",
           " AS t(`Column Name`, `Catalog`, `Schema`, `Table`, `Type`, `Type Size`, `Aliased`)"))
       case Some(Dialect.ShowStatsStmt(target, isQuery)) =>
-        val df =
-          if (isQuery) spark.sql(translate(target)) else spark.table(target)
-        showStats(spark, df)
+        // ANALYZE-persisted stats serve table targets (reference contract:
+        // SHOW STATS surfaces the connector's STORED statistics); without a
+        // prior ANALYZE the stats are computed on demand (divergence
+        // documented on showStats).
+        statsFor(spark).get(target) match {
+          case Some(rows) if !isQuery =>
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+              statsSchema)
+          case _ =>
+            val df =
+              if (isQuery) spark.sql(translate(target)) else spark.table(target)
+            showStats(spark, df)
+        }
+      case Some(Dialect.AnalyzeStmt(table)) =>
+        // reference: docs sql/analyze.rst — one distributed stats pass,
+        // result persisted for the session; returns the analyzed row count
+        // (the reference's single "rows" output column).
+        val rows = showStats(spark, spark.table(table)).collect().toSeq
+        statsFor(spark).put(table, rows)
+        val total = rows.last.getAs[java.lang.Double]("row_count")
+        spark.sql(s"SELECT CAST(${total.toLong} AS BIGINT) AS rows")
+      case Some(Dialect.CreateViewStmt(name, body, orReplace)) =>
+        // reference: execution/CreateViewTask.java — plain view DDL. The
+        // defining text is stored verbatim for SHOW CREATE VIEW; the Spark
+        // temp view holds the TRANSLATED query.
+        require(orReplace || !viewsFor(spark).contains(name),
+          s"View already exists: $name")
+        spark.sql(translate(body)).createOrReplaceTempView(name)
+        viewsFor(spark).put(name, s"CREATE VIEW $name AS $body")
+        spark.sql(s"SELECT 'CREATE VIEW' AS result, '$name' AS view")
+      case Some(Dialect.DropViewStmt(name, ifExists)) =>
+        viewsFor(spark).remove(name) match {
+          case Some(_) => spark.catalog.dropTempView(name)
+          case None => require(ifExists, s"View '$name' does not exist")
+        }
+        spark.sql(s"SELECT 'DROP VIEW' AS result, '$name' AS view")
+      case Some(Dialect.ShowCreateViewStmt(name)) =>
+        val text = viewsFor(spark).getOrElse(name,
+          throw new IllegalArgumentException(s"View '$name' does not exist"))
+        spark.sql(s"SELECT '${text.replace("'", "''")}' AS `Create View`")
+      case Some(Dialect.CreateMatViewStmt(name, ifNotExists, partBy, body)) =>
+        if (matViewsFor(spark).contains(name)) {
+          require(ifNotExists, s"Materialized view already exists: $name")
+          spark.sql(s"SELECT 'CREATE MATERIALIZED VIEW' AS result, '$name' AS view")
+        } else {
+          val mv = graft.plans.Views.MatView(
+            name, body, s"CREATE MATERIALIZED VIEW $name AS $body",
+            mvRoot(spark) + "/" + name, partBy)
+          val res = graft.plans.Views.create(spark, mv, translate(body))
+          matViewsFor(spark).put(name, mv)
+          res
+        }
+      case Some(Dialect.DropMatViewStmt(name, ifExists)) =>
+        matViewsFor(spark).remove(name) match {
+          case Some(mv) => graft.plans.Views.drop(spark, mv)
+          case None => require(ifExists, s"Materialized view '$name' does not exist")
+        }
+        spark.sql(s"SELECT 'DROP MATERIALIZED VIEW' AS result, '$name' AS view")
+      case Some(Dialect.RefreshMatViewStmt(name, pred)) =>
+        val mv = matViewsFor(spark).getOrElse(name,
+          throw new IllegalArgumentException(
+            s"Materialized view '$name' does not exist"))
+        graft.plans.Views.refresh(
+          spark, mv, translate(mv.bodySql), translate(pred))
+      case Some(Dialect.ShowCreateMatViewStmt(name)) =>
+        val mv = matViewsFor(spark).getOrElse(name,
+          throw new IllegalArgumentException(
+            s"Materialized view '$name' does not exist"))
+        spark.sql(
+          s"SELECT '${mv.createSql.replace("'", "''")}' AS `Create Materialized View`")
       case None =>
         spark.sql(translate(query))
     }
+  }
+
+  private val viewStore
+      : java.util.Map[SparkSession, scala.collection.concurrent.TrieMap[String, String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession, scala.collection.concurrent.TrieMap[String, String]]())
+  private def viewsFor(
+      spark: SparkSession): scala.collection.concurrent.TrieMap[String, String] =
+    viewStore.synchronized {
+      var m = viewStore.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        viewStore.put(spark, m)
+      }
+      m
+    }
+
+  private val matViewStore: java.util.Map[
+      SparkSession, scala.collection.concurrent.TrieMap[String, graft.plans.Views.MatView]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession,
+        scala.collection.concurrent.TrieMap[String, graft.plans.Views.MatView]]())
+  private def matViewsFor(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, graft.plans.Views.MatView] =
+    matViewStore.synchronized {
+      var m = matViewStore.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, graft.plans.Views.MatView]
+        matViewStore.put(spark, m)
+      }
+      m
+    }
+
+  /** Session-scoped storage root for materialized views. */
+  private def mvRoot(spark: SparkSession): String = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_mv_${System.identityHashCode(spark)}")
+    require(dir.isDirectory || dir.mkdirs(), s"cannot create MV root $dir")
+    dir.getAbsolutePath
   }
 
   /** SHOW STATS result (reference: sql/rewrite/ShowStatsRewrite.java and
@@ -305,7 +416,16 @@ object Engine {
         row.getAs[String](s"__lo$i"), row.getAs[String](s"__hi$i"))
     } :+ org.apache.spark.sql.Row(
       null, null, null, null, java.lang.Double.valueOf(total), null, null)
-    val schema = StructType(Seq(
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(colRows.toSeq).asJava),
+      statsSchema)
+  }
+
+  /** SHOW STATS / ANALYZE result shape (reference seven columns). */
+  private val statsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("column_name", StringType),
       StructField("data_size", DoubleType),
       StructField("distinct_values_count", DoubleType),
@@ -313,11 +433,25 @@ object Engine {
       StructField("row_count", DoubleType),
       StructField("low_value", StringType),
       StructField("high_value", StringType)))
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(colRows.toSeq).asJava),
-      schema)
   }
+
+  /** ANALYZE-persisted stats per session (bounded: one Row per column). */
+  private val statsStore: java.util.Map[
+      SparkSession, scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession,
+        scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]]]())
+  private def statsFor(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]] =
+    statsStore.synchronized {
+      var m = statsStore.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Seq[org.apache.spark.sql.Row]]
+        statsStore.put(spark, m)
+      }
+      m
+    }
 
   /** Translate Presto-dialect SQL to Spark SQL — see [[Dialect]] for the
     * full rule list (function aliases, ARRAY literals, 1-based

@@ -23,7 +23,7 @@ object SparkEntry {
     * silently disappear from the driver's correctness artifact (that is
     * exactly what happened to st01/st02/st05 in round 8). Update this
     * number whenever entries are added or intentionally removed. */
-  val expectedCorpusSize: Int = 251
+  val expectedCorpusSize: Int = 254
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */
@@ -48,7 +48,11 @@ object SparkEntry {
       // round-10 addition: the grid spatial join (filter-and-refine
       // equi-join — a distinct shuffle/fan-out shape from every other
       // join in the headline set)
-      "geo04_distance_join")
+      "geo04_distance_join",
+      // round-10 addition: grouped model training — the only
+      // custom-Aggregator-dominated (ObjectHashAggregate, no codegen'd
+      // update) workload class in the corpus
+      "ml01_learn_regressor")
     allDefs.filter(q => headline(q.name))
   }
 

@@ -774,6 +774,66 @@ object Catalog {
           |  TIME '23:00:00 -02:00' > TIME '10:00:00 +05:30' AS ord_ok,
           |  CAST(hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
           |    AS BIGINT) AS ts_h""".stripMargin)
+    },
+
+    // CREATE VIEW / query-through-view / DROP VIEW (reference: grammar
+    // SqlBase.g4:64-66, execution/CreateViewTask.java). The oracle is the
+    // view's defining query inlined — a plain view must be pure naming.
+    Qdef(
+      "k27_create_view",
+      """SELECT r_name, count(*) AS nations FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir, "DROP VIEW IF EXISTS graft_k27_v").collect()
+      graft.Engine.sql(s, dir,
+        """CREATE VIEW graft_k27_v AS
+          |SELECT r_name, count(*) AS nations FROM nation
+          |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin)
+        .collect()
+      graft.Engine.sql(s, dir,
+        "SELECT r_name, nations FROM graft_k27_v ORDER BY r_name")
+    },
+
+    // CREATE MATERIALIZED VIEW + partition-scoped REFRESH ... WHERE
+    // (reference: SqlBase.g4:67-71, CreateMaterializedViewTask.java,
+    // RefreshMaterializedViewTask.java — refresh recomputes only matching
+    // partitions; the stale/fresh distinction under base mutation is pinned
+    // in FacadeSpec, where the base table is writable). Here the base is
+    // the immutable fixture, so refresh must be a value-preserving no-op on
+    // the refreshed partition — the oracle is the defining query inlined.
+    Qdef(
+      "k28_materialized_view",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        "DROP MATERIALIZED VIEW IF EXISTS graft_k28_mv").collect()
+      graft.Engine.sql(s, dir,
+        """CREATE MATERIALIZED VIEW graft_k28_mv
+          |WITH (partitioned_by = ARRAY['o_orderstatus']) AS
+          |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+          |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+        .collect()
+      graft.Engine.sql(s, dir,
+        "REFRESH MATERIALIZED VIEW graft_k28_mv WHERE o_orderstatus = 'F'")
+        .collect()
+      graft.Engine.sql(s, dir,
+        """SELECT o_orderstatus, o_orderpriority, n, total
+          |FROM graft_k28_mv
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // ANALYZE (reference: SqlBase.g4:60, docs sql/analyze.rst): one
+    // distributed statistics pass, persisted for the session; the
+    // statement's result is the analyzed row count. The stats-storage
+    // contract (SHOW STATS serves the stored snapshot until the next
+    // ANALYZE) is pinned in FacadeSpec under real view mutation.
+    Qdef.duckOnly(
+      "k29_analyze",
+      """SELECT count(*) AS "rows" FROM orders""") { (s, dir) =>
+      graft.Engine.sql(s, dir, "ANALYZE orders")
     }
   )
 }

@@ -410,6 +410,34 @@ class FacadeSpec extends AnyFunSuite {
     assert(nameRow.getDouble(2) == 2.0) // distinct_values_count
   }
 
+  test("ANALYZE persists statistics that SHOW STATS then serves") {
+    // reference contract (docs sql/analyze.rst): ANALYZE collects and
+    // STORES table statistics; SHOW STATS serves the stored values. Prove
+    // the storage by analyzing a view, mutating its contents, and
+    // observing that SHOW STATS still reports the analyzed snapshot until
+    // the next ANALYZE.
+    val s = spark
+    import s.implicits._
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("graft_an_t")
+    val res = Engine.sql(spark, dir, "ANALYZE graft_an_t").collect()
+    assert(res.length == 1 && res(0).getAs[Long]("rows") == 3L)
+    def rowCount(): Double =
+      Engine.sql(spark, dir, "SHOW STATS FOR graft_an_t").collect()
+        .find(_.isNullAt(0)).get.getDouble(4)
+    assert(rowCount() == 3.0)
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("v").createOrReplaceTempView("graft_an_t")
+    // stored stats still serve the pre-mutation snapshot
+    assert(rowCount() == 3.0)
+    // re-ANALYZE refreshes the stored stats (WITH properties accepted)
+    val re = Engine.sql(spark, dir,
+      "ANALYZE graft_an_t WITH (partitions = ARRAY[ARRAY['p1']])").collect()
+    assert(re(0).getAs[Long]("rows") == 5L)
+    assert(rowCount() == 5.0)
+    // un-analyzed tables still compute on demand
+    assert(Engine.sql(spark, dir, "SHOW STATS FOR region").collect()
+      .find(_.isNullAt(0)).get.getDouble(4) == 5.0)
+  }
+
   test("trivia scalars: typeof / parse_presto_data_size / wilson / current_user") {
     assert(one("SELECT typeof(CAST(1 AS BIGINT))") == "bigint")
     assert(one("SELECT typeof(1.5E0)") == "double")
@@ -765,6 +793,64 @@ class FacadeSpec extends AnyFunSuite {
     ddl("DROP TEMPORARY FUNCTION graft_q")
     ddl("DROP FUNCTION IF EXISTS graft_never_created(double)")
     intercept[Exception](one("SELECT graft_q(7L)"))
+  }
+
+  test("CREATE/DROP/SHOW CREATE VIEW through the facade") {
+    def ddl(sql: String): Unit = { Engine.sql(spark, dir, sql).collect(); () }
+    ddl("""CREATE VIEW graft_v_nations SECURITY DEFINER AS
+          |SELECT r_name, count(*) AS n FROM nation
+          |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin)
+    assert(Engine.sql(spark, dir,
+      "SELECT sum(n) FROM graft_v_nations").collect()(0).getLong(0) == 25L)
+    // the stored text comes back verbatim (SECURITY clause dropped)
+    assert(one("SHOW CREATE VIEW graft_v_nations").toString
+      .contains("CREATE VIEW graft_v_nations AS"))
+    // no OR REPLACE → second create fails; with it → succeeds
+    intercept[Exception](ddl("CREATE VIEW graft_v_nations AS SELECT 1 AS x"))
+    ddl("CREATE OR REPLACE VIEW graft_v_nations AS SELECT 1 AS x")
+    assert(one("SELECT x FROM graft_v_nations") == 1)
+    ddl("DROP VIEW graft_v_nations")
+    intercept[Exception](one("SHOW CREATE VIEW graft_v_nations"))
+    intercept[Exception](ddl("DROP VIEW graft_v_nations"))
+    ddl("DROP VIEW IF EXISTS graft_v_nations")
+  }
+
+  test("materialized view: partition-scoped refresh picks up base changes") {
+    def ddl(sql: String): Unit = { Engine.sql(spark, dir, sql).collect(); () }
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_base").toString
+    val s = spark
+    import s.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("graft_mv_base")
+    ddl("""CREATE MATERIALIZED VIEW graft_mv_sums
+          |WITH (partitioned_by = ARRAY['k']) AS
+          |SELECT k, sum(v) AS total FROM graft_mv_base GROUP BY k""".stripMargin)
+    def totals(): Map[String, Long] =
+      Engine.sql(spark, dir, "SELECT k, total FROM graft_mv_sums")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals() == Map("a" -> 3L, "b" -> 10L))
+    // mutate the base, refresh ONLY partition k='a': b stays stale — the
+    // reference's WHERE-scoped refresh contract
+    Seq(("a", 5L), ("b", 100L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("graft_mv_base")
+    val refreshed = Engine.sql(spark, dir,
+      "REFRESH MATERIALIZED VIEW graft_mv_sums WHERE k = 'a'").collect()(0)
+    assert(refreshed.getAs[Long]("partitions_refreshed") == 1L)
+    assert(totals() == Map("a" -> 5L, "b" -> 10L))
+    assert(one("SHOW CREATE MATERIALIZED VIEW graft_mv_sums").toString
+      .contains("CREATE MATERIALIZED VIEW graft_mv_sums AS"))
+    // unpartitioned MV refuses WHERE-refresh loudly
+    ddl("CREATE MATERIALIZED VIEW graft_mv_flat AS SELECT 1 AS x")
+    intercept[Exception](
+      ddl("REFRESH MATERIALIZED VIEW graft_mv_flat WHERE x = 1"))
+    ddl("DROP MATERIALIZED VIEW graft_mv_flat")
+    ddl("DROP MATERIALIZED VIEW graft_mv_sums")
+    intercept[Exception](ddl("DROP MATERIALIZED VIEW graft_mv_sums"))
+    ddl("DROP MATERIALIZED VIEW IF EXISTS graft_mv_sums")
+    intercept[Exception](one("SELECT * FROM graft_mv_sums"))
   }
 
   test("UNNEST argument scan survives comments and quoted identifiers") {
