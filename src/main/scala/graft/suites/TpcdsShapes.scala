@@ -797,5 +797,261 @@ object TpcdsShapes {
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"))
         .orderBy("p_brand")
+    },
+
+    // q47/q57 shape: a monthly time series per (brand, year) with BOTH
+    // window families q47 uses — the unordered per-partition aggregate
+    // (yearly sum + month count, standing in for avg_monthly_sales) and
+    // the ordered lag/lead neighbors — computed over the FULL series
+    // first, deviation filter applied after (q47 filters on the windowed
+    // values, so the windows must not see a pre-filtered series). The
+    // deviation test |rev - avg| > 0.2*avg is cross-multiplied into
+    // decimal×integer arithmetic (10*|rev*n - ysum| > 2*ysum) so both
+    // engines evaluate it EXACTLY; lag/lead values stay decimal until
+    // the final projection casts to DOUBLE. The window input is the
+    // monthly pre-aggregate (bounded by brand×12), never fact-sized.
+    Qdef(
+      "ds19_monthly_deviation",
+      """WITH monthly AS (
+        |  SELECT p_brand AS brand, year(o_orderdate) AS yr,
+        |    month(o_orderdate) AS mo,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10
+        |  GROUP BY p_brand, year(o_orderdate), month(o_orderdate)),
+        |win AS (
+        |  SELECT brand, yr, mo, rev,
+        |    sum(rev) OVER (PARTITION BY brand, yr) AS ysum,
+        |    count(*) OVER (PARTITION BY brand, yr) AS nmo,
+        |    lag(rev) OVER (PARTITION BY brand, yr ORDER BY mo) AS prev_rev,
+        |    lead(rev) OVER (PARTITION BY brand, yr ORDER BY mo) AS next_rev
+        |  FROM monthly)
+        |SELECT brand, yr, mo, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(prev_rev AS DOUBLE) AS prev_rev,
+        |  CAST(next_rev AS DOUBLE) AS next_rev
+        |FROM win
+        |WHERE 10 * abs(rev * nmo - ysum) > 2 * ysum
+        |ORDER BY brand, yr, mo""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part").filter(col("p_size") <= 10),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val byYear = Window.partitionBy("brand", "yr")
+      val byMonth = byYear.orderBy("mo")
+      monthly
+        .withColumn("ysum", sum(col("rev")).over(byYear))
+        .withColumn("nmo", count(lit(1)).over(byYear))
+        .withColumn("prev_rev", lag(col("rev"), 1).over(byMonth))
+        .withColumn("next_rev", lead(col("rev"), 1).over(byMonth))
+        .filter(lit(10) * abs(col("rev") * col("nmo") - col("ysum")) >
+          lit(2) * col("ysum"))
+        .select(col("brand"), col("yr"), col("mo"),
+          col("rev").cast("double").as("revenue"),
+          col("prev_rev").cast("double").as("prev_rev"),
+          col("next_rev").cast("double").as("next_rev"))
+        .orderBy("brand", "yr", "mo")
+    },
+
+    // q78 shape proper (ds18 covers only its anti-join corner): the same
+    // fact aggregated per (item, year) in two channels, FULL OUTER
+    // joined on the group key with COALESCE-to-zero on both sides, a
+    // cross-channel dominance filter, and the channel ratio in the
+    // output. Sums are exact decimals; the ratio divides the two
+    // decimal-derived doubles (IEEE division of identical inputs is
+    // correctly rounded, so the ratio is bit-identical on both engines);
+    // the sort key is the group key, never the float. At scale the two
+    // channel aggregates shuffle once each on (pk, yr) and the full
+    // join reuses that partitioning — no extra exchange.
+    Qdef(
+      "ds20_channel_ratio_fulljoin",
+      """WITH f AS (
+        |  SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem WHERE l_linestatus = 'F'
+        |  GROUP BY l_partkey, year(l_shipdate)),
+        |o AS (
+        |  SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem WHERE l_linestatus = 'O'
+        |  GROUP BY l_partkey, year(l_shipdate))
+        |SELECT COALESCE(f.pk, o.pk) AS pk, COALESCE(f.yr, o.yr) AS yr,
+        |  CAST(COALESCE(f.qty, 0) AS DOUBLE) AS f_qty,
+        |  CAST(COALESCE(o.qty, 0) AS DOUBLE) AS o_qty,
+        |  CAST(COALESCE(f.rev, 0) AS DOUBLE) AS f_rev,
+        |  CAST(COALESCE(o.rev, 0) AS DOUBLE) AS o_rev,
+        |  CAST(COALESCE(f.qty, 0) AS DOUBLE)
+        |    / nullif(CAST(COALESCE(o.qty, 0) AS DOUBLE), 0) AS qty_ratio
+        |FROM f FULL OUTER JOIN o ON f.pk = o.pk AND f.yr = o.yr
+        |WHERE COALESCE(f.qty, 0) > COALESCE(o.qty, 0)
+        |ORDER BY pk, yr""".stripMargin) { (s, dir) =>
+      def channel(status: String): DataFrame = t(s, dir, "lineitem")
+        .filter(col("l_linestatus") === status)
+        .groupBy(col("l_partkey").as("pk"), year(col("l_shipdate")).as("yr"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val f = channel("F").as("f")
+      val o = channel("O").as("o")
+      val zq = lit(0).cast("decimal(12,2)")
+      f.join(o, col("f.pk") === col("o.pk") && col("f.yr") === col("o.yr"),
+          "full_outer")
+        .filter(coalesce(col("f.qty"), zq) > coalesce(col("o.qty"), zq))
+        .select(
+          coalesce(col("f.pk"), col("o.pk")).as("pk"),
+          coalesce(col("f.yr"), col("o.yr")).as("yr"),
+          coalesce(col("f.qty"), lit(0)).cast("double").as("f_qty"),
+          coalesce(col("o.qty"), lit(0)).cast("double").as("o_qty"),
+          coalesce(col("f.rev"), lit(0)).cast("double").as("f_rev"),
+          coalesce(col("o.rev"), lit(0)).cast("double").as("o_rev"),
+          (coalesce(col("f.qty"), lit(0)).cast("double") /
+            nullif(coalesce(col("o.qty"), lit(0)).cast("double"), lit(0.0)))
+            .as("qty_ratio"))
+        .orderBy("pk", "yr")
+    },
+
+    // q49 shape: per-part return ratios ranked by TWO different metrics
+    // (quantity ratio and amount ratio) inside each channel, keeping
+    // rows in the top-k of EITHER ranking, channels tagged and
+    // UNION ALLed. Both ratios divide exact-decimal-derived doubles
+    // (bit-identical across engines) and every rank ORDER BY carries
+    // pk as the deterministic tiebreak. The rank input is the per-part
+    // aggregate, already reduced from the fact scan; the two channel
+    // branches reuse the same shape q49 uses for store/catalog/web.
+    Qdef(
+      "ds21_dual_rank_returns",
+      """WITH ch AS (
+        |  SELECT l_linestatus AS channel, l_partkey AS pk,
+        |    sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_quantity AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS ret_qty,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS tot_qty,
+        |    sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_amt,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot_amt
+        |  FROM lineitem
+        |  GROUP BY l_linestatus, l_partkey
+        |  HAVING count(*) >= 3),
+        |ranked AS (
+        |  SELECT channel, pk,
+        |    CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) AS qty_ratio,
+        |    CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE) AS amt_ratio,
+        |    rank() OVER (PARTITION BY channel ORDER BY
+        |      CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) DESC, pk)
+        |      AS qty_rank,
+        |    rank() OVER (PARTITION BY channel ORDER BY
+        |      CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE) DESC, pk)
+        |      AS amt_rank
+        |  FROM ch)
+        |SELECT channel, pk, qty_ratio, amt_ratio,
+        |  CAST(qty_rank AS INTEGER) AS qty_rank,
+        |  CAST(amt_rank AS INTEGER) AS amt_rank
+        |FROM ranked
+        |WHERE qty_rank <= 10 OR amt_rank <= 10
+        |ORDER BY channel, pk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val zq = lit(0).cast("decimal(12,2)")
+      val za = lit(0).cast("decimal(18,2)")
+      val ch = t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus").as("channel"), col("l_partkey").as("pk"))
+        .agg(
+          sum(when(col("l_returnflag") === "R",
+            col("l_quantity").cast("decimal(12,2)")).otherwise(zq))
+            .as("ret_qty"),
+          sum(col("l_quantity").cast("decimal(12,2)")).as("tot_qty"),
+          sum(when(col("l_returnflag") === "R",
+            col("l_extendedprice").cast("decimal(18,2)")).otherwise(za))
+            .as("ret_amt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("tot_amt"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .withColumn("qty_ratio",
+          col("ret_qty").cast("double") / col("tot_qty").cast("double"))
+        .withColumn("amt_ratio",
+          col("ret_amt").cast("double") / col("tot_amt").cast("double"))
+      val byQty = Window.partitionBy("channel")
+        .orderBy(col("qty_ratio").desc, col("pk"))
+      val byAmt = Window.partitionBy("channel")
+        .orderBy(col("amt_ratio").desc, col("pk"))
+      ch.withColumn("qty_rank", rank().over(byQty))
+        .withColumn("amt_rank", rank().over(byAmt))
+        .filter(col("qty_rank") <= 10 || col("amt_rank") <= 10)
+        .select(col("channel"), col("pk"), col("qty_ratio"), col("amt_ratio"),
+          col("qty_rank").cast("int").as("qty_rank"),
+          col("amt_rank").cast("int").as("amt_rank"))
+        .orderBy("channel", "pk")
+    },
+
+    // q31 shape: quarter-over-quarter growth compared ACROSS channels —
+    // two per-(nation, quarter) channel aggregates, each CTE consumed
+    // twice (four join inputs total), keeping nations where the second
+    // channel grew faster: w2/w1 > s2/s1, cross-multiplied into
+    // exact decimal products (w2*s1 > s2*w1) so no engine ever divides.
+    // This is the corpus's only 4-way CTE-reuse join; each channel
+    // aggregate is bounded by nation×quarter (≤ 100 rows), so all four
+    // instances broadcast into a no-exchange join tree at any scale.
+    Qdef(
+      "ds22_quarter_growth",
+      """WITH f AS (
+        |  SELECT n_name AS nation, quarter(o_orderdate) AS qtr,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE year(o_orderdate) = 1995 AND l_linestatus = 'F'
+        |  GROUP BY n_name, quarter(o_orderdate)),
+        |o AS (
+        |  SELECT n_name AS nation, quarter(o_orderdate) AS qtr,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE year(o_orderdate) = 1995 AND l_linestatus = 'O'
+        |  GROUP BY n_name, quarter(o_orderdate))
+        |SELECT s1.nation AS nation,
+        |  CAST(s1.rev AS DOUBLE) AS f_q1, CAST(s2.rev AS DOUBLE) AS f_q2,
+        |  CAST(w1.rev AS DOUBLE) AS o_q1, CAST(w2.rev AS DOUBLE) AS o_q2
+        |FROM f s1
+        |JOIN f s2 ON s1.nation = s2.nation
+        |JOIN o w1 ON w1.nation = s1.nation
+        |JOIN o w2 ON w2.nation = s1.nation
+        |WHERE s1.qtr = 1 AND s2.qtr = 2 AND w1.qtr = 1 AND w2.qtr = 2
+        |  AND w2.rev * s1.rev > s2.rev * w1.rev
+        |ORDER BY s1.nation""".stripMargin) { (s, dir) =>
+      def channel(status: String): DataFrame = t(s, dir, "lineitem")
+        .filter(col("l_linestatus") === status)
+        .join(t(s, dir, "orders")
+            .filter(year(col("o_orderdate")) === 1995),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val fch = channel("F")
+      val och = channel("O")
+      def slice(c: DataFrame, q: Int, out: String): DataFrame =
+        c.filter(col("qtr") === q).select(col("nation"), col("rev").as(out))
+      slice(fch, 1, "f1").join(broadcast(slice(fch, 2, "f2")), "nation")
+        .join(broadcast(slice(och, 1, "o1")), "nation")
+        .join(broadcast(slice(och, 2, "o2")), "nation")
+        .filter(col("o2") * col("f1") > col("f2") * col("o1"))
+        .select(col("nation"),
+          col("f1").cast("double").as("f_q1"),
+          col("f2").cast("double").as("f_q2"),
+          col("o1").cast("double").as("o_q1"),
+          col("o2").cast("double").as("o_q2"))
+        .orderBy("nation")
     })
 }

@@ -180,6 +180,51 @@ class PlanSpec extends QueryAssertions {
       "non-null key NOT IN must not fall back to null-aware BNLJ")
   }
 
+  test("ds19: both window families share one shuffle over the monthly pre-aggregate") {
+    val plan = planOf(run("ds19_monthly_deviation"))
+    assert(plan.contains("Window"), plan.take(2000))
+    // the windows run over the (brand, yr, mo) aggregate, so the fact
+    // scan reduces map-side before any window sees it
+    assert(plan.contains("partial_"), "monthly aggregate must combine map-side")
+    assert(!plan.contains("CartesianProduct"), "cartesian")
+    // both window specs partition by (brand, yr): Spark stacks the two
+    // Window nodes on a single (brand, yr) hashpartitioning exchange —
+    // the only hash exchange whose keys include yr (the groupBy shuffles
+    // on (p_brand, _groupingexpression...) and the orderBy is a range
+    // partitioning, so neither matches)
+    val windowExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("yr#"))
+    assert(windowExchanges == 1,
+      s"the two window specs must reuse one (brand, yr) exchange, saw $windowExchanges")
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) == 2,
+      "both window families must survive as two stacked Window nodes")
+  }
+
+  test("ds20: channel aggregates reduce before the full-outer join") {
+    val plan = planOf(run("ds20_channel_ratio_fulljoin"))
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(plan.contains("partial_"), "channel sums must combine map-side")
+    // the linestatus channel filters push to the scans
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_linestatus")),
+      "channel filter must reach the parquet scan")
+  }
+
+  test("ds21: dual ranks run as windows over the reduced per-part aggregate") {
+    val plan = planOf(run("ds21_dual_rank_returns"))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_"), "per-part aggregate must combine map-side")
+    assert(!plan.contains("CartesianProduct"), "cartesian")
+  }
+
+  test("ds22: all four bounded CTE slices broadcast; no shuffle join") {
+    val plan = planOf(run("ds22_quarter_growth"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "nation-level slices must broadcast, not sort-merge")
+    assert(!plan.contains("CartesianProduct"), "cartesian")
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
