@@ -76,6 +76,117 @@ object GraftFunctions {
     def outputEncoder: Encoder[Map[String, Seq[String]]] = enc
   }
 
+  /** Presto map_agg(k, v) → map(k, v) (reference: presto-main/.../
+    * operator/aggregation/MapAggregationFunction.java over KeyValuePairs,
+    * whose TypedSet IGNORES duplicate keys — first arrival wins; we keep
+    * the same rule, made deterministic by Spark's within-partition order
+    * and a first-wins merge). String keys/values — same flat-registry
+    * narrowing as multimap_agg; other types compose map_from_entries +
+    * collect_list. NULL keys are skipped like the reference's
+    * NULLABLE_BLOCK_INPUT_CHANNEL path, which rejects null keys. */
+  class MapAggAgg(enc: Encoder[Map[String, String]])
+      extends Aggregator[(String, String), Map[String, String], Map[String, String]] {
+    def zero: Map[String, String] = Map.empty
+    def reduce(b: Map[String, String], a: (String, String)): Map[String, String] =
+      if (a == null || a._1 == null || b.contains(a._1)) b else b.updated(a._1, a._2)
+    def merge(b1: Map[String, String], b2: Map[String, String]): Map[String, String] =
+      b2.foldLeft(b1) { case (acc, (k, v)) =>
+        if (acc.contains(k)) acc else acc.updated(k, v)
+      }
+    def finish(r: Map[String, String]): Map[String, String] = r
+    def bufferEncoder: Encoder[Map[String, String]] = enc
+    def outputEncoder: Encoder[Map[String, String]] = enc
+  }
+
+  /** Presto map_union(map) → map (reference: presto-main/.../operator/
+    * aggregation/MapUnionAggregation.java — merges input maps; on key
+    * collision the first-seen value is retained, same TypedSet rule as
+    * map_agg). String-keyed, like the rest of the map-agg family. */
+  class MapUnionAgg(enc: Encoder[Map[String, String]])
+      extends Aggregator[Map[String, String], Map[String, String], Map[String, String]] {
+    def zero: Map[String, String] = Map.empty
+    def reduce(b: Map[String, String], a: Map[String, String]): Map[String, String] =
+      if (a == null) b
+      else a.foldLeft(b) { case (acc, (k, v)) =>
+        if (acc.contains(k)) acc else acc.updated(k, v)
+      }
+    def merge(b1: Map[String, String], b2: Map[String, String]): Map[String, String] =
+      b2.foldLeft(b1) { case (acc, (k, v)) =>
+        if (acc.contains(k)) acc else acc.updated(k, v)
+      }
+    def finish(r: Map[String, String]): Map[String, String] = r
+    def bufferEncoder: Encoder[Map[String, String]] = enc
+    def outputEncoder: Encoder[Map[String, String]] = enc
+  }
+
+  /** Presto histogram(x) → map(x, bigint) (reference: presto-main/.../
+    * operator/aggregation/histogram/Histogram.java — per-value counts).
+    * String-keyed; NULLs are skipped (the reference's input channel is
+    * non-null). Mergeable count maps: partial aggregation combines
+    * map-side, so the shuffle carries one map per (group, partition). */
+  class HistogramAgg(enc: Encoder[Map[String, Long]])
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b else b.updated(a, b.getOrElse(a, 0L) + 1L)
+    def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+      b2.foldLeft(b1) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def bufferEncoder: Encoder[Map[String, Long]] = enc
+    def outputEncoder: Encoder[Map[String, Long]] = enc
+  }
+
+  /** Presto approx_most_frequent(buckets, value, capacity) →
+    * map(value, bigint) (reference: presto-main/.../operator/aggregation/
+    * approxmostfrequent/ApproximateMostFrequentFunction.java — space
+    * saving sketch of `capacity` slots, top `buckets` emitted). State is
+    * the capped count map (≤ capacity entries — bounded, shuffle-safe at
+    * any group count); eviction replaces the minimum-count key and
+    * inherits its count + 1, merge sums then re-caps keeping the largest.
+    * Exact when capacity ≥ distinct values (the corpus-testable regime);
+    * otherwise surviving counts are the sketch's usual overestimates.
+    * buckets/capacity must be constant across a group (they are literals
+    * in practice, as in the reference's signature). */
+  class ApproxMostFrequentAgg(enc: Encoder[(Int, Int, Map[String, Long])])
+      extends Aggregator[(Int, String, Int), (Int, Int, Map[String, Long]),
+        Map[String, Long]] {
+    def zero: (Int, Int, Map[String, Long]) = (0, 0, Map.empty)
+    private def capped(cap: Int, m: Map[String, Long]): Map[String, Long] =
+      if (cap <= 0 || m.size <= cap) m
+      else m.toSeq.sortBy { case (k, c) => (-c, k) }.take(cap).toMap
+    def reduce(b: (Int, Int, Map[String, Long]), a: (Int, String, Int))
+        : (Int, Int, Map[String, Long]) = {
+      if (a == null || a._2 == null) return b
+      val (buckets, cap) = (a._1, a._3)
+      val m = b._3
+      val next =
+        if (m.contains(a._2)) m.updated(a._2, m(a._2) + 1L)
+        else if (m.size < cap) m.updated(a._2, 1L)
+        else { // space-saving eviction: min-count key's slot is inherited
+          val (mk, mc) = m.minBy { case (k, c) => (c, k) }
+          (m - mk).updated(a._2, mc + 1L)
+        }
+      (buckets, cap, next)
+    }
+    def merge(b1: (Int, Int, Map[String, Long]), b2: (Int, Int, Map[String, Long]))
+        : (Int, Int, Map[String, Long]) = {
+      val buckets = math.max(b1._1, b2._1)
+      val cap = math.max(b1._2, b2._2)
+      val summed = b2._3.foldLeft(b1._3) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      (buckets, cap, capped(cap, summed))
+    }
+    def finish(r: (Int, Int, Map[String, Long])): Map[String, Long] =
+      if (r._3.isEmpty) null
+      else r._3.toSeq.sortBy { case (k, c) => (-c, k) }.take(math.max(r._1, 0)).toMap
+    def bufferEncoder: Encoder[(Int, Int, Map[String, Long])] = enc
+    def outputEncoder: Encoder[Map[String, Long]] = {
+      implicit val lEnc: Encoder[Long] = Encoders.scalaLong
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    }
+  }
+
   /** Presto numeric_histogram(buckets, x) → map(double, double)
     * (reference: presto-main/.../operator/aggregation/NumericHistogram.java
     * — bounded bucket list; on overflow the two closest adjacent buckets
@@ -259,6 +370,18 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     }
     spark.udf.register("map_union_sum", udaf(new MapUnionSumAgg(mapEnc)))
+    val strMapEnc: Encoder[Map[String, String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, String]]()
+    spark.udf.register("map_agg", udaf(new MapAggAgg(strMapEnc),
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+    spark.udf.register("map_union", udaf(new MapUnionAgg(strMapEnc), strMapEnc))
+    spark.udf.register("histogram", udaf(new HistogramAgg(mapEnc), Encoders.STRING))
+    val amfEnc: Encoder[(Int, Int, Map[String, Long])] = {
+      implicit val m: Encoder[Map[String, Long]] = mapEnc
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int, Map[String, Long])]()
+    }
+    spark.udf.register("approx_most_frequent", udaf(new ApproxMostFrequentAgg(amfEnc),
+      Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.scalaInt)))
     spark.udf.register("geometric_mean", udaf(GeometricMeanAgg, Encoders.DOUBLE))
     spark.udf.register("word_stem_lite", wordStemLite _)
     spark.udf.register("word_stem", Porter.stem _)

@@ -834,6 +834,58 @@ object Catalog {
       "k29_analyze",
       """SELECT count(*) AS "rows" FROM orders""") { (s, dir) =>
       graft.Engine.sql(s, dir, "ANALYZE orders")
+    },
+
+    // The map-aggregate family under its REFERENCE SQL NAMES: map_agg
+    // (MapAggregationFunction.java — duplicate keys first-wins),
+    // map_union (MapUnionAggregation.java), histogram (aggregation/
+    // histogram/Histogram.java), approx_most_frequent (approxmostfrequent/
+    // — exact here since capacity 8 ≥ 5 distinct priorities). Inputs are
+    // arranged so every map is deterministic (keys distinct per group for
+    // map_agg/map_union; counts deterministic for the others); maps are
+    // canonicalized to sorted k=v strings so DuckDB can recompute them
+    // relationally.
+    Qdef(
+      "k30_map_agg_family",
+      """WITH per AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS p,
+        |    count(*) AS c, min(o_orderkey) AS mk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |h AS (SELECT st, string_agg(p || '=' || c, ',' ORDER BY p) AS hist
+        |      FROM per GROUP BY st),
+        |m AS (SELECT st, string_agg(p || '=' || mk, ',' ORDER BY p) AS mapped
+        |      FROM per GROUP BY st),
+        |u AS (SELECT st, string_agg(p || '=' || mk, ',' ORDER BY p) AS unioned
+        |      FROM per GROUP BY st),
+        |t AS (SELECT st, string_agg(p || '=' || c, ',' ORDER BY p) AS top3
+        |      FROM (SELECT st, p, c,
+        |              row_number() OVER (PARTITION BY st ORDER BY c DESC, p) AS r
+        |            FROM per)
+        |      WHERE r <= 3 GROUP BY st)
+        |SELECT h.st AS o_orderstatus, h.hist, m.mapped, u.unioned, t.top3
+        |FROM h JOIN m ON h.st = m.st JOIN u ON h.st = u.st JOIN t ON h.st = t.st
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      def canon(c: String): org.apache.spark.sql.Column = expr(
+        s"array_join(array_sort(transform(map_entries($c), " +
+          s"e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')")
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).as("c"), min(col("o_orderkey")).as("mk"))
+      val h = t(s, dir, "orders").groupBy(col("o_orderstatus").as("st"))
+        .agg(expr("histogram(o_orderpriority)").as("hm"))
+      val am = t(s, dir, "orders").groupBy(col("o_orderstatus").as("st2"))
+        .agg(expr("approx_most_frequent(3, o_orderpriority, 8)").as("tm"))
+      val ma = per.groupBy(col("st").as("st3"))
+        .agg(expr("map_agg(p, CAST(mk AS STRING))").as("mm"))
+      val mu = per.groupBy(col("st").as("st4"))
+        .agg(expr("map_union(map(p, CAST(mk AS STRING)))").as("um"))
+      h.join(ma, col("st") === col("st3"))
+        .join(mu, col("st") === col("st4"))
+        .join(am, col("st") === col("st2"))
+        .select(col("st").as("o_orderstatus"),
+          canon("hm").as("hist"), canon("mm").as("mapped"),
+          canon("um").as("unioned"), canon("tm").as("top3"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -76,7 +76,9 @@ class FunctionSweepSpec extends AnyFunSuite {
     "url_encode", "url_extract_fragment", "url_extract_host", "url_extract_parameter", "url_extract_path", "url_extract_port",
     "url_extract_protocol", "url_extract_query", "value_at_quantile", "values_at_quantiles", "var_pop", "var_samp",
     "variance", "week", "week_of_year", "weibull_cdf", "width_bucket", "wilson_interval_lower",
-    "wilson_interval_upper", "word_stem", "xxhash64", "year", "year_of_week", "yow")
+    "wilson_interval_upper", "word_stem", "xxhash64", "year", "year_of_week", "yow",
+    // round 10: the map-aggregate family under its reference SQL names
+    "map_agg", "map_union", "histogram", "approx_most_frequent")
 
   test("every reference function name resolves or is documented-deferred") {
     val s = TestSpark.spark

@@ -96,4 +96,29 @@ class SketchSpec extends AnyFunSuite {
     // median of a standard normal ≈ 0 within loose digest error
     assert(math.abs(TDigest.valueAtQuantile(digest, 0.5)) < 0.05)
   }
+
+  test("approx_most_frequent: space-saving eviction keeps state bounded and overestimates") {
+    import graft.functions.GraftFunctions
+    val enc = {
+      implicit val m = org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Int, Int, Map[String, Long])]()
+    }
+    val agg = new GraftFunctions.ApproxMostFrequentAgg(enc)
+    // 10 distinct keys, capacity 4: state never exceeds 4 entries
+    var state = agg.zero
+    val stream = (0 until 200).map(i => s"k${i % 10}") ++ Seq.fill(50)("hot")
+    stream.foreach { v => state = agg.reduce(state, (3, v, 4)) }
+    assert(state._3.size <= 4, s"state ${state._3.size} exceeded capacity")
+    val out = agg.finish(state)
+    assert(out.size <= 3, "finish must emit at most `buckets` entries")
+    // the genuinely-hot key survives and its count is >= its true count
+    assert(out.contains("hot"), s"hot key evicted: $out")
+    assert(out("hot") >= 50L, "space-saving counts never underestimate")
+    // merge of two partials re-caps at capacity
+    var s2 = agg.zero
+    Seq.fill(30)("other").foreach(v => s2 = agg.reduce(s2, (3, v, 4)))
+    val merged = agg.merge(state, s2)
+    assert(merged._3.size <= 4, "merged state must re-cap at capacity")
+  }
 }
