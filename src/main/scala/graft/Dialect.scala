@@ -562,6 +562,15 @@ object Dialect {
           out.append(if (twoArg) "map_from_arrays(" else "map(")
           stack.prepend(new Frame('('))
           i = k + 1
+        } else if ((lower == "bing_tile_parent" || lower == "bing_tile_children") &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
+          // the reference overloads these by arity (BingTileFunctions
+          // .java:382-439); Spark's UDF registry is arity-monomorphic, so
+          // the 2-arg target-zoom form routes to the `_zoom` registration
+          out.append(lower).append("_zoom(")
+          stack.prepend(new Frame('('))
+          i = k + 1
         } else if (k < q.length && q(k) == '(' && functionAliases.contains(lower)) {
           out.append(functionAliases(lower)).append('(')
           stack.prepend(new Frame('('))

@@ -726,6 +726,267 @@ object GeoFunctions {
     }
   }
 
+  /** Parent tile quadkey (reference BingTile.findParent; newZoom < 0 means
+    * "one level up"). A quadkey IS the path from the root, so the parent
+    * at zoom z is the z-character prefix. */
+  def parentQuadKey(q: String, newZoom: Int): String = {
+    val (_, _, zoom) = quadKeyToTile(q) // validates digits
+    val target = if (newZoom < 0) zoom - 1 else newZoom
+    require(target >= 0, s"Cannot call bing_tile_parent on zoom $zoom tile with target $target")
+    require(target <= zoom, s"newZoom must be less than or equal to current zoom $zoom: $target")
+    q.substring(0, target)
+  }
+
+  /** Child tile quadkeys (reference BingTile.findChildren; newZoom < 0
+    * means "one level down"). Children at zoom z are all quadkeys with
+    * this tile's key as prefix — 4^(z−zoom) of them, capped fail-loud
+    * like geometryToBingTiles' covering bound. */
+  def childrenQuadKeys(q: String, newZoom: Int, maxTiles: Int = 4096): Seq[String] = {
+    val (_, _, zoom) = quadKeyToTile(q)
+    val target = if (newZoom < 0) zoom + 1 else newZoom
+    require(target <= MaxBingZoom, s"newZoom must be less than or equal to $MaxBingZoom: $target")
+    require(target >= zoom, s"newZoom must be greater than or equal to current zoom $zoom: $target")
+    val diff = target - zoom
+    require(1L << (2 * diff) <= maxTiles,
+      s"bing_tile_children would produce 4^$diff tiles (> $maxTiles); use a nearer zoom")
+    def expand(prefix: String, levels: Int): Seq[String] =
+      if (levels == 0) Seq(prefix)
+      else "0123".flatMap(d => expand(prefix + d, levels - 1))
+    expand(q, diff)
+  }
+
+  // -------------------------------------------------- simplicity & nearest
+
+  /** OGC isSimple (reference ST_IsSimple via Esri OGCGeometry.isSimple):
+    * points are always simple; a multipoint with repeated points is not;
+    * a linestring must not self-intersect except at the shared endpoint
+    * of a closed ring; polygons are simple iff valid. MultiLineString /
+    * GeometryCollection inputs raise the documented narrowing error. */
+  def isSimple(g: Geom): Boolean = g match {
+    case _: GPoint => true
+    case GMultiPoint(ps) => ps.distinct.length == ps.length
+    case GLineString(ps) =>
+      val segs = if (ps.length < 2) Vector.empty else ps.zip(ps.tail)
+      val closed = ps.length >= 3 && ps.head == ps.last
+      val n = segs.length
+      (0 until n).forall { i =>
+        ((i + 2) until n).forall { j =>
+          // non-adjacent pair; for a closed ring the first and last
+          // segments are adjacent through the closing point
+          val ringAdjacent = closed && i == 0 && j == n - 1
+          val (p1, p2) = segs(i); val (q1, q2) = segs(j)
+          if (ringAdjacent)
+            // may share exactly the closing vertex
+            !segsIntersect(p1, p2, q1, q2) || {
+              val shared = Seq(p1, p2).intersect(Seq(q1, q2))
+              shared.length == 1 && segSegDistance(p1, p2, q1, q2) == 0.0 &&
+                pointSegDistance(shared.head, p1, p2) == 0.0
+            }
+          else !segsIntersect(p1, p2, q1, q2)
+        } && {
+          // adjacent segments: only the shared vertex in common (no
+          // collinear fold-back)
+          if (i + 1 < n) {
+            val (p1, p2) = segs(i); val (_, q2) = segs(i + 1)
+            !onSegment(q2, p1, p2) || q2 == p1
+          } else true
+        }
+      }
+    case _: GPolygon | _: GMultiPolygon => invalidReason(g).isEmpty
+    case other => invalid(s"ST_IsSimple supports Point, MultiPoint, LineString and areal geometries under the WKT narrowing. Input type is: ${typeName(other)}")
+  }
+
+  /** Closest point pair (reference geometry_nearest_points via JTS
+    * DistanceOp.nearestPoints): (point-on-a, point-on-b) achieving
+    * ST_Distance. None when either side is empty. */
+  def nearestPoints(a: Geom, b: Geom): Option[(Pt, Pt)] = {
+    if (isEmpty(a) || isEmpty(b)) return None
+    // containment → the contained vertex paired with itself
+    def containedVertex(host: Geom, guest: Geom): Option[Pt] =
+      vertices(guest).find(v =>
+        arealParts(host).exists(rings => locateInRings(v, rings) > 0))
+    containedVertex(a, b).foreach(v => return Some((v, v)))
+    containedVertex(b, a).foreach(v => return Some((v, v)))
+    def projOnSeg(p: Pt, s1: Pt, s2: Pt): Pt = {
+      val dx = s2.x - s1.x; val dy = s2.y - s1.y
+      val len2 = dx * dx + dy * dy
+      if (len2 == 0) s1
+      else {
+        val t = Math.max(0.0, Math.min(1.0,
+          ((p.x - s1.x) * dx + (p.y - s1.y) * dy) / len2))
+        Pt(s1.x + t * dx, s1.y + t * dy)
+      }
+    }
+    def segCross(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Option[Pt] = {
+      val d1x = p2.x - p1.x; val d1y = p2.y - p1.y
+      val d2x = q2.x - q1.x; val d2y = q2.y - q1.y
+      val den = d1x * d2y - d1y * d2x
+      if (den != 0) {
+        val t = ((q1.x - p1.x) * d2y - (q1.y - p1.y) * d2x) / den
+        Some(Pt(p1.x + t * d1x, p1.y + t * d1y))
+      } else // collinear/parallel overlap: any shared endpoint works
+        Seq(q1, q2).find(q => onSegment(q, p1, p2))
+          .orElse(Seq(p1, p2).find(p => onSegment(p, q1, q2)))
+    }
+    val segA = segments(a); val segB = segments(b)
+    val ptsA = if (segA.isEmpty) vertices(a) else Vector.empty
+    val ptsB = if (segB.isEmpty) vertices(b) else Vector.empty
+    var best = Double.PositiveInfinity
+    var bestPair: (Pt, Pt) = null
+    def consider(pa: Pt, pb: Pt): Unit = {
+      val d = segLen(pa, pb)
+      if (d < best) { best = d; bestPair = (pa, pb) }
+    }
+    (segA.isEmpty, segB.isEmpty) match {
+      case (true, true) =>
+        for (p <- ptsA; qq <- ptsB) consider(p, qq)
+      case (true, false) =>
+        for (p <- ptsA; (q1, q2) <- segB) consider(p, projOnSeg(p, q1, q2))
+      case (false, true) =>
+        for (qq <- ptsB; (p1, p2) <- segA) consider(projOnSeg(qq, p1, p2), qq)
+      case (false, false) =>
+        for ((p1, p2) <- segA; (q1, q2) <- segB) {
+          if (segsIntersect(p1, p2, q1, q2))
+            segCross(p1, p2, q1, q2).foreach(x => consider(x, x))
+          else {
+            consider(p1, projOnSeg(p1, q1, q2)); consider(p2, projOnSeg(p2, q1, q2))
+            consider(projOnSeg(q1, p1, p2), q1); consider(projOnSeg(q2, p1, p2), q2)
+          }
+        }
+    }
+    Option(bestPair)
+  }
+
+  // ----------------------------------------------------------- WKB / JSON
+
+  /** Standard OGC WKB reader (reference ST_GeomFromBinary — the Esri
+    * importer accepts the same encoding): both byte orders, the seven
+    * base geometry types, nested collections. Z/M variants raise. */
+  def parseWkb(bytes: Array[Byte]): Geom = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    def geom(): Geom = {
+      val order = buf.get()
+      buf.order(
+        if (order == 0) java.nio.ByteOrder.BIG_ENDIAN
+        else if (order == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+        else invalid(s"Invalid WKB: bad byte-order marker $order"))
+      val code = buf.getInt()
+      if (code > 7) invalid(s"Invalid WKB: unsupported geometry type code $code (Z/M variants are not supported under the WKT narrowing)")
+      def pt(): Pt = Pt(buf.getDouble(), buf.getDouble())
+      def ring(): Vector[Pt] = Vector.fill(buf.getInt())(pt())
+      code match {
+        case 1 => GPoint(Some(pt()))
+        case 2 => GLineString(ring())
+        case 3 => GPolygon(Vector.fill(buf.getInt())(ring()))
+        case 4 => GMultiPoint(Vector.fill(buf.getInt()) {
+          geom() match {
+            case GPoint(Some(p)) => p
+            case _ => invalid("Invalid WKB: MULTIPOINT element is not a point")
+          }
+        })
+        case 5 => GMultiLineString(Vector.fill(buf.getInt()) {
+          geom() match {
+            case GLineString(ps) => ps
+            case _ => invalid("Invalid WKB: MULTILINESTRING element is not a linestring")
+          }
+        })
+        case 6 => GMultiPolygon(Vector.fill(buf.getInt()) {
+          geom() match {
+            case GPolygon(rs) => rs
+            case _ => invalid("Invalid WKB: MULTIPOLYGON element is not a polygon")
+          }
+        })
+        case 7 => GCollection(Vector.fill(buf.getInt())(geom()))
+        case other => invalid(s"Invalid WKB: geometry type code $other")
+      }
+    }
+    val g = geom()
+    if (buf.hasRemaining) invalid("Invalid WKB: trailing bytes")
+    g
+  }
+
+  /** GeoJSON writer (reference geometry_as_geojson — RFC 7946 geometry
+    * object). Coordinates print with the WKT writer's integer-narrowing
+    * convention so round-trips are stable. */
+  def toGeoJson(g: Geom): String = {
+    def coords(p: Pt): String = s"[${num(p.x)},${num(p.y)}]"
+    def seq(ps: Seq[Pt]): String = ps.map(coords).mkString("[", ",", "]")
+    def rings(rs: Seq[Vector[Pt]]): String = rs.map(seq).mkString("[", ",", "]")
+    g match {
+      case GPoint(Some(p)) => s"""{"type":"Point","coordinates":${coords(p)}}"""
+      case GPoint(None) => """{"type":"Point","coordinates":[]}"""
+      case GMultiPoint(ps) => s"""{"type":"MultiPoint","coordinates":${seq(ps)}}"""
+      case GLineString(ps) => s"""{"type":"LineString","coordinates":${seq(ps)}}"""
+      case GMultiLineString(ls) => s"""{"type":"MultiLineString","coordinates":${rings(ls)}}"""
+      case GPolygon(rs) => s"""{"type":"Polygon","coordinates":${rings(rs)}}"""
+      case GMultiPolygon(ps) =>
+        s"""{"type":"MultiPolygon","coordinates":${ps.map(rings).mkString("[", ",", "]")}}"""
+      case GCollection(gs) =>
+        s"""{"type":"GeometryCollection","geometries":${gs.map(toGeoJson).mkString("[", ",", "]")}}"""
+    }
+  }
+
+  /** GeoJSON reader (reference geometry_from_geojson). Jackson is Spark's
+    * own JSON dependency — no new library. */
+  def fromGeoJson(json: String): Geom = {
+    val root = try {
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    } catch {
+      case e: Exception => invalid(s"Invalid GeoJSON: ${e.getMessage}")
+    }
+    def node(n: com.fasterxml.jackson.databind.JsonNode): Geom = {
+      val tpe = Option(n.get("type")).map(_.asText())
+        .getOrElse(invalid("Invalid GeoJSON: missing type"))
+      def arr(path: String): com.fasterxml.jackson.databind.JsonNode =
+        Option(n.get(path)).filter(_.isArray)
+          .getOrElse(invalid(s"Invalid GeoJSON: missing $path array"))
+      import scala.jdk.CollectionConverters._
+      def pt(c: com.fasterxml.jackson.databind.JsonNode): Pt = {
+        require(c.isArray && c.size() >= 2, s"Invalid GeoJSON coordinate: $c")
+        Pt(c.get(0).asDouble(), c.get(1).asDouble())
+      }
+      def pts(c: com.fasterxml.jackson.databind.JsonNode): Vector[Pt] =
+        c.elements().asScala.map(pt).toVector
+      def ringsOf(c: com.fasterxml.jackson.databind.JsonNode): Vector[Vector[Pt]] =
+        c.elements().asScala.map(pts).toVector
+      tpe match {
+        case "Point" =>
+          val c = arr("coordinates")
+          if (c.size() == 0) GPoint(None) else GPoint(Some(pt(c)))
+        case "MultiPoint" => GMultiPoint(pts(arr("coordinates")))
+        case "LineString" => GLineString(pts(arr("coordinates")))
+        case "MultiLineString" => GMultiLineString(ringsOf(arr("coordinates")))
+        case "Polygon" => GPolygon(ringsOf(arr("coordinates")))
+        case "MultiPolygon" =>
+          GMultiPolygon(arr("coordinates").elements().asScala.map(ringsOf).toVector)
+        case "GeometryCollection" =>
+          GCollection(arr("geometries").elements().asScala.map(node).toVector)
+        case other => invalid(s"Invalid GeoJSON: unsupported type $other")
+      }
+    }
+    node(root)
+  }
+
+  /** Every non-collection component, nested collections flattened
+    * (reference flatten_geometry_collections — multi-geometries are NOT
+    * split, only collections are). */
+  def flattenCollections(g: Geom): Vector[Geom] = g match {
+    case GCollection(gs) => gs.flatMap(flattenCollections)
+    case single => Vector(single)
+  }
+
+  /** Component list (reference ST_Geometries: null for empty, the
+    * geometry itself for single types, components for multi types). */
+  def componentGeoms(g: Geom): Option[Vector[Geom]] =
+    if (isEmpty(g)) None
+    else Some(g match {
+      case GMultiPoint(ps)      => ps.map(p => GPoint(Some(p)))
+      case GMultiLineString(ls) => ls.map(GLineString)
+      case GMultiPolygon(ps)    => ps.map(GPolygon)
+      case GCollection(gs)      => gs
+      case single               => Vector(single)
+    })
+
   // ---------------------------------------------------------- registration
 
   /** Register every geospatial scalar on the session. All are plain Scala
@@ -944,5 +1205,77 @@ object GeoFunctions {
         if x >= 0 && x <= max && y >= 0 && y <= max
       } yield tileToQuadKey(x, y, zoom)
     })
+
+    // round-10 additions. The 2-arg bing_tile_parent/children arities are
+    // the `_zoom` spellings; Dialect rewrites the reference's overloaded
+    // name by argument count (Spark's UDF registry is arity-monomorphic).
+    u.register("bing_tile_parent", (q: String) =>
+      if (q == null) null else parentQuadKey(q, -1))
+    u.register("bing_tile_parent_zoom", (q: String, z: Int) =>
+      if (q == null) null else parentQuadKey(q, z))
+    u.register("bing_tile_children", (q: String) =>
+      if (q == null) null.asInstanceOf[Seq[String]] else childrenQuadKeys(q, -1))
+    u.register("bing_tile_children_zoom", (q: String, z: Int) =>
+      if (q == null) null.asInstanceOf[Seq[String]] else childrenQuadKeys(q, z))
+
+    g1[java.lang.Boolean]("st_issimple")(g => java.lang.Boolean.valueOf(isSimple(g)))
+    g1[Seq[String]]("st_points")(g =>
+      if (isEmpty(g)) null else vertices(g).map(p => print(GPoint(Some(p)))))
+    g1[Seq[String]]("st_geometries")(g => componentGeoms(g).map(_.map(print)).orNull)
+    g1[Seq[String]]("st_interiorrings") {
+      case GPolygon(rs) => if (rs.isEmpty) null else rs.tail.map(r => print(GLineString(r)))
+      case other => invalid(s"ST_InteriorRings applies to a Polygon. Input type is: ${typeName(other)}")
+    }
+    g1[Seq[String]]("flatten_geometry_collections")(g =>
+      flattenCollections(g).map(print))
+    g1[Seq[String]]("st_envelopeaspts")(g => envelope(g) match {
+      case None => null
+      case Some((x0, y0, x1, y1)) =>
+        Seq(print(GPoint(Some(Pt(x0, y0)))), print(GPoint(Some(Pt(x1, y1)))))
+    })
+    u.register("expand_envelope", (wkt: String, d: Double) => {
+      if (wkt == null) null
+      else {
+        require(!d.isNaN, "expand_envelope: distance is NaN")
+        require(d >= 0, s"expand_envelope: distance $d is negative")
+        envelope(parse(wkt)) match {
+          case None => "POLYGON EMPTY"
+          case Some((x0, y0, x1, y1)) =>
+            val (ex0, ey0, ex1, ey1) = (x0 - d, y0 - d, x1 + d, y1 + d)
+            if (ex0 == ex1 && ey0 == ey1) print(GPoint(Some(Pt(ex0, ey0))))
+            else print(GPolygon(Vector(Vector(
+              Pt(ex0, ey0), Pt(ex1, ey0), Pt(ex1, ey1), Pt(ex0, ey1), Pt(ex0, ey0)))))
+        }
+      }
+    })
+    g2[Seq[String]]("geometry_nearest_points")((a, b) =>
+      nearestPoints(a, b) match {
+        case Some((p, qq)) => Seq(print(GPoint(Some(p))), print(GPoint(Some(qq))))
+        case None => null
+      })
+    u.register("st_geomfrombinary", (b: Array[Byte]) =>
+      if (b == null) null else print(parseWkb(b)))
+    g1[String]("geometry_as_geojson")(g => if (isEmpty(g)) null else toGeoJson(g))
+    u.register("geometry_from_geojson", (s: String) =>
+      if (s == null) null else print(fromGeoJson(s)))
+    // SPHERICAL narrowing: geography values share the WKT VARCHAR carrier;
+    // to_spherical_geography validates the lat/lon domain like the
+    // reference (SphericalGeoFunctions.java:77-108), to_geometry is the
+    // inverse cast.
+    g1[String]("to_spherical_geography") { g =>
+      g match {
+        case _: GCollection =>
+          invalid("Cannot convert geometry collection to SphericalGeography")
+        case _ =>
+      }
+      vertices(g).foreach { p =>
+        require(p.x >= -180 && p.x <= 180,
+          s"Longitude must be between -180 and 180, got ${p.x}")
+        require(p.y >= -90 && p.y <= 90,
+          s"Latitude must be between -90 and 90, got ${p.y}")
+      }
+      print(g)
+    }
+    g1[String]("to_geometry")(print)
   }
 }

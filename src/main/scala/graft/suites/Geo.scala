@@ -246,5 +246,58 @@ object Geo {
             |  (p_partkey * 29) % 360 - 180 + 0.3,
             |  40.7, -74.0) AS km""".stripMargin)
         .orderBy("p_partkey")
+    },
+
+    // round-10 surface: envelope expansion, nearest-points, the GeoJSON
+    // round trip, and the Bing tile parent/children algebra (including
+    // the reference's 2-arg overloads, which the facade rewrites by
+    // arity). Every output has a closed form the oracle derives with
+    // plain arithmetic: the nearest point from (px, py) to the segment
+    // y=50, x∈[0,100] is (px, 50) since px ∈ [0, 99]; expand_envelope of
+    // a point by 5 has corners at ±5; the GeoJSON round trip reprints
+    // the integer-coordinate WKT verbatim; the tile checks collapse to
+    // booleans (prefix algebra + cardinality) that must hold on every row.
+    Qdef(
+      "geo08_accessors_roundtrip",
+      """SELECT s_suppkey,
+        |  CAST((s_suppkey * 7) % 100 - 5 AS DOUBLE) AS exp_xmin,
+        |  CAST((s_suppkey * 13) % 100 + 5 AS DOUBLE) AS exp_ymax,
+        |  CAST((s_suppkey * 7) % 100 AS DOUBLE) AS np_x,
+        |  CAST(50 AS DOUBLE) AS np_y,
+        |  'POINT (' || CAST((s_suppkey * 7) % 100 AS VARCHAR) || ' ' ||
+        |    CAST((s_suppkey * 13) % 100 AS VARCHAR) || ')' AS rt_wkt,
+        |  TRUE AS tiles_ok
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      Engine.sql(s, dir,
+        """SELECT s_suppkey,
+          |  st_xmin(expand_envelope(
+          |    st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100), 5))
+          |    AS exp_xmin,
+          |  st_ymax(expand_envelope(
+          |    st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100), 5))
+          |    AS exp_ymax,
+          |  st_x(geometry_nearest_points(
+          |    st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100),
+          |    st_geometry_from_text('LINESTRING (0 50, 100 50)'))[1]) AS np_x,
+          |  st_y(geometry_nearest_points(
+          |    st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100),
+          |    st_geometry_from_text('LINESTRING (0 50, 100 50)'))[2]) AS np_y,
+          |  st_astext(geometry_from_geojson(geometry_as_geojson(
+          |    st_point((s_suppkey * 7) % 100, (s_suppkey * 13) % 100)))) AS rt_wkt,
+          |  length(bing_tile_parent(
+          |      bing_tile_at((s_suppkey * 13) % 100 - 50.0,
+          |                   (s_suppkey * 7) % 100 - 50.0, 15), 8)) = 8
+          |    AND strpos(
+          |      bing_tile_at((s_suppkey * 13) % 100 - 50.0,
+          |                   (s_suppkey * 7) % 100 - 50.0, 15),
+          |      bing_tile_parent(
+          |        bing_tile_at((s_suppkey * 13) % 100 - 50.0,
+          |                     (s_suppkey * 7) % 100 - 50.0, 15))) = 1
+          |    AND cardinality(bing_tile_children(
+          |      bing_tile_at((s_suppkey * 13) % 100 - 50.0,
+          |                   (s_suppkey * 7) % 100 - 50.0, 10))) = 4 AS tiles_ok
+          |FROM supplier
+          |ORDER BY s_suppkey""".stripMargin)
     })
 }

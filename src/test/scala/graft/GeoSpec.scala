@@ -208,4 +208,124 @@ class GeoSpec extends AnyFunSuite {
     // 101 is on polygon 1's boundary — OGC Contains excludes it
     assert(pairs === Set((1, 100), (2, 102)))
   }
+
+  test("bing tile parent/children: prefix algebra and fail-loud bounds") {
+    assert(GeoFunctions.parentQuadKey("0231", -1) === "023")
+    assert(GeoFunctions.parentQuadKey("0231", 2) === "02")
+    assert(GeoFunctions.parentQuadKey("0231", 4) === "0231")
+    intercept[IllegalArgumentException](GeoFunctions.parentQuadKey("", -1))
+    intercept[IllegalArgumentException](GeoFunctions.parentQuadKey("0231", 5))
+    assert(GeoFunctions.childrenQuadKeys("02", -1) === Seq("020", "021", "022", "023"))
+    assert(GeoFunctions.childrenQuadKeys("02", 4).length === 16)
+    assert(GeoFunctions.childrenQuadKeys("02", 4).forall(_.startsWith("02")))
+    assert(GeoFunctions.childrenQuadKeys("02", 2) === Seq("02"))
+    intercept[IllegalArgumentException](GeoFunctions.childrenQuadKeys("02", 1))
+    intercept[IllegalArgumentException](GeoFunctions.childrenQuadKeys("02", 23)) // 4^21 > cap
+  }
+
+  test("WKB parses both byte orders and round-trips the ADT") {
+    def wkbPoint(littleEndian: Boolean, x: Double, y: Double): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(21)
+      b.put(if (littleEndian) 1.toByte else 0.toByte)
+      b.order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+              else java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(1).putDouble(x).putDouble(y)
+      b.array()
+    }
+    assert(GeoFunctions.print(GeoFunctions.parseWkb(wkbPoint(true, 3, 4))) === "POINT (3 4)")
+    assert(GeoFunctions.print(GeoFunctions.parseWkb(wkbPoint(false, -1.5, 2))) === "POINT (-1.5 2)")
+    // linestring, little-endian
+    val ls = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 2 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ls.put(1.toByte).putInt(2).putInt(2).putDouble(0).putDouble(0).putDouble(5).putDouble(5)
+    assert(GeoFunctions.print(GeoFunctions.parseWkb(ls.array())) === "LINESTRING (0 0, 5 5)")
+    intercept[IllegalArgumentException](GeoFunctions.parseWkb(Array[Byte](9)))
+    intercept[IllegalArgumentException](
+      GeoFunctions.parseWkb(wkbPoint(true, 1, 2) ++ Array[Byte](0)))
+  }
+
+  test("GeoJSON round-trips every supported kind") {
+    val cases = Seq(
+      "POINT (1 2)",
+      "MULTIPOINT (1 2, 3 4)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    for (w <- cases)
+      assert(GeoFunctions.print(GeoFunctions.fromGeoJson(GeoFunctions.toGeoJson(p(w)))) === w, w)
+    assert(GeoFunctions.toGeoJson(p("POINT (1 2)")) ===
+      """{"type":"Point","coordinates":[1,2]}""")
+    intercept[IllegalArgumentException](GeoFunctions.fromGeoJson("""{"type":"Nope"}"""))
+    intercept[IllegalArgumentException](GeoFunctions.fromGeoJson("not json at all"))
+  }
+
+  test("isSimple: self-intersection and duplicate-point detection") {
+    assert(GeoFunctions.isSimple(p("POINT (1 2)")))
+    assert(GeoFunctions.isSimple(p("MULTIPOINT (1 2, 3 4)")))
+    assert(!GeoFunctions.isSimple(p("MULTIPOINT (1 2, 1 2)")))
+    assert(GeoFunctions.isSimple(p("LINESTRING (0 0, 1 1, 2 0)")))
+    // figure-eight crossing
+    assert(!GeoFunctions.isSimple(p("LINESTRING (0 0, 2 2, 2 0, 0 2)")))
+    // closed ring: first/last segments share only the closing point
+    assert(GeoFunctions.isSimple(p("LINESTRING (0 0, 1 0, 1 1, 0 0)")))
+    // fold-back onto the previous segment
+    assert(!GeoFunctions.isSimple(p("LINESTRING (0 0, 2 0, 1 0)")))
+    assert(GeoFunctions.isSimple(p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))
+    intercept[IllegalArgumentException](
+      GeoFunctions.isSimple(p("GEOMETRYCOLLECTION (POINT (1 2))")))
+  }
+
+  test("nearestPoints: point-to-segment projection and crossing segments") {
+    val Some((a1, b1)) = GeoFunctions.nearestPoints(
+      p("POINT (5 3)"), p("LINESTRING (0 0, 10 0)"))
+    assert(a1 === Pt(5, 3) && b1 === Pt(5, 0))
+    // beyond the segment end clamps to the endpoint
+    val Some((_, b2)) = GeoFunctions.nearestPoints(
+      p("POINT (15 3)"), p("LINESTRING (0 0, 10 0)"))
+    assert(b2 === Pt(10, 0))
+    // crossing segments meet at the intersection point
+    val Some((a3, b3)) = GeoFunctions.nearestPoints(
+      p("LINESTRING (0 0, 10 10)"), p("LINESTRING (0 10, 10 0)"))
+    assert(a3 === b3 && a3 === Pt(5, 5))
+    // containment pairs a contained vertex with itself
+    val Some((a4, b4)) = GeoFunctions.nearestPoints(
+      p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), p("POINT (3 3)"))
+    assert(a4 === Pt(3, 3) && b4 === Pt(3, 3))
+    assert(GeoFunctions.nearestPoints(p("POINT EMPTY"), p("POINT (1 1)")).isEmpty)
+  }
+
+  test("accessor arrays, flatten, envelope expansion through SQL") {
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    def one(sql: String): Any = s.sql(sql).collect()(0).get(0)
+    assert(one("SELECT st_points('LINESTRING (0 0, 1 1)')") ===
+      Seq("POINT (0 0)", "POINT (1 1)"))
+    assert(one("SELECT st_geometries('MULTIPOINT (1 2, 3 4)')") ===
+      Seq("POINT (1 2)", "POINT (3 4)"))
+    assert(one("SELECT st_geometries('POINT (1 2)')") === Seq("POINT (1 2)"))
+    assert(one("SELECT st_interiorrings('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')") ===
+      Seq("LINESTRING (2 2, 4 2, 4 4, 2 4, 2 2)"))
+    assert(one("SELECT flatten_geometry_collections('GEOMETRYCOLLECTION (POINT (1 2), GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1)))')") ===
+      Seq("POINT (1 2)", "LINESTRING (0 0, 1 1)"))
+    assert(one("SELECT st_envelopeaspts('LINESTRING (0 5, 10 0)')") ===
+      Seq("POINT (0 0)", "POINT (10 5)"))
+    assert(one("SELECT expand_envelope('POINT (5 5)', 2)") ===
+      "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert(one("SELECT st_astext(geometry_from_geojson(geometry_as_geojson('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))") ===
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert(one("SELECT to_geometry(to_spherical_geography('POINT (10 20)'))") ===
+      "POINT (10 20)")
+    intercept[Exception](one("SELECT to_spherical_geography('POINT (200 0)')"))
+    assert(one("SELECT geometry_nearest_points('POINT (5 3)', 'LINESTRING (0 0, 10 0)')") ===
+      Seq("POINT (5 3)", "POINT (5 0)"))
+    // the facade rewrites the reference's 2-arg overloads by arity
+    assert(Engine.sql(s, "/root/testdata/sf0.001",
+      "SELECT bing_tile_parent(bing_tile_at(40.0, -74.0, 10)) AS t").collect()(0).getString(0).length === 9)
+    assert(Engine.sql(s, "/root/testdata/sf0.001",
+      "SELECT bing_tile_parent(bing_tile_at(40.0, -74.0, 10), 4) AS t").collect()(0).getString(0).length === 4)
+    assert(Engine.sql(s, "/root/testdata/sf0.001",
+      "SELECT cardinality(bing_tile_children(bing_tile_at(40.0, -74.0, 10), 12)) AS n").collect()(0).getInt(0) === 16)
+  }
 }
