@@ -571,6 +571,15 @@ object Dialect {
           out.append(lower).append("_zoom(")
           stack.prepend(new Frame('('))
           i = k + 1
+        } else if (lower == "uniqueness_distribution" &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
+          // 2-arg uniqueness_distribution(khll, histogramSize) (reference
+          // KHyperLogLogFunctions.java:92) → the explicit-size spelling;
+          // the 1-arg registration uses the digest's own minhash size
+          out.append("khll_uniqueness_distribution(")
+          stack.prepend(new Frame('('))
+          i = k + 1
         } else if (k < q.length && q(k) == '(' && functionAliases.contains(lower)) {
           out.append(functionAliases(lower)).append('(')
           stack.prepend(new Frame('('))

@@ -71,6 +71,10 @@ object KHyperLogLogSketch {
   private def deserialize(d: Seq[(Long, Seq[Long])]): State =
     (d.head._2.head == 1L, d.tail.toVector)
 
+  /** Number of minhash entries (reference getMinhashSize — the 1-arg
+    * uniqueness_distribution's histogram bound). */
+  def minhashSize(d: Seq[(Long, Seq[Long])]): Long = deserialize(d)._2.size.toLong
+
   def cardinality(d: Seq[(Long, Seq[Long])]): Long = {
     val (ov, entries) = deserialize(d)
     if (!ov || entries.size <= 1) entries.size.toLong
@@ -145,5 +149,19 @@ object KHyperLogLogSketch {
       udf((d: Seq[(Long, Seq[Long])], t: Long) =>
         if (d == null || d.isEmpty) null
         else java.lang.Double.valueOf(reidentificationPotential(d, t))))
+    // the reference SQL names (KHyperLogLogFunctions.java:80-110):
+    // reidentification_potential is 2-arg; uniqueness_distribution's
+    // 1-arg form uses the digest's own minhash size as the histogram
+    // bound (getMinhashSize()), and its 2-arg form is rewritten by the
+    // facade onto khll_uniqueness_distribution (arity-monomorphic
+    // registry, same mechanism as bing_tile_parent)
+    spark.udf.register("reidentification_potential",
+      udf((d: Seq[(Long, Seq[Long])], t: Long) =>
+        if (d == null || d.isEmpty) null
+        else java.lang.Double.valueOf(reidentificationPotential(d, t))))
+    spark.udf.register("uniqueness_distribution",
+      udf((d: Seq[(Long, Seq[Long])]) =>
+        if (d == null || d.isEmpty) null
+        else uniquenessDistribution(d, minhashSize(d))))
   }
 }

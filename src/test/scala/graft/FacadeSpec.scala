@@ -53,6 +53,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(one(
       "SELECT khll_cardinality(khyperloglog_agg(k, v)) FROM (VALUES ('k1', 'x'), ('k2', 'y')) t(k, v)")
       == 2L)
+    // the reference SQL names: reidentification_potential, plus both
+    // uniqueness_distribution arities (1-arg = digest minhash size;
+    // 2-arg rewritten onto the explicit-size registration)
+    assert(one(
+      """SELECT reidentification_potential(khyperloglog_agg(k, v), 1)
+        |FROM (VALUES ('a','x'), ('a','y'), ('b','x')) t(k, v)""".stripMargin)
+      == 0.5)
+    assert(one(
+      """SELECT cardinality(uniqueness_distribution(khyperloglog_agg(k, v)))
+        |FROM (VALUES ('a','x'), ('a','y'), ('b','x')) t(k, v)""".stripMargin)
+      == 2)
+    assert(one(
+      """SELECT cardinality(uniqueness_distribution(khyperloglog_agg(k, v), 8))
+        |FROM (VALUES ('a','x'), ('a','y'), ('b','x')) t(k, v)""".stripMargin)
+      == 8)
     assert(one(
       "SELECT size(classification_precision(4L, p, l)) FROM (VALUES (0.9D, true), (0.1D, false)) t(p, l)")
       == 4)

@@ -78,7 +78,8 @@ class FunctionSweepSpec extends AnyFunSuite {
     "variance", "week", "week_of_year", "weibull_cdf", "width_bucket", "wilson_interval_lower",
     "wilson_interval_upper", "word_stem", "xxhash64", "year", "year_of_week", "yow",
     // round 10: the map-aggregate family under its reference SQL names
-    "map_agg", "map_union", "histogram", "approx_most_frequent")
+    "map_agg", "map_union", "histogram", "approx_most_frequent",
+    "reidentification_potential", "uniqueness_distribution")
 
   test("every reference function name resolves or is documented-deferred") {
     val s = TestSpark.spark
