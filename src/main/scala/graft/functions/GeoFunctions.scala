@@ -987,6 +987,89 @@ object GeoFunctions {
       case single               => Vector(single)
     })
 
+  // ----------------------------------------------------- spatial aggregates
+
+  /** convex_hull_agg (reference: presto-geospatial/.../aggregation/
+    * ConvexHullAggregation.java). State is the CURRENT HULL's vertex list
+    * — merging hulls by hulling the union of their vertices is exact
+    * (any point inside either hull is inside the merged hull), so
+    * partials combine map-side and the shuffle carries O(hull) points,
+    * not O(rows). Works for every supported geometry kind (the hull of a
+    * set of geometries is the hull of all their vertices). */
+  class ConvexHullAgg(enc: org.apache.spark.sql.Encoder[Vector[(Double, Double)]])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Vector[(Double, Double)], String] {
+    private def rehull(pts: Vector[(Double, Double)]): Vector[(Double, Double)] =
+      vertices(convexHull(GMultiPoint(pts.map(p => Pt(p._1, p._2))))).map(p => (p.x, p.y))
+    def zero: Vector[(Double, Double)] = Vector.empty
+    def reduce(b: Vector[(Double, Double)], wkt: String): Vector[(Double, Double)] =
+      if (wkt == null) b
+      else rehull(b ++ vertices(parse(wkt)).map(p => (p.x, p.y)))
+    def merge(b1: Vector[(Double, Double)], b2: Vector[(Double, Double)])
+        : Vector[(Double, Double)] = rehull(b1 ++ b2)
+    def finish(r: Vector[(Double, Double)]): String =
+      if (r.isEmpty) null else print(convexHull(GMultiPoint(r.map(p => Pt(p._1, p._2)))))
+    def bufferEncoder: org.apache.spark.sql.Encoder[Vector[(Double, Double)]] = enc
+    def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
+
+  /** Distinct point set of a PUNCTUAL geometry, for the union family's
+    * dissolve narrowing. */
+  private def punctualPoints(g: Geom, fn: String): Vector[Pt] = g match {
+    case GPoint(p)       => p.toVector
+    case GMultiPoint(ps) => ps
+    case GCollection(gs) => gs.flatMap(punctualPoints(_, fn))
+    case other => invalid(
+      s"$fn supports punctual geometries (Point/MultiPoint) under the WKT " +
+        s"narrowing — lineal/areal dissolve stays deferred with the overlay " +
+        s"core (ST_Union/ST_Intersection). Input type is: ${typeName(other)}")
+  }
+
+  /** Bounded-state cap for the point-union aggregate: beyond this many
+    * distinct points the state is no longer 'sketch-sized' and the union
+    * should be a DISTINCT on coordinates instead. Fail-loud. */
+  private val MaxUnionPoints = 65536
+
+  private def dissolvedPrint(pts: Vector[(Double, Double)]): String = {
+    val ps = pts.distinct.sorted.map(p => Pt(p._1, p._2))
+    if (ps.isEmpty) null
+    else if (ps.length == 1) print(GPoint(Some(ps.head)))
+    else print(GMultiPoint(ps))
+  }
+
+  /** geometry_union_agg (reference: presto-geospatial/.../aggregation/
+    * GeometryUnionAgg.java) under the punctual narrowing: the union of
+    * point sets is their distinct point set — exact, order-independent,
+    * mergeable. */
+  class GeometryUnionAgg(enc: org.apache.spark.sql.Encoder[Vector[(Double, Double)]])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Vector[(Double, Double)], String] {
+    private def capped(v: Vector[(Double, Double)]): Vector[(Double, Double)] = {
+      val d = v.distinct
+      require(d.length <= MaxUnionPoints,
+        s"geometry_union_agg: > $MaxUnionPoints distinct points; use DISTINCT on coordinates instead")
+      d
+    }
+    def zero: Vector[(Double, Double)] = Vector.empty
+    def reduce(b: Vector[(Double, Double)], wkt: String): Vector[(Double, Double)] =
+      if (wkt == null) b
+      else capped(b ++ punctualPoints(parse(wkt), "geometry_union_agg").map(p => (p.x, p.y)))
+    def merge(b1: Vector[(Double, Double)], b2: Vector[(Double, Double)])
+        : Vector[(Double, Double)] = capped(b1 ++ b2)
+    def finish(r: Vector[(Double, Double)]): String = dissolvedPrint(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Vector[(Double, Double)]] = enc
+    def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
+
+  /** geometry_union(array(Geometry)) (reference GeoFunctions.java
+    * geometryUnion) — same punctual dissolve as the aggregate. */
+  def geometryUnion(wkts: Seq[String]): String =
+    dissolvedPrint(wkts.filter(_ != null).toVector
+      .flatMap(w => punctualPoints(parse(w), "geometry_union"))
+      .map(p => (p.x, p.y)))
+
   // ---------------------------------------------------------- registration
 
   /** Register every geospatial scalar on the session. All are plain Scala
@@ -1277,5 +1360,16 @@ object GeoFunctions {
       print(g)
     }
     g1[String]("to_geometry")(print)
+
+    val hullEnc: org.apache.spark.sql.Encoder[Vector[(Double, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Double, Double)]]()
+    u.register("convex_hull_agg",
+      org.apache.spark.sql.functions.udaf(new ConvexHullAgg(hullEnc),
+        org.apache.spark.sql.Encoders.STRING))
+    u.register("geometry_union_agg",
+      org.apache.spark.sql.functions.udaf(new GeometryUnionAgg(hullEnc),
+        org.apache.spark.sql.Encoders.STRING))
+    u.register("geometry_union", (wkts: Seq[String]) =>
+      if (wkts == null) null else geometryUnion(wkts))
   }
 }

@@ -299,5 +299,48 @@ object Geo {
           |                   (s_suppkey * 7) % 100 - 50.0, 10))) = 4 AS tiles_ok
           |FROM supplier
           |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // Spatial aggregates (reference: presto-geospatial/.../aggregation/
+    // ConvexHullAggregation.java, GeometryUnionAgg.java). The supplier
+    // points per nation are arranged COLLINEAR (y = 2x + nationkey), so
+    // the hull is the closed-form segment from the group's min-x to its
+    // max-x (a POINT when the group collapses to one location) — the
+    // oracle rebuilds the exact WKT with min/max arithmetic. The
+    // point-set union dissolves duplicates into a deterministic sorted
+    // MULTIPOINT that DuckDB reproduces with DISTINCT + string_agg.
+    Qdef(
+      "geo09_spatial_aggs",
+      """WITH pts AS (
+        |  SELECT s_nationkey AS nk, s_suppkey % 50 AS x,
+        |    (s_suppkey % 50) % 7 AS ux, (s_suppkey % 50) % 5 AS uy
+        |  FROM supplier),
+        |hulls AS (
+        |  SELECT nk, min(x) AS x0, max(x) AS x1 FROM pts GROUP BY nk),
+        |dis AS (
+        |  SELECT nk,
+        |    CASE WHEN count(*) = 1
+        |      THEN 'POINT (' || min(ux) || ' ' || min(uy) || ')'
+        |      ELSE 'MULTIPOINT (' ||
+        |        string_agg(ux || ' ' || uy, ', ' ORDER BY ux, uy) || ')'
+        |    END AS dissolved
+        |  FROM (SELECT DISTINCT nk, ux, uy FROM pts) GROUP BY nk)
+        |SELECT h.nk AS s_nationkey,
+        |  CASE WHEN x0 = x1
+        |    THEN 'POINT (' || x0 || ' ' || (2 * x0 + h.nk) || ')'
+        |    ELSE 'LINESTRING (' || x0 || ' ' || (2 * x0 + h.nk) || ', '
+        |      || x1 || ' ' || (2 * x1 + h.nk) || ')'
+        |  END AS hull,
+        |  d.dissolved
+        |FROM hulls h JOIN dis d ON h.nk = d.nk
+        |ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      t(s, dir, "supplier")
+        .selectExpr("s_nationkey", "s_suppkey % 50 AS x")
+        .groupBy(col("s_nationkey"))
+        .agg(
+          expr("convex_hull_agg(st_point(x, 2 * x + s_nationkey))").as("hull"),
+          expr("geometry_union_agg(st_point(x % 7, x % 5))").as("dissolved"))
+        .orderBy("s_nationkey")
     })
 }

@@ -79,7 +79,8 @@ class FunctionSweepSpec extends AnyFunSuite {
     "wilson_interval_upper", "word_stem", "xxhash64", "year", "year_of_week", "yow",
     // round 10: the map-aggregate family under its reference SQL names
     "map_agg", "map_union", "histogram", "approx_most_frequent",
-    "reidentification_potential", "uniqueness_distribution")
+    "reidentification_potential", "uniqueness_distribution",
+    "convex_hull_agg", "geometry_union", "geometry_union_agg")
 
   test("every reference function name resolves or is documented-deferred") {
     val s = TestSpark.spark

@@ -328,4 +328,34 @@ class GeoSpec extends AnyFunSuite {
     assert(Engine.sql(s, "/root/testdata/sf0.001",
       "SELECT cardinality(bing_tile_children(bing_tile_at(40.0, -74.0, 10), 12)) AS n").collect()(0).getInt(0) === 16)
   }
+
+  test("convex_hull_agg and the geometry_union family through SQL") {
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    def one(sql: String): Any = s.sql(sql).collect()(0).get(0)
+    // hull of scattered points; interior points vanish
+    assert(one("""SELECT convex_hull_agg(g) FROM (VALUES
+      ('POINT (0 0)'), ('POINT (10 0)'), ('POINT (10 10)'),
+      ('POINT (0 10)'), ('POINT (5 5)')) t(g)""") ===
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // degenerate hulls: collinear -> linestring, single -> point
+    assert(one("""SELECT convex_hull_agg(g) FROM (VALUES
+      ('POINT (0 0)'), ('POINT (1 1)'), ('POINT (2 2)')) t(g)""") ===
+      "LINESTRING (0 0, 2 2)")
+    assert(one("SELECT convex_hull_agg(g) FROM (VALUES ('POINT (3 4)')) t(g)") ===
+      "POINT (3 4)")
+    // hulls of non-point inputs use every vertex
+    assert(one("""SELECT convex_hull_agg(g) FROM (VALUES
+      ('LINESTRING (0 0, 10 0)'), ('POINT (5 10)')) t(g)""") ===
+      "POLYGON ((0 0, 10 0, 5 10, 0 0))")
+    // point-set union dissolves duplicates, deterministic order
+    assert(one("""SELECT geometry_union_agg(g) FROM (VALUES
+      ('POINT (1 1)'), ('MULTIPOINT (1 1, 2 2)'), ('POINT (0 5)')) t(g)""") ===
+      "MULTIPOINT (0 5, 1 1, 2 2)")
+    assert(one("SELECT geometry_union(array('POINT (2 2)', 'POINT (1 1)', 'POINT (2 2)'))") ===
+      "MULTIPOINT (1 1, 2 2)")
+    assert(one("SELECT geometry_union(array('POINT (1 1)'))") === "POINT (1 1)")
+    // lineal/areal dissolve stays deferred loudly
+    intercept[Exception](one("SELECT geometry_union(array('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))"))
+  }
 }
