@@ -987,6 +987,290 @@ object GeoFunctions {
       case single               => Vector(single)
     })
 
+  // ------------------------------------------- relations & narrowed overlay
+
+  /** Canonical structural form for vertex-level geometric equality
+    * (reference ST_Equals is topological via Esri; this narrowing deems
+    * two geometries equal when their canonicalized vertex structure
+    * matches — same point set for punctual kinds, direction-normalized
+    * component paths for lineal kinds, rotation/orientation-normalized
+    * rings for areal kinds. Differently-segmented but point-set-equal
+    * lines compare UNEQUAL here; divergence documented). */
+  private def lexLess(a: Seq[(Double, Double)], b: Seq[(Double, Double)]): Boolean = {
+    val it = a.iterator.zip(b.iterator)
+    while (it.hasNext) {
+      val (x, y) = it.next()
+      val c = Ordering[(Double, Double)].compare(x, y)
+      if (c != 0) return c < 0
+    }
+    a.length < b.length
+  }
+
+  private def canonical(g: Geom): AnyRef = {
+    def canonLine(ps: Vector[Pt]): Vector[(Double, Double)] = {
+      val fwd = ps.map(p => (p.x, p.y))
+      val rev = fwd.reverse
+      if (lexLess(rev, fwd)) rev else fwd
+    }
+    def canonRing(ring: Vector[Pt]): Vector[(Double, Double)] = {
+      val open0 = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+      val open = open0.map(p => (p.x, p.y))
+      val candidates = (0 until open.length).flatMap { r =>
+        val rot = open.drop(r) ++ open.take(r)
+        Seq(rot, rot.head +: rot.tail.reverse)
+      }
+      val best = candidates.reduceLeft((x, y) => if (lexLess(y, x)) y else x)
+      best :+ best.head
+    }
+    g match {
+      case _: GPoint | _: GMultiPoint =>
+        ("pt", vertices(g).map(p => (p.x, p.y)).distinct.sorted)
+      case GLineString(ps) => ("ln", Vector(canonLine(ps)))
+      case GMultiLineString(ls) => ("ln", ls.map(canonLine).sortWith(lexLess))
+      case GPolygon(rs) => ("pg", Vector(rs.map(canonRing)))
+      case GMultiPolygon(ps) =>
+        ("pg", ps.map(_.map(canonRing)).sortWith((x, y) => lexLess(x.flatten, y.flatten)))
+      case GCollection(gs) => ("gc", gs.map(canonical))
+    }
+  }
+
+  /** Vertex-level ST_Equals (narrowing documented on [[canonical]]). */
+  def geomEquals(a: Geom, b: Geom): Option[Boolean] = {
+    if (isEmpty(a) || isEmpty(b)) return Some(isEmpty(a) && isEmpty(b))
+    Some(canonical(a) == canonical(b))
+  }
+
+  private def orient(o: Pt, a: Pt, b: Pt): Double =
+    (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+
+  /** Strictly-crossing segment pair: the open interiors intersect in a
+    * single point (orientations strictly opposite on both sides). */
+  private def properCross(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Boolean = {
+    val o1 = orient(p1, p2, q1); val o2 = orient(p1, p2, q2)
+    val o3 = orient(q1, q2, p1); val o4 = orient(q1, q2, p2)
+    o1 * o2 < 0 && o3 * o4 < 0
+  }
+
+  /** Does any point of `g` lie strictly inside an areal component of
+    * `host`? */
+  private def hasVertexInInterior(g: Geom, host: Geom): Boolean =
+    arealParts(host).exists(rings =>
+      vertices(g).exists(v => locateInRings(v, rings) == 2))
+
+  /** Do the two geometries' segment sets properly cross anywhere? */
+  private def haveProperCrossing(a: Geom, b: Geom): Boolean =
+    segments(a).exists { case (p1, p2) =>
+      segments(b).exists { case (q1, q2) => properCross(p1, p2, q1, q2) } }
+
+  /** Boundary points of a lineal geometry: non-closed component
+    * endpoints (OGC mod-2 rule simplified to the common case). */
+  private def linealBoundary(g: Geom): Vector[Pt] = g match {
+    case GLineString(ps) if ps.length >= 2 && ps.head != ps.last => Vector(ps.head, ps.last)
+    case GLineString(_) => Vector.empty
+    case GMultiLineString(ls) =>
+      ls.filter(ps => ps.length >= 2 && ps.head != ps.last).flatMap(ps => Vector(ps.head, ps.last))
+    case _ => Vector.empty
+  }
+
+  private def isPunctual(g: Geom): Boolean = g match {
+    case _: GPoint | _: GMultiPoint => true
+    case _ => false
+  }
+  private def isLineal(g: Geom): Boolean = g match {
+    case _: GLineString | _: GMultiLineString => true
+    case _ => false
+  }
+  private def isAreal(g: Geom): Boolean = arealParts(g).nonEmpty
+
+  /** OGC Touches for the supported kind pairs: the geometries intersect
+    * but their interiors do not. Punctual-vs-(lineal|areal), areal-vs-
+    * areal, and lineal-vs-areal are implemented; lineal-vs-lineal and
+    * collections raise the narrowing error. */
+  def touches(a: Geom, b: Geom): Option[Boolean] = {
+    if (isEmpty(a) || isEmpty(b)) return None
+    def pointVs(pts: Vector[Pt], other: Geom): Boolean = {
+      if (isAreal(other))
+        // every shared point must sit ON a ring, none strictly inside
+        pts.forall(p => arealParts(other).forall(r => locateInRings(p, r) != 2)) &&
+          pts.exists(p => arealParts(other).exists(r => locateInRings(p, r) == 1))
+      else { // lineal: shared points only at the line's boundary endpoints
+        val bd = linealBoundary(other)
+        val touching = pts.filter(p => distance(GPoint(Some(p)), other).contains(0.0))
+        touching.nonEmpty && touching.forall(bd.contains)
+      }
+    }
+    (a, b) match {
+      case _ if isPunctual(a) && !isPunctual(b) => Some(pointVs(vertices(a), b))
+      case _ if isPunctual(b) && !isPunctual(a) => Some(pointVs(vertices(b), a))
+      case _ if isAreal(a) && isAreal(b) =>
+        Some(distance(a, b).contains(0.0) &&
+          !haveProperCrossing(a, b) &&
+          !hasVertexInInterior(a, b) && !hasVertexInInterior(b, a))
+      case _ if (isLineal(a) && isAreal(b)) || (isAreal(a) && isLineal(b)) =>
+        val (line, poly) = if (isLineal(a)) (a, b) else (b, a)
+        Some(distance(line, poly).contains(0.0) &&
+          !haveProperCrossing(line, poly) && !hasVertexInInterior(line, poly))
+      case _ => invalid(
+        s"ST_Touches supports punctual-vs-other, lineal-vs-areal and areal-vs-areal pairs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
+    }
+  }
+
+  /** OGC Crosses for the supported kind pairs: lineal-vs-lineal (a
+    * proper interior crossing point) and lineal-vs-areal (the line has
+    * points strictly inside AND strictly outside the areal closure). */
+  def crosses(a: Geom, b: Geom): Option[Boolean] = {
+    if (isEmpty(a) || isEmpty(b)) return None
+    (a, b) match {
+      case _ if isLineal(a) && isLineal(b) => Some(haveProperCrossing(a, b))
+      case _ if (isLineal(a) && isAreal(b)) || (isAreal(a) && isLineal(b)) =>
+        val (line, poly) = if (isLineal(a)) (a, b) else (b, a)
+        val inside = hasVertexInInterior(line, poly) || haveProperCrossing(line, poly)
+        val outside = vertices(line).exists(v =>
+          arealParts(poly).forall(r => locateInRings(v, r) == 0))
+        Some(inside && outside)
+      case _ if isPunctual(a) && !isPunctual(b) =>
+        // multipoint crosses iff some point interior, some point outside
+        val pts = vertices(a)
+        Some(pts.length > 1 &&
+          pts.exists(p => distance(GPoint(Some(p)), b).contains(0.0)) &&
+          pts.exists(p => distance(GPoint(Some(p)), b).exists(_ > 0.0)))
+      case _ => invalid(
+        s"ST_Crosses supports lineal-vs-lineal, lineal-vs-areal and multipoint-vs-other pairs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
+    }
+  }
+
+  /** OGC Overlaps for the supported kind pairs: punctual-vs-punctual
+    * (the point sets properly overlap) and areal-vs-areal (interiors
+    * intersect, neither covers the other). */
+  def overlaps(a: Geom, b: Geom): Option[Boolean] = {
+    if (isEmpty(a) || isEmpty(b)) return None
+    (a, b) match {
+      case _ if isPunctual(a) && isPunctual(b) =>
+        val sa = vertices(a).toSet; val sb = vertices(b).toSet
+        Some((sa intersect sb).nonEmpty && (sa diff sb).nonEmpty && (sb diff sa).nonEmpty)
+      case _ if isAreal(a) && isAreal(b) =>
+        val interiorsMeet = haveProperCrossing(a, b) ||
+          hasVertexInInterior(a, b) || hasVertexInInterior(b, a)
+        val aInB = vertices(a).forall(v => arealParts(b).exists(r => locateInRings(v, r) > 0)) &&
+          !haveProperCrossing(a, b)
+        val bInA = vertices(b).forall(v => arealParts(a).exists(r => locateInRings(v, r) > 0)) &&
+          !haveProperCrossing(a, b)
+        Some(interiorsMeet && !aInB && !bInA)
+      case _ => invalid(
+        s"ST_Overlaps supports punctual-vs-punctual and areal-vs-areal pairs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
+    }
+  }
+
+  /** Axis-aligned rectangle recognition: a single-ring polygon whose
+    * ring is the closed 4-corner box (the shape st_envelope and
+    * expand_envelope produce) — the reference's own ST_Intersection
+    * fast-paths exactly this ENVELOPE×ENVELOPE case. */
+  private def asBox(g: Geom): Option[(Double, Double, Double, Double)] = g match {
+    case GPolygon(Vector(ring)) if ring.length == 5 && ring.head == ring.last =>
+      val xs = ring.map(_.x).distinct.sorted
+      val ys = ring.map(_.y).distinct.sorted
+      if (xs.length == 2 && ys.length == 2 &&
+          ring.toSet == Set(Pt(xs(0), ys(0)), Pt(xs(1), ys(0)), Pt(xs(1), ys(1)), Pt(xs(0), ys(1))))
+        Some((xs(0), ys(0), xs(1), ys(1)))
+      else None
+    case _ => None
+  }
+
+  private def boxGeom(x0: Double, y0: Double, x1: Double, y1: Double): Geom =
+    if (x0 == x1 && y0 == y1) GPoint(Some(Pt(x0, y0)))
+    else if (x0 == x1 || y0 == y1) GLineString(Vector(Pt(x0, y0), Pt(x1, y1)))
+    else GPolygon(Vector(Vector(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1), Pt(x0, y0))))
+
+  private def emptyOf(g: Geom): Geom = g match {
+    case _: GPoint => GPoint(None)
+    case _: GMultiPoint => GMultiPoint(Vector.empty)
+    case _: GLineString => GLineString(Vector.empty)
+    case _: GMultiLineString => GMultiLineString(Vector.empty)
+    case _ => GPolygon(Vector.empty)
+  }
+
+  private def dissolvePts(pts: Vector[Pt]): Geom = {
+    val d = pts.map(p => (p.x, p.y)).distinct.sorted.map(p => Pt(p._1, p._2))
+    if (d.isEmpty) GMultiPoint(Vector.empty)
+    else if (d.length == 1) GPoint(Some(d.head))
+    else GMultiPoint(d)
+  }
+
+  /** Narrowed ST_Intersection: punctual-vs-any (point filtering),
+    * box-vs-box (the reference's ENVELOPE fast path), and equal inputs.
+    * General overlay stays deferred with the computational-geometry
+    * core; unsupported pairs raise the narrowing error. */
+  def intersection(a: Geom, b: Geom): Geom = {
+    if (isEmpty(a) || isEmpty(b)) return emptyOf(a)
+    if (isPunctual(a))
+      dissolvePts(vertices(a).filter(p => distance(GPoint(Some(p)), b).contains(0.0)))
+    else if (isPunctual(b)) intersection(b, a)
+    else (asBox(a), asBox(b)) match {
+      case (Some((ax0, ay0, ax1, ay1)), Some((bx0, by0, bx1, by1))) =>
+        val x0 = Math.max(ax0, bx0); val y0 = Math.max(ay0, by0)
+        val x1 = Math.min(ax1, bx1); val y1 = Math.min(ay1, by1)
+        if (x0 > x1 || y0 > y1) GPolygon(Vector.empty) else boxGeom(x0, y0, x1, y1)
+      case _ if geomEquals(a, b).contains(true) => a
+      case _ => invalid(
+        s"ST_Intersection supports punctual operands, axis-aligned rectangles and equal inputs under the WKT narrowing (general overlay is deferred with the Esri core). Input types are: ${typeName(a)}, ${typeName(b)}")
+    }
+  }
+
+  /** Narrowed ST_Union: punctual∪punctual dissolve; equal inputs; a
+    * punctual side absorbed by an areal container. */
+  def union(a: Geom, b: Geom): Geom = {
+    if (isEmpty(a)) return b
+    if (isEmpty(b)) return a
+    if (isPunctual(a) && isPunctual(b)) dissolvePts(vertices(a) ++ vertices(b))
+    else if (geomEquals(a, b).contains(true)) a
+    else if (isPunctual(b) && isAreal(a) &&
+        vertices(b).forall(p => arealParts(a).exists(r => locateInRings(p, r) > 0))) a
+    else if (isPunctual(a) && isAreal(b) &&
+        vertices(a).forall(p => arealParts(b).exists(r => locateInRings(p, r) > 0))) b
+    else invalid(
+      s"ST_Union supports punctual operands, equal inputs and punctual-absorbed-by-areal under the WKT narrowing (general dissolve is deferred with the Esri core). Input types are: ${typeName(a)}, ${typeName(b)}")
+  }
+
+  /** Narrowed ST_Difference / ST_SymDifference over punctual operands
+    * and equal inputs. */
+  def difference(a: Geom, b: Geom): Geom = {
+    if (isEmpty(a) || isEmpty(b)) return a
+    if (isPunctual(a))
+      dissolvePts(vertices(a).filter(p => !distance(GPoint(Some(p)), b).contains(0.0)))
+    else if (geomEquals(a, b).contains(true)) emptyOf(a)
+    else invalid(
+      s"ST_Difference supports a punctual left operand or equal inputs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
+  }
+
+  def symDifference(a: Geom, b: Geom): Geom = {
+    if (isEmpty(a)) return b
+    if (isEmpty(b)) return a
+    if (isPunctual(a) && isPunctual(b)) {
+      val sa = vertices(a).toSet; val sb = vertices(b).toSet
+      dissolvePts(((sa diff sb) ++ (sb diff sa)).toVector)
+    } else if (geomEquals(a, b).contains(true)) emptyOf(a)
+    else invalid(
+      s"ST_SymDifference supports punctual operands or equal inputs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
+  }
+
+  /** Minimal dissolved tile covering (reference
+    * geometry_to_dissolved_bing_tiles — BingTileUtils
+    * .findDissolvedTileCovering): the zoom-level covering with every
+    * complete sibling quadruple collapsed into its parent, recursively. */
+  def geometryToDissolvedBingTiles(g: Geom, zoom: Int): Seq[String] = {
+    var tiles = geometryToBingTiles(g, zoom).toSet
+    var changed = true
+    while (changed) {
+      changed = false
+      val byParent = tiles.filter(_.nonEmpty).groupBy(q => q.substring(0, q.length - 1))
+      for ((parent, kids) <- byParent if kids.size == 4) {
+        tiles = tiles -- kids + parent
+        changed = true
+      }
+    }
+    tiles.toSeq.sorted
+  }
+
   // ----------------------------------------------------- spatial aggregates
 
   /** convex_hull_agg (reference: presto-geospatial/.../aggregation/
@@ -1360,6 +1644,23 @@ object GeoFunctions {
       print(g)
     }
     g1[String]("to_geometry")(print)
+
+    def rel(name: String, f: (Geom, Geom) => Option[Boolean]): Unit =
+      g2[java.lang.Boolean](name)((a, b) => f(a, b) match {
+        case Some(v) => java.lang.Boolean.valueOf(v)
+        case None    => null
+      })
+    rel("st_equals", geomEquals)
+    rel("st_touches", touches)
+    rel("st_crosses", crosses)
+    rel("st_overlaps", overlaps)
+    g2[String]("st_intersection")((a, b) => print(intersection(a, b)))
+    g2[String]("st_union")((a, b) => print(union(a, b)))
+    g2[String]("st_difference")((a, b) => print(difference(a, b)))
+    g2[String]("st_symdifference")((a, b) => print(symDifference(a, b)))
+    u.register("geometry_to_dissolved_bing_tiles", (wkt: String, zoom: Int) =>
+      if (wkt == null) null.asInstanceOf[Seq[String]]
+      else geometryToDissolvedBingTiles(parse(wkt), zoom))
 
     val hullEnc: org.apache.spark.sql.Encoder[Vector[(Double, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Double, Double)]]()

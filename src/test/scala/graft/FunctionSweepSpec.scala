@@ -80,7 +80,10 @@ class FunctionSweepSpec extends AnyFunSuite {
     // round 10: the map-aggregate family under its reference SQL names
     "map_agg", "map_union", "histogram", "approx_most_frequent",
     "reidentification_potential", "uniqueness_distribution",
-    "convex_hull_agg", "geometry_union", "geometry_union_agg")
+    "convex_hull_agg", "geometry_union", "geometry_union_agg",
+    "st_equals", "st_touches", "st_crosses", "st_overlaps", "st_intersection",
+    "st_union", "st_difference", "st_symdifference",
+    "geometry_to_dissolved_bing_tiles")
 
   test("every reference function name resolves or is documented-deferred") {
     val s = TestSpark.spark

@@ -358,4 +358,109 @@ class GeoSpec extends AnyFunSuite {
     // lineal/areal dissolve stays deferred loudly
     intercept[Exception](one("SELECT geometry_union(array('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))"))
   }
+
+  test("relation predicates: equals, touches, crosses, overlaps") {
+    // equals: rotation, orientation, unclosed spelling, reversed lines
+    assert(GeoFunctions.geomEquals(
+      p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      p("POLYGON ((10 10, 0 10, 0 0, 10 0, 10 10))")).contains(true))
+    assert(GeoFunctions.geomEquals(
+      p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      p("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")).contains(true))
+    assert(GeoFunctions.geomEquals(
+      p("LINESTRING (0 0, 5 5)"), p("LINESTRING (5 5, 0 0)")).contains(true))
+    assert(GeoFunctions.geomEquals(
+      p("MULTIPOINT (1 1, 2 2)"), p("MULTIPOINT (2 2, 1 1, 1 1)")).contains(true))
+    assert(GeoFunctions.geomEquals(
+      p("POINT (1 1)"), p("POINT (1 2)")).contains(false))
+    // touches: boundary point vs interior point vs disjoint
+    val box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert(GeoFunctions.touches(p("POINT (10 5)"), p(box)).contains(true))
+    assert(GeoFunctions.touches(p("POINT (5 5)"), p(box)).contains(false))
+    assert(GeoFunctions.touches(p("POINT (20 5)"), p(box)).contains(false))
+    // line endpoint touch vs mid-line touch
+    assert(GeoFunctions.touches(p("POINT (0 0)"), p("LINESTRING (0 0, 5 5)")).contains(true))
+    assert(GeoFunctions.touches(p("POINT (2 2)"), p("LINESTRING (0 0, 5 5)")).contains(false))
+    // adjacent boxes share an edge: touches, not overlaps
+    val east = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"
+    assert(GeoFunctions.touches(p(box), p(east)).contains(true))
+    assert(GeoFunctions.overlaps(p(box), p(east)).contains(false))
+    // properly overlapping boxes: overlaps, not touches
+    val shifted = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+    assert(GeoFunctions.overlaps(p(box), p(shifted)).contains(true))
+    assert(GeoFunctions.touches(p(box), p(shifted)).contains(false))
+    // containment is not overlap
+    assert(GeoFunctions.overlaps(p(box),
+      p("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")).contains(false))
+    // crosses: X lines, line through a polygon, line that only touches
+    assert(GeoFunctions.crosses(
+      p("LINESTRING (0 0, 10 10)"), p("LINESTRING (0 10, 10 0)")).contains(true))
+    assert(GeoFunctions.crosses(
+      p("LINESTRING (0 0, 5 5)"), p("LINESTRING (0 1, 5 6)")).contains(false))
+    assert(GeoFunctions.crosses(
+      p("LINESTRING (-5 5, 15 5)"), p(box)).contains(true))
+    assert(GeoFunctions.crosses(
+      p("LINESTRING (0 0, 10 0)"), p(box)).contains(false))
+    intercept[IllegalArgumentException](
+      GeoFunctions.touches(p("LINESTRING (0 0, 1 1)"), p("LINESTRING (2 2, 3 3)")))
+  }
+
+  test("narrowed overlay: intersection, union, difference, sym-difference") {
+    def w(g: Geom): String = GeoFunctions.print(g)
+    // the reference's ENVELOPE fast path: box x box
+    assert(w(GeoFunctions.intersection(
+      p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      p("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"))) ===
+      "POLYGON ((5 5, 10 5, 10 10, 5 10, 5 5))")
+    // boxes meeting at an edge degrade to a line; at a corner to a point
+    assert(w(GeoFunctions.intersection(
+      p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      p("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"))) ===
+      "LINESTRING (10 0, 10 10)")
+    assert(w(GeoFunctions.intersection(
+      p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      p("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"))) === "POINT (10 10)")
+    // disjoint boxes: empty polygon
+    assert(w(GeoFunctions.intersection(
+      p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      p("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"))) === "POLYGON EMPTY")
+    // punctual filtering against an areal closure
+    assert(w(GeoFunctions.intersection(
+      p("MULTIPOINT (5 5, 10 5, 20 20)"),
+      p("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))) === "MULTIPOINT (5 5, 10 5)")
+    // union/difference/symmetric difference over point sets
+    assert(w(GeoFunctions.union(p("MULTIPOINT (1 1, 2 2)"), p("POINT (3 3)"))) ===
+      "MULTIPOINT (1 1, 2 2, 3 3)")
+    assert(w(GeoFunctions.difference(p("MULTIPOINT (1 1, 2 2)"), p("POINT (2 2)"))) ===
+      "POINT (1 1)")
+    assert(w(GeoFunctions.symDifference(
+      p("MULTIPOINT (1 1, 2 2)"), p("MULTIPOINT (2 2, 3 3)"))) ===
+      "MULTIPOINT (1 1, 3 3)")
+    // equal inputs collapse; general overlay stays loud
+    assert(w(GeoFunctions.union(
+      p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      p("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"))) ===
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert(w(GeoFunctions.difference(
+      p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))) === "POLYGON EMPTY")
+    intercept[IllegalArgumentException](GeoFunctions.union(
+      p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      p("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")))
+  }
+
+  test("dissolved bing tile covering collapses complete sibling quadruples") {
+    // a full tile's four children dissolve back to the tile itself
+    val parentPoly = GeoFunctions.tilePolygon("0231")
+    val dissolved = GeoFunctions.geometryToDissolvedBingTiles(p(parentPoly), 6)
+    assert(dissolved.contains("0231") || dissolved.forall(_.startsWith("0231")),
+      dissolved.mkString(","))
+    assert(dissolved.length < GeoFunctions.geometryToBingTiles(p(parentPoly), 6).length)
+    // SQL surface
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    val n = s.sql(s"SELECT size(geometry_to_dissolved_bing_tiles('$parentPoly', 6))")
+      .collect()(0).getInt(0)
+    assert(n === dissolved.length)
+  }
 }
