@@ -181,6 +181,43 @@ object Storage {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // The DSv2 generator connector (reference: the presto-tpch connector,
+    // TpchConnectorFactory.java — deterministic data served straight from
+    // a generator, no storage). Every cell is a closed-form integer
+    // function of the row key, so DuckDB regenerates the whole table from
+    // a range() sequence and verifies the pushed-down slice aggregate
+    // cell-for-cell. The o_orderkey predicate is CONSUMED by the
+    // connector into its key range (SourcesSpec pins that plan fact);
+    // sums stay integer-exact in DOUBLE (whole dollars, < 2^53).
+    Qdef(
+      "w11_generator_connector",
+      """WITH gen AS (
+        |  SELECT i AS o_orderkey,
+        |    (i * 2654435761) % 99991 AS o_custkey,
+        |    CAST((i * 7621) % 900000 + 100000 AS DOUBLE) AS o_totalprice,
+        |    DATE '1970-01-01' + CAST(9000 + (i * 13) % 2557 AS INT) AS o_orderdate,
+        |    (['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'])
+        |      [CAST((i * 11) % 5 AS INT) + 1] AS o_orderpriority
+        |  FROM range(1, 60001) t(i))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_totalprice) AS DOUBLE) AS total,
+        |  min(o_orderdate) AS first_day,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+        |FROM gen
+        |WHERE o_orderkey <= 50000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      s.read.format("graft-tpch")
+        .option("rows", "60000").option("splits", "16").load()
+        .filter(col("o_orderkey") <= 50000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_totalprice").as("total"),
+          min("o_orderdate").as("first_day"),
+          sum("o_custkey").as("cust_sum"))
+        .orderBy("o_orderpriority")
     }
   )
 }
