@@ -845,7 +845,7 @@ object Catalog {
     // map_agg/map_union; counts deterministic for the others); maps are
     // canonicalized to sorted k=v strings so DuckDB can recompute them
     // relationally.
-    Qdef(
+    Qdef.duckOnly(
       "k30_map_agg_family",
       """WITH per AS (
         |  SELECT o_orderstatus AS st, o_orderpriority AS p,

@@ -309,7 +309,7 @@ object Geo {
     // oracle rebuilds the exact WKT with min/max arithmetic. The
     // point-set union dissolves duplicates into a deterministic sorted
     // MULTIPOINT that DuckDB reproduces with DISTINCT + string_agg.
-    Qdef(
+    Qdef.duckOnly(
       "geo09_spatial_aggs",
       """WITH pts AS (
         |  SELECT s_nationkey AS nk, s_suppkey % 50 AS x,

@@ -191,7 +191,7 @@ object Storage {
     // cell-for-cell. The o_orderkey predicate is CONSUMED by the
     // connector into its key range (SourcesSpec pins that plan fact);
     // sums stay integer-exact in DOUBLE (whole dollars, < 2^53).
-    Qdef(
+    Qdef.duckOnly(
       "w11_generator_connector",
       """WITH gen AS (
         |  SELECT i AS o_orderkey,
