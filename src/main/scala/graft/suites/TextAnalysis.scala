@@ -393,6 +393,143 @@ object TextAnalysis {
           sum(when(col("hit_id").isNull, 1).otherwise(0))
             .cast("bigint").as("n_clean"))
         .orderBy("source")
+    },
+
+    // PII detection + redaction — the scrubbing pass every training-data
+    // pipeline runs before release. The corpus text is synthetic word
+    // soup, so each doc gets a deterministic email/IP/phone APPENDED in
+    // the query (both engines build the identical string), then the
+    // redactor counts and masks with the same RE2-compatible patterns.
+    // Order matters and is pinned: email first (its charset overlaps
+    // IP/phone digits), then IP, then phone. Map-side only — at 100 TB
+    // this is a pure projection, no shuffle.
+    Qdef.duckOnly(
+      "x10_pii_redaction",
+      """WITH enriched AS (
+        |  SELECT doc_id, source,
+        |    text || ' mail u' || doc_id || '@ex' || (doc_id % 7) ||
+        |    '.org ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+        |    '.4 tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(pii,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM enriched
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      t(s, dir, "documents")
+        .withColumn("pii", concat(
+          col("text"), lit(" mail u"), col("doc_id"),
+          lit("@ex"), col("doc_id") % 7,
+          lit(".org ip 10."), col("doc_id") % 256,
+          lit("."), (col("doc_id") * 7) % 256,
+          lit(".4 tel 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(emailRe), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("pii"), lit(ipRe), lit(0)))
+            .cast("bigint").as("n_ip"),
+          size(regexp_extract_all(col("pii"), lit(phoneRe), lit(0)))
+            .cast("bigint").as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("pii"),
+            emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+            .as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher/MassiveText repetition filters (Rae et al. 2021 §A1.1): the
+    // fraction of characters in the most frequent word 2-gram, and the
+    // duplicate-"line" fraction over 5-word chunks. The top gram is made
+    // DETERMINISTIC by the (count desc, length desc, gram) tiebreak both
+    // engines apply; fractions divide exact integers, so the doubles are
+    // bit-identical. Scale shape: gram explosion is map-side; the per-doc
+    // aggregation shuffles once on doc_id; nothing is ever all-pairs.
+    Qdef.duckOnly(
+      "x11_repetition_filter",
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, nw - 1),
+        |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |        FROM base) t
+        |  GROUP BY doc_id, g),
+        |top AS (
+        |  SELECT doc_id, c, length(g) AS glen
+        |  FROM (SELECT doc_id, g, c,
+        |          row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY c DESC, length(g) DESC, g) AS rn
+        |        FROM grams) WHERE rn = 1),
+        |chunks AS (
+        |  SELECT doc_id, count(*) AS n_lines, count(DISTINCT l) AS n_dist
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, CAST(nw / 5 AS INT)),
+        |            j -> array_to_string(ws[(j - 1) * 5 + 1 : j * 5], ' '))) AS l
+        |        FROM base) t
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(t.c * t.glen, 0) AS DOUBLE) / b.n_chars AS top2_frac,
+        |  CAST(COALESCE(c2.n_lines - c2.n_dist, 0) AS DOUBLE)
+        |    / COALESCE(c2.n_lines, 1) AS dup5_frac,
+        |  COALESCE(t.c * t.glen, 0) * 5 <= b.n_chars
+        |    AND COALESCE(c2.n_lines - c2.n_dist, 0) * 10
+        |      <= COALESCE(c2.n_lines, 1) * 3 AS keep
+        |FROM base b
+        |LEFT JOIN top t ON b.doc_id = t.doc_id
+        |LEFT JOIN chunks c2 ON b.doc_id = c2.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nw", size(col("ws")))
+      val grams = base
+        .select(col("doc_id"), explode(expr(
+          """case when nw < 2 then cast(array() as array<string>)
+            |else transform(sequence(1, nw - 1),
+            |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+            |end""".stripMargin)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("c").desc, length(col("g")).desc, col("g"))
+      val top = grams.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("t_id"), col("c"), length(col("g")).as("glen"))
+      val chunks = base
+        .select(col("doc_id"), explode(expr(
+          """case when nw < 5 then cast(array() as array<string>)
+            |else transform(sequence(1, CAST(nw / 5 AS INT)),
+            |  j -> concat_ws(' ', slice(ws, (j - 1) * 5 + 1, 5)))
+            |end""".stripMargin)).as("l"))
+        .groupBy(col("doc_id").as("c_id"))
+        .agg(count(lit(1)).as("n_lines"), countDistinct(col("l")).as("n_dist"))
+      base.select("doc_id", "n_chars")
+        .join(top, col("doc_id") === col("t_id"), "left_outer")
+        .join(chunks, col("doc_id") === col("c_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          (coalesce(col("c") * col("glen"), lit(0L)).cast("double") /
+            col("n_chars")).as("top2_frac"),
+          (coalesce(col("n_lines") - col("n_dist"), lit(0L)).cast("double") /
+            coalesce(col("n_lines"), lit(1L))).as("dup5_frac"),
+          (coalesce(col("c") * col("glen"), lit(0L)) * 5 <= col("n_chars") &&
+            coalesce(col("n_lines") - col("n_dist"), lit(0L)) * 10 <=
+              coalesce(col("n_lines"), lit(1L)) * 3).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }
