@@ -1383,6 +1383,22 @@ object GeoFunctions {
       case p: GPolygon => print(p)
       case other => invalid(s"ST_Polygon requires a POLYGON literal. Input type is: ${typeName(other)}")
     })
+    // ST_LineString(array(Point)) constructor (reference GeoFunctions
+    // .java stLineString): nulls and empty points are rejected with the
+    // reference's per-index error; < 2 points degrade to LINESTRING EMPTY.
+    u.register("st_linestring", (pts: Seq[String]) =>
+      if (pts == null) null
+      else {
+        val ps = pts.toVector.zipWithIndex.map { case (w, i) =>
+          if (w == null) invalid(s"Invalid input to ST_LineString: null at index ${i + 1}")
+          parse(w) match {
+            case GPoint(Some(p)) => p
+            case GPoint(None) => invalid(s"Invalid input to ST_LineString: empty point at index ${i + 1}")
+            case other => invalid(s"Invalid input to ST_LineString: geometry is not a point: ${typeName(other)} at index ${i + 1}")
+          }
+        }
+        print(if (ps.length < 2) GLineString(Vector.empty) else GLineString(ps))
+      })
     u.register("st_multipoint", (pts: Seq[String]) =>
       if (pts == null) null
       else print(GMultiPoint(pts.toVector.zipWithIndex.map {

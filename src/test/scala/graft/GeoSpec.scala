@@ -463,4 +463,14 @@ class GeoSpec extends AnyFunSuite {
       .collect()(0).getInt(0)
     assert(n === dissolved.length)
   }
+
+  test("ST_LineString array constructor and its fail-loud inputs") {
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    def one(sql: String): Any = s.sql(sql).collect()(0).get(0)
+    assert(one("SELECT st_linestring(array('POINT (0 0)', 'POINT (1 1)', 'POINT (2 0)'))") ===
+      "LINESTRING (0 0, 1 1, 2 0)")
+    assert(one("SELECT st_linestring(array('POINT (5 5)'))") === "LINESTRING EMPTY")
+    intercept[Exception](one("SELECT st_linestring(array('POINT (0 0)', 'LINESTRING (0 0, 1 1)'))"))
+  }
 }
