@@ -52,7 +52,11 @@ object SparkEntry {
       // round-10 addition: grouped model training — the only
       // custom-Aggregator-dominated (ObjectHashAggregate, no codegen'd
       // update) workload class in the corpus
-      "ml01_learn_regressor")
+      "ml01_learn_regressor",
+      // round-10 addition: the DSv2 generator connector scan — the only
+      // non-parquet source path in the corpus (fixed 60k generated rows,
+      // SF-independent by design)
+      "w11_generator_connector")
     allDefs.filter(q => headline(q.name))
   }
 
