@@ -177,8 +177,19 @@ object Engine {
   private val ExplainAnalyzeRe =
     "(?is)^\\s*EXPLAIN\\s+ANALYZE(\\s+VERBOSE)?\\b(.*)$".r
 
+  private val ExplainIoRe =
+    "(?is)^\\s*EXPLAIN\\s*\\(([^)]*\\btype\\s+io\\b[^)]*)\\)(.*)$".r
+
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    ExplainIoRe.findFirstMatchIn(query) match {
+      case Some(m) =>
+        // EXPLAIN (TYPE IO) — the reference's I/O plan document
+        // (IOPlanPrinter.java; QueryExplainer case IO); see
+        // graft.plans.ExplainIo for the emulation contract.
+        return graft.plans.ExplainIo.run(spark, spark.sql(translate(m.group(2))))
+      case None =>
+    }
     ExplainAnalyzeRe.findFirstMatchIn(query) match {
       case Some(m) =>
         // EXPLAIN ANALYZE executes the statement and reports the observed

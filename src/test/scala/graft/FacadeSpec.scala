@@ -347,6 +347,26 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("EXPLAIN (TYPE IO) reports read columns and pushed constraints per table") {
+    val io = Engine.sql(spark, dir,
+      """EXPLAIN (TYPE IO)
+        |SELECT o_orderpriority, count(*) FROM orders
+        |WHERE o_orderkey < 1000 GROUP BY o_orderpriority""".stripMargin)
+      .collect()(0).getString(0)
+    assert(io.contains("\"inputTableColumnInfos\""), io)
+    assert(io.contains("\"table\": \"orders\""), io)
+    // pruned read set: only the two referenced columns
+    assert(io.contains("\"columns\": [\"o_orderkey\", \"o_orderpriority\"]"), io)
+    // the key range reached the scan as a pushed constraint
+    assert(io.contains("LessThan(o_orderkey,1000)"), io)
+    // a join lists both inputs
+    val two = Engine.sql(spark, dir,
+      """EXPLAIN (TYPE IO)
+        |SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+      .collect()(0).getString(0)
+    assert(two.contains("\"table\": \"customer\"") && two.contains("\"table\": \"nation\""), two)
+  }
+
   test("EXPLAIN ANALYZE executes and reports observed per-operator metrics") {
     val df = Engine.sql(spark, dir,
       """EXPLAIN ANALYZE
