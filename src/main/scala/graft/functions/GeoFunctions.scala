@@ -1253,6 +1253,34 @@ object GeoFunctions {
       s"ST_SymDifference supports punctual operands or equal inputs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
   }
 
+  /** ST_Buffer for a POINT (reference GeoFunctions.java stBuffer via the
+    * Esri buffer): a regular 32-gon inscribed approximation of the
+    * radius-d disk, counterclockwise from angle 0. DOCUMENTED
+    * DIVERGENCE: the reference's Esri buffer chooses its own arc
+    * densification, so the two vertex sets differ — only the buffer's
+    * PROPERTIES (contains the center, envelope = center ± d, area →
+    * πd² as segments increase) are comparable across engines, which is
+    * what GeoSpec pins. Lineal/areal buffering (true offsetting) stays
+    * deferred with the overlay core; d = 0 returns the input point. */
+  def buffer(g: Geom, d: Double, segments: Int = 32): Geom = {
+    require(!d.isNaN, "ST_Buffer: distance is NaN")
+    require(d >= 0, s"ST_Buffer: distance $d is negative")
+    g match {
+      case GPoint(None) => GPolygon(Vector.empty)
+      case GPoint(Some(p)) =>
+        if (d == 0) GPoint(Some(p))
+        else {
+          val ring = (0 until segments).map { i =>
+            val a = 2 * Math.PI * i / segments
+            Pt(p.x + d * Math.cos(a), p.y + d * Math.sin(a))
+          }.toVector
+          GPolygon(Vector(ring :+ ring.head))
+        }
+      case other => invalid(
+        s"ST_Buffer supports a Point argument under the WKT narrowing (lineal/areal offsetting is deferred with the Esri core). Input type is: ${typeName(other)}")
+    }
+  }
+
   /** Minimal dissolved tile covering (reference
     * geometry_to_dissolved_bing_tiles — BingTileUtils
     * .findDissolvedTileCovering): the zoom-level covering with every
@@ -1677,6 +1705,8 @@ object GeoFunctions {
     u.register("geometry_to_dissolved_bing_tiles", (wkt: String, zoom: Int) =>
       if (wkt == null) null.asInstanceOf[Seq[String]]
       else geometryToDissolvedBingTiles(parse(wkt), zoom))
+    u.register("st_buffer", (wkt: String, d: Double) =>
+      if (wkt == null) null else print(buffer(parse(wkt), d)))
 
     val hullEnc: org.apache.spark.sql.Encoder[Vector[(Double, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[(Double, Double)]]()

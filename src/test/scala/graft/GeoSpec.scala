@@ -473,4 +473,20 @@ class GeoSpec extends AnyFunSuite {
     assert(one("SELECT st_linestring(array('POINT (5 5)'))") === "LINESTRING EMPTY")
     intercept[Exception](one("SELECT st_linestring(array('POINT (0 0)', 'LINESTRING (0 0, 1 1)'))"))
   }
+
+  test("ST_Buffer point approximation: properties, not vertices") {
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    def one(sql: String): Any = s.sql(sql).collect()(0).get(0)
+    // envelope = center +- d; contains the center; area within the
+    // inscribed-32-gon band of pi*d^2
+    assert(one("SELECT st_xmin(st_buffer('POINT (10 20)', 3))") === 7.0)
+    assert(one("SELECT st_ymax(st_buffer('POINT (10 20)', 3))") === 23.0)
+    assert(one("SELECT st_contains(st_buffer('POINT (10 20)', 3), 'POINT (10 20)')") === true)
+    val area = one("SELECT st_area(st_buffer('POINT (0 0)', 2))").asInstanceOf[Double]
+    assert(area > Math.PI * 4 * 0.98 && area <= Math.PI * 4, s"area $area")
+    assert(one("SELECT st_buffer('POINT (1 1)', 0)") === "POINT (1 1)")
+    intercept[Exception](one("SELECT st_buffer('LINESTRING (0 0, 1 1)', 1)"))
+    intercept[Exception](one("SELECT st_buffer('POINT (0 0)', -1)"))
+  }
 }
