@@ -151,21 +151,28 @@ object Engine {
     * USING / DEALLOCATE PREPARE (reference: SqlBase.g4:131-133; the
     * reference keeps these in the client session the same way). Weak
     * keys so a discarded session's statements are collectable. */
-  private val preparedStore
-      : java.util.Map[SparkSession, scala.collection.concurrent.TrieMap[String, String]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[
-        SparkSession, scala.collection.concurrent.TrieMap[String, String]]())
-  private def preparedFor(
-      spark: SparkSession): scala.collection.concurrent.TrieMap[String, String] =
-    preparedStore.synchronized {
-      var m = preparedStore.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, String]
-        preparedStore.put(spark, m)
+  /** One weak-keyed per-session named store (prepared statements, views,
+    * materialized views, ANALYZE stats): a discarded session's entries
+    * stay collectable, and every feature shares this single
+    * synchronized-WeakHashMap shape instead of re-copying it. */
+  private final class SessionStore[T] {
+    private val store: java.util.Map[
+        SparkSession, scala.collection.concurrent.TrieMap[String, T]] =
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[
+          SparkSession, scala.collection.concurrent.TrieMap[String, T]]())
+    def apply(spark: SparkSession): scala.collection.concurrent.TrieMap[String, T] =
+      store.synchronized {
+        var m = store.get(spark)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty[String, T]
+          store.put(spark, m)
+        }
+        m
       }
-      m
-    }
+  }
+
+  private val preparedFor = new SessionStore[String]
 
   /** Register the parquet catalog and run a query through Spark SQL after
     * the dialect shim. This is the reference's `POST /v1/statement`
@@ -320,38 +327,8 @@ object Engine {
     }
   }
 
-  private val viewStore
-      : java.util.Map[SparkSession, scala.collection.concurrent.TrieMap[String, String]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[
-        SparkSession, scala.collection.concurrent.TrieMap[String, String]]())
-  private def viewsFor(
-      spark: SparkSession): scala.collection.concurrent.TrieMap[String, String] =
-    viewStore.synchronized {
-      var m = viewStore.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, String]
-        viewStore.put(spark, m)
-      }
-      m
-    }
-
-  private val matViewStore: java.util.Map[
-      SparkSession, scala.collection.concurrent.TrieMap[String, graft.plans.Views.MatView]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[
-        SparkSession,
-        scala.collection.concurrent.TrieMap[String, graft.plans.Views.MatView]]())
-  private def matViewsFor(spark: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, graft.plans.Views.MatView] =
-    matViewStore.synchronized {
-      var m = matViewStore.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, graft.plans.Views.MatView]
-        matViewStore.put(spark, m)
-      }
-      m
-    }
+  private val viewsFor = new SessionStore[String]
+  private val matViewsFor = new SessionStore[graft.plans.Views.MatView]
 
   /** Session-scoped storage root for materialized views. */
   private def mvRoot(spark: SparkSession): String = {
@@ -447,22 +424,7 @@ object Engine {
   }
 
   /** ANALYZE-persisted stats per session (bounded: one Row per column). */
-  private val statsStore: java.util.Map[
-      SparkSession, scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[
-        SparkSession,
-        scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]]]())
-  private def statsFor(spark: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]] =
-    statsStore.synchronized {
-      var m = statsStore.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Seq[org.apache.spark.sql.Row]]
-        statsStore.put(spark, m)
-      }
-      m
-    }
+  private val statsFor = new SessionStore[Seq[org.apache.spark.sql.Row]]
 
   /** Translate Presto-dialect SQL to Spark SQL — see [[Dialect]] for the
     * full rule list (function aliases, ARRAY literals, 1-based

@@ -874,10 +874,15 @@ object GeoFunctions {
       if (code > 7) invalid(s"Invalid WKB: unsupported geometry type code $code (Z/M variants are not supported under the WKT narrowing)")
       def pt(): Pt = Pt(buf.getDouble(), buf.getDouble())
       def ring(): Vector[Pt] = Vector.fill(buf.getInt())(pt())
+      // polygon rings must satisfy the stored-CLOSED invariant every
+      // downstream measure relies on; tolerate open WKB rings exactly
+      // like the WKT parser's closedRing
+      def closed(ps: Vector[Pt]): Vector[Pt] =
+        if (ps.length > 1 && ps.head != ps.last) ps :+ ps.head else ps
       code match {
         case 1 => GPoint(Some(pt()))
         case 2 => GLineString(ring())
-        case 3 => GPolygon(Vector.fill(buf.getInt())(ring()))
+        case 3 => GPolygon(Vector.fill(buf.getInt())(closed(ring())))
         case 4 => GMultiPoint(Vector.fill(buf.getInt()) {
           geom() match {
             case GPoint(Some(p)) => p
@@ -1062,6 +1067,54 @@ object GeoFunctions {
     segments(a).exists { case (p1, p2) =>
       segments(b).exists { case (q1, q2) => properCross(p1, p2, q1, q2) } }
 
+  private def strictlyInside(p: Pt, g: Geom): Boolean =
+    arealParts(g).exists(r => locateInRings(p, r) == 2)
+
+  /** Midpoint of the overlap of two COLLINEAR overlapping segments, if
+    * the overlap has positive length. */
+  private def collinearOverlapMidpoint(
+      p1: Pt, p2: Pt, q1: Pt, q2: Pt): Option[Pt] = {
+    if (orient(p1, p2, q1) != 0 || orient(p1, p2, q2) != 0) return None
+    val dx = p2.x - p1.x; val dy = p2.y - p1.y
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) return None
+    def t(q: Pt): Double = ((q.x - p1.x) * dx + (q.y - p1.y) * dy) / len2
+    val (t1, t2) = (t(q1), t(q2))
+    val lo = Math.max(0.0, Math.min(t1, t2))
+    val hi = Math.min(1.0, Math.max(t1, t2))
+    if (hi <= lo) None
+    else {
+      val m = (lo + hi) / 2
+      Some(Pt(p1.x + m * dx, p1.y + m * dy))
+    }
+  }
+
+  /** Interior-interior test for AREAL pairs. Proper crossings and
+    * vertices strictly inside catch transversal overlap; the remaining
+    * case — shared extent whose boundary contact is all collinear edges
+    * and on-boundary vertices (two rectangles sharing a strip) — is
+    * decided by probing just off the midpoint of each collinear
+    * overlapping edge pair: if a probe lands strictly inside BOTH, the
+    * interiors meet. Probe offset is relative to the coordinate scale. */
+  private def arealInteriorsMeet(a: Geom, b: Geom): Boolean = {
+    if (haveProperCrossing(a, b) ||
+        hasVertexInInterior(a, b) || hasVertexInInterior(b, a)) return true
+    segments(a).exists { case (p1, p2) =>
+      segments(b).exists { case (q1, q2) =>
+        collinearOverlapMidpoint(p1, p2, q1, q2).exists { m =>
+          val scale = Seq(p1, p2, q1, q2)
+            .map(p => Math.max(Math.abs(p.x), Math.abs(p.y))).max
+          val eps = 1e-9 * (1 + scale)
+          val len = segLen(p1, p2)
+          val (nx, ny) = (-(p2.y - p1.y) / len, (p2.x - p1.x) / len)
+          Seq(Pt(m.x + eps * nx, m.y + eps * ny),
+              Pt(m.x - eps * nx, m.y - eps * ny))
+            .exists(p => strictlyInside(p, a) && strictlyInside(p, b))
+        }
+      }
+    }
+  }
+
   /** Boundary points of a lineal geometry: non-closed component
     * endpoints (OGC mod-2 rule simplified to the common case). */
   private def linealBoundary(g: Geom): Vector[Pt] = g match {
@@ -1103,13 +1156,16 @@ object GeoFunctions {
       case _ if isPunctual(a) && !isPunctual(b) => Some(pointVs(vertices(a), b))
       case _ if isPunctual(b) && !isPunctual(a) => Some(pointVs(vertices(b), a))
       case _ if isAreal(a) && isAreal(b) =>
-        Some(distance(a, b).contains(0.0) &&
-          !haveProperCrossing(a, b) &&
-          !hasVertexInInterior(a, b) && !hasVertexInInterior(b, a))
+        Some(distance(a, b).contains(0.0) && !arealInteriorsMeet(a, b))
       case _ if (isLineal(a) && isAreal(b)) || (isAreal(a) && isLineal(b)) =>
         val (line, poly) = if (isLineal(a)) (a, b) else (b, a)
+        // a line whose segment MIDPOINT sits strictly inside crosses the
+        // interior even when both endpoints lie on the boundary
+        val midInside = segments(line).exists { case (p1, p2) =>
+          strictlyInside(Pt((p1.x + p2.x) / 2, (p1.y + p2.y) / 2), poly) }
         Some(distance(line, poly).contains(0.0) &&
-          !haveProperCrossing(line, poly) && !hasVertexInInterior(line, poly))
+          !haveProperCrossing(line, poly) &&
+          !hasVertexInInterior(line, poly) && !midInside)
       case _ => invalid(
         s"ST_Touches supports punctual-vs-other, lineal-vs-areal and areal-vs-areal pairs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
     }
@@ -1149,8 +1205,7 @@ object GeoFunctions {
         val sa = vertices(a).toSet; val sb = vertices(b).toSet
         Some((sa intersect sb).nonEmpty && (sa diff sb).nonEmpty && (sb diff sa).nonEmpty)
       case _ if isAreal(a) && isAreal(b) =>
-        val interiorsMeet = haveProperCrossing(a, b) ||
-          hasVertexInInterior(a, b) || hasVertexInInterior(b, a)
+        val interiorsMeet = arealInteriorsMeet(a, b)
         val aInB = vertices(a).forall(v => arealParts(b).exists(r => locateInRings(v, r) > 0)) &&
           !haveProperCrossing(a, b)
         val bInA = vertices(b).forall(v => arealParts(a).exists(r => locateInRings(v, r) > 0)) &&

@@ -158,6 +158,8 @@ object GraftFunctions {
         : (Int, Int, Map[String, Long]) = {
       if (a == null || a._2 == null) return b
       val (buckets, cap) = (a._1, a._3)
+      require(buckets > 0, s"approx_most_frequent: buckets must be positive, got $buckets")
+      require(cap > 0, s"approx_most_frequent: capacity must be positive, got $cap")
       val m = b._3
       val next =
         if (m.contains(a._2)) m.updated(a._2, m(a._2) + 1L)

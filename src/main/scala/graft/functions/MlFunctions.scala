@@ -279,7 +279,12 @@ object MlFunctions {
 
   private def score(w: Seq[Double], features: Map[Long, Double]): Double = {
     var s = w.last // intercept
-    for ((i, v) <- features if i < w.length - 1) s += w(i.toInt) * v
+    for ((i, v) <- features if i < w.length - 1) {
+      // the training side (dimOf) validates keys >= 0; the apply side
+      // must reject them just as clearly, not crash indexing the array
+      require(i >= 0, s"feature keys must be non-negative, got $i")
+      s += w(i.toInt) * v
+    }
     s
   }
 

@@ -94,21 +94,10 @@ object MetadataDelete {
               "is not supported — rewrite the table instead.", e)
       }
 
-    // A failed deletion must be LOUD: ignoring delete()/listFiles()
-    // results could leave a partition half-deleted (a corrupt parquet
-    // layout) while deleteWhere still reports it dropped.
-    def rm(f: File): Unit = {
-      if (f.isDirectory) {
-        val children = f.listFiles()
-        require(children != null, s"Could not list $f during partition drop")
-        children.foreach(rm)
-      }
-      require(f.delete(), s"Could not delete $f — partition drop aborted " +
-        "(layout may hold a partially-deleted partition; re-run after " +
-        "resolving the permission/concurrent-reader issue)")
-    }
+    // A failed deletion must be LOUD (FsOps.deleteRecursively): a
+    // half-deleted partition is a corrupt parquet layout.
     val doomed = parts.filter { case (_, vs) => matching(vs.map(String.valueOf)) }
-    doomed.foreach { case (dir, _) => rm(dir) }
+    doomed.foreach { case (dir, _) => FsOps.deleteRecursively(dir) }
     doomed.size
   }
 

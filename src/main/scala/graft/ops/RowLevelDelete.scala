@@ -70,7 +70,7 @@ object RowLevelDelete {
 
     // Phase A: move the new files in (atomic per file, unique task names).
     moveDataFiles(new File(tmp), new File(path))
-    deleteRecursively(new File(tmp))
+    FsOps.deleteRecursively(new File(tmp))
     // Phase B: remove the rewritten originals — loud on failure, same as
     // MetadataDelete (a half-swapped layout must not pass silently).
     affectedPaths.foreach { f =>
@@ -121,11 +121,4 @@ object RowLevelDelete {
     walk(from, Nil)
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) {
-      val children = f.listFiles()
-      if (children != null) children.foreach(deleteRecursively)
-    }
-    f.delete()
-  }
 }

@@ -23,23 +23,28 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * the headline ones (the reference's default vs VERBOSE split is the
   * same idea: summary stats vs all-operator detail).
   */
-object ExplainAnalyze {
-
-  private val headlineMetrics = Set(
-    "numOutputRows", "numFiles", "filesSize", "numPartitions",
-    "dataSize", "shuffleRecordsWritten", "spillSize", "numTasks")
-
-  /** Children across the AQE wrappers: after execution the interesting
-    * tree hides behind AdaptiveSparkPlanExec.executedPlan / QueryStageExec
-    * .plan / Reused*; plain `children` would render the wrappers as
-    * leaves. */
-  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+/** Children across the AQE wrappers, shared by the post-execution plan
+  * walkers (ExplainAnalyze, ExplainIo): after execution the interesting
+  * tree hides behind AdaptiveSparkPlanExec.executedPlan / QueryStageExec
+  * .plan / Reused*; plain `children` would render the wrappers as leaves
+  * (and ExplainIo would MISS a scan sitting under a reused exchange). */
+private[plans] object PlanWalk {
+  def kids(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
     case q: QueryStageExec        => Seq(q.plan)
     case r: ReusedExchangeExec    => Seq(r.child)
     case r: ReusedSubqueryExec    => Seq(r.child)
     case other                    => other.children
   }
+}
+
+object ExplainAnalyze {
+
+  private val headlineMetrics = Set(
+    "numOutputRows", "numFiles", "filesSize", "numPartitions",
+    "dataSize", "shuffleRecordsWritten", "spillSize", "numTasks")
+
+  private def kids(p: SparkPlan): Seq[SparkPlan] = PlanWalk.kids(p)
 
   private def renderNode(
       p: SparkPlan, depth: Int, verbose: Boolean, sb: StringBuilder): Unit = {

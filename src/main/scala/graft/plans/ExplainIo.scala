@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
 /** `EXPLAIN (TYPE IO)` — the reference's I/O plan (presto-main/.../sql/
@@ -21,16 +20,10 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
   */
 object ExplainIo {
 
-  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-    case q: QueryStageExec        => Seq(q.plan)
-    case other                    => other.children
-  }
-
   private def scans(p: SparkPlan): Seq[SparkPlan] = p match {
     case f: FileSourceScanExec => Seq(f)
     case b: BatchScanExec      => Seq(b)
-    case other => kids(other).flatMap(scans) ++
+    case other => PlanWalk.kids(other).flatMap(scans) ++
       other.subqueries.flatMap(scans)
   }
 

@@ -877,6 +877,39 @@ class FacadeSpec extends AnyFunSuite {
     assert(totals() == Map("a" -> 5L, "b" -> 10L))
     assert(one("SHOW CREATE MATERIALIZED VIEW graft_mv_sums").toString
       .contains("CREATE MATERIALIZED VIEW graft_mv_sums AS"))
+    // a ROW-LEVEL predicate is rejected loudly — it would silently drop
+    // the partition's non-matching rows (the MetadataDelete contract)
+    val rowLevel = intercept[Exception](ddl(
+      "REFRESH MATERIALIZED VIEW graft_mv_sums WHERE total > 5"))
+    assert(rowLevel.getMessage.contains("partition columns only"),
+      rowLevel.getMessage)
+    // a partition whose rows VANISH from the base is dropped on refresh,
+    // not left serving stale rows
+    Seq(("b", 100L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("graft_mv_base")
+    val afterVanish = Engine.sql(spark, dir,
+      "REFRESH MATERIALIZED VIEW graft_mv_sums WHERE k = 'a'").collect()(0)
+    assert(afterVanish.getAs[Long]("partitions_refreshed") == 1L)
+    assert(totals() == Map("b" -> 10L), totals().toString)
+    // partition values Spark path-escapes (':' in the value) survive the
+    // round trip — the overwrite path is Spark's own, not string-built
+    Seq(("x:1", 7L), ("y=2", 9L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("graft_mv_base")
+    ddl("""CREATE MATERIALIZED VIEW IF NOT EXISTS graft_mv_esc
+          |WITH (partitioned_by = ARRAY['k']) AS
+          |SELECT k, sum(v) AS total FROM graft_mv_base GROUP BY k""".stripMargin)
+    intercept[Exception](ddl("CREATE MATERIALIZED VIEW graft_mv_esc AS SELECT 1 AS x"))
+    Seq(("x:1", 70L), ("y=2", 9L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).createOrReplaceTempView("graft_mv_base")
+    Engine.sql(spark, dir,
+      "REFRESH MATERIALIZED VIEW graft_mv_esc WHERE k = 'x:1'").collect()
+    assert(Engine.sql(spark, dir, "SELECT k, total FROM graft_mv_esc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x:1" -> 70L, "y=2" -> 9L))
+    ddl("DROP MATERIALIZED VIEW graft_mv_esc")
     // unpartitioned MV refuses WHERE-refresh loudly
     ddl("CREATE MATERIALIZED VIEW graft_mv_flat AS SELECT 1 AS x")
     intercept[Exception](

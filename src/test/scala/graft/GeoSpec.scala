@@ -489,4 +489,27 @@ class GeoSpec extends AnyFunSuite {
     intercept[Exception](one("SELECT st_buffer('LINESTRING (0 0, 1 1)', 1)"))
     intercept[Exception](one("SELECT st_buffer('POINT (0 0)', -1)"))
   }
+
+  test("collinear-strip overlap: interiors meet without crossings or interior vertices") {
+    // [0,2]x[0,1] and [1,3]x[0,1] share the strip [1,2]x[0,1]; every
+    // vertex sits ON the other's boundary and all edge contact is
+    // collinear — the case only the midpoint probe decides
+    val a = "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"
+    val b = "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))"
+    assert(GeoFunctions.overlaps(p(a), p(b)).contains(true))
+    assert(GeoFunctions.touches(p(a), p(b)).contains(false))
+    // a chord whose endpoints are boundary vertices still crosses the
+    // interior: not touches
+    val box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert(GeoFunctions.touches(p("LINESTRING (0 0, 10 10)"), p(box)).contains(false))
+    // WKB polygons with OPEN rings are closed on parse, like WKT
+    val wkb = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + 4 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wkb.put(1.toByte).putInt(3).putInt(1).putInt(4)
+      .putDouble(0).putDouble(0).putDouble(4).putDouble(0)
+      .putDouble(4).putDouble(4).putDouble(0).putDouble(4)
+    val g = GeoFunctions.parseWkb(wkb.array())
+    assert(GeoFunctions.print(g) === "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(GeoFunctions.area(g) === 16.0)
+  }
 }

@@ -86,6 +86,20 @@ class MlSpec extends AnyFunSuite with QueryAssertions {
     assert(msgs(ex).exists(_.contains("normal-equations cap")))
   }
 
+  test("negative feature keys fail loud on the APPLY side too") {
+    val s = session
+    import s.implicits._
+    val df = (1 to 10).map(i => (i.toDouble, Map(0L -> i.toDouble))).toDF("y", "f")
+    val reg = df.agg(expr("learn_regressor(y, f)").as("m"))
+    val bad = Seq(Map(-1L -> 2.0)).toDF("f")
+    val ex = intercept[Exception] {
+      bad.crossJoin(reg).selectExpr("regress(f, m)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-negative")), msgs(ex).mkString(" | "))
+  }
+
   test("malformed libsvm params fail loud; valid params are ignored") {
     val s = session
     import s.implicits._

@@ -121,4 +121,18 @@ class SketchSpec extends AnyFunSuite {
     val merged = agg.merge(state, s2)
     assert(merged._3.size <= 4, "merged state must re-cap at capacity")
   }
+
+  test("approx_most_frequent rejects non-positive buckets/capacity loudly") {
+    import graft.functions.GraftFunctions
+    val enc = {
+      implicit val m = org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Int, Int, Map[String, Long])]()
+    }
+    val agg = new GraftFunctions.ApproxMostFrequentAgg(enc)
+    val e1 = intercept[IllegalArgumentException](agg.reduce(agg.zero, (3, "x", 0)))
+    assert(e1.getMessage.contains("capacity"))
+    val e2 = intercept[IllegalArgumentException](agg.reduce(agg.zero, (0, "x", 4)))
+    assert(e2.getMessage.contains("buckets"))
+  }
 }
