@@ -265,6 +265,57 @@ object Streaming {
         .agg(count(lit(1)).as("cnt"))
       StreamingOps.runToCompletion(stream, s)
         .orderBy("c_mktsegment")
+    },
+
+    // Stream-stream LEFT OUTER join (the null-emitting flavor st05's
+    // inner join doesn't cover): an unmatched click emits its null row
+    // only when the global watermark — the MIN of the two inputs'
+    // (max ts − 1h) marks — passes its 30-minute join window, so both
+    // engines count only clicks STRICTLY below that deterministic
+    // eviction threshold (filtering the click STREAM instead would
+    // starve its own watermark and shrink the emitted set — the exact
+    // trap this entry pins). Counts only: row-level output order
+    // depends on emission batching, counts do not.
+    Qdef(
+      "st11_stream_stream_outer_join",
+      """WITH thr AS (
+        |  SELECT least(
+        |      (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |      (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL '1' HOUR - INTERVAL '30' MINUTE AS t)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(pu) AS BIGINT) AS n_matched,
+        |  CAST(count(*) FILTER (WHERE pu IS NULL) AS BIGINT) AS n_unmatched
+        |FROM (SELECT user_id AS cu, ts AS cts FROM events, thr
+        |      WHERE event_type = 'click' AND ts < t) c
+        |LEFT JOIN (SELECT user_id AS pu, ts AS pts FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON cu = pu AND pts >= cts
+        |    AND pts < cts + INTERVAL '30' MINUTE""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def maxOf(tpe: String): java.sql.Timestamp = ev
+        .filter(col("event_type") === tpe)
+        .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val thr = new java.sql.Timestamp(
+        math.min(maxOf("click").getTime, maxOf("purchase").getTime)
+          - (90L * 60 * 1000))
+      val clicks = StreamingOps.streamEvents(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val purchases = StreamingOps.streamEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("cu = pu AND pts >= cts AND pts < cts + INTERVAL '30' MINUTE"),
+        "left_outer")
+      StreamingOps.runToCompletion(joined, s, mode = "append")
+        .filter(col("cts") < lit(thr))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("pu")).as("n_matched"),
+          count(when(col("pu").isNull, 1)).as("n_unmatched"))
     }
   )
 }
