@@ -1053,5 +1053,43 @@ object TpcdsShapes {
           col("o1").cast("double").as("o_q1"),
           col("o2").cast("double").as("o_q2"))
         .orderBy("nation")
+    },
+
+    // q76 shape: three tagged channel scans UNION ALLed into ONE
+    // aggregation — the "count everything that fell through, per
+    // channel" report. Each branch carries its own pushed filter; the
+    // aggregate's partial phase runs ABOVE the union but still map-side
+    // (one combined shuffle for all three branches, not three). The
+    // three predicates partition lineitem exactly, so total counts are
+    // also pinned by any one branch's complement.
+    Qdef(
+      "ds23_union_channel_report",
+      """SELECT channel, yr, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT 'returned' AS channel, year(l_shipdate) AS yr, l_extendedprice
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT 'open', year(l_shipdate), l_extendedprice
+        |  FROM lineitem WHERE l_returnflag <> 'R' AND l_linestatus = 'O'
+        |  UNION ALL
+        |  SELECT 'closed', year(l_shipdate), l_extendedprice
+        |  FROM lineitem WHERE l_returnflag <> 'R' AND l_linestatus = 'F') u
+        |GROUP BY channel, yr
+        |ORDER BY channel, yr""".stripMargin) { (s, dir) =>
+      def branch(tag: String, f: org.apache.spark.sql.Column): DataFrame =
+        t(s, dir, "lineitem").filter(f)
+          .select(lit(tag).as("channel"), year(col("l_shipdate")).as("yr"),
+            col("l_extendedprice"))
+      branch("returned", col("l_returnflag") === "R")
+        .unionAll(branch("open",
+          col("l_returnflag") =!= "R" && col("l_linestatus") === "O"))
+        .unionAll(branch("closed",
+          col("l_returnflag") =!= "R" && col("l_linestatus") === "F"))
+        .groupBy("channel", "yr")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("channel", "yr")
     })
 }

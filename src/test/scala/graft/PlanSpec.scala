@@ -225,6 +225,19 @@ class PlanSpec extends QueryAssertions {
     assert(!plan.contains("CartesianProduct"), "cartesian")
   }
 
+  test("ds23: one combined shuffle above the union; every branch pushes its filter") {
+    val plan = planOf(run("ds23_union_channel_report"))
+    assert(plan.contains("Union"), plan.take(2000))
+    assert(plan.contains("partial_"), "partial agg must run above the union, map-side")
+    // one aggregate exchange for all three branches, not one each
+    val aggExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("channel"))
+    assert(aggExchanges == 1, s"expected one combined shuffle, saw $aggExchanges")
+    val pushed = plan.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag"))
+    assert(pushed == 3, s"all three branches must push their channel filter, saw $pushed")
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
