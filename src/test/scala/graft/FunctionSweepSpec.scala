@@ -83,7 +83,12 @@ class FunctionSweepSpec extends AnyFunSuite {
     "convex_hull_agg", "geometry_union", "geometry_union_agg",
     "st_equals", "st_touches", "st_crosses", "st_overlaps", "st_intersection",
     "st_union", "st_difference", "st_symdifference",
-    "geometry_to_dissolved_bing_tiles")
+    "geometry_to_dissolved_bing_tiles", "st_linestring", "st_buffer",
+    "st_issimple", "st_points", "st_geometries", "st_interiorrings",
+    "st_envelopeaspts", "expand_envelope", "geometry_nearest_points",
+    "st_geomfrombinary", "geometry_as_geojson", "geometry_from_geojson",
+    "flatten_geometry_collections", "to_spherical_geography", "to_geometry",
+    "bing_tile_parent", "bing_tile_children")
 
   test("every reference function name resolves or is documented-deferred") {
     val s = TestSpark.spark
