@@ -571,6 +571,14 @@ object Dialect {
           out.append(lower).append("_zoom(")
           stack.prepend(new Frame('('))
           i = k + 1
+        } else if (lower == "spatial_partitions" &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(3) == 0)) {
+          // the reference's 3-arg distance overload (GeoFunctions.java
+          // :1213) routes to the `_within` registration by arity
+          out.append("spatial_partitions_within(")
+          stack.prepend(new Frame('('))
+          i = k + 1
         } else if (lower == "uniqueness_distribution" &&
             k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {

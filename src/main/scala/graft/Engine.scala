@@ -81,6 +81,7 @@ object Engine {
     graft.functions.ToJsonText.register(spark)
     graft.functions.Teradata.registerAll(spark)
     graft.functions.GeoFunctions.registerAll(spark)
+    graft.functions.KdbSpatial.registerAll(spark)
     graft.functions.MlFunctions.registerAll(spark)
     graft.functions.I18nFunctions.registerAll(spark)
 

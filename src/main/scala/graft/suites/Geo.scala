@@ -342,5 +342,54 @@ object Geo {
           expr("convex_hull_agg(st_point(x, 2 * x + s_nationkey))").as("hull"),
           expr("geometry_union_agg(st_point(x % 7, x % 5))").as("dissolved"))
         .orderBy("s_nationkey")
+    },
+
+    // The reference's DISTRIBUTED spatial-join recipe end-to-end
+    // (SpatialPartitioningInternalAggregateFunction + KdbTree +
+    // spatial_partitions + PlanDistributedSpatialJoin): build a KDB tree
+    // from the build side's envelopes, assign the probe side the
+    // partitions its distance-EXPANDED envelope touches, equi-join on
+    // partition id, refine with the exact predicate, dedup pairs that
+    // met in more than one leaf. Same oracle as geo04's theta join —
+    // the grid join and the KDB join must produce the identical pair
+    // set by two different partitionings. The tree is ONE bounded
+    // string broadcast to both sides (the reference ships it the same
+    // way); nothing data-sized reaches the driver.
+    Qdef(
+      "geo10_kdb_spatial_join",
+      """SELECT s_suppkey, c_custkey,
+        |  CAST(power((s_suppkey * 7) % 100 - (c_custkey * 3) % 101, 2)
+        |     + power((s_suppkey * 13) % 100 - (c_custkey * 11) % 101, 2) AS BIGINT) AS dist2
+        |FROM supplier, customer
+        |WHERE power((s_suppkey * 7) % 100 - (c_custkey * 3) % 101, 2)
+        |    + power((s_suppkey * 13) % 100 - (c_custkey * 11) % 101, 2) <= 25
+        |ORDER BY s_suppkey, c_custkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      val sup = t(s, dir, "supplier").selectExpr(
+        "s_suppkey",
+        "CAST((s_suppkey * 7) % 100 AS DOUBLE) AS sx",
+        "CAST((s_suppkey * 13) % 100 AS DOUBLE) AS sy")
+      val cust = t(s, dir, "customer").selectExpr(
+        "c_custkey",
+        "CAST((c_custkey * 3) % 101 AS DOUBLE) AS cx",
+        "CAST((c_custkey * 11) % 101 AS DOUBLE) AS cy")
+      val tree = cust
+        .agg(expr("spatial_partitioning(st_point(cx, cy), 8)").as("tree"))
+      val supP = sup.crossJoin(broadcast(tree))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          explode(expr("spatial_partitions_within(tree, st_point(sx, sy), 5.0)"))
+            .as("pid"))
+      val custP = cust.crossJoin(broadcast(tree))
+        .select(col("c_custkey"), col("cx"), col("cy"),
+          explode(expr("spatial_partitions(tree, st_point(cx, cy))")).as("pid"))
+      supP.join(custP, "pid")
+        .filter((col("sx") - col("cx")) * (col("sx") - col("cx")) +
+          (col("sy") - col("cy")) * (col("sy") - col("cy")) <= 25)
+        .select(col("s_suppkey"), col("c_custkey"),
+          ((col("sx") - col("cx")) * (col("sx") - col("cx")) +
+            (col("sy") - col("cy")) * (col("sy") - col("cy")))
+            .cast("bigint").as("dist2"))
+        .distinct()
+        .orderBy("s_suppkey", "c_custkey")
     })
 }

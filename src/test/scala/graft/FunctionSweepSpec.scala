@@ -88,7 +88,8 @@ class FunctionSweepSpec extends AnyFunSuite {
     "st_envelopeaspts", "expand_envelope", "geometry_nearest_points",
     "st_geomfrombinary", "geometry_as_geojson", "geometry_from_geojson",
     "flatten_geometry_collections", "to_spherical_geography", "to_geometry",
-    "bing_tile_parent", "bing_tile_children")
+    "bing_tile_parent", "bing_tile_children",
+    "spatial_partitioning", "spatial_partitions")
 
   test("every reference function name resolves or is documented-deferred") {
     val s = TestSpark.spark

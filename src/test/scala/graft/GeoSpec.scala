@@ -512,4 +512,59 @@ class GeoSpec extends AnyFunSuite {
     assert(GeoFunctions.print(g) === "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert(GeoFunctions.area(g) === 16.0)
   }
+
+  test("KDB tree: median splits, leaf coverage, partition assignment") {
+    import graft.functions.KdbSpatial
+    import graft.functions.KdbSpatial.{Rect, Leaf}
+    // 8 unit squares in a row: partitionCount 4 -> >= 4 leaves, each
+    // holding <= ceil(8/4)=2 samples; every query point lands in >= 1 leaf
+    val rects = (0 until 8).map(i => Rect(i * 10, 0, i * 10 + 1, 1))
+    val tree = KdbSpatial.build(4, rects)
+    val ls = KdbSpatial.leaves(tree)
+    assert(ls.size >= 4, s"leaves ${ls.size}")
+    assert(ls.map(_.id).distinct.size == ls.size, "leaf ids must be unique")
+    // interior point -> exactly one partition; the root extent is the
+    // whole plane so even far-away points land somewhere
+    assert(KdbSpatial.partitionsFor(tree, Rect(10.5, 0.5, 10.5, 0.5)).size == 1)
+    assert(KdbSpatial.partitionsFor(tree, Rect(-1e9, -1e9, -1e9, -1e9)).nonEmpty)
+    // a query spanning everything touches every leaf
+    assert(KdbSpatial.partitionsFor(tree, Rect(-100, -100, 200, 200)).toSet ==
+      ls.map(_.id).toSet)
+    // JSON round trip preserves structure and assignments
+    val rt = KdbSpatial.fromJson(KdbSpatial.toJson(tree))
+    assert(KdbSpatial.toJson(rt) == KdbSpatial.toJson(tree))
+    // identical values on the split axis fall back to the other axis
+    val stacked = (0 until 8).map(i => Rect(5, i * 10, 6, i * 10 + 1))
+    val t2 = KdbSpatial.build(4, stacked)
+    assert(KdbSpatial.leaves(t2).size >= 4)
+  }
+
+  test("spatial_partitioning aggregate is partitioning-invariant; scalars assign") {
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    import s.implicits._
+    val pts = (1 to 400).map { i =>
+      (s"POINT (${(i * 7) % 100} ${(i * 13) % 100})", 8)
+    }.toDF("g", "pc")
+    pts.createOrReplaceTempView("kdb_pts")
+    val t1 = s.sql("SELECT spatial_partitioning(g, pc) FROM kdb_pts")
+      .collect()(0).getString(0)
+    val t2 = pts.repartition(13).selectExpr("spatial_partitioning(g, pc)")
+      .collect()(0).getString(0)
+    assert(t1 == t2, "deterministic sample must build the same tree under any partitioning")
+    // each point maps to at least one partition; a widened probe to >= as many
+    val perPoint = s.sql(
+      s"SELECT size(spatial_partitions('${'$'}{}', g)) FROM kdb_pts".replace("${}", t1))
+    assert(perPoint.collect().forall(_.getInt(0) >= 1))
+    val spread = Engine.sql(s, "/root/testdata/sf0.001",
+      s"SELECT cardinality(spatial_partitions('REPLACEME', st_point(50, 50), 30.0)) AS n"
+        .replace("REPLACEME", t1)).collect()(0).getInt(0)
+    val tight = Engine.sql(s, "/root/testdata/sf0.001",
+      s"SELECT cardinality(spatial_partitions('REPLACEME', st_point(50, 50))) AS n"
+        .replace("REPLACEME", t1)).collect()(0).getInt(0)
+    assert(spread >= tight, s"distance-expanded probe $spread < tight $tight")
+    intercept[Exception](Engine.sql(s, "/root/testdata/sf0.001",
+      s"SELECT spatial_partitions('REPLACEME', st_point(0, 0), -1.0)"
+        .replace("REPLACEME", t1)).collect())
+  }
 }

@@ -238,6 +238,17 @@ class PlanSpec extends QueryAssertions {
     assert(pushed == 3, s"all three branches must push their channel filter, saw $pushed")
   }
 
+  test("geo10: the KDB spatial join runs as an equi-join on partition id") {
+    val plan = planOf(run("geo10_kdb_spatial_join"))
+    // the fact-sized join is hash/merge on pid; the only nested-loop
+    // allowed is the single-row tree broadcast
+    val pidJoin = plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("pid"))
+    assert(pidJoin, "pair generation must equi-join on the KDB partition id")
+    assert(!plan.contains("CartesianProduct"), "cartesian")
+  }
+
   test("d02: LSH near-dup plan has no cartesian product") {
     // materialize = false: the production path localCheckpoints, whose
     // executed plan is an RDD scan — asserting on that would be vacuous
