@@ -1486,6 +1486,17 @@ object Dialect {
       extends PreparedOp
   final case class ShowCreateMatViewStmt(name: String) extends PreparedOp
 
+  /** Transaction statements (reference grammar SqlBase.g4
+    * startTransaction/commit/rollback; TransactionManager.java).
+    * NARROWING: every statement here auto-commits (parquet writes are
+    * per-statement atomic swaps), so START TRANSACTION and COMMIT are
+    * accepted as no-ops — the contract a single-statement session
+    * already has — while ROLLBACK fails LOUDLY: pretending to undo
+    * committed writes would be a silent wrong answer. */
+  final case class StartTransactionStmt() extends PreparedOp
+  final case class CommitStmt() extends PreparedOp
+  final case class RollbackStmt() extends PreparedOp
+
   /** ANALYZE table [WITH (props)] (reference: SqlBase.g4:60; docs
     * sql/analyze.rst — collects table+column statistics and persists them;
     * subsequent SHOW STATS serves the stored values). The WITH properties
@@ -1527,6 +1538,10 @@ object Dialect {
       "where\\s+(.+?)[;\\s]*$").r
   private val ShowCreateMatViewRe =
     "(?is)^\\s*show\\s+create\\s+materialized\\s+view\\s+([a-z_][\\w.]*)[;\\s]*$".r
+  private val StartTransactionRe =
+    "(?is)^\\s*start\\s+transaction(\\s+.+)?[;\\s]*$".r
+  private val CommitRe = "(?is)^\\s*commit(\\s+work)?[;\\s]*$".r
+  private val RollbackRe = "(?is)^\\s*rollback(\\s+work)?[;\\s]*$".r
   private val AnalyzeRe =
     "(?is)^\\s*analyze\\s+([a-z_][\\w.]*)\\s*(?:with\\s*\\(.*?\\)\\s*)?[;\\s]*$".r
 
@@ -1562,6 +1577,9 @@ object Dialect {
       Some(RefreshMatViewStmt(lastPart(name), pred))
     case ShowCreateMatViewRe(name) => Some(ShowCreateMatViewStmt(lastPart(name)))
     case AnalyzeRe(name) => Some(AnalyzeStmt(lastPart(name)))
+    case StartTransactionRe(_) => Some(StartTransactionStmt())
+    case CommitRe(_) => Some(CommitStmt())
+    case RollbackRe(_) => Some(RollbackStmt())
     case CreateViewRe(orRepl, name, body) =>
       Some(CreateViewStmt(lastPart(name), body, orRepl != null))
     case DropViewRe(ifex, name) => Some(DropViewStmt(lastPart(name), ifex != null))

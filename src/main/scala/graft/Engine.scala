@@ -323,6 +323,16 @@ object Engine {
             s"Materialized view '$name' does not exist"))
         spark.sql(
           s"SELECT '${mv.createSql.replace("'", "''")}' AS `Create Materialized View`")
+      case Some(Dialect.StartTransactionStmt()) =>
+        // autocommit narrowing (see Dialect.StartTransactionStmt)
+        spark.sql("SELECT 'START TRANSACTION' AS result")
+      case Some(Dialect.CommitStmt()) =>
+        spark.sql("SELECT 'COMMIT' AS result")
+      case Some(Dialect.RollbackStmt()) =>
+        throw new UnsupportedOperationException(
+          "ROLLBACK: statements auto-commit under the per-statement " +
+            "atomic-write narrowing — there is no transaction to roll " +
+            "back. Re-create the previous state explicitly instead.")
       case None =>
         spark.sql(translate(query))
     }

@@ -347,6 +347,18 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("transaction statements: autocommit acks, ROLLBACK fails loud") {
+    assert(Engine.sql(spark, dir, "START TRANSACTION").collect()(0)
+      .getString(0) == "START TRANSACTION")
+    assert(Engine.sql(spark, dir,
+      "START TRANSACTION ISOLATION LEVEL READ COMMITTED").count() == 1)
+    assert(Engine.sql(spark, dir, "COMMIT").collect()(0).getString(0) == "COMMIT")
+    assert(Engine.sql(spark, dir, "COMMIT WORK").count() == 1)
+    val ex = intercept[UnsupportedOperationException](
+      Engine.sql(spark, dir, "ROLLBACK"))
+    assert(ex.getMessage.contains("auto-commit"), ex.getMessage)
+  }
+
   test("EXPLAIN (TYPE IO) reports read columns and pushed constraints per table") {
     val io = Engine.sql(spark, dir,
       """EXPLAIN (TYPE IO)
