@@ -1493,6 +1493,13 @@ object Dialect {
     * accepted as no-ops — the contract a single-statement session
     * already has — while ROLLBACK fails LOUDLY: pretending to undo
     * committed writes would be a silent wrong answer. */
+  /** USE [catalog.]schema (reference SqlBase.g4 `use` rule). The engine
+    * has exactly ONE catalog/schema — the registered fixture views — so
+    * the recognized spellings ack as no-ops and anything else fails
+    * loudly (silently "switching" to a schema that doesn't exist and
+    * serving the same tables would be a wrong answer). */
+  final case class UseStmt(schema: String) extends PreparedOp
+
   final case class StartTransactionStmt() extends PreparedOp
   final case class CommitStmt() extends PreparedOp
   final case class RollbackStmt() extends PreparedOp
@@ -1538,6 +1545,7 @@ object Dialect {
       "where\\s+(.+?)[;\\s]*$").r
   private val ShowCreateMatViewRe =
     "(?is)^\\s*show\\s+create\\s+materialized\\s+view\\s+([a-z_][\\w.]*)[;\\s]*$".r
+  private val UseRe = "(?is)^\\s*use\\s+([a-z_][\\w.]*)[;\\s]*$".r
   private val StartTransactionRe =
     "(?is)^\\s*start\\s+transaction(\\s+.+)?[;\\s]*$".r
   private val CommitRe = "(?is)^\\s*commit(\\s+work)?[;\\s]*$".r
@@ -1577,6 +1585,7 @@ object Dialect {
       Some(RefreshMatViewStmt(lastPart(name), pred))
     case ShowCreateMatViewRe(name) => Some(ShowCreateMatViewStmt(lastPart(name)))
     case AnalyzeRe(name) => Some(AnalyzeStmt(lastPart(name)))
+    case UseRe(name) => Some(UseStmt(name.toLowerCase))
     case StartTransactionRe(_) => Some(StartTransactionStmt())
     case CommitRe(_) => Some(CommitStmt())
     case RollbackRe(_) => Some(RollbackStmt())

@@ -323,6 +323,13 @@ object Engine {
             s"Materialized view '$name' does not exist"))
         spark.sql(
           s"SELECT '${mv.createSql.replace("'", "''")}' AS `Create Materialized View`")
+      case Some(Dialect.UseStmt(schema)) =>
+        val known = Set("graft", "default", "graft.default", "memory.default")
+        if (!known(schema))
+          throw new IllegalArgumentException(
+            s"Schema '$schema' does not exist — this engine serves the " +
+              "single registered fixture schema (USE graft|default)")
+        spark.sql(s"SELECT 'USE' AS result, '$schema' AS schema")
       case Some(Dialect.StartTransactionStmt()) =>
         // autocommit narrowing (see Dialect.StartTransactionStmt)
         spark.sql("SELECT 'START TRANSACTION' AS result")

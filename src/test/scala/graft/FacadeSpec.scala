@@ -347,6 +347,14 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("USE acks the single schema, rejects unknown schemas loudly") {
+    assert(Engine.sql(spark, dir, "USE graft").collect()(0).getString(1) == "graft")
+    assert(Engine.sql(spark, dir, "USE memory.default").count() == 1)
+    val ex = intercept[IllegalArgumentException](
+      Engine.sql(spark, dir, "USE hive.web_logs"))
+    assert(ex.getMessage.contains("does not exist"), ex.getMessage)
+  }
+
   test("transaction statements: autocommit acks, ROLLBACK fails loud") {
     assert(Engine.sql(spark, dir, "START TRANSACTION").collect()(0)
       .getString(0) == "START TRANSACTION")
