@@ -1486,13 +1486,6 @@ object Dialect {
       extends PreparedOp
   final case class ShowCreateMatViewStmt(name: String) extends PreparedOp
 
-  /** Transaction statements (reference grammar SqlBase.g4
-    * startTransaction/commit/rollback; TransactionManager.java).
-    * NARROWING: every statement here auto-commits (parquet writes are
-    * per-statement atomic swaps), so START TRANSACTION and COMMIT are
-    * accepted as no-ops — the contract a single-statement session
-    * already has — while ROLLBACK fails LOUDLY: pretending to undo
-    * committed writes would be a silent wrong answer. */
   /** USE [catalog.]schema (reference SqlBase.g4 `use` rule). The engine
     * has exactly ONE catalog/schema — the registered fixture views — so
     * the recognized spellings ack as no-ops and anything else fails
@@ -1500,6 +1493,13 @@ object Dialect {
     * serving the same tables would be a wrong answer). */
   final case class UseStmt(schema: String) extends PreparedOp
 
+  /** Transaction statements (reference grammar SqlBase.g4
+    * startTransaction/commit/rollback; TransactionManager.java).
+    * NARROWING: every statement here auto-commits (parquet writes are
+    * per-statement atomic swaps), so START TRANSACTION and COMMIT are
+    * accepted as no-ops — the contract a single-statement session
+    * already has — while ROLLBACK fails LOUDLY: pretending to undo
+    * committed writes would be a silent wrong answer. */
   final case class StartTransactionStmt() extends PreparedOp
   final case class CommitStmt() extends PreparedOp
   final case class RollbackStmt() extends PreparedOp

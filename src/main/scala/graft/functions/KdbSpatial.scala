@@ -81,7 +81,9 @@ object KdbSpatial extends Serializable {
       if (splitIndex == sorted.size) return None
       // split midway between the median value and the next distinct one,
       // so the larger population these samples stand for splits evenly
-      val at = (splitValue0 + low(sorted(splitIndex))) / 2
+      // a/2 + b/2, not (a+b)/2: near-DoubleMax sample values must not
+      // overflow the midpoint to Infinity
+      val at = splitValue0 / 2 + low(sorted(splitIndex)) / 2
       val (le, re) =
         if (byX) (extent.copy(x1 = at), extent.copy(x0 = at))
         else (extent.copy(y1 = at), extent.copy(y0 = at))
@@ -113,6 +115,8 @@ object KdbSpatial extends Serializable {
   private def num(v: Double): String =
     if (v.isNegInfinity) "\"-inf\""
     else if (v.isPosInfinity) "\"inf\""
+    else if (v.isNaN) throw new IllegalArgumentException(
+      "Invalid KDB tree: NaN coordinate")
     else v.toString
 
   def toJson(n: Node): String = {
@@ -121,7 +125,7 @@ object KdbSpatial extends Serializable {
     n match {
       case Leaf(_, id) => s"""{$ext,"leaf":$id}"""
       case Internal(_, byX, at, l, r) =>
-        s"""{$ext,"by":"${if (byX) "x" else "y"}","at":$at,""" +
+        s"""{$ext,"by":"${if (byX) "x" else "y"}","at":${num(at)},""" +
           s""""left":${toJson(l)},"right":${toJson(r)}}"""
     }
   }
@@ -139,12 +143,19 @@ object KdbSpatial extends Serializable {
         else if (n.asText() == "-inf") Double.NegativeInfinity
         else throw new IllegalArgumentException(s"Invalid KDB tree number: ${n.asText()}")
       } else n.asDouble()
+    def req(n: com.fasterxml.jackson.databind.JsonNode, key: String)
+        : com.fasterxml.jackson.databind.JsonNode = {
+      val v = n.get(key)
+      if (v == null) throw new IllegalArgumentException(
+        s"Invalid KDB tree: missing '$key'")
+      v
+    }
     def node(n: com.fasterxml.jackson.databind.JsonNode): Node = {
-      val extent = Rect(numOf(n.get("x0")), numOf(n.get("y0")),
-        numOf(n.get("x1")), numOf(n.get("y1")))
-      if (n.has("leaf")) Leaf(extent, n.get("leaf").asInt())
-      else Internal(extent, n.get("by").asText() == "x", n.get("at").asDouble(),
-        node(n.get("left")), node(n.get("right")))
+      val extent = Rect(numOf(req(n, "x0")), numOf(req(n, "y0")),
+        numOf(req(n, "x1")), numOf(req(n, "y1")))
+      if (n.has("leaf")) Leaf(extent, req(n, "leaf").asInt())
+      else Internal(extent, req(n, "by").asText() == "x",
+        req(n, "at").asDouble(), node(req(n, "left")), node(req(n, "right")))
     }
     node(root)
   }
@@ -176,6 +187,10 @@ object KdbSpatial extends Serializable {
     h
   }
 
+  /** Trim to the bottom-k by hash. Callers let the buffer grow to
+    * 2×[[MaxSamples]] before trimming (see reduce), so the sort cost is
+    * amortized O(log k) per row instead of a full re-sort per row once
+    * the cap is reached. */
   private def capped(
       s: Seq[(Long, (Double, Double, Double, Double))])
       : Seq[(Long, (Double, Double, Double, Double))] =
@@ -190,16 +205,21 @@ object KdbSpatial extends Serializable {
       env match {
         case None => b
         case Some((x0, y0, x1, y1)) =>
+          require(!x0.isNaN && !y0.isNaN && !x1.isNaN && !y1.isNaN &&
+            !x0.isInfinite && !y0.isInfinite && !x1.isInfinite && !y1.isInfinite,
+            s"spatial_partitioning: non-finite envelope ($x0, $y0, $x1, $y1)")
           val r = Rect(x0, y0, x1, y1)
-          (b._1 + 1, a._2,
-            capped(b._3 :+ (rectHash(r), (x0, y0, x1, y1))))
+          val grown = b._3 :+ (rectHash(r), (x0, y0, x1, y1))
+          // amortized cap: trim only at 2x, not on every row past the cap
+          val next = if (grown.size >= 2 * MaxSamples) capped(grown) else grown
+          (b._1 + 1, math.max(b._2, a._2), next)
       }
     }
     def merge(b1: State, b2: State): State =
       (b1._1 + b2._1, math.max(b1._2, b2._2), capped(b1._3 ++ b2._3))
     def finish(r: State): String = {
       require(r._1 > 0, "No rows supplied to spatial partition.")
-      val rects = r._3.map { case (_, (x0, y0, x1, y1)) => Rect(x0, y0, x1, y1) }
+      val rects = capped(r._3).map { case (_, (x0, y0, x1, y1)) => Rect(x0, y0, x1, y1) }
       toJson(build(r._2, rects))
     }
     def bufferEncoder: Encoder[State] = enc

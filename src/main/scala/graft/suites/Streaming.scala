@@ -293,13 +293,25 @@ object Streaming {
         |           WHERE event_type = 'purchase') p
         |  ON cu = pu AND pts >= cts
         |    AND pts < cts + INTERVAL '30' MINUTE""".stripMargin) { (s, dir) =>
-      val ev = t(s, dir, "events")
-      def maxOf(tpe: String): java.sql.Timestamp = ev
-        .filter(col("event_type") === tpe)
-        .agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      val thr = new java.sql.Timestamp(
-        math.min(maxOf("click").getTime, maxOf("purchase").getTime)
-          - (90L * 60 * 1000))
+      // one scan for both per-type maxima; loud if a type is absent
+      // (a null max would otherwise NPE opaquely). The threshold is
+      // computed at MICROsecond precision via Timestamp.before —
+      // Timestamp.getTime millisecond arithmetic would truncate and
+      // disagree with the oracle's micros-exact interval subtraction
+      // on boundary clicks.
+      val maxes = t(s, dir, "events").agg(
+        max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp"))
+        .collect()(0)
+      require(!maxes.isNullAt(0) && !maxes.isNullAt(1),
+        "st11 needs both click and purchase events in the fixture")
+      val mc = maxes.getTimestamp(0); val mp = maxes.getTimestamp(1)
+      val minMax = if (mc.before(mp)) mc else mp
+      val thr = {
+        val t2 = new java.sql.Timestamp(minMax.getTime - (90L * 60 * 1000))
+        t2.setNanos(minMax.getNanos) // keep the sub-millisecond part
+        t2
+      }
       val clicks = StreamingOps.streamEvents(s, dir)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("cu"), col("ts").as("cts"))
