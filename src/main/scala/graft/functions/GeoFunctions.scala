@@ -1216,6 +1216,74 @@ object GeoFunctions {
     }
   }
 
+  /** DE-9IM matrix (row-major I/B/E of `a` × I/B/E of `b`, entries
+    * F/0/1/2) for pairs where at least one side is PUNCTUAL — the only
+    * pairs whose full matrix the point-membership primitives decide
+    * exactly. Lineal/areal-vs-lineal/areal matrices stay deferred with
+    * the overlay core (loud). Used by ST_Relate (reference
+    * GeoFunctions.java:1131 via Esri relate). */
+  def de9im(a: Geom, b: Geom): String = {
+    def pointClass(p: Pt, g: Geom): Int = { // 2=interior, 1=boundary, 0=exterior
+      if (isAreal(g)) arealParts(g).map(r => locateInRings(p, r)).max
+      else if (isLineal(g)) {
+        if (!distance(GPoint(Some(p)), g).contains(0.0)) 0
+        else if (linealBoundary(g).contains(p)) 1
+        else 2
+      } else { // punctual: boundary is empty
+        if (vertices(g).contains(p)) 2 else 0
+      }
+    }
+    def interiorDim(g: Geom): Char =
+      if (isAreal(g)) '2' else if (isLineal(g)) '1' else '0'
+    def boundaryDim(g: Geom): Char =
+      if (isAreal(g)) '1'
+      else if (isLineal(g)) { if (linealBoundary(g).isEmpty) 'F' else '0' }
+      else 'F'
+    def matrixPunctualLeft(pts: Vector[Pt], g: Geom): String = {
+      val classes = pts.map(p => pointClass(p, g))
+      val ii = if (classes.contains(2)) '0' else 'F'
+      val ib = if (classes.contains(1)) '0' else 'F'
+      val ie = if (classes.contains(0)) '0' else 'F'
+      // boundary of a punctual geometry is empty
+      val (bi, bb, be) = ('F', 'F', 'F')
+      val ei = g match {
+        case _ if isAreal(g)  => '2'
+        case _ if isLineal(g) => '1' // removing finitely many points keeps dim 1
+        case _ =>
+          if (vertices(g).exists(q => !pts.contains(q))) '0' else 'F'
+      }
+      val eb = g match {
+        case _ if isAreal(g)  => '1'
+        case _ if isLineal(g) =>
+          if (linealBoundary(g).exists(q => !pts.contains(q))) '0' else 'F'
+        case _ => 'F'
+      }
+      s"$ii$ib$ie$bi$bb$be$ei$eb" + "2"
+    }
+    def transpose(m: String): String =
+      Seq(0, 3, 6, 1, 4, 7, 2, 5, 8).map(m.charAt).mkString
+    if (isPunctual(a)) matrixPunctualLeft(vertices(a), b)
+    else if (isPunctual(b)) transpose(matrixPunctualLeft(vertices(b), a))
+    else invalid(
+      s"ST_Relate supports pairs with a punctual side under the WKT narrowing (lineal/areal matrices are deferred with the Esri core). Input types are: ${typeName(a)}, ${typeName(b)}")
+  }
+
+  /** DE-9IM pattern match (reference semantics: '*' any, 'T' non-empty,
+    * 'F' empty, digit exact dimension). */
+  def relate(a: Geom, b: Geom, pattern: String): Option[Boolean] = {
+    require(pattern != null && pattern.length == 9,
+      s"ST_Relate pattern must be 9 characters, got '$pattern'")
+    if (isEmpty(a) || isEmpty(b)) return None
+    val m = de9im(a, b)
+    Some(pattern.toUpperCase.zip(m).forall {
+      case ('*', _) => true
+      case ('T', c) => c != 'F'
+      case ('F', c) => c == 'F'
+      case (p, c) if p >= '0' && p <= '2' => p == c
+      case (p, _) => invalid(s"Invalid DE-9IM pattern character '$p' in '$pattern'")
+    })
+  }
+
   /** Axis-aligned rectangle recognition: a single-ring polygon whose
     * ring is the closed 4-corner box (the shape st_envelope and
     * expand_envelope produce) — the reference's own ST_Intersection
@@ -1757,6 +1825,12 @@ object GeoFunctions {
     g2[String]("st_union")((a, b) => print(union(a, b)))
     g2[String]("st_difference")((a, b) => print(difference(a, b)))
     g2[String]("st_symdifference")((a, b) => print(symDifference(a, b)))
+    u.register("st_relate", (a: String, b: String, pat: String) =>
+      if (a == null || b == null) null
+      else relate(parse(a), parse(b), pat) match {
+        case Some(v) => java.lang.Boolean.valueOf(v)
+        case None    => null
+      })
     u.register("geometry_to_dissolved_bing_tiles", (wkt: String, zoom: Int) =>
       if (wkt == null) null.asInstanceOf[Seq[String]]
       else geometryToDissolvedBingTiles(parse(wkt), zoom))

@@ -89,7 +89,7 @@ class FunctionSweepSpec extends AnyFunSuite {
     "st_geomfrombinary", "geometry_as_geojson", "geometry_from_geojson",
     "flatten_geometry_collections", "to_spherical_geography", "to_geometry",
     "bing_tile_parent", "bing_tile_children",
-    "spatial_partitioning", "spatial_partitions")
+    "spatial_partitioning", "spatial_partitions", "st_relate")
 
   test("every reference function name resolves or is documented-deferred") {
     val s = TestSpark.spark

@@ -567,4 +567,34 @@ class GeoSpec extends AnyFunSuite {
       s"SELECT spatial_partitions('REPLACEME', st_point(0, 0), -1.0)"
         .replace("REPLACEME", t1)).collect())
   }
+
+  test("ST_Relate: exact DE-9IM for punctual-sided pairs") {
+    val box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    // interior point vs polygon: 0FFFFF212
+    assert(GeoFunctions.de9im(p("POINT (5 5)"), p(box)) === "0FFFFF212")
+    // boundary point: F0FFFF212
+    assert(GeoFunctions.de9im(p("POINT (10 5)"), p(box)) === "F0FFFF212")
+    // exterior point: FF0FFF212
+    assert(GeoFunctions.de9im(p("POINT (20 5)"), p(box)) === "FF0FFF212")
+    // transposition: polygon-vs-point is the transpose
+    assert(GeoFunctions.de9im(p(box), p("POINT (5 5)")) === "0F2FF1FF2")
+    // point vs open line: interior hit, line keeps its endpoints
+    assert(GeoFunctions.de9im(p("POINT (2 2)"), p("LINESTRING (0 0, 5 5)")) ===
+      "0FFFFF102")
+    assert(GeoFunctions.de9im(p("POINT (0 0)"), p("LINESTRING (0 0, 5 5)")) ===
+      "F0FFFF102")
+    // identical points: equality matrix
+    assert(GeoFunctions.de9im(p("POINT (1 1)"), p("POINT (1 1)")) === "0FFFFFFF2")
+    // pattern matching through SQL: within = T*F**F***
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    def one(sql: String): Any = s.sql(sql).collect()(0).get(0)
+    assert(one(s"SELECT st_relate('POINT (5 5)', '$box', 'T*F**F***')") === true)
+    assert(one(s"SELECT st_relate('POINT (10 5)', '$box', 'T*F**F***')") === false)
+    // touches = F***T**** for the boundary point (IB non-empty)
+    assert(one(s"SELECT st_relate('POINT (10 5)', '$box', 'FT*******')") === true)
+    intercept[Exception](one(s"SELECT st_relate('POINT (0 0)', '$box', 'TOO_SHORT')"))
+    intercept[Exception](
+      one("SELECT st_relate('LINESTRING (0 0, 1 1)', 'LINESTRING (2 2, 3 3)', 'FF*FF****')"))
+  }
 }
