@@ -593,7 +593,8 @@ class GeoSpec extends AnyFunSuite {
     assert(one(s"SELECT st_relate('POINT (10 5)', '$box', 'T*F**F***')") === false)
     // touches = F***T**** for the boundary point (IB non-empty)
     assert(one(s"SELECT st_relate('POINT (10 5)', '$box', 'FT*******')") === true)
-    intercept[Exception](one(s"SELECT st_relate('POINT (0 0)', '$box', 'TOO_SHORT')"))
+    intercept[Exception](one(s"SELECT st_relate('POINT (0 0)', '$box', 'T*F')"))
+    intercept[Exception](one(s"SELECT st_relate('POINT (0 0)', '$box', 'X********')"))
     intercept[Exception](
       one("SELECT st_relate('LINESTRING (0 0, 1 1)', 'LINESTRING (2 2, 3 3)', 'FF*FF****')"))
   }
