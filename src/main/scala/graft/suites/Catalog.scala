@@ -886,6 +886,28 @@ object Catalog {
           canon("hm").as("hist"), canon("mm").as("mapped"),
           canon("um").as("unioned"), canon("tm").as("top3"))
         .orderBy("o_orderstatus")
+    },
+
+    // Protocol statements through the facade (reference SqlBase.g4 `use`
+    // / startTransaction / commit): USE acks the single fixture schema,
+    // START TRANSACTION and COMMIT ack under the documented autocommit
+    // narrowing (Dialect.StartTransactionStmt), and ROLLBACK must stay
+    // LOUD — pretending to undo a committed write is the one behavior
+    // this surface may never have.
+    Qdef.duckOnly(
+      "k31_protocol_statements",
+      "SELECT true AS use_ok, true AS txn_ok, true AS rollback_loud") { (s, dir) =>
+      val useOk = graft.Engine.sql(s, dir, "USE graft")
+        .collect()(0).getString(0) == "USE"
+      val txnOk =
+        graft.Engine.sql(s, dir, "START TRANSACTION").collect()(0)
+          .getString(0) == "START TRANSACTION" &&
+        graft.Engine.sql(s, dir, "COMMIT").collect()(0).getString(0) == "COMMIT"
+      val rollbackLoud =
+        try { graft.Engine.sql(s, dir, "ROLLBACK"); false }
+        catch { case _: UnsupportedOperationException => true }
+      s.sql(s"SELECT $useOk AS use_ok, $txnOk AS txn_ok, " +
+        s"$rollbackLoud AS rollback_loud")
     }
   )
 }

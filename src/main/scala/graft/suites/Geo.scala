@@ -391,5 +391,33 @@ object Geo {
             .cast("bigint").as("dist2"))
         .distinct()
         .orderBy("s_suppkey", "c_custkey")
+    },
+
+    // ST_Relate's DE-9IM pattern matching over the geo02 diamond: the
+    // 'within' pattern (T*F**F***) holds exactly for interior points,
+    // the point-touches pattern (FT*******) exactly for boundary points,
+    // 'disjoint' (FF*FF****) exactly for outside points — so the three
+    // counts collapse to geo02's closed-form L1-ball classification.
+    Qdef(
+      "geo11_relate_patterns",
+      """SELECT
+        |  count(*) FILTER (WHERE abs((c_custkey * 3) % 101 - 50)
+        |    + abs((c_custkey * 11) % 101 - 50) < 50) AS n_within,
+        |  count(*) FILTER (WHERE abs((c_custkey * 3) % 101 - 50)
+        |    + abs((c_custkey * 11) % 101 - 50) = 50) AS n_touching,
+        |  count(*) FILTER (WHERE abs((c_custkey * 3) % 101 - 50)
+        |    + abs((c_custkey * 11) % 101 - 50) > 50) AS n_disjoint
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      val diamond = "POLYGON ((50 0, 100 50, 50 100, 0 50, 50 0))"
+      t(s, dir, "customer")
+        .selectExpr(
+          s"st_relate(st_point((c_custkey * 3) % 101, (c_custkey * 11) % 101), '$diamond', 'T*F**F***') AS w",
+          s"st_relate(st_point((c_custkey * 3) % 101, (c_custkey * 11) % 101), '$diamond', 'FT*******') AS t",
+          s"st_relate(st_point((c_custkey * 3) % 101, (c_custkey * 11) % 101), '$diamond', 'FF*FF****') AS d")
+        .agg(
+          count(when(col("w"), 1)).as("n_within"),
+          count(when(col("t"), 1)).as("n_touching"),
+          count(when(col("d"), 1)).as("n_disjoint"))
     })
 }
