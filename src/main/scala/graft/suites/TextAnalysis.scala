@@ -530,6 +530,60 @@ object TextAnalysis {
             coalesce(col("n_lines") - col("n_dist"), lit(0L)) * 10 <=
               coalesce(col("n_lines"), lit(1L)) * 3).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Bigram language-model scoring — the CCNet/KenLM-style perplexity
+    // proxy every quality filter runs: train bigram MLE counts on the
+    // corpus itself, score each document by its mean bigram
+    // log-likelihood ln(c(w1,w2)/c(w1)). The LM is the corpus vocabulary
+    // (bounded — broadcast, PlanSpec-pinned), the scoring pass is one
+    // map-side gram explosion + a per-doc aggregate; at 100 TB the only
+    // fact-sized shuffle is the per-doc sum. Scores round to 6 places
+    // like k02's entropy (per-doc sums of ~30 logs are ULP-order-
+    // sensitive; the rounding is the documented float-stability rule).
+    Qdef.duckOnly(
+      "x12_bigram_lm_score",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, g.w1, g.w2
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, nw - 1),
+        |            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
+        |        FROM base) t),
+        |lm AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+        |uni AS (
+        |  SELECT w1, sum(c12) AS c1 FROM lm GROUP BY w1)
+        |SELECT g.doc_id,
+        |  count(*) AS n_grams,
+        |  round(avg(ln(CAST(lm.c12 AS DOUBLE) / uni.c1)), 6) AS mean_ll
+        |FROM grams g
+        |JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2
+        |JOIN uni ON g.w1 = uni.w1
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nw", size(col("ws")))
+        .select(col("doc_id"), explode(expr(
+          """case when nw < 2 then cast(array() as array<struct<w1: string, w2: string>>)
+            |else transform(sequence(1, nw - 1),
+            |  i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
+            |end""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val lm = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = lm.groupBy(col("w1").as("u1")).agg(sum("c12").as("c1"))
+      grams
+        .join(broadcast(lm), Seq("w1", "w2"))
+        .join(broadcast(uni), col("w1") === col("u1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          round(avg(log(col("c12").cast("double") / col("c1"))), 6)
+            .as("mean_ll"))
+        .orderBy("doc_id")
     }
   )
 }
