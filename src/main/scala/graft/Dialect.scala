@@ -1477,6 +1477,11 @@ object Dialect {
       extends PreparedOp
   final case class DropViewStmt(name: String, ifExists: Boolean) extends PreparedOp
   final case class ShowCreateViewStmt(name: String) extends PreparedOp
+
+  /** SHOW CREATE TABLE (reference SqlBase.g4:107, rewrite
+    * sql/rewrite/ShowQueriesRewrite.java): reconstructs DDL text from
+    * the live schema with reference type names. */
+  final case class ShowCreateTableStmt(name: String) extends PreparedOp
   final case class CreateMatViewStmt(
       name: String, ifNotExists: Boolean, partitionedBy: Seq[String],
       body: String) extends PreparedOp
@@ -1531,6 +1536,8 @@ object Dialect {
       "(?:security\\s+(?:definer|invoker)\\s+)?as\\s+(.+?)[;\\s]*$").r
   private val DropViewRe =
     "(?is)^\\s*drop\\s+view\\s+(if\\s+exists\\s+)?([a-z_][\\w.]*)[;\\s]*$".r
+  private val ShowCreateTableRe =
+    "(?is)^\\s*show\\s+create\\s+table\\s+([a-z_][\\w.]*)[;\\s]*$".r
   private val ShowCreateViewRe =
     "(?is)^\\s*show\\s+create\\s+view\\s+([a-z_][\\w.]*)[;\\s]*$".r
   private val CreateMatViewRe =
@@ -1593,6 +1600,7 @@ object Dialect {
       Some(CreateViewStmt(lastPart(name), body, orRepl != null))
     case DropViewRe(ifex, name) => Some(DropViewStmt(lastPart(name), ifex != null))
     case ShowCreateViewRe(name) => Some(ShowCreateViewStmt(lastPart(name)))
+    case ShowCreateTableRe(name) => Some(ShowCreateTableStmt(lastPart(name)))
     case _ => None
   }
 

@@ -250,6 +250,16 @@ object Engine {
         }
         spark.sql(rows.mkString("SELECT * FROM VALUES ", ", ",
           " AS t(`Column Name`, `Catalog`, `Schema`, `Table`, `Type`, `Type Size`, `Aliased`)"))
+      case Some(Dialect.ShowCreateTableStmt(name)) =>
+        // reconstructed from the live schema (the reference's rewrite
+        // reads the connector metadata the same way); single-part names
+        // and the parquet storage format are the session's one catalog
+        val fields = spark.table(name).schema.fields.map { f =>
+          s"""   "${f.name}" ${graft.functions.TriviaScalars.prestoTypeName(f.dataType)}"""
+        }
+        val ddl = s"CREATE TABLE $name (\n" + fields.mkString(",\n") +
+          "\n)\nWITH (\n   format = 'PARQUET'\n)"
+        spark.sql(s"SELECT '${ddl.replace("'", "''")}' AS `Create Table`")
       case Some(Dialect.ShowStatsStmt(target, isQuery)) =>
         // ANALYZE-persisted stats serve table targets (reference contract:
         // SHOW STATS surfaces the connector's STORED statistics); without a

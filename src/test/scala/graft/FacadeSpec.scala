@@ -347,6 +347,17 @@ class FacadeSpec extends AnyFunSuite {
       "EXPLAIN (TYPE LOGICAL, FORMAT TEXT) SELECT 1").count() > 0)
   }
 
+  test("SHOW CREATE TABLE reconstructs reference-typed DDL from the live schema") {
+    val ddl = Engine.sql(spark, dir, "SHOW CREATE TABLE orders")
+      .collect()(0).getString(0)
+    assert(ddl.startsWith("CREATE TABLE orders ("), ddl)
+    assert(ddl.contains("\"o_orderkey\" bigint"), ddl)
+    assert(ddl.contains("\"o_totalprice\" double"), ddl)
+    assert(ddl.contains("\"o_orderstatus\" varchar"), ddl)
+    assert(ddl.contains("format = 'PARQUET'"), ddl)
+    intercept[Exception](Engine.sql(spark, dir, "SHOW CREATE TABLE nope_missing"))
+  }
+
   test("USE acks the single schema, rejects unknown schemas loudly") {
     assert(Engine.sql(spark, dir, "USE graft").collect()(0).getString(1) == "graft")
     assert(Engine.sql(spark, dir, "USE memory.default").count() == 1)
