@@ -571,6 +571,16 @@ object Dialect {
           out.append(lower).append("_zoom(")
           stack.prepend(new Frame('('))
           i = k + 1
+        } else if (lower == "bing_tile" &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(1) == 0)) {
+          // the reference's 1-arg quadkey constructor (BingTileFunctions
+          // .java toBingTile(quadKey)) — under the quadkey-VARCHAR
+          // narrowing it is validation + identity, which
+          // bing_tile_quadkey already implements
+          out.append("bing_tile_quadkey(")
+          stack.prepend(new Frame('('))
+          i = k + 1
         } else if (lower == "spatial_partitions" &&
             k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists(_._1.lengthCompare(3) == 0)) {

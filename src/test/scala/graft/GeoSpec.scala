@@ -327,6 +327,11 @@ class GeoSpec extends AnyFunSuite {
       "SELECT bing_tile_parent(bing_tile_at(40.0, -74.0, 10), 4) AS t").collect()(0).getString(0).length === 4)
     assert(Engine.sql(s, "/root/testdata/sf0.001",
       "SELECT cardinality(bing_tile_children(bing_tile_at(40.0, -74.0, 10), 12)) AS n").collect()(0).getInt(0) === 16)
+    // the 1-arg quadkey constructor routes to validation + identity
+    assert(Engine.sql(s, "/root/testdata/sf0.001",
+      "SELECT bing_tile('0231') AS t").collect()(0).getString(0) === "0231")
+    intercept[Exception](Engine.sql(s, "/root/testdata/sf0.001",
+      "SELECT bing_tile('0299') AS t").collect())
   }
 
   test("convex_hull_agg and the geometry_union family through SQL") {
