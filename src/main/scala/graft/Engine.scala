@@ -152,6 +152,12 @@ object Engine {
     * USING / DEALLOCATE PREPARE (reference: SqlBase.g4:131-133; the
     * reference keeps these in the client session the same way). Weak
     * keys so a discarded session's statements are collectable. */
+  /** Escape a Scala string for embedding in a Spark SQL single-quoted
+    * literal: backslashes first (Spark's default literal parser treats
+    * them as escapes), then quote doubling. */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
   /** One weak-keyed per-session named store (prepared statements, views,
     * materialized views, ANALYZE stats): a discarded session's entries
     * stay collectable, and every feature shares this single
@@ -253,13 +259,24 @@ object Engine {
       case Some(Dialect.ShowCreateTableStmt(name)) =>
         // reconstructed from the live schema (the reference's rewrite
         // reads the connector metadata the same way); single-part names
-        // and the parquet storage format are the session's one catalog
+        // and the parquet storage format are the session's one catalog.
+        // Views/MVs are rejected like the reference's ShowQueriesRewrite
+        // ("Relation is a view. Use SHOW CREATE VIEW") — fabricating a
+        // parquet DDL for them would be a silent wrong answer.
+        if (viewsFor(spark).contains(name))
+          throw new IllegalArgumentException(
+            s"Relation '$name' is a view. Use SHOW CREATE VIEW")
+        if (matViewsFor(spark).contains(name))
+          throw new IllegalArgumentException(
+            s"Relation '$name' is a materialized view. " +
+              "Use SHOW CREATE MATERIALIZED VIEW")
         val fields = spark.table(name).schema.fields.map { f =>
-          s"""   "${f.name}" ${graft.functions.TriviaScalars.prestoTypeName(f.dataType)}"""
+          val ident = f.name.replace("\"", "\"\"") // Presto identifier quoting
+          s"""   "$ident" ${graft.functions.TriviaScalars.prestoTypeName(f.dataType)}"""
         }
         val ddl = s"CREATE TABLE $name (\n" + fields.mkString(",\n") +
           "\n)\nWITH (\n   format = 'PARQUET'\n)"
-        spark.sql(s"SELECT '${ddl.replace("'", "''")}' AS `Create Table`")
+        spark.sql(s"SELECT '${sqlLit(ddl)}' AS `Create Table`")
       case Some(Dialect.ShowStatsStmt(target, isQuery)) =>
         // ANALYZE-persisted stats serve table targets (reference contract:
         // SHOW STATS surfaces the connector's STORED statistics); without a
@@ -302,7 +319,7 @@ object Engine {
       case Some(Dialect.ShowCreateViewStmt(name)) =>
         val text = viewsFor(spark).getOrElse(name,
           throw new IllegalArgumentException(s"View '$name' does not exist"))
-        spark.sql(s"SELECT '${text.replace("'", "''")}' AS `Create View`")
+        spark.sql(s"SELECT '${sqlLit(text)}' AS `Create View`")
       case Some(Dialect.CreateMatViewStmt(name, ifNotExists, partBy, body)) =>
         if (matViewsFor(spark).contains(name)) {
           require(ifNotExists, s"Materialized view already exists: $name")
@@ -332,7 +349,7 @@ object Engine {
           throw new IllegalArgumentException(
             s"Materialized view '$name' does not exist"))
         spark.sql(
-          s"SELECT '${mv.createSql.replace("'", "''")}' AS `Create Materialized View`")
+          s"SELECT '${sqlLit(mv.createSql)}' AS `Create Materialized View`")
       case Some(Dialect.UseStmt(schema)) =>
         val known = Set("graft", "default", "graft.default", "memory.default")
         if (!known(schema))

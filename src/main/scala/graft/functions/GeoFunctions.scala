@@ -1233,12 +1233,6 @@ object GeoFunctions {
         if (vertices(g).contains(p)) 2 else 0
       }
     }
-    def interiorDim(g: Geom): Char =
-      if (isAreal(g)) '2' else if (isLineal(g)) '1' else '0'
-    def boundaryDim(g: Geom): Char =
-      if (isAreal(g)) '1'
-      else if (isLineal(g)) { if (linealBoundary(g).isEmpty) 'F' else '0' }
-      else 'F'
     def matrixPunctualLeft(pts: Vector[Pt], g: Geom): String = {
       val classes = pts.map(p => pointClass(p, g))
       val ii = if (classes.contains(2)) '0' else 'F'
@@ -1273,14 +1267,18 @@ object GeoFunctions {
   def relate(a: Geom, b: Geom, pattern: String): Option[Boolean] = {
     require(pattern != null && pattern.length == 9,
       s"ST_Relate pattern must be 9 characters, got '$pattern'")
+    val pat = pattern.toUpperCase
+    // validate EAGERLY: a lazily-checked bad character would raise or
+    // not depending on the data the short-circuiting comparison saw
+    pat.foreach(c => if (!"TF*012".contains(c))
+      invalid(s"Invalid DE-9IM pattern character '$c' in '$pattern'"))
     if (isEmpty(a) || isEmpty(b)) return None
     val m = de9im(a, b)
-    Some(pattern.toUpperCase.zip(m).forall {
+    Some(pat.zip(m).forall {
       case ('*', _) => true
       case ('T', c) => c != 'F'
       case ('F', c) => c == 'F'
-      case (p, c) if p >= '0' && p <= '2' => p == c
-      case (p, _) => invalid(s"Invalid DE-9IM pattern character '$p' in '$pattern'")
+      case (p, c) => p == c
     })
   }
 
@@ -1826,7 +1824,7 @@ object GeoFunctions {
     g2[String]("st_difference")((a, b) => print(difference(a, b)))
     g2[String]("st_symdifference")((a, b) => print(symDifference(a, b)))
     u.register("st_relate", (a: String, b: String, pat: String) =>
-      if (a == null || b == null) null
+      if (a == null || b == null || pat == null) null
       else relate(parse(a), parse(b), pat) match {
         case Some(v) => java.lang.Boolean.valueOf(v)
         case None    => null

@@ -535,10 +535,11 @@ object TextAnalysis {
     // Bigram language-model scoring — the CCNet/KenLM-style perplexity
     // proxy every quality filter runs: train bigram MLE counts on the
     // corpus itself, score each document by its mean bigram
-    // log-likelihood ln(c(w1,w2)/c(w1)). The LM is the corpus vocabulary
-    // (bounded — broadcast, PlanSpec-pinned), the scoring pass is one
-    // map-side gram explosion + a per-doc aggregate; at 100 TB the only
-    // fact-sized shuffle is the per-doc sum. Scores round to 6 places
+    // log-likelihood ln(c(w1,w2)/c(w1)). The UNIGRAM table is
+    // vocabulary-sized and broadcast; the BIGRAM table grows toward
+    // min(grams, V²) with corpus content, so that join is left to the
+    // optimizer (broadcast at small SF, shuffle-hash at scale — forcing
+    // a broadcast would OOM the driver at 100 TB). Scores round to 6 places
     // like k02's entropy (per-doc sums of ~30 logs are ULP-order-
     // sensitive; the rounding is the documented float-stability rule).
     Qdef.duckOnly(
@@ -577,7 +578,7 @@ object TextAnalysis {
       val lm = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val uni = lm.groupBy(col("w1").as("u1")).agg(sum("c12").as("c1"))
       grams
-        .join(broadcast(lm), Seq("w1", "w2"))
+        .join(lm, Seq("w1", "w2"))
         .join(broadcast(uni), col("w1") === col("u1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),

@@ -356,6 +356,13 @@ class FacadeSpec extends AnyFunSuite {
     assert(ddl.contains("\"o_orderstatus\" varchar"), ddl)
     assert(ddl.contains("format = 'PARQUET'"), ddl)
     intercept[Exception](Engine.sql(spark, dir, "SHOW CREATE TABLE nope_missing"))
+    // views are rejected with the reference's redirect, not fabricated DDL
+    Engine.sql(spark, dir,
+      "CREATE OR REPLACE VIEW graft_sct_v AS SELECT 1 AS x").collect()
+    val e = intercept[IllegalArgumentException](
+      Engine.sql(spark, dir, "SHOW CREATE TABLE graft_sct_v"))
+    assert(e.getMessage.contains("Use SHOW CREATE VIEW"), e.getMessage)
+    Engine.sql(spark, dir, "DROP VIEW graft_sct_v").collect()
   }
 
   test("USE acks the single schema, rejects unknown schemas loudly") {

@@ -600,6 +600,11 @@ class GeoSpec extends AnyFunSuite {
     assert(one(s"SELECT st_relate('POINT (10 5)', '$box', 'FT*******')") === true)
     intercept[Exception](one(s"SELECT st_relate('POINT (0 0)', '$box', 'T*F')"))
     intercept[Exception](one(s"SELECT st_relate('POINT (0 0)', '$box', 'X********')"))
+    // eager validation: the bad character raises even when an earlier
+    // position already decided the match
+    intercept[Exception](one(s"SELECT st_relate('POINT (20 5)', '$box', 'FX*******')"))
+    // a NULL pattern null-propagates like the geometry arguments
+    assert(one(s"SELECT st_relate('POINT (0 0)', '$box', CAST(NULL AS STRING))") == null)
     intercept[Exception](
       one("SELECT st_relate('LINESTRING (0 0, 1 1)', 'LINESTRING (2 2, 3 3)', 'FF*FF****')"))
   }
