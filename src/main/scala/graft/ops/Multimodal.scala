@@ -297,6 +297,41 @@ object Multimodal {
     * report the md5 of the cropped DECODED content (so the oracle verifies
     * the decode(encode(crop(decode(x)))) roundtrip bit-for-bit). Other
     * mimes clamp the raw payload. */
+  /** Perceptual row-gradient hash over DECODED pixels (the dHash family,
+    * restricted to an exactly-replayable form): the 16-wide image's
+    * per-full-row pixel SUMS (exact integers — comparing sums equals
+    * comparing means at fixed width), one gradient bit per adjacent-row
+    * comparison over the first ≤16 comparisons, rendered as a 0/1
+    * string. Near-identical images produce equal hashes; an oracle can
+    * regenerate the hash from the source bytes because the PNG round
+    * trip is lossless. Decode runs in mapPartitions like the other
+    * codec paths — map-side only at any scale. */
+  def perceptualHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte], Long)] =
+      assets.select(
+          col("asset_id").cast("long"), col("payload"), col("n_bytes").cast("long"))
+        .as[(Long, Array[Byte], Long)]
+    ds.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { case (id, payload, nBytes) =>
+        val (d, content) = decodeContent(payload, nBytes)
+        val fullRows = content.length / d.width
+        val sums = Array.tabulate(fullRows) { r =>
+          var acc = 0L
+          var c = 0
+          while (c < d.width) { acc += content(r * d.width + c) & 0xff; c += 1 }
+          acc
+        }
+        val nBits = math.min(math.max(fullRows - 1, 0), 16)
+        val bits = (0 until nBits)
+          .map(j => if (sums(j) < sums(j + 1)) '1' else '0').mkString
+        (id, bits)
+      }
+    }.toDF("asset_id", "phash")
+  }
+
   def resizePayload(assets: DataFrame, maxBytes: Int): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._

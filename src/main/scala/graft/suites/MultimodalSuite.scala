@@ -206,6 +206,49 @@ object MultimodalSuite {
           col("n_bytes"),
           col("content_md5"))
         .orderBy("asset_id")
+    },
+
+    // Perceptual-hash image dedup — the multimodal near-dup pass (dHash
+    // family) computed over TRULY DECODED pixels: per-full-row pixel
+    // sums of the 16-wide grayscale image, one gradient bit per
+    // adjacent-row comparison (≤16 bits). The oracle regenerates every
+    // hash from the source text bytes (the PNG round trip is lossless),
+    // then both engines aggregate per-source collision stats — exactly
+    // the x04 fingerprint contour, but through the codec.
+    Qdef.duckOnly(
+      "m08_perceptual_dedup",
+      """WITH px AS (
+        |  SELECT d.doc_id, d.source,
+        |    list_transform(range(1, length(d.text) + 1),
+        |      j -> ascii(substr(d.text, j, 1))) AS codes
+        |  FROM documents d),
+        |hashes AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_transform(
+        |      range(1, least(greatest(len(codes) // 16 - 1, 0), 16) + 1),
+        |      j -> CASE WHEN
+        |          list_sum(codes[(j - 1) * 16 + 1 : j * 16]) <
+        |          list_sum(codes[j * 16 + 1 : (j + 1) * 16])
+        |        THEN '1' ELSE '0' END), '') AS phash
+        |  FROM px)
+        |SELECT source,
+        |  count(*) AS n_assets,
+        |  count(DISTINCT phash) AS n_phash,
+        |  CAST(count(*) - count(DISTINCT phash) AS BIGINT) AS n_dupes
+        |FROM hashes
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Multimodal.perceptualHashes(Multimodal.assets(docs))
+        .join(docs.select(col("doc_id"), col("source")),
+          col("asset_id") === col("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_assets"),
+          countDistinct(col("phash")).as("n_phash"),
+          (count(lit(1)) - countDistinct(col("phash")))
+            .cast("bigint").as("n_dupes"))
+        .orderBy("source")
     }
   )
 }
