@@ -68,4 +68,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.encodeWav(content).toSeq ==
       Multimodal.encodeWav(content).toSeq)
   }
+
+  test("perceptual hash: gradient bits, clamp at 16, degenerate images") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 full rows of 16: sums 16*'a', 16*'b', 16*'a' -> bits "10"
+    val txts = Seq(
+      (1L, "a" * 16 + "b" * 16 + "a" * 16),
+      (2L, "a" * 8),                  // < 1 full row -> empty hash
+      (3L, "a" * 16 * 40))            // 40 rows -> clamped to 16 bits
+    val docs = txts.toDF("doc_id", "text")
+    val h = graft.ops.Multimodal
+      .perceptualHashes(graft.ops.Multimodal.assets(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(1L) === "10")
+    assert(h(2L) === "")
+    assert(h(3L) === "0" * 16)
+  }
 }
