@@ -305,6 +305,7 @@ object Engine {
         // reference: execution/CreateViewTask.java — plain view DDL. The
         // defining text is stored verbatim for SHOW CREATE VIEW; the Spark
         // temp view holds the TRANSLATED query.
+        requireFreeName(spark, name, "View")
         require(orReplace || !viewsFor(spark).contains(name),
           s"View already exists: $name")
         spark.sql(translate(body)).createOrReplaceTempView(name)
@@ -325,6 +326,7 @@ object Engine {
           require(ifNotExists, s"Materialized view already exists: $name")
           spark.sql(s"SELECT 'CREATE MATERIALIZED VIEW' AS result, '$name' AS view")
         } else {
+          requireFreeName(spark, name, "Materialized view")
           val mv = graft.plans.Views.MatView(
             name, body, s"CREATE MATERIALIZED VIEW $name AS $body",
             mvRoot(spark) + "/" + name, partBy)
@@ -375,13 +377,51 @@ object Engine {
   private val viewsFor = new SessionStore[String]
   private val matViewsFor = new SessionStore[graft.plans.Views.MatView]
 
-  /** Session-scoped storage root for materialized views. */
+  /** Fail loudly when view/MV DDL would take a name already serving the
+    * shared namespace: fixture tables are re-registered with
+    * createOrReplaceTempView on every Engine.sql call, so a same-named
+    * view would silently serve the BASE TABLE while SHOW CREATE VIEW
+    * still reports the view — a silent wrong answer. The reference
+    * rejects such collisions in the one shared namespace
+    * (metadata/MetadataManager.java createView: "Table already exists").
+    * Cross-kind collisions (view vs materialized view) fail for the same
+    * reason: last writer would clobber the temp view. */
+  private def requireFreeName(
+      spark: SparkSession, name: String, kind: String): Unit = {
+    require(!Tables.names.contains(name),
+      s"$kind name '$name' collides with a registered base table — the " +
+        "fixture catalog re-registers tables on every statement, so the " +
+        "view would be silently shadowed. Pick a different name.")
+    if (kind != "View")
+      require(!viewsFor(spark).contains(name),
+        s"$kind name '$name' collides with an existing view")
+    if (kind != "Materialized view")
+      require(!matViewsFor(spark).contains(name),
+        s"$kind name '$name' collides with an existing materialized view")
+  }
+
+  /** Session-scoped storage root for materialized views: a once-per-
+    * session UUID directory (identityHashCode is NOT unique across live
+    * sessions — two sessions could silently share MV storage) recorded in
+    * the session conf, removed on JVM exit so tmp does not accumulate
+    * stale MV data a future session could collide with. */
   private def mvRoot(spark: SparkSession): String = {
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_mv_${System.identityHashCode(spark)}")
-    require(dir.isDirectory || dir.mkdirs(), s"cannot create MV root $dir")
-    dir.getAbsolutePath
+    val key = "graft.mv.root"
+    val existing = spark.conf.getOption(key)
+    existing.getOrElse {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mv_${java.util.UUID.randomUUID().toString}")
+      require(dir.mkdirs(), s"cannot create MV root $dir")
+      val path = dir.getAbsolutePath
+      spark.conf.set(key, path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        // best-effort at JVM exit: a failed cleanup must not mask the
+        // process's real exit path (FsOps stays loud for in-run deletes)
+        try graft.ops.FsOps.deleteRecursively(dir)
+        catch { case _: Throwable => () }))
+      path
+    }
   }
 
   /** SHOW STATS result (reference: sql/rewrite/ShowStatsRewrite.java and

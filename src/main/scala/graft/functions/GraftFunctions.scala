@@ -142,7 +142,9 @@ object GraftFunctions {
     * saving sketch of `capacity` slots, top `buckets` emitted). State is
     * the capped count map (≤ capacity entries — bounded, shuffle-safe at
     * any group count); eviction replaces the minimum-count key and
-    * inherits its count + 1, merge sums then re-caps keeping the largest.
+    * inherits its count + 1; merge folds the other side in under the
+    * same weighted eviction rule (incoming key inherits the evicted
+    * minimum), preserving the overestimate-only guarantee.
     * Exact when capacity ≥ distinct values (the corpus-testable regime);
     * otherwise surviving counts are the sketch's usual overestimates.
     * buckets/capacity must be constant across a group (they are literals
@@ -151,9 +153,6 @@ object GraftFunctions {
       extends Aggregator[(Int, String, Int), (Int, Int, Map[String, Long]),
         Map[String, Long]] {
     def zero: (Int, Int, Map[String, Long]) = (0, 0, Map.empty)
-    private def capped(cap: Int, m: Map[String, Long]): Map[String, Long] =
-      if (cap <= 0 || m.size <= cap) m
-      else m.toSeq.sortBy { case (k, c) => (-c, k) }.take(cap).toMap
     def reduce(b: (Int, Int, Map[String, Long]), a: (Int, String, Int))
         : (Int, Int, Map[String, Long]) = {
       if (a == null || a._2 == null) return b
@@ -172,12 +171,27 @@ object GraftFunctions {
     }
     def merge(b1: (Int, Int, Map[String, Long]), b2: (Int, Int, Map[String, Long]))
         : (Int, Int, Map[String, Long]) = {
+      // Weighted space-saving merge: fold the other side's entries in one
+      // at a time under the SAME eviction rule as the single-stream path
+      // (evicted minimum's count is inherited by the incoming key). A
+      // sum-then-truncate merge would discard the evicted keys' mass
+      // entirely, letting merged counts UNDERestimate true frequencies —
+      // the sketch's guarantee is overestimate-only. Exact regime
+      // (capacity ≥ distinct values) never evicts, so corpus results are
+      // unchanged. Fold order is fixed (count desc, key) so the result
+      // does not depend on which partition arrives first.
       val buckets = math.max(b1._1, b2._1)
       val cap = math.max(b1._2, b2._2)
-      val summed = b2._3.foldLeft(b1._3) { case (acc, (k, v)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + v)
-      }
-      (buckets, cap, capped(cap, summed))
+      val merged = b2._3.toSeq.sortBy { case (k, c) => (-c, k) }
+        .foldLeft(b1._3) { case (m, (k, c)) =>
+          if (m.contains(k)) m.updated(k, m(k) + c)
+          else if (cap <= 0 || m.size < cap) m.updated(k, c)
+          else {
+            val (mk, mc) = m.minBy { case (k2, c2) => (c2, k2) }
+            (m - mk).updated(k, mc + c)
+          }
+        }
+      (buckets, cap, merged)
     }
     def finish(r: (Int, Int, Map[String, Long])): Map[String, Long] =
       if (r._3.isEmpty) null

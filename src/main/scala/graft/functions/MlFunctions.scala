@@ -279,10 +279,17 @@ object MlFunctions {
 
   private def score(w: Seq[Double], features: Map[Long, Double]): Double = {
     var s = w.last // intercept
-    for ((i, v) <- features if i < w.length - 1) {
+    for ((i, v) <- features) {
       // the training side (dimOf) validates keys >= 0; the apply side
-      // must reject them just as clearly, not crash indexing the array
+      // must reject out-of-range keys just as clearly — silently
+      // dropping features >= the trained dimension would return a
+      // truncated prediction with no signal (fail-loud contract).
       require(i >= 0, s"feature keys must be non-negative, got $i")
+      require(i < w.length - 1,
+        s"feature key $i is outside the trained model's dimension " +
+          s"${w.length - 1} — the model never saw this feature; " +
+          "re-train with the full feature space or drop the feature " +
+          "explicitly before scoring")
       s += w(i.toInt) * v
     }
     s

@@ -30,17 +30,40 @@ object ExplainIo {
   private def q(s: String): String = "\"" + s.replace("\\", "\\\\")
     .replace("\"", "\\\"") + "\""
 
-  /** Split a filter list on commas OUTSIDE parentheses — constraint
-    * renderings like `LessThan(o_orderkey,1000)` carry commas inside. */
-  private def splitTopLevel(s: String): Seq[String] = {
+  /** Split a filter list on the ", " separators BETWEEN constraints —
+    * renderings like `LessThan(o_orderkey,1000)` carry commas inside
+    * their parentheses, and a pushed STRING literal can itself carry
+    * ',' '(' ')' unescaped (source-Filter toString does not quote:
+    * `StringContains(o_comment,a)b,c)`), which naive depth tracking
+    * mis-splits. Two defenses: (a) parenthesis depth is clamped at 0 so
+    * a stray ')' inside a literal cannot poison the rest of the list;
+    * (b) a depth-0 separator only splits when the remainder starts with
+    * a constraint head (`Name(` — every Spark source-Filter rendering
+    * does: EqualTo, In, IsNotNull, Or, Not, StringContains, …), so
+    * literal fragments like `c)` never become phantom constraints.
+    * Head-matching applies to PushedFilters only (strictHeads=true);
+    * PartitionFilters carry Catalyst renderings (`(p_cat#12 = 5)`,
+    * `isnotnull(...)`, `dynamicpruning#...`) with no fixed head shape,
+    * so they split on any clamped-depth-0 comma as before. */
+  private val ConstraintHead = "^[A-Za-z_][A-Za-z0-9_]*\\(.*".r.pattern
+  private def splitTopLevel(s: String, strictHeads: Boolean): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     val cur = new StringBuilder
-    for (c <- s) c match {
-      case '(' => depth += 1; cur.append(c)
-      case ')' => depth -= 1; cur.append(c)
-      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
-      case _ => cur.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth = math.max(0, depth - 1); cur.append(c)
+        case ',' if depth == 0 && (!strictHeads ||
+            (i + 1 < s.length && s.charAt(i + 1) == ' ' &&
+              ConstraintHead.matcher(s.substring(i + 2)).matches())) =>
+          out += cur.toString.trim; cur.clear()
+          if (i + 1 < s.length && s.charAt(i + 1) == ' ') i += 1 // skip the space
+        case _ => cur.append(c)
+      }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString.trim
     out.result()
@@ -57,9 +80,10 @@ object ExplainIo {
       case f: FileSourceScanExec =>
         val cols = f.requiredSchema.fieldNames.toSeq.sorted
         val constraints =
-          (f.metadata.get("PushedFilters").toSeq ++
-            f.metadata.get("PartitionFilters").toSeq)
-            .flatMap(s => splitTopLevel(s.stripPrefix("[").stripSuffix("]")))
+          (f.metadata.get("PushedFilters").toSeq.flatMap(s =>
+            splitTopLevel(s.stripPrefix("[").stripSuffix("]"), strictHeads = true)) ++
+            f.metadata.get("PartitionFilters").toSeq.flatMap(s =>
+              splitTopLevel(s.stripPrefix("[").stripSuffix("]"), strictHeads = false)))
             .filter(_.nonEmpty)
         (tableOf(f), cols, constraints)
       case b: BatchScanExec =>

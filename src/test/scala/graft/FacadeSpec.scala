@@ -403,6 +403,15 @@ class FacadeSpec extends AnyFunSuite {
         |SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
       .collect()(0).getString(0)
     assert(two.contains("\"table\": \"customer\"") && two.contains("\"table\": \"nation\""), two)
+    // a pushed string literal carrying ')' and ',' (rendered UNQUOTED by
+    // source-Filter toString) must not shatter the constraint list into
+    // phantom fragments
+    val tricky = Engine.sql(spark, dir,
+      """EXPLAIN (TYPE IO)
+        |SELECT count(*) FROM orders WHERE o_orderpriority LIKE '%a)b, c%'""".stripMargin)
+      .collect()(0).getString(0)
+    assert(tricky.contains("StringContains(o_orderpriority,a)b, c)"), tricky)
+    assert(!tricky.contains("\"c)\""), tricky)
   }
 
   test("EXPLAIN ANALYZE executes and reports observed per-operator metrics") {
@@ -886,6 +895,29 @@ class FacadeSpec extends AnyFunSuite {
     intercept[Exception](one("SHOW CREATE VIEW graft_v_nations"))
     intercept[Exception](ddl("DROP VIEW graft_v_nations"))
     ddl("DROP VIEW IF EXISTS graft_v_nations")
+  }
+
+  test("view/MV names colliding with base tables or each other fail loud") {
+    def ddl(sql: String): Unit = { Engine.sql(spark, dir, sql).collect(); () }
+    // a view named after a fixture table would be silently clobbered by
+    // the next statement's table re-registration — must be rejected
+    val e1 = intercept[Exception](
+      ddl("CREATE VIEW orders AS SELECT 1 AS x"))
+    assert(e1.getMessage.contains("base table"), e1.getMessage)
+    val e2 = intercept[Exception](
+      ddl("CREATE MATERIALIZED VIEW lineitem AS SELECT 1 AS x"))
+    assert(e2.getMessage.contains("base table"), e2.getMessage)
+    // cross-kind collision: view vs materialized view share the namespace
+    ddl("CREATE VIEW graft_coll_v AS SELECT 1 AS x")
+    val e3 = intercept[Exception](
+      ddl("CREATE MATERIALIZED VIEW graft_coll_v AS SELECT 2 AS x"))
+    assert(e3.getMessage.contains("existing view"), e3.getMessage)
+    ddl("CREATE MATERIALIZED VIEW graft_coll_mv AS SELECT 2 AS x")
+    val e4 = intercept[Exception](
+      ddl("CREATE VIEW graft_coll_mv AS SELECT 3 AS x"))
+    assert(e4.getMessage.contains("materialized view"), e4.getMessage)
+    ddl("DROP VIEW graft_coll_v")
+    ddl("DROP MATERIALIZED VIEW graft_coll_mv")
   }
 
   test("materialized view: partition-scoped refresh picks up base changes") {

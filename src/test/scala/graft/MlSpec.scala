@@ -100,6 +100,23 @@ class MlSpec extends AnyFunSuite with QueryAssertions {
     assert(msgs(ex).exists(_.contains("non-negative")), msgs(ex).mkString(" | "))
   }
 
+  test("feature keys beyond the trained dimension fail loud at scoring time") {
+    val s = session
+    import s.implicits._
+    // trained on features {0}; scoring a row with feature 5 must not
+    // silently drop it (a truncated prediction with no signal)
+    val df = (1 to 10).map(i => (i.toDouble, Map(0L -> i.toDouble))).toDF("y", "f")
+    val reg = df.agg(expr("learn_regressor(y, f)").as("m"))
+    val wide = Seq(Map(0L -> 1.0, 5L -> 2.0)).toDF("f")
+    val ex = intercept[Exception] {
+      wide.crossJoin(reg).selectExpr("regress(f, m)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("trained model's dimension")),
+      msgs(ex).mkString(" | "))
+  }
+
   test("malformed libsvm params fail loud; valid params are ignored") {
     val s = session
     import s.implicits._

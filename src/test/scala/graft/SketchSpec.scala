@@ -122,6 +122,41 @@ class SketchSpec extends AnyFunSuite {
     assert(merged._3.size <= 4, "merged state must re-cap at capacity")
   }
 
+  test("approx_most_frequent merge preserves the overestimate guarantee under eviction") {
+    import graft.functions.GraftFunctions
+    val enc = {
+      implicit val m = org.apache.spark.sql.Encoders.kryo[Map[String, Long]]
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Int, Int, Map[String, Long])]()
+    }
+    val agg = new GraftFunctions.ApproxMostFrequentAgg(enc)
+    // two full partials over DISJOINT keys at capacity 2: a sum-then-
+    // truncate merge would discard the evicted keys' mass entirely and
+    // could report a surviving key below its true total. The weighted
+    // space-saving merge makes every incoming key inherit the evicted
+    // minimum, so merged counts stay >= any single-side true count.
+    var a = agg.zero
+    Seq.fill(10)("a1").foreach(v => a = agg.reduce(a, (2, v, 2)))
+    Seq.fill(8)("a2").foreach(v => a = agg.reduce(a, (2, v, 2)))
+    var b = agg.zero
+    Seq.fill(9)("b1").foreach(v => b = agg.reduce(b, (2, v, 2)))
+    Seq.fill(7)("b2").foreach(v => b = agg.reduce(b, (2, v, 2)))
+    val m = agg.merge(a, b)
+    assert(m._3.size <= 2, s"capacity respected: ${m._3}")
+    // total retained mass never shrinks below the max single-key truth
+    m._3.foreach { case (k, c) =>
+      val truth = Map("a1" -> 10L, "a2" -> 8L, "b1" -> 9L, "b2" -> 7L)(k)
+      assert(c >= truth, s"merged count underestimates: $k=$c < $truth (${m._3})")
+    }
+    // the evicted minimum's mass was inherited, not dropped: the map's
+    // total equals the full input mass (every fold either adds or
+    // re-assigns counts, never deletes them)
+    assert(m._3.values.sum == 34L, s"mass dropped in merge: ${m._3}")
+    // merging with an empty partial is the identity
+    val idm = agg.merge(a, agg.zero)
+    assert(idm._3 == a._3, "merge with zero must not perturb counts")
+  }
+
   test("approx_most_frequent rejects non-positive buckets/capacity loudly") {
     import graft.functions.GraftFunctions
     val enc = {
