@@ -18,11 +18,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Supported geometry kinds: POINT, MULTIPOINT, LINESTRING,
   * MULTILINESTRING, POLYGON (with holes), MULTIPOLYGON, and
-  * GEOMETRYCOLLECTION EMPTY (which ST_Boundary of a point produces).
-  * Full overlay ops (ST_Union/Intersection/Difference/Buffer) stay
-  * deferred with the Esri computational-geometry core; predicates,
-  * measures, hulls and simplification are implemented from the published
-  * algorithms (ray casting, shoelace, monotone chain, Douglas-Peucker).
+  * GEOMETRYCOLLECTION (which mixed-dimension overlay results produce).
+  * Predicates, measures, hulls and simplification are implemented from
+  * the published algorithms (ray casting, shoelace, monotone chain,
+  * Douglas-Peucker); the general overlay ops (ST_Union / ST_Intersection
+  * / ST_Difference / ST_SymDifference / ST_Buffer / full ST_Relate) run
+  * on the planar-arrangement core in [[GeoOverlay]].
   */
 object GeoFunctions {
 
@@ -1217,11 +1218,10 @@ object GeoFunctions {
   }
 
   /** DE-9IM matrix (row-major I/B/E of `a` × I/B/E of `b`, entries
-    * F/0/1/2) for pairs where at least one side is PUNCTUAL — the only
-    * pairs whose full matrix the point-membership primitives decide
-    * exactly. Lineal/areal-vs-lineal/areal matrices stay deferred with
-    * the overlay core (loud). Used by ST_Relate (reference
-    * GeoFunctions.java:1131 via Esri relate). */
+    * F/0/1/2). Pairs with a punctual side are decided directly by the
+    * point-membership primitives; lineal/areal × lineal/areal pairs run
+    * on the arrangement core ([[GeoOverlay.de9imFull]]). Used by
+    * ST_Relate (reference GeoFunctions.java:1131 via Esri relate). */
   def de9im(a: Geom, b: Geom): String = {
     def pointClass(p: Pt, g: Geom): Int = { // 2=interior, 1=boundary, 0=exterior
       if (isAreal(g)) arealParts(g).map(r => locateInRings(p, r)).max
@@ -1258,8 +1258,7 @@ object GeoFunctions {
       Seq(0, 3, 6, 1, 4, 7, 2, 5, 8).map(m.charAt).mkString
     if (isPunctual(a)) matrixPunctualLeft(vertices(a), b)
     else if (isPunctual(b)) transpose(matrixPunctualLeft(vertices(b), a))
-    else invalid(
-      s"ST_Relate supports pairs with a punctual side under the WKT narrowing (lineal/areal matrices are deferred with the Esri core). Input types are: ${typeName(a)}, ${typeName(b)}")
+    else GeoOverlay.de9imFull(a, b)
   }
 
   /** DE-9IM pattern match (reference semantics: '*' any, 'T' non-empty,
@@ -1317,10 +1316,12 @@ object GeoFunctions {
     else GMultiPoint(d)
   }
 
-  /** Narrowed ST_Intersection: punctual-vs-any (point filtering),
-    * box-vs-box (the reference's ENVELOPE fast path), and equal inputs.
-    * General overlay stays deferred with the computational-geometry
-    * core; unsupported pairs raise the narrowing error. */
+  /** ST_Intersection (reference GeoFunctions.java:989 stIntersection via
+    * the Esri intersect): punctual operands filter points; box×box keeps
+    * the reference's ENVELOPE fast path; every other lineal/areal pair
+    * goes through the arrangement-overlay core ([[GeoOverlay]]), which
+    * returns the full OGC point-set result — polygonal overlap plus any
+    * lower-dimensional shared linework/touch points. */
   def intersection(a: Geom, b: Geom): Geom = {
     if (isEmpty(a) || isEmpty(b)) return emptyOf(a)
     if (isPunctual(a))
@@ -1332,37 +1333,57 @@ object GeoFunctions {
         val x1 = Math.min(ax1, bx1); val y1 = Math.min(ay1, by1)
         if (x0 > x1 || y0 > y1) GPolygon(Vector.empty) else boxGeom(x0, y0, x1, y1)
       case _ if geomEquals(a, b).contains(true) => a
-      case _ => invalid(
-        s"ST_Intersection supports punctual operands, axis-aligned rectangles and equal inputs under the WKT narrowing (general overlay is deferred with the Esri core). Input types are: ${typeName(a)}, ${typeName(b)}")
+      case _ if isAreal(a) && isAreal(b) => GeoOverlay.intersectionAreal(a, b)
+      case _ if !isAreal(a)              => GeoOverlay.intersectionLineal(a, b)
+      case _                             => GeoOverlay.intersectionLineal(b, a)
     }
   }
 
-  /** Narrowed ST_Union: punctual∪punctual dissolve; equal inputs; a
-    * punctual side absorbed by an areal container. */
+  /** ST_Union (reference GeoFunctions.java:589 stUnion via the Esri
+    * union): punctual∪punctual dissolves point sets; a punctual side is
+    * absorbed by a covering operand or rides along in a collection;
+    * areal×areal dissolves through the arrangement-overlay core; a
+    * lineal side keeps its uncovered linework next to the areal part
+    * (the reference's mixed-type union shape). */
   def union(a: Geom, b: Geom): Geom = {
     if (isEmpty(a)) return b
     if (isEmpty(b)) return a
     if (isPunctual(a) && isPunctual(b)) dissolvePts(vertices(a) ++ vertices(b))
     else if (geomEquals(a, b).contains(true)) a
-    else if (isPunctual(b) && isAreal(a) &&
-        vertices(b).forall(p => arealParts(a).exists(r => locateInRings(p, r) > 0))) a
-    else if (isPunctual(a) && isAreal(b) &&
-        vertices(a).forall(p => arealParts(b).exists(r => locateInRings(p, r) > 0))) b
-    else invalid(
-      s"ST_Union supports punctual operands, equal inputs and punctual-absorbed-by-areal under the WKT narrowing (general dissolve is deferred with the Esri core). Input types are: ${typeName(a)}, ${typeName(b)}")
+    else if (isPunctual(b)) unionWithPoints(a, vertices(b))
+    else if (isPunctual(a)) unionWithPoints(b, vertices(a))
+    else if (isAreal(a) && isAreal(b))
+      GeoOverlay.overlayAreal(Vector(a, b), m => m(0) || m(1))
+    else GeoOverlay.unionMixed(a, b)
   }
 
-  /** Narrowed ST_Difference / ST_SymDifference over punctual operands
-    * and equal inputs. */
+  /** Union of a non-punctual geometry with a point set: covered points
+    * are absorbed, uncovered points ride along in a collection. */
+  private def unionWithPoints(g: Geom, pts: Vector[Pt]): Geom = {
+    val outside = pts.filter(p => !distance(GPoint(Some(p)), g).contains(0.0))
+    if (outside.isEmpty) g
+    else GCollection(Vector(g, dissolvePts(outside)))
+  }
+
+  /** ST_Difference (reference stDifference via the Esri difference):
+    * punctual left filters points; lineal left clips against the right
+    * operand; areal left subtracts an areal right through the overlay
+    * core, and keeps itself unchanged against a lower-dimensional right
+    * (removing a measure-zero set from a closed region is the region). */
   def difference(a: Geom, b: Geom): Geom = {
     if (isEmpty(a) || isEmpty(b)) return a
     if (isPunctual(a))
       dissolvePts(vertices(a).filter(p => !distance(GPoint(Some(p)), b).contains(0.0)))
     else if (geomEquals(a, b).contains(true)) emptyOf(a)
-    else invalid(
-      s"ST_Difference supports a punctual left operand or equal inputs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
+    else if (isPunctual(b)) a // measure-zero removal from a closed set
+    else if (!isAreal(a)) GeoOverlay.differenceLineal(a, b)
+    else if (isAreal(b)) GeoOverlay.overlayAreal(Vector(a, b), m => m(0) && !m(1))
+    else a // areal minus lineal: measure-zero removal
   }
 
+  /** ST_SymDifference = (a \ b) ∪ (b \ a), with the reference's
+    * mixed-dimension shapes (a polygon⊕line keeps the polygon and the
+    * line's uncovered runs). */
   def symDifference(a: Geom, b: Geom): Geom = {
     if (isEmpty(a)) return b
     if (isEmpty(b)) return a
@@ -1370,8 +1391,16 @@ object GeoFunctions {
       val sa = vertices(a).toSet; val sb = vertices(b).toSet
       dissolvePts(((sa diff sb) ++ (sb diff sa)).toVector)
     } else if (geomEquals(a, b).contains(true)) emptyOf(a)
-    else invalid(
-      s"ST_SymDifference supports punctual operands or equal inputs under the WKT narrowing. Input types are: ${typeName(a)}, ${typeName(b)}")
+    else if (isPunctual(b)) unionWithPoints(a,
+      vertices(b).filter(p => !distance(GPoint(Some(p)), a).contains(0.0)))
+    else if (isPunctual(a)) unionWithPoints(b,
+      vertices(a).filter(p => !distance(GPoint(Some(p)), b).contains(0.0)))
+    else if (isAreal(a) && isAreal(b))
+      GeoOverlay.overlayAreal(Vector(a, b), m => m(0) ^ m(1))
+    else if (!isAreal(a) && !isAreal(b))
+      union(GeoOverlay.differenceLineal(a, b), GeoOverlay.differenceLineal(b, a))
+    else if (isAreal(a)) GeoOverlay.unionMixed(GeoOverlay.differenceLineal(b, a), a)
+    else GeoOverlay.unionMixed(GeoOverlay.differenceLineal(a, b), b)
   }
 
   /** ST_Buffer for a POINT (reference GeoFunctions.java stBuffer via the
@@ -1381,24 +1410,23 @@ object GeoFunctions {
     * densification, so the two vertex sets differ — only the buffer's
     * PROPERTIES (contains the center, envelope = center ± d, area →
     * πd² as segments increase) are comparable across engines, which is
-    * what GeoSpec pins. Lineal/areal buffering (true offsetting) stays
-    * deferred with the overlay core; d = 0 returns the input point. */
+    * what GeoSpec pins. Lineal/areal/multi inputs buffer as the
+    * Minkowski sum (union of per-segment rectangles and per-vertex
+    * disks through the overlay core); d = 0 returns the input. */
   def buffer(g: Geom, d: Double, segments: Int = 32): Geom = {
     require(!d.isNaN, "ST_Buffer: distance is NaN")
     require(d >= 0, s"ST_Buffer: distance $d is negative")
     g match {
       case GPoint(None) => GPolygon(Vector.empty)
+      case _ if isEmpty(g) => GPolygon(Vector.empty)
+      case _ if d == 0 => g
       case GPoint(Some(p)) =>
-        if (d == 0) GPoint(Some(p))
-        else {
-          val ring = (0 until segments).map { i =>
-            val a = 2 * Math.PI * i / segments
-            Pt(p.x + d * Math.cos(a), p.y + d * Math.sin(a))
-          }.toVector
-          GPolygon(Vector(ring :+ ring.head))
-        }
-      case other => invalid(
-        s"ST_Buffer supports a Point argument under the WKT narrowing (lineal/areal offsetting is deferred with the Esri core). Input type is: ${typeName(other)}")
+        val ring = (0 until segments).map { i =>
+          val a = 2 * Math.PI * i / segments
+          Pt(p.x + d * Math.cos(a), p.y + d * Math.sin(a))
+        }.toVector
+        GPolygon(Vector(ring :+ ring.head))
+      case other => GeoOverlay.bufferGeneral(other, d, segments)
     }
   }
 
@@ -1454,9 +1482,9 @@ object GeoFunctions {
     case GMultiPoint(ps) => ps
     case GCollection(gs) => gs.flatMap(punctualPoints(_, fn))
     case other => invalid(
-      s"$fn supports punctual geometries (Point/MultiPoint) under the WKT " +
-        s"narrowing — lineal/areal dissolve stays deferred with the overlay " +
-        s"core (ST_Union/ST_Intersection). Input type is: ${typeName(other)}")
+      s"$fn: the mergeable bounded-state aggregate dissolves punctual " +
+        s"geometries (Point/MultiPoint); use the ST_Union scalar (overlay " +
+        s"core) for lineal/areal dissolve. Input type is: ${typeName(other)}")
   }
 
   /** Bounded-state cap for the point-union aggregate: beyond this many
@@ -1497,11 +1525,20 @@ object GeoFunctions {
   }
 
   /** geometry_union(array(Geometry)) (reference GeoFunctions.java
-    * geometryUnion) — same punctual dissolve as the aggregate. */
-  def geometryUnion(wkts: Seq[String]): String =
-    dissolvedPrint(wkts.filter(_ != null).toVector
-      .flatMap(w => punctualPoints(parse(w), "geometry_union"))
-      .map(p => (p.x, p.y)))
+    * geometryUnion): all-punctual arrays dissolve to the distinct point
+    * set (same as the aggregate); arrays with an areal member dissolve
+    * through one N-ary arrangement overlay; remaining mixes fold through
+    * the binary union. */
+  def geometryUnion(wkts: Seq[String]): String = {
+    val gs = wkts.filter(_ != null).toVector.map(parse).filterNot(isEmpty)
+    if (gs.isEmpty) null
+    else if (gs.forall(g => g.isInstanceOf[GPoint] || g.isInstanceOf[GMultiPoint]))
+      dissolvedPrint(gs.flatMap(g => punctualPoints(g, "geometry_union"))
+        .map(p => (p.x, p.y)))
+    else if (gs.forall(isAreal))
+      print(GeoOverlay.overlayAreal(gs, m => m.exists(identity)))
+    else print(gs.reduceLeft(union))
+  }
 
   // ---------------------------------------------------------- registration
 

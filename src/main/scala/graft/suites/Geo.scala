@@ -419,5 +419,74 @@ object Geo {
           count(when(col("w"), 1)).as("n_within"),
           count(when(col("t"), 1)).as("n_touching"),
           count(when(col("d"), 1)).as("n_disjoint"))
+    },
+
+    // General polygon overlay through the arrangement core
+    // (functions/GeoOverlay): per-nation axis-aligned rectangles with a
+    // varying horizontal offset (partial overlap, edge contact and
+    // disjoint cases all occur across the 25 keys), a sheared
+    // triangle×band clip, a donut cut + refill (holes survive the WKT
+    // round trip), a lineal Minkowski buffer, and the interiors-meet
+    // DE-9IM pattern — every area has a CLOSED-FORM oracle the DuckDB
+    // side derives independently (rectangle algebra, the trapezoid
+    // formula, and the inscribed 32-gon area for buffer caps).
+    Qdef(
+      "geo12_overlay",
+      """SELECT n_nationkey,
+        |  CAST(greatest(0, least(10 + n_nationkey % 7,
+        |      (7 * n_nationkey) % 30 - 5 + 10)
+        |    - greatest(0, (7 * n_nationkey) % 30 - 5)) * 7 AS DOUBLE) AS inter_area,
+        |  CAST((10 + n_nationkey % 7) * 10 + 100
+        |    - greatest(0, least(10 + n_nationkey % 7,
+        |        (7 * n_nationkey) % 30 - 5 + 10)
+        |      - greatest(0, (7 * n_nationkey) % 30 - 5)) * 7 AS DOUBLE) AS union_area,
+        |  CAST((10 + n_nationkey % 7) * 10
+        |    - greatest(0, least(10 + n_nationkey % 7,
+        |        (7 * n_nationkey) % 30 - 5 + 10)
+        |      - greatest(0, (7 * n_nationkey) % 30 - 5)) * 7 AS DOUBLE) AS diff_area,
+        |  CAST((10 + n_nationkey % 7) * 10 + 100
+        |    - 2 * greatest(0, least(10 + n_nationkey % 7,
+        |        (7 * n_nationkey) % 30 - 5 + 10)
+        |      - greatest(0, (7 * n_nationkey) % 30 - 5)) * 7 AS DOUBLE) AS xor_area,
+        |  CAST((10 + n_nationkey % 7) * 10 - 4 AS DOUBLE) AS donut_area,
+        |  CAST((10 + n_nationkey % 7) * 10 AS DOUBLE) AS refill_area,
+        |  CAST((10 + n_nationkey % 7) * (2 + n_nationkey % 5)
+        |    * (20 - (2 + n_nationkey % 5)) AS DOUBLE) / 20.0 AS tri_clip_area,
+        |  2.0 * (10 + n_nationkey % 7) * (1 + n_nationkey % 3)
+        |    + 16 * sin(pi() / 16) * (1 + n_nationkey % 3) * (1 + n_nationkey % 3)
+        |    AS buf_area,
+        |  greatest(0, least(10 + n_nationkey % 7,
+        |      (7 * n_nationkey) % 30 - 5 + 10)
+        |    - greatest(0, (7 * n_nationkey) % 30 - 5)) > 0 AS interiors_meet
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      Engine.registerFunctions(s)
+      t(s, dir, "nation")
+        .selectExpr(
+          "n_nationkey",
+          "10 + n_nationkey % 7 AS w",            // rect A: [0,w] x [0,10]
+          "(7 * n_nationkey) % 30 - 5 AS d",      // rect B: [d,d+10] x [3,13]
+          "2 + n_nationkey % 5 AS k",             // band height
+          "1 + n_nationkey % 3 AS r")             // buffer radius
+        .selectExpr(
+          "n_nationkey",
+          "concat('POLYGON ((0 0, ', w, ' 0, ', w, ' 10, 0 10, 0 0))') AS a",
+          "concat('POLYGON ((', d, ' 3, ', d + 10, ' 3, ', d + 10, ' 13, ', d, ' 13, ', d, ' 3))') AS b",
+          "concat('POLYGON ((0 0, ', w, ' 0, 0 10, 0 0))') AS tri",
+          "concat('POLYGON ((-1 0, ', w + 1, ' 0, ', w + 1, ' ', k, ', -1 ', k, ', -1 0))') AS band",
+          "concat('LINESTRING (0 0, ', w, ' 0)') AS line",
+          "r")
+        .selectExpr(
+          "n_nationkey",
+          "st_area(st_intersection(a, b)) AS inter_area",
+          "st_area(st_union(a, b)) AS union_area",
+          "st_area(st_difference(a, b)) AS diff_area",
+          "st_area(st_symdifference(a, b)) AS xor_area",
+          "st_area(st_difference(a, 'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))')) AS donut_area",
+          "st_area(st_union(st_difference(a, 'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))'), 'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))')) AS refill_area",
+          "st_area(st_intersection(tri, band)) AS tri_clip_area",
+          "st_area(st_buffer(line, r)) AS buf_area",
+          "st_relate(a, b, 'T********') AS interiors_meet")
+        .orderBy("n_nationkey")
     })
 }

@@ -360,8 +360,16 @@ class GeoSpec extends AnyFunSuite {
     assert(one("SELECT geometry_union(array('POINT (2 2)', 'POINT (1 1)', 'POINT (2 2)'))") ===
       "MULTIPOINT (1 1, 2 2)")
     assert(one("SELECT geometry_union(array('POINT (1 1)'))") === "POINT (1 1)")
-    // lineal/areal dissolve stays deferred loudly
-    intercept[Exception](one("SELECT geometry_union(array('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))"))
+    // areal members dissolve through the overlay core
+    assert(one("SELECT geometry_union(array('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))") ===
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert(one("""SELECT st_area(geometry_union(array(
+      'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))',
+      'POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))',
+      'POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))')))""") === 176.0)
+    // the mergeable AGGREGATE keeps its punctual bounded-state contract
+    intercept[Exception](one(
+      "SELECT geometry_union_agg(g) FROM (VALUES ('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) t(g)"))
   }
 
   test("relation predicates: equals, touches, crosses, overlaps") {
@@ -441,7 +449,7 @@ class GeoSpec extends AnyFunSuite {
     assert(w(GeoFunctions.symDifference(
       p("MULTIPOINT (1 1, 2 2)"), p("MULTIPOINT (2 2, 3 3)"))) ===
       "MULTIPOINT (1 1, 3 3)")
-    // equal inputs collapse; general overlay stays loud
+    // equal inputs collapse; general overlay handles disjoint dissolve
     assert(w(GeoFunctions.union(
       p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
       p("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"))) ===
@@ -449,9 +457,10 @@ class GeoSpec extends AnyFunSuite {
     assert(w(GeoFunctions.difference(
       p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
       p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))) === "POLYGON EMPTY")
-    intercept[IllegalArgumentException](GeoFunctions.union(
+    assert(w(GeoFunctions.union(
       p("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
-      p("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")))
+      p("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"))) ===
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
   }
 
   test("dissolved bing tile covering collapses complete sibling quadruples") {
@@ -491,7 +500,13 @@ class GeoSpec extends AnyFunSuite {
     val area = one("SELECT st_area(st_buffer('POINT (0 0)', 2))").asInstanceOf[Double]
     assert(area > Math.PI * 4 * 0.98 && area <= Math.PI * 4, s"area $area")
     assert(one("SELECT st_buffer('POINT (1 1)', 0)") === "POINT (1 1)")
-    intercept[Exception](one("SELECT st_buffer('LINESTRING (0 0, 1 1)', 1)"))
+    // lineal buffer through the overlay core: Minkowski area, contains
+    // both endpoints, envelope padded by d
+    val lb = one("SELECT st_area(st_buffer('LINESTRING (0 0, 10 0)', 1))")
+      .asInstanceOf[Double]
+    assert(math.abs(lb - (20 + Math.PI)) < 0.1, s"line buffer area $lb")
+    assert(one("SELECT st_xmin(st_buffer('LINESTRING (0 0, 10 0)', 1))") === -1.0)
+    assert(one("SELECT st_contains(st_buffer('LINESTRING (0 0, 10 0)', 1), 'POINT (5 0)')") === true)
     intercept[Exception](one("SELECT st_buffer('POINT (0 0)', -1)"))
   }
 
@@ -605,7 +620,11 @@ class GeoSpec extends AnyFunSuite {
     intercept[Exception](one(s"SELECT st_relate('POINT (20 5)', '$box', 'FX*******')"))
     // a NULL pattern null-propagates like the geometry arguments
     assert(one(s"SELECT st_relate('POINT (0 0)', '$box', CAST(NULL AS STRING))") == null)
-    intercept[Exception](
-      one("SELECT st_relate('LINESTRING (0 0, 1 1)', 'LINESTRING (2 2, 3 3)', 'FF*FF****')"))
+    // lineal pairs run on the full arrangement matrix: disjoint lines
+    // match the OGC disjoint pattern, crossing lines do not
+    assert(one(
+      "SELECT st_relate('LINESTRING (0 0, 1 1)', 'LINESTRING (2 2, 3 3)', 'FF*FF****')") === true)
+    assert(one(
+      "SELECT st_relate('LINESTRING (0 0, 10 10)', 'LINESTRING (0 10, 10 0)', 'FF*FF****')") === false)
   }
 }
