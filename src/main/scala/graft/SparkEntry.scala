@@ -16,14 +16,15 @@ object SparkEntry {
       suites.Ordering.defs ++ suites.Storage.defs ++ suites.Udfs.defs ++
       suites.Extras.defs ++ suites.MultimodalSuite.defs ++
       suites.General.defs ++ suites.Conformance.defs ++ suites.Catalog.defs ++
-      suites.TpcdsShapes.defs ++ suites.Geo.defs ++ suites.Ml.defs
+      suites.TpcdsShapes.defs ++ suites.Geo.defs ++ suites.Ml.defs ++
+      suites.TpchPartsupp.defs
 
   /** Pinned corpus size, asserted by CorpusSpec: a shrinking corpus (an
     * entry dropped because its builder throws) must FAIL a test, not
     * silently disappear from the driver's correctness artifact (that is
     * exactly what happened to st01/st02/st05 in round 8). Update this
     * number whenever entries are added or intentionally removed. */
-  val expectedCorpusSize: Int = 272
+  val expectedCorpusSize: Int = 280
 
   /** Headline subset the Bench main measures (2 prewarm + 6 runs each —
     * the full corpus would take too long under that protocol). */

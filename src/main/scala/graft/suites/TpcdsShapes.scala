@@ -1091,5 +1091,170 @@ object TpcdsShapes {
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"))
         .orderBy("channel", "yr")
+    },
+
+    // q64 shape: ONE star-aggregation CTE referenced TWICE and
+    // self-joined across two "years" with a count residual between the
+    // copies (cross_sales cs1 JOIN cross_sales cs2 ON item WHERE
+    // cs2.cnt <= cs1.cnt). The DataFrame program builds the aggregate
+    // ONCE and filters two copies above it; Catalyst pushes each year
+    // filter THROUGH the aggregate (it is a group key) into that
+    // branch's orders scan — better than the reference's q64 CTE
+    // materialization when the filter is selective, because each branch
+    // scans one year instead of aggregating all years once. PlanSpec
+    // pins the pushdown reaching both scans.
+    Qdef(
+      "ds24_cross_sales_self_join",
+      """WITH cross_sales AS (
+        |  SELECT p_partkey AS item, p_brand AS brand,
+        |    year(o_orderdate) AS syear, count(*) AS cnt,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size <= 10
+        |  GROUP BY p_partkey, p_brand, year(o_orderdate))
+        |SELECT cs1.item AS item, cs1.brand AS brand,
+        |  cs1.sales AS sales1, cs1.cnt AS cnt1,
+        |  cs2.sales AS sales2, cs2.cnt AS cnt2
+        |FROM cross_sales cs1
+        |JOIN cross_sales cs2 ON cs1.item = cs2.item
+        |WHERE cs1.syear = 1996 AND cs2.syear = 1997 AND cs2.cnt <= cs1.cnt
+        |ORDER BY item, brand""".stripMargin) { (s, dir) =>
+      val crossSales = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "part").filter(col("p_size") <= 10),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_partkey").as("item"), col("p_brand").as("brand"),
+          year(col("o_orderdate")).as("syear"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sales"))
+      val cs1 = crossSales.filter(col("syear") === 1996)
+      val cs2 = crossSales.filter(col("syear") === 1997)
+        .select(col("item").as("item2"), col("cnt").as("cnt2"),
+          col("sales").as("sales2"))
+      cs1.join(cs2,
+          col("item") === col("item2") && col("cnt2") <= col("cnt"))
+        .select(col("item"), col("brand"),
+          col("sales").as("sales1"), col("cnt").as("cnt1"),
+          col("sales2"), col("cnt2"))
+        .orderBy("item", "brand")
+    },
+
+    // q72 shape: the widest benchto join — a fact row fans through six
+    // INNER dimensions (two copies of the date dimension linked by a
+    // week-equality residual ACROSS tables plus a date-interval
+    // inequality) and two LEFT dimensions whose NULLs are counted in
+    // CASE aggregates; a measure inequality between two tables
+    // (inv_quantity_on_hand < cs_quantity → p_size < l_quantity) rides
+    // as a residual the join cannot consume. Exercises join reorder
+    // under mixed inner/outer edges — the reference calls this the
+    // optimizer's hardest reorder case.
+    Qdef(
+      "ds25_wide_join_promo",
+      """SELECT p_brand AS brand, n1.n_name AS nation,
+        |  CAST(sum(CASE WHEN n2.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,
+        |  CAST(sum(CASE WHEN n2.n_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS promo,
+        |  count(*) AS total_cnt
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |LEFT JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |LEFT JOIN (SELECT l_orderkey AS r_okey, l_linenumber AS r_line
+        |           FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON r.r_okey = l_orderkey AND r.r_line = l_linenumber
+        |WHERE weekofyear(l_shipdate) = weekofyear(o_orderdate)
+        |  AND p_size < l_quantity
+        |  AND l_shipdate > o_orderdate + INTERVAL 5 DAY
+        |  AND o_orderpriority = '1-URGENT'
+        |  AND year(o_orderdate) = 1997
+        |GROUP BY p_brand, n1.n_name
+        |ORDER BY total_cnt DESC, brand, nation
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val returns = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_okey"), col("l_linenumber").as("r_line"))
+      val promoNations = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("n2_name"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+            col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1997),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(promoNations),
+          col("n2_key") === col("c_nationkey") &&
+            col("n2_name").isin("NATION_1", "NATION_2", "NATION_3"),
+          "left")
+        .join(returns,
+          col("r_okey") === col("l_orderkey") && col("r_line") === col("l_linenumber"),
+          "left")
+        .filter(
+          weekofyear(col("l_shipdate")) === weekofyear(col("o_orderdate")) &&
+          col("p_size") < col("l_quantity") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 5 DAY"))
+        .groupBy(col("p_brand").as("brand"), col("n_name").as("nation"))
+        .agg(
+          sum(when(col("n2_key").isNull, 1).otherwise(0)).as("no_promo"),
+          sum(when(col("n2_key").isNotNull, 1).otherwise(0)).as("promo"),
+          count(lit(1)).as("total_cnt"))
+        .orderBy(col("total_cnt").desc, col("brand"), col("nation"))
+        .limit(100)
+    },
+
+    // q93 shape: the returns-reconciliation anti-pattern — fact LEFT
+    // JOIN returns on the composite line key, CASE over the nullable
+    // return quantity, and then a WHERE on a RIGHT-side column that
+    // silently makes the outer join inner. The planner must see through
+    // it (Spark's EliminateOuterJoin; the reference's
+    // PruneOuterJoinNullability family) — PlanSpec asserts no outer
+    // join survives in the optimized plan.
+    Qdef(
+      "ds26_returns_reconciliation",
+      """SELECT ss_customer,
+        |  CAST(sum(CAST(act_sales AS DECIMAL(18,2))) AS DOUBLE) AS sumsales
+        |FROM (
+        |  SELECT o_custkey AS ss_customer, r.ret_reason,
+        |    CASE WHEN r.ret_qty IS NOT NULL
+        |         THEN (l_quantity - r.ret_qty) * l_extendedprice
+        |         ELSE l_quantity * l_extendedprice END AS act_sales
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  LEFT JOIN (SELECT l_orderkey AS r_okey, l_linenumber AS r_line,
+        |               floor(l_quantity / 2) AS ret_qty,
+        |               l_linestatus AS ret_reason
+        |             FROM lineitem WHERE l_returnflag = 'R') r
+        |    ON r.r_okey = l_orderkey AND r.r_line = l_linenumber
+        |) t
+        |WHERE ret_reason = 'F'
+        |GROUP BY ss_customer
+        |ORDER BY sumsales ASC, ss_customer ASC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val returns = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_okey"), col("l_linenumber").as("r_line"),
+          floor(col("l_quantity") / 2).as("ret_qty"),
+          col("l_linestatus").as("ret_reason"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(returns,
+          col("r_okey") === col("l_orderkey") && col("r_line") === col("l_linenumber"),
+          "left")
+        .select(col("o_custkey").as("ss_customer"), col("ret_reason"),
+          when(col("ret_qty").isNotNull,
+            (col("l_quantity") - col("ret_qty")) * col("l_extendedprice"))
+            .otherwise(col("l_quantity") * col("l_extendedprice")).as("act_sales"))
+        .filter(col("ret_reason") === "F")
+        .groupBy("ss_customer")
+        .agg(sum(col("act_sales").cast("decimal(18,2)"))
+          .cast("double").as("sumsales"))
+        .orderBy(col("sumsales").asc, col("ss_customer").asc)
+        .limit(100)
     })
 }

@@ -454,4 +454,51 @@ class PlanSpec extends QueryAssertions {
       assert(plan.contains("__cell"), s"$name should join on the packed grid cell")
     }
   }
+
+  test("ds24: year filters push THROUGH the self-joined aggregate into each scan") {
+    // the two cross_sales branches filter on a GROUP KEY above the same
+    // aggregate; Catalyst pushes each year predicate through the
+    // aggregate into that branch's orders scan instead of materializing
+    // the full aggregate once (the reference materializes q64's CTE —
+    // Spark's pushdown is the better plan when the filter is selective:
+    // each branch scans a year, not the whole fact table)
+    val optimized = SparkEntry.queries("ds24_cross_sales_self_join")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("= 1996") && optimized.contains("= 1997"),
+      s"both year filters must survive below the aggregates:\n${optimized.take(3000)}")
+    val plan = planOf(run("ds24_cross_sales_self_join"))
+    // each branch's filter reached its scan as a data filter — the scan
+    // line carries the year predicate, so neither branch scans all years
+    val scanLines = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet")).toVector
+    assert(scanLines.size == 2 &&
+      scanLines.exists(_.contains("1996")) && scanLines.exists(_.contains("1997")),
+      s"expected two year-filtered orders scans:\n${scanLines.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"), "self-join must stay an equi join")
+  }
+
+  test("ds26: WHERE on the returns side eliminates the outer join") {
+    // the q93 anti-pattern: LEFT JOIN returns + WHERE ret_reason = 'F'
+    // null-rejects the right side, so EliminateOuterJoin must rewrite it
+    // to an inner join (the reference's PruneOuterJoinNullability family)
+    val optimized = SparkEntry.queries("ds26_returns_reconciliation")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LeftOuter"),
+      s"outer join must be eliminated by the null-rejecting filter:\n${optimized.take(3000)}")
+    val plan = planOf(run("ds26_returns_reconciliation"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT 100 must lower to TopN")
+  }
+
+  test("ds25: mixed inner/outer wide join keeps outer edges and broadcasts dims") {
+    val optimized = SparkEntry.queries("ds25_wide_join_promo")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the promo LEFT JOIN's NULLs feed the CASE aggregates (no
+    // null-rejecting filter), so it must SURVIVE optimization
+    assert(optimized.contains("LeftOuter"),
+      s"the promo outer join must not be eliminated:\n${optimized.take(3000)}")
+    val plan = planOf(run("ds25_wide_join_promo"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"every edge is an equi join:\n${plan.take(3000)}")
+  }
 }

@@ -71,4 +71,34 @@ class SourcesSpec extends AnyFunSuite {
     val tiny = scanOf(table.filter(col("o_orderkey") === 5000L))
     assert(tiny.inputPartitions.size == 1)
   }
+
+  private def partsuppTable = spark.read.format("graft-tpch")
+    .option("table", "partsupp")
+    .option("parts", "500").option("suppliers", "100")
+    .option("splits", "8").load()
+
+  test("partsupp: dbgen pair layout, closed forms, and partkey pushdown") {
+    // 4 suppliers per part, all pairs distinct, suppliers within range.
+    // Pair distinctness holds when the dbgen step (S/4 + p/S) never
+    // divides S for a reachable p — true at the fixture ratios
+    // (S=100/P=2000, S=1000/P=20000) and here; a tiny S like 10 can
+    // collide, which only costs the PK property, not determinism.
+    val ps = partsuppTable
+    assert(ps.count() == 2000L)
+    val stats = ps.agg(
+      countDistinct(col("ps_partkey")).as("parts"),
+      countDistinct(col("ps_partkey"), col("ps_suppkey")).as("pairs"),
+      max("ps_suppkey").as("maxs"), min("ps_suppkey").as("mins")).collect()(0)
+    assert(stats.getLong(0) == 500L && stats.getLong(1) == 2000L)
+    assert(stats.getLong(2) <= 99L && stats.getLong(3) >= 0L)
+    // closed forms at row key k = 10: p = 2, i = 2
+    val row = ps.filter(col("ps_partkey") === 2L)
+      .orderBy("ps_suppkey").collect()
+    assert(row.length == 4, "every part has exactly 4 suppliers")
+    // partkey range consumption prunes the key space 4:1
+    val narrowed = scanOf(ps.filter(col("ps_partkey") === 123L))
+    assert(narrowed.scan.description().contains("keys [492, 495]"),
+      narrowed.scan.description())
+    assert(ps.filter(col("ps_partkey") === 123L).count() == 4L)
+  }
 }
