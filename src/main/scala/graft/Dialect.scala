@@ -108,6 +108,45 @@ object Dialect {
     i
   }
 
+  /** Functions whose value the reference evaluates in a TIMESTAMP WITH
+    * TIME ZONE's OWN zone (DateTimeFunctions.java packs the zone key
+    * next to the millis — DateTimeEncoding.java:55). When such a call
+    * sits DIRECTLY over a WITH-TIME-ZONE literal, the zone is statically
+    * known and the dialect evaluates in it; zone-less columns keep the
+    * documented instant narrowing (README "Time zone semantics"). */
+  private val ZoneSensitiveFns = Set(
+    "hour", "minute", "second", "millisecond", "year", "quarter", "month",
+    "day", "day_of_month", "day_of_week", "dow", "day_of_year", "doy",
+    "week", "week_of_year", "year_of_week", "yow",
+    "date_format", "format_datetime", "timezone_hour", "timezone_minute")
+
+  private val WtzLiteralRe =
+    "(?is)^\\s*(TIME|TIMESTAMP)\\s*'([^']*)'\\s*$".r
+  private val TrailingOffsetRe = "(?s)^(.+?)\\s*([+-]\\d{2}:\\d{2})$".r
+  private val TrailingNamedZoneRe =
+    "(?s)^(.+?)\\s+([A-Za-z][\\w+\\-]*(?:/[\\w+\\-]+)+|UTC|GMT)$".r
+
+  /** (kind, datetime-part, zone) of a WITH TIME ZONE literal, or None
+    * for zoneless literals / non-literals. */
+  private def wtzLiteralParts(expr: String): Option[(String, String, String)] =
+    WtzLiteralRe.findFirstMatchIn(expr).flatMap { m =>
+      val kind = m.group(1).toUpperCase
+      m.group(2).trim match {
+        case TrailingOffsetRe(dt, z)    => Some((kind, dt.trim, z))
+        case TrailingNamedZoneRe(dt, z) => Some((kind, dt.trim, z))
+        case _                          => None
+      }
+    }
+
+  /** The literal zone's offset (seconds) at the literal's own wall
+    * clock, via the same java.time rules the runtime functions use. */
+  private def wtzLiteralOffsetSeconds(kind: String, dt: String, zone: String): Int = {
+    val ldt =
+      if (kind == "TIME") java.time.LocalDateTime.parse(s"1970-01-01T$dt")
+      else java.time.LocalDateTime.parse(dt.replace(' ', 'T'))
+    java.time.ZoneId.of(zone).getRules.getOffset(ldt).getTotalSeconds
+  }
+
   /** Start index in `out` of the trailing operand expression — the thing a
     * `[` subscript applies to: a (possibly dotted) identifier, a
     * backtick-quoted identifier, or a balanced (...) call including its
@@ -471,6 +510,33 @@ object Dialect {
           }
           out.append(s"CAST('$body' AS DECIMAL(${math.max(digits, 1)}, $scale))")
           i = end
+        } else if (ZoneSensitiveFns(lower) && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists { case (args, _) =>
+              args.nonEmpty && wtzLiteralParts(args.head).isDefined }) {
+          // Zone-sensitive call DIRECTLY over a WITH TIME ZONE literal:
+          // the reference evaluates these in the VALUE's zone. The zone
+          // is statically known here, so extraction/rendering shifts
+          // into it (at_timezone) and timezone_hour/minute resolve to
+          // the literal zone's offset at the literal's own instant —
+          // closing the extraction half of the TSWTZ narrowing for
+          // literals (comparison stays on the instant, README "Time
+          // zone semantics").
+          val (args, after) = parseParenArgs(q, k).get
+          val (kind, dt, zone) = wtzLiteralParts(args.head).get
+          if (lower == "timezone_hour" || lower == "timezone_minute") {
+            val off = wtzLiteralOffsetSeconds(kind, dt, zone)
+            val v = if (lower == "timezone_hour") off / 3600 else (off / 60) % 60
+            out.append(s"CAST($v AS BIGINT)")
+          } else {
+            // re-enter the rewriter on the wrapped call so the outer
+            // function still gets its normal dialect treatment
+            // (date_format's MySQL tokens, dow/doy aliases, …); the
+            // wrapped argument is no longer a bare literal, so this
+            // branch cannot re-fire
+            val inner = s"at_timezone(${args.head}, '$zone')"
+            out.append(rewrite((inner +: args.tail).mkString(s"$lower(", ", ", ")")))
+          }
+          i = after
         } else if (lower == "time" && k < q.length && q(k) == '\'') {
           // Presto typed literal TIME 'HH:MM[:SS[.fff]]' (SqlBase.g4
           // typeConstructor; presto-common/.../type/TimeType.java).

@@ -46,13 +46,60 @@ object GeoFunctions {
 
   // ------------------------------------------------------------ WKT parse
 
+  // --------------------------------------------- WKT↔Geom intern cache
+
+  /** Bounded per-thread WKT→Geom intern table: [[print]] registers its
+    * rendering so a chained scalar's [[parse]] gets the SAME immutable
+    * value back without re-parsing — chained geo expressions like
+    * `ST_Area(ST_Intersection(a, b))` pass intermediates by reference
+    * while VARCHAR WKT stays the carrier type (this closes the
+    * per-call parse tax of the WKT narrowing; the reference passes its
+    * Esri-serialized GEOMETRY blob between calls the same way). Exact
+    * because print() is invertible — Double.toString round-trips and
+    * rings stay closed — except for -0.0 coordinates (rendered "0"),
+    * which are simply not cached. parse() results are interned too, so
+    * a CONSTANT geometry argument (the geo02 diamond, a spatial-join
+    * tree) parses once per task thread, not once per row. LRU-bounded:
+    * 64 entries, ≤4096 vertices each, per thread.
+    */
+  private val MaxCacheEntries = 64
+  private val MaxCacheVertices = 4096
+  private val NegZeroBits = java.lang.Double.doubleToRawLongBits(-0.0)
+  private val geomCache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Geom]] {
+      override def initialValue(): java.util.LinkedHashMap[String, Geom] =
+        new java.util.LinkedHashMap[String, Geom](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Geom]): Boolean =
+            size() > MaxCacheEntries
+        }
+    }
+  /** Real parse count (cache misses) — GeoSpec pins the chain win. */
+  private[graft] val parseMisses =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def cacheable(g: Geom): Boolean = {
+    val vs = vertices(g)
+    vs.lengthCompare(MaxCacheVertices) <= 0 && !vs.exists(p =>
+      java.lang.Double.doubleToRawLongBits(p.x) == NegZeroBits ||
+        java.lang.Double.doubleToRawLongBits(p.y) == NegZeroBits)
+  }
+
   /** Minimal WKT reader for the supported kinds. Tolerates arbitrary
-    * whitespace; case-insensitive tags; EMPTY at any level. */
+    * whitespace; case-insensitive tags; EMPTY at any level. Consults
+    * the intern table first (see above). */
   def parse(wkt: String): Geom = {
-    val p = new WktParser(wkt)
-    val g = p.geometry()
-    p.expectEnd()
-    g
+    val cache = geomCache.get()
+    val hit = cache.get(wkt)
+    if (hit != null) hit
+    else {
+      parseMisses.incrementAndGet()
+      val p = new WktParser(wkt)
+      val g = p.geometry()
+      p.expectEnd()
+      if (cacheable(g)) cache.put(wkt, g)
+      g
+    }
   }
 
   private final class WktParser(s: String) {
@@ -183,7 +230,15 @@ object GeoFunctions {
   private def pt(p: Pt): String = s"${num(p.x)} ${num(p.y)}"
   private def seqStr(pts: Seq[Pt]): String = pts.map(pt).mkString("(", ", ", ")")
 
-  def print(g: Geom): String = g match {
+  def print(g: Geom): String = {
+    val s = render(g)
+    // intern the rendering so the NEXT scalar in a chained expression
+    // parses it by reference (see the cache scaladoc above parse)
+    if (cacheable(g)) geomCache.get().put(s, g)
+    s
+  }
+
+  private def render(g: Geom): String = g match {
     case GPoint(None)           => "POINT EMPTY"
     case GPoint(Some(p))        => s"POINT (${pt(p)})"
     case GMultiPoint(ps) if ps.isEmpty => "MULTIPOINT EMPTY"
@@ -197,7 +252,7 @@ object GeoFunctions {
     case GMultiPolygon(ps) if ps.isEmpty => "MULTIPOLYGON EMPTY"
     case GMultiPolygon(ps)      => "MULTIPOLYGON " + ps.map(rs => rs.map(seqStr).mkString("(", ", ", ")")).mkString("(", ", ", ")")
     case GCollection(gs) if gs.isEmpty => "GEOMETRYCOLLECTION EMPTY"
-    case GCollection(gs)        => "GEOMETRYCOLLECTION (" + gs.map(print).mkString(", ") + ")"
+    case GCollection(gs)        => "GEOMETRYCOLLECTION (" + gs.map(render).mkString(", ") + ")"
   }
 
   /** reference GeometryType.java:23-30 standardName() values */

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synthetic corpus multiplier for scale-stressing the dedup/ANN pillar
+  * beyond the largest fixture (round-10 plan item: run d02/d05/d07/d09
+  * at ~10× sf0.1 rows and check the LSH contract — candidate pairs grow
+  * LINEARLY in corpus size).
+  *
+  * The multiplier must not manufacture k-cliques: naively replicating
+  * each document k times makes every replica a near-duplicate of every
+  * other, so the "duplicate" pair count grows quadratically in k no
+  * matter how good the LSH is — the contract would be unfalsifiable.
+  * Instead replica r prefixes every word with `r<r>x`, which makes the
+  * replica shingle spaces pairwise DISJOINT: the original corpus's
+  * near-dup cluster structure repeats k times, which is exactly the
+  * regime where candidate pairs must scale ~k. doc_ids offset by
+  * r·10¹² stay unique and keep their low bits (hash distributions
+  * unchanged).
+  */
+object ScaleStress {
+
+  def multiplyDocs(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"multiplier must be positive, got $k")
+    docs
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), explode(sequence(lit(0), lit(k - 1))).as("__r"))
+      .select(
+        (col("doc_id") + col("__r").cast("long") * lit(1000000000000L)).as("doc_id"),
+        when(col("__r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(^| )"),
+            concat(lit("$1r"), col("__r"), lit("x")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** The four stress pipelines over a (pre-materialized) documents
+    * frame — the same public operators the corpus entries d02/d05/d07/
+    * d09 run, so a stress regression IS an operator regression. */
+  def pipelines(docs: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "d02x_minhash" -> (() =>
+      MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)),
+    "d05x_training_pipeline" -> (() => {
+      val quality = docs
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .filter(col("n_words").between(20, 100))
+      val dupes = MinHashLSH.nearDuplicates(quality, "doc_id", "text", 0.5)
+        .select(col("id2").as("drop_id")).distinct()
+      quality.join(dupes, col("doc_id") === col("drop_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("total_chars"))
+    }),
+    "d07x_embedding" -> (() =>
+      EmbeddingDedup.nearDuplicates(docs, "doc_id", "text", 0.8)),
+    "d09x_components" -> (() =>
+      DupComponents.components(
+        MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)
+          .select(col("id1").as("a"), col("id2").as("b")))))
+
+  /** LSH candidate-pair count for the linearity check (the contract:
+    * count(k·docs) ≈ k·count(docs) when clusters stay constant-sized). */
+  def lshCandidateCount(docs: DataFrame): Long = {
+    val prepared = MinHashLSH.prepare(docs, "doc_id", "text")
+    try MinHashLSH.candidatePairs(prepared).count()
+    finally prepared.unpersist(blocking = false)
+  }
+}

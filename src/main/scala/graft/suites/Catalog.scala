@@ -748,32 +748,41 @@ object Catalog {
     },
 
     // TIME WITH TIME ZONE + named-zone TIMESTAMP literals (reference:
-    // TimeWithTimeZoneType.java, DateTimeEncoding.java, SqlBase.g4
-    // typeConstructor) under the documented UTC-instant narrowing: the
-    // offset is applied at parse (TIME '10:00:00 +05:30' ≡ the 04:30
-    // epoch-day UTC instant), so cross-offset equality and ordering
-    // match the reference's UTC-normalized comparison; the original
-    // zone is NOT retained (extraction/rendering speak the session
-    // zone). The oracle replays the offset arithmetic with plain
-    // interval math; FacadeSpec value-asserts the facade path.
+    // TimeWithTimeZoneType.java, DateTimeEncoding.java packs the zone
+    // key next to the millis, SqlBase.g4 typeConstructor). COMPARISON
+    // follows the documented UTC-instant narrowing (the offset applies
+    // at parse, so cross-offset equality/ordering match the reference's
+    // UTC-normalized comparison); EXTRACTION over a WITH-TIME-ZONE
+    // literal now follows the reference and speaks the LITERAL's zone
+    // (hour(TIME '10:00:00 +05:30') = 10, the value's own wall clock;
+    // timezone_hour/minute report the literal zone's offset) — the
+    // zone is statically known at translation, Dialect.ZoneSensitiveFns.
+    // Zone-less COLUMN values keep the session-zone narrowing. The
+    // oracle replays both halves in closed form; FacadeSpec
+    // value-asserts the facade path.
     Qdef.duckOnly(
       "k26_time_with_tz",
       """SELECT
-        |  CAST(hour(TIMESTAMP '1970-01-01 10:00:00' - INTERVAL 330 MINUTE)
-        |    AS BIGINT) AS h_utc,
+        |  CAST(10 AS BIGINT) AS h_val,
         |  (TIMESTAMP '1970-01-01 10:00:00' - INTERVAL 330 MINUTE)
         |    = TIMESTAMP '1970-01-01 04:30:00' AS cmp_eq,
         |  (TIMESTAMP '1970-01-01 23:00:00' + INTERVAL 120 MINUTE)
         |    > (TIMESTAMP '1970-01-01 10:00:00' - INTERVAL 330 MINUTE) AS ord_ok,
-        |  CAST(hour(TIMESTAMP '2001-08-22 03:04:05' + INTERVAL 7 HOUR)
-        |    AS BIGINT) AS ts_h""".stripMargin) { (s, dir) =>
+        |  CAST(3 AS BIGINT) AS ts_h,
+        |  CAST(5 AS BIGINT) AS tz_h,
+        |  CAST(30 AS BIGINT) AS tz_m,
+        |  CAST(-7 AS BIGINT) AS la_tz_h""".stripMargin) { (s, dir) =>
       graft.Engine.sql(s, dir,
         """SELECT
-          |  CAST(hour(TIME '10:00:00 +05:30') AS BIGINT) AS h_utc,
+          |  CAST(hour(TIME '10:00:00 +05:30') AS BIGINT) AS h_val,
           |  TIME '10:00:00 +05:30' = TIME '04:30:00' AS cmp_eq,
           |  TIME '23:00:00 -02:00' > TIME '10:00:00 +05:30' AS ord_ok,
           |  CAST(hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
-          |    AS BIGINT) AS ts_h""".stripMargin)
+          |    AS BIGINT) AS ts_h,
+          |  timezone_hour(TIME '10:00:00 +05:30') AS tz_h,
+          |  timezone_minute(TIME '10:00:00 +05:30') AS tz_m,
+          |  timezone_hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
+          |    AS la_tz_h""".stripMargin)
     },
 
     // CREATE VIEW / query-through-view / DROP VIEW (reference: grammar

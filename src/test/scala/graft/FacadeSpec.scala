@@ -803,23 +803,37 @@ class FacadeSpec extends AnyFunSuite {
     assert(h >= 0 && h <= 23)
   }
 
-  test("TIME WITH TIME ZONE literals normalize to UTC instants") {
-    // the offset applies at parse: 10:00+05:30 IS 04:30 UTC, so
-    // cross-offset equality/ordering match the reference's UTC
-    // normalization; extraction speaks the session zone (UTC here) —
-    // the documented narrowing (the original offset is not retained)
+  test("TIME WITH TIME ZONE literals: instant comparison, value-zone extraction") {
+    // COMPARISON: the offset applies at parse (10:00+05:30 IS 04:30
+    // UTC), so cross-offset equality/ordering match the reference's
+    // UTC normalization. EXTRACTION over a with-zone LITERAL follows
+    // the reference and speaks the LITERAL's zone (the zone is
+    // statically known — Dialect.ZoneSensitiveFns); zone-less column
+    // values keep the session-zone narrowing.
     val row = Engine.sql(spark, dir,
-      """SELECT CAST(hour(TIME '10:00:00 +05:30') AS BIGINT) AS h_utc,
+      """SELECT CAST(hour(TIME '10:00:00 +05:30') AS BIGINT) AS h_val,
         |  TIME '10:00:00 +05:30' = TIME '04:30:00' AS cmp_eq,
         |  TIME '10:00:00+05:30' = TIME '04:30:00' AS nospace_eq,
         |  TIME '23:00:00 -02:00' > TIME '10:00:00 +05:30' AS ord_ok,
         |  CAST(hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
-        |    AS BIGINT) AS ts_h""".stripMargin).collect()(0)
-    assert(row.getAs[Long]("h_utc") == 4L)
+        |    AS BIGINT) AS ts_h,
+        |  timezone_hour(TIME '10:00:00 +05:30') AS tz_h,
+        |  timezone_minute(TIME '10:00:00 +05:30') AS tz_m,
+        |  timezone_hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
+        |    AS la_tz_h,
+        |  date_format(TIME '10:00:00 +05:30', '%H:%i') AS rendered,
+        |  CAST(hour(TIMESTAMP '2024-01-02 03:04:05') AS BIGINT) AS plain_h""".stripMargin)
+      .collect()(0)
+    assert(row.getAs[Long]("h_val") == 10L) // the value's OWN wall clock
     assert(row.getAs[Boolean]("cmp_eq"))
     assert(row.getAs[Boolean]("nospace_eq"))
     assert(row.getAs[Boolean]("ord_ok")) // -02:00 evening sorts past midnight
-    assert(row.getAs[Long]("ts_h") == 10L) // PDT = UTC-7 in August
+    assert(row.getAs[Long]("ts_h") == 3L) // the LA wall clock, not UTC's 10
+    assert(row.getAs[Long]("tz_h") == 5L)
+    assert(row.getAs[Long]("tz_m") == 30L)
+    assert(row.getAs[Long]("la_tz_h") == -7L) // PDT in August
+    assert(row.getAs[String]("rendered") == "10:00")
+    assert(row.getAs[Long]("plain_h") == 3L) // zoneless literal: unchanged
     // a malformed zone suffix still fails loudly rather than silently
     // parsing as something else
     assertThrows[Exception](

@@ -236,6 +236,43 @@ class GeoOverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("overlay identities hold over 200 random polygon pairs") {
+    // inclusion-exclusion and partition identities are engine-independent
+    // ground truth: for ANY pair, area(A∩B) + area(A∪B) = area(A) + area(B),
+    // the three regions A\B, B\A, A∩B partition the union, and the
+    // symmetric difference is the union minus the intersection. Random
+    // convex polygons (hulls of random points, integer coords so shared
+    // vertices/edges occur often) sweep degenerate contacts a curated
+    // list would miss.
+    val rnd = new scala.util.Random(20260814)
+    def randPoly(): Geom = {
+      val pts = Vector.fill(3 + rnd.nextInt(8))(
+        Pt(rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble))
+      GeoFunctions.convexHull(GMultiPoint(pts)) match {
+        case poly: GPolygon => poly
+        case _ => randPoly() // degenerate (collinear) sample — redraw
+      }
+    }
+    var checked = 0
+    while (checked < 200) {
+      val a = randPoly(); val b = randPoly()
+      val wa = GeoFunctions.print(a); val wb = GeoFunctions.print(b)
+      val clue = s"A=$wa B=$wb"
+      val ai = area(a); val bi = area(b)
+      val inter = area(GeoOverlay.overlayAreal(Vector(a, b), m => m(0) && m(1)))
+      val uni = area(GeoOverlay.overlayAreal(Vector(a, b), m => m(0) || m(1)))
+      val dAB = area(GeoOverlay.overlayAreal(Vector(a, b), m => m(0) && !m(1)))
+      val dBA = area(GeoOverlay.overlayAreal(Vector(a, b), m => !m(0) && m(1)))
+      val sym = area(GeoOverlay.overlayAreal(Vector(a, b), m => m(0) ^ m(1)))
+      val eps = 1e-6 * (1 + ai + bi)
+      assert(math.abs(inter + uni - ai - bi) < eps, s"incl-excl: $clue")
+      assert(math.abs(dAB + dBA + inter - uni) < eps, s"partition: $clue")
+      assert(math.abs(sym - (uni - inter)) < eps, s"symdiff: $clue")
+      assert(inter >= -eps && inter <= math.min(ai, bi) + eps, s"bounds: $clue")
+      checked += 1
+    }
+  }
+
   test("buffer of a closed ring polyline rounds a frame") {
     val l = p("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)")
     val buf = GeoOverlay.bufferGeneral(l, 1.0)

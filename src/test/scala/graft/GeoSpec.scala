@@ -627,4 +627,52 @@ class GeoSpec extends AnyFunSuite {
     assert(one(
       "SELECT st_relate('LINESTRING (0 0, 10 10)', 'LINESTRING (0 10, 10 0)', 'FF*FF****')") === false)
   }
+
+  test("chained geo scalars pass intermediates by reference (intern cache)") {
+    val s = TestSpark.spark
+    Engine.registerFunctions(s)
+    import s.implicits._
+    // 3-deep chain over 500 DISTINCT per-row geometries plus one
+    // constant operand: without the intern table this parses ~3 WKTs
+    // per row (each scalar boundary re-parses); with it, every
+    // intermediate print is parsed back as a cache hit and the constant
+    // parses once per task thread — so real parses stay FAR below one
+    // per scalar boundary.
+    val df = (1 to 500).map(i => (i % 40, (i * 7) % 40)).toDF("x", "y")
+    df.createOrReplaceTempView("geo_chain_pts")
+    val chain =
+      """SELECT sum(st_area(st_intersection(
+        |  st_buffer(st_point(x, y), 3),
+        |  'POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))'))) AS total
+        |FROM geo_chain_pts""".stripMargin
+    s.sql(chain).collect() // warm: fill per-thread constant entries
+    val before = graft.functions.GeoFunctions.parseMisses.get()
+    val total = s.sql(chain).collect()(0).getDouble(0)
+    val misses = graft.functions.GeoFunctions.parseMisses.get() - before
+    assert(total > 0)
+    assert(misses < 500,
+      s"expected chained intermediates to hit the intern cache, " +
+        s"but $misses real parses happened for 500 rows x 2 boundaries")
+    // the cached value is the exact parse result: repeated parse of one
+    // string returns the identical immutable instance
+    val w = "POLYGON ((0 0, 7 0, 7 7, 0 7, 0 0))"
+    assert(GeoFunctions.parse(w) eq GeoFunctions.parse(w))
+    // and the reference-passing path is at least 2x faster than cold
+    // parsing at every boundary: parse the same 1000-vertex WKT 2000
+    // times (interned) vs 2000 distinct spellings (never interned)
+    val ring = (0 until 1000).map { i =>
+      val a = 2 * math.Pi * i / 1000
+      s"${100 * math.cos(a)} ${100 * math.sin(a)}"
+    }.mkString("POLYGON ((", ", ", s", ${100 * math.cos(0.0)} ${100 * math.sin(0.0)}))")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+    (1 to 50).foreach(_ => GeoFunctions.parse(ring)) // JIT warm both paths
+    val distinct = (0 until 2000).map(k => ring.replace("((", s"(( ${" " * (k % 7)}"))
+    (1 to 3).foreach(_ => GeoFunctions.parse(distinct(0)))
+    val cold = time(distinct.foreach(w2 => GeoFunctions.parse(w2)))
+    val warm = time((0 until 2000).foreach(_ => GeoFunctions.parse(ring)))
+    assert(warm * 2 <= cold,
+      s"interned chain parse should be >=2x faster: warm ${warm}ms vs cold ${cold}ms")
+  }
 }
