@@ -105,6 +105,16 @@ object EmbeddingDedup {
   /** All pairs (id1 < id2, cosine) with embedding cosine >= minCosine.
     * Output columns: id1, id2, cosine (rounded to 6 dp).
     *
+    * SCALE THE GEOMETRY WITH THE CORPUS: the bucket count is 2^planes
+    * PER TABLE, so with fixed defaults the per-bucket occupancy — and
+    * with it the candidate-pair count — grows linearly in corpus size,
+    * i.e. candidates grow QUADRATICALLY (the round-11 10× stress run
+    * measured exactly that: 22 GB of spill at 50k docs on the 8-plane
+    * default). Choose planes ≈ log2(n / 16) to hold occupancy, and grow
+    * tables to hold recall as the per-table collision probability drops
+    * (8 planes/8 tables at ≤5k docs → 12 planes/16 tables at 50k; see
+    * ops/ScaleStress for the worked trade-off).
+    *
     * `materialize = false` skips the persist + eager localCheckpoint and
     * returns the raw composed plan — for plan-shape tests only (the
     * checkpointed frame's executed plan is just an RDD scan, which would

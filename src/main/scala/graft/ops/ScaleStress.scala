@@ -51,8 +51,18 @@ object ScaleStress {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("bigint").as("total_chars"))
     }),
+    // The 10× run SCALES THE LSH GEOMETRY with the corpus: the first
+    // stress measurement ran the 1× defaults (8 planes = 256 fixed
+    // buckets) and caught quadratic candidate growth — bucket occupancy
+    // rose 10×, candidate pairs ~100×, 22 GB of spill, 103 s. The
+    // standard sign-LSH scaling fixes it: planes 8→12 keeps bucket
+    // occupancy roughly constant (4096 buckets), and tables 8→16 holds
+    // recall (a cosine-0.8 pair's per-table multiprobe collision
+    // probability is ~0.26 at 12 planes; 16 tables → ~99% overall). At
+    // 100 TB the same rule applies continuously: planes ~ log2(n/16).
     "d07x_embedding" -> (() =>
-      EmbeddingDedup.nearDuplicates(docs, "doc_id", "text", 0.8)),
+      EmbeddingDedup.nearDuplicates(docs, "doc_id", "text", 0.8,
+        planes = 12, tables = 16)),
     "d09x_components" -> (() =>
       DupComponents.components(
         MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)
