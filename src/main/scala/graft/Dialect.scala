@@ -1572,6 +1572,14 @@ object Dialect {
     * the recognized spellings ack as no-ops and anything else fails
     * loudly (silently "switching" to a schema that doesn't exist and
     * serving the same tables would be a wrong answer). */
+  /** CREATE TYPE name AS ( (field type, …) | baseType ) — the
+    * reference's user-defined types (grammar SqlBase.g4:61 #createType,
+    * execution/CreateTypeTask.java; presto-common RowType /
+    * DistinctType): a named structural ROW type or a distinct alias of
+    * an existing type, observed only at CAST sites. `definition` is the
+    * raw text after AS, resolved in the Engine. */
+  final case class CreateTypeStmt(name: String, definition: String)
+      extends PreparedOp
   final case class UseStmt(schema: String) extends PreparedOp
 
   /** Transaction statements (reference grammar SqlBase.g4
@@ -1628,6 +1636,8 @@ object Dialect {
       "where\\s+(.+?)[;\\s]*$").r
   private val ShowCreateMatViewRe =
     "(?is)^\\s*show\\s+create\\s+materialized\\s+view\\s+([a-z_][\\w.]*)[;\\s]*$".r
+  private val CreateTypeRe =
+    "(?is)^\\s*create\\s+type\\s+([a-z_][\\w.]*)\\s+as\\s+(.+?)[;\\s]*$".r
   private val UseRe = "(?is)^\\s*use\\s+([a-z_][\\w.]*)[;\\s]*$".r
   private val StartTransactionRe =
     "(?is)^\\s*start\\s+transaction(\\s+.+)?[;\\s]*$".r
@@ -1668,6 +1678,8 @@ object Dialect {
       Some(RefreshMatViewStmt(lastPart(name), pred))
     case ShowCreateMatViewRe(name) => Some(ShowCreateMatViewStmt(lastPart(name)))
     case AnalyzeRe(name) => Some(AnalyzeStmt(lastPart(name)))
+    case CreateTypeRe(name, definition) =>
+      Some(CreateTypeStmt(name.toLowerCase, definition))
     case UseRe(name) => Some(UseStmt(name.toLowerCase))
     case StartTransactionRe(_) => Some(StartTransactionStmt())
     case CommitRe(_) => Some(CommitStmt())

@@ -196,6 +196,11 @@ object Engine {
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // shadow the object-level translate: every statement path in this
+    // method first resolves the session's user-defined type names
+    // (CREATE TYPE), then runs the dialect translation
+    def translate(q: String): String =
+      Dialect.translate(substituteTypes(spark, q))
     ExplainIoRe.findFirstMatchIn(query) match {
       case Some(m) =>
         // EXPLAIN (TYPE IO) — the reference's I/O plan document
@@ -352,6 +357,26 @@ object Engine {
             s"Materialized view '$name' does not exist"))
         spark.sql(
           s"SELECT '${sqlLit(mv.createSql)}' AS `Create Materialized View`")
+      case Some(Dialect.CreateTypeStmt(name, definition)) =>
+        // reference: execution/CreateTypeTask.java — a named structural
+        // ROW type or a distinct alias, stored per session and observed
+        // at CAST sites. The reference requires the name to live in a
+        // function namespace (catalog.schema.name), which also makes the
+        // textual substitution unambiguous (a bare identifier could be a
+        // column). Definitions are FLATTENED at create time (prior type
+        // names inside them resolve immediately), so use-site
+        // substitution is a single pass.
+        require(name.contains("."),
+          s"CREATE TYPE requires a qualified name " +
+            s"(catalog.schema.name — the reference stores user-defined " +
+            s"types in a function namespace), got '$name'")
+        require(!typesFor(spark).contains(name), s"Type already exists: $name")
+        val resolved = substituteTypes(spark, definition).trim
+        val stored =
+          if (resolved.startsWith("(")) "ROW " + resolved // structural row
+          else resolved                                   // distinct alias
+        typesFor(spark).put(name, stored)
+        spark.sql(s"SELECT 'CREATE TYPE' AS result, '$name' AS type")
       case Some(Dialect.UseStmt(schema)) =>
         val known = Set("graft", "default", "graft.default", "memory.default")
         if (!known(schema))
@@ -376,6 +401,22 @@ object Engine {
 
   private val viewsFor = new SessionStore[String]
   private val matViewsFor = new SessionStore[graft.plans.Views.MatView]
+  private val typesFor = new SessionStore[String]
+
+  /** Resolve registered user-defined type names (qualified, so they
+    * cannot collide with bare column identifiers) to their stored
+    * definitions, longest name first so one registered name can never
+    * clip another's prefix. Case-insensitive, token-bounded. */
+  private def substituteTypes(spark: SparkSession, sql: String): String = {
+    val types = typesFor(spark)
+    if (types.isEmpty) sql
+    else types.toSeq.sortBy(-_._1.length).foldLeft(sql) {
+      case (acc, (name, defn)) =>
+        acc.replaceAll(
+          "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?![\\w.])",
+          java.util.regex.Matcher.quoteReplacement(defn))
+    }
+  }
 
   /** Fail loudly when view/MV DDL would take a name already serving the
     * shared namespace: fixture tables are re-registered with

@@ -917,6 +917,35 @@ object Catalog {
         catch { case _: UnsupportedOperationException => true }
       s.sql(s"SELECT $useOk AS use_ok, $txnOk AS txn_ok, " +
         s"$rollbackLoud AS rollback_loud")
+    },
+
+    // CREATE TYPE — user-defined structural ROW types and distinct
+    // aliases (reference: SqlBase.g4:61 #createType, execution/
+    // CreateTypeTask.java, presto-tests TestUserDefinedTypes). Types
+    // live in a session namespace and are observed at CAST sites; the
+    // oracle computes the same values typelessly, so the comparison
+    // verifies both the field routing and the result types (the pair's
+    // fst is BIGINT by declaration).
+    Qdef(
+      "k32_create_type",
+      """SELECT n_nationkey AS k,
+        |  CAST(n_nationkey * 2 AS BIGINT) AS fst,
+        |  n_regionkey AS snd,
+        |  CAST(n_nationkey AS INTEGER) AS dnum
+        |FROM nation ORDER BY k""".stripMargin) { (s, dir) =>
+      def ddl(q: String): Unit =
+        // create-if-absent: the session is shared across gate replays
+        try { graft.Engine.sql(s, dir, q).collect(); () }
+        catch { case e: Exception
+          if Option(e.getMessage).exists(_.contains("already exists")) => () }
+      ddl("CREATE TYPE graft.corpus.pair AS (fst BIGINT, snd INTEGER)")
+      ddl("CREATE TYPE graft.corpus.num AS INTEGER")
+      graft.Engine.sql(s, dir,
+        """SELECT n_nationkey AS k,
+          |  CAST(ROW(n_nationkey * 2, n_regionkey) AS graft.corpus.pair).fst AS fst,
+          |  CAST(ROW(n_nationkey * 2, n_regionkey) AS graft.corpus.pair).snd AS snd,
+          |  CAST(n_nationkey AS graft.corpus.num) AS dnum
+          |FROM nation ORDER BY k""".stripMargin)
     }
   )
 }

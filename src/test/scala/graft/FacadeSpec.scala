@@ -911,6 +911,34 @@ class FacadeSpec extends AnyFunSuite {
     ddl("DROP VIEW IF EXISTS graft_v_nations")
   }
 
+  test("CREATE TYPE: structural row types, distinct aliases, nesting") {
+    def ddl(sql: String): Unit = { Engine.sql(spark, dir, sql).collect(); () }
+    def one(sql: String): Any = Engine.sql(spark, dir, sql).collect()(0).get(0)
+    // the reference's own cases (presto-tests TestUserDefinedTypes)
+    ddl("CREATE TYPE graft.t.pair AS (fst integer, snd integer)")
+    ddl("CREATE TYPE graft.t.pair3 AS (fst graft.t.pair, snd integer)")
+    assert(one(
+      """SELECT p.fst.fst FROM (SELECT
+        |  CAST(ROW(CAST(ROW(1, 2) AS graft.t.pair), 3) AS graft.t.pair3) AS p)"""
+        .stripMargin) == 1)
+    assert(one(
+      """SELECT p.fst.snd FROM (SELECT
+        |  CAST(ROW(CAST(ROW(1, 2) AS graft.t.pair), 3) AS graft.t.pair3) AS p)"""
+        .stripMargin) == 2)
+    // distinct type: alias of a base type, observed only at the cast
+    ddl("CREATE TYPE graft.t.num AS integer")
+    assert(one("SELECT CAST(4 AS graft.t.num)") == 4)
+    ddl("CREATE TYPE graft.t.mypair AS (fst graft.t.num, snd integer)")
+    assert(one(
+      "SELECT p.fst FROM (SELECT CAST(ROW(4, 3) AS graft.t.mypair) AS p)") == 4)
+    // unqualified names and duplicates fail loud (the reference stores
+    // types in a function namespace)
+    val e1 = intercept[Exception](ddl("CREATE TYPE barename AS integer"))
+    assert(e1.getMessage.contains("qualified name"), e1.getMessage)
+    val e2 = intercept[Exception](ddl("CREATE TYPE graft.t.num AS bigint"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+  }
+
   test("view/MV names colliding with base tables or each other fail loud") {
     def ddl(sql: String): Unit = { Engine.sql(spark, dir, sql).collect(); () }
     // a view named after a fixture table would be silently clobbered by
