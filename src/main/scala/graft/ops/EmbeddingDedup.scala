@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *    product is EXACT in double arithmetic (bit-identical to any other
   *    engine computing the same sums — the DuckDB oracle replays it).
   *  - The LSH projection is computed over the SPARSE (bucket, count)
-  *    rows joined against a broadcast (table, plane, bucket, sign)
-  *    matrix — no 256-wide dense arrays in the projection path, one
-  *    shuffle on the doc key.
+  *    rows joined against a broadcast (table, bucket, signs[planes])
+  *    matrix — plane signs ride as an array so the join's intermediate
+  *    row count is counts×tables, not ×planes as well; no 256-wide
+  *    dense arrays in the projection path, one shuffle on the doc key.
   *  - Candidates come from a self-equi-join on (table, lshBucket) with
   *    1-bit multiprobe expansion on the build side; never all pairs.
   *    Expected scan fraction ~ tables*(1+planes)/2^planes.
@@ -71,27 +72,33 @@ object EmbeddingDedup {
           i => coalesce(element_at(col("__m"), i), lit(0.0))
             .cast("float")).as("__v"))
 
-  /** Broadcastable sign matrix: one row per (table, plane, bucket) with
-    * the deterministic ±1 from [[VectorSearch.planeSigns]]. */
+  /** Broadcastable sign matrix: one row per (table, bucket) carrying
+    * ALL plane signs for that coordinate as an array — the
+    * deterministic ±1 from [[VectorSearch.planeSigns]]. (Round 11: this
+    * was one row per (table, plane, bucket); folding the plane axis
+    * into an array cuts the projection join's intermediate row count by
+    * `planes`× with bit-identical sums — the 10× stress run flagged the
+    * join+partial-agg stage as the pipeline's dominant cost.) */
   private def signRows(
       spark: SparkSession, planes: Int, tables: Int): DataFrame = {
     import spark.implicits._
     (0 until tables).flatMap { t =>
       val signs = VectorSearch.planeSigns(planes, Dim, t)
-      for (j <- 0 until planes; d <- 0 until Dim)
-        yield (t, j, d, signs(j)(d))
-    }.toDF("__t", "__plane", "__bucket", "__sign")
+      (0 until Dim).map(d =>
+        (t, d, (0 until planes).map(j => signs(j)(d)).toSeq))
+    }.toDF("__t", "__bucket", "__signs")
   }
 
   /** (id, t, lsh) bucket assignment per LSH table, projected from the
     * sparse counts: projection_j = Σ_bucket c·sign(j,bucket), bit j set
-    * iff positive. */
+    * iff positive. One broadcast join row per (count-row, table); the
+    * planes axis is evaluated as expressions over the signs array, not
+    * materialized as rows. */
   def lshBuckets(
       cnt: DataFrame, planes: Int, tables: Int): DataFrame = {
     val spark = cnt.sparkSession
     val projAggs = (0 until planes).map { j =>
-      sum(when(col("__plane") === j, col("__c") * col("__sign"))
-        .otherwise(lit(0.0))).as(s"__p$j")
+      sum(col("__c") * element_at(col("__signs"), j + 1)).as(s"__p$j")
     }
     val proj = cnt.join(broadcast(signRows(spark, planes, tables)), "__bucket")
       .groupBy("__id", "__t")
