@@ -273,6 +273,79 @@ class GeoOverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("rectilinear torture: overlay areas match an independent cell count") {
+    // ground truth that does NOT come from the overlay: with
+    // integer-aligned rectangles, membership of each unit cell's center
+    // decides the exact area by counting — so heavy collinear-edge /
+    // shared-corner degeneracy (the worst case for clipping algorithms)
+    // is checked against an independent derivation.
+    val rnd = new scala.util.Random(777)
+    def randRect(): (Int, Int, Int, Int) = {
+      val x0 = rnd.nextInt(12); val y0 = rnd.nextInt(12)
+      (x0, y0, x0 + 1 + rnd.nextInt(6), y0 + 1 + rnd.nextInt(6))
+    }
+    def rectGeom(r: (Int, Int, Int, Int)): Geom = {
+      val (x0, y0, x1, y1) = r
+      GPolygon(Vector(Vector(Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1), Pt(x0, y0))))
+    }
+    def inRect(cx: Double, cy: Double, r: (Int, Int, Int, Int)): Boolean =
+      cx > r._1 && cx < r._3 && cy > r._2 && cy < r._4
+    (1 to 40).foreach { _ =>
+      val as = Vector.fill(2 + rnd.nextInt(3))(randRect())
+      val bs = Vector.fill(2 + rnd.nextInt(3))(randRect())
+      val aG = GeoOverlay.overlayAreal(as.map(rectGeom), m => m.exists(identity))
+      val bG = GeoOverlay.overlayAreal(bs.map(rectGeom), m => m.exists(identity))
+      def cellCount(pred: (Double, Double) => Boolean): Int =
+        (for (cx <- 0 until 20; cy <- 0 until 20
+              if pred(cx + 0.5, cy + 0.5)) yield 1).sum
+      val inA = (cx: Double, cy: Double) => as.exists(inRect(cx, cy, _))
+      val inB = (cx: Double, cy: Double) => bs.exists(inRect(cx, cy, _))
+      val clue = s"A=${as.mkString(";")} B=${bs.mkString(";")}"
+      assert(area(aG) === cellCount(inA).toDouble, s"union(A): $clue")
+      assert(area(bG) === cellCount(inB).toDouble, s"union(B): $clue")
+      assert(area(GeoOverlay.overlayAreal(Vector(aG, bG), m => m(0) && m(1))) ===
+        cellCount((x, y) => inA(x, y) && inB(x, y)).toDouble, s"inter: $clue")
+      assert(area(GeoOverlay.overlayAreal(Vector(aG, bG), m => m(0) && !m(1))) ===
+        cellCount((x, y) => inA(x, y) && !inB(x, y)).toDouble, s"diff: $clue")
+      assert(area(GeoOverlay.overlayAreal(Vector(aG, bG), m => m(0) ^ m(1))) ===
+        cellCount((x, y) => inA(x, y) ^ inB(x, y)).toDouble, s"xor: $clue")
+    }
+  }
+
+  test("union of two C-shapes pinches a hole closed") {
+    // two interlocking C's whose arms close a square courtyard: the
+    // union must carry the courtyard as a HOLE, which only appears when
+    // the boundary trace resolves the pinch vertices correctly
+    val left = "POLYGON ((0 0, 10 0, 10 2, 2 2, 2 8, 10 8, 10 10, 0 10, 0 0))"
+    val right = "POLYGON ((8 2, 10 2, 10 8, 8 8, 8 2))"
+    val uni = GeoOverlay.overlayAreal(Vector(p(left), p(right)), m => m(0) || m(1))
+    uni match {
+      case GPolygon(rings) =>
+        assert(rings.length === 2, s"expected a hole: ${GeoFunctions.print(uni)}")
+      case other => fail(s"expected holed POLYGON, got ${GeoFunctions.print(other)}")
+    }
+    // area: C (100 - 6x8 notch + ... compute: outer 10x10=100 minus the
+    // notch x in [2,10), y in (2,8) => 48 → C = 52; right bar adds 2x6=12
+    // of which nothing overlaps C (bar spans x in [8,10] y in [2,8] —
+    // inside the notch) → union 64, courtyard hole = (2..8)x(2..8) area 36
+    assert(area(uni) === 64.0, GeoFunctions.print(uni))
+  }
+
+  test("DE-9IM with holes: the hole ring is boundary, the courtyard exterior") {
+    val donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    // plug strictly inside the HOLE: disjoint (courtyard is exterior)
+    assert(GeoOverlay.de9imFull(
+      p(donut), p("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")) === "FF2FF1212")
+    // plug filling the hole exactly: meets along the hole RING — the
+    // plug's whole boundary coincides with donut boundary, so E(donut)
+    // never touches B(plug)
+    assert(GeoOverlay.de9imFull(
+      p(donut), p("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")) === "FF2F112F2")
+    // probe crossing from the courtyard through the annulus to outside
+    assert(GeoOverlay.de9imFull(
+      p("LINESTRING (5 5, 15 5)"), p(donut)) === "101FF0212")
+  }
+
   test("buffer of a closed ring polyline rounds a frame") {
     val l = p("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)")
     val buf = GeoOverlay.bufferGeneral(l, 1.0)
