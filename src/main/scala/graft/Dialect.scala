@@ -120,6 +120,18 @@ object Dialect {
     "week", "week_of_year", "year_of_week", "yow",
     "date_format", "format_datetime", "timezone_hour", "timezone_minute")
 
+  private val ExtractFromRe = "(?is)^\\s*(\\w+)\\s+from\\s+(.+)$".r
+
+  /** Presto EXTRACT field → the equivalent registered function name
+    * (reference SqlBase.g4 extract / DateTimeFunctions.java). */
+  private def extractFieldFn(field: String): String = field.toLowerCase match {
+    case "day_of_month"          => "day"
+    case "day_of_week"           => "dow"
+    case "day_of_year"           => "doy"
+    case "year_of_week"          => "yow"
+    case other                   => other
+  }
+
   private val WtzLiteralRe =
     "(?is)^\\s*(TIME|TIMESTAMP)\\s*'([^']*)'\\s*$".r
   private val TrailingOffsetRe = "(?s)^(.+?)\\s*([+-]\\d{2}:\\d{2})$".r
@@ -510,6 +522,19 @@ object Dialect {
           }
           out.append(s"CAST('$body' AS DECIMAL(${math.max(digits, 1)}, $scale))")
           i = end
+        } else if (lower == "extract" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists { case (args, _) =>
+              args.lengthCompare(1) == 0 &&
+                ExtractFromRe.findFirstMatchIn(args.head).exists(m =>
+                  ZoneSensitiveFns(extractFieldFn(m.group(1))) &&
+                    wtzLiteralParts(m.group(2)).isDefined) }) {
+          // EXTRACT(field FROM <wtz literal>) ≡ field(<wtz literal>) in
+          // the reference — route it through the zone-sensitive literal
+          // branch below so both spellings agree on the VALUE's zone
+          val (args, after) = parseParenArgs(q, k).get
+          val m = ExtractFromRe.findFirstMatchIn(args.head).get
+          out.append(rewrite(s"${extractFieldFn(m.group(1))}(${m.group(2)})"))
+          i = after
         } else if (ZoneSensitiveFns(lower) && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists { case (args, _) =>
               args.nonEmpty && wtzLiteralParts(args.head).isDefined }) {

@@ -406,16 +406,36 @@ object Engine {
   /** Resolve registered user-defined type names (qualified, so they
     * cannot collide with bare column identifiers) to their stored
     * definitions, longest name first so one registered name can never
-    * clip another's prefix. Case-insensitive, token-bounded. */
+    * clip another's prefix. Case-insensitive, token-bounded, and
+    * literal-aware: text inside '…' strings passes through verbatim. */
   private def substituteTypes(spark: SparkSession, sql: String): String = {
     val types = typesFor(spark)
-    if (types.isEmpty) sql
-    else types.toSeq.sortBy(-_._1.length).foldLeft(sql) {
-      case (acc, (name, defn)) =>
-        acc.replaceAll(
-          "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?![\\w.])",
-          java.util.regex.Matcher.quoteReplacement(defn))
+    if (types.isEmpty) return sql
+    def subst(span: String): String =
+      types.toSeq.sortBy(-_._1.length).foldLeft(span) {
+        case (acc, (name, defn)) =>
+          acc.replaceAll(
+            "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?![\\w.])",
+            java.util.regex.Matcher.quoteReplacement(defn))
+      }
+    val out = new StringBuilder
+    var i = 0
+    var spanStart = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        out.append(subst(sql.substring(spanStart, i)))
+        var j = i + 1 // find the literal's end ('' escapes a quote)
+        while (j < sql.length &&
+            (sql.charAt(j) != '\'' ||
+              (j + 1 < sql.length && sql.charAt(j + 1) == '\'' && { j += 1; true }))) j += 1
+        val end = math.min(j + 1, sql.length)
+        out.append(sql.substring(i, end))
+        i = end
+        spanStart = end
+      } else i += 1
     }
+    out.append(subst(sql.substring(spanStart)))
+    out.toString
   }
 
   /** Fail loudly when view/MV DDL would take a name already serving the

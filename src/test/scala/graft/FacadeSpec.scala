@@ -822,7 +822,8 @@ class FacadeSpec extends AnyFunSuite {
         |  timezone_hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
         |    AS la_tz_h,
         |  date_format(TIME '10:00:00 +05:30', '%H:%i') AS rendered,
-        |  CAST(hour(TIMESTAMP '2024-01-02 03:04:05') AS BIGINT) AS plain_h""".stripMargin)
+        |  CAST(hour(TIMESTAMP '2024-01-02 03:04:05') AS BIGINT) AS plain_h,
+        |  CAST(EXTRACT(HOUR FROM TIME '10:00:00 +05:30') AS BIGINT) AS ex_h""".stripMargin)
       .collect()(0)
     assert(row.getAs[Long]("h_val") == 10L) // the value's OWN wall clock
     assert(row.getAs[Boolean]("cmp_eq"))
@@ -834,6 +835,7 @@ class FacadeSpec extends AnyFunSuite {
     assert(row.getAs[Long]("la_tz_h") == -7L) // PDT in August
     assert(row.getAs[String]("rendered") == "10:00")
     assert(row.getAs[Long]("plain_h") == 3L) // zoneless literal: unchanged
+    assert(row.getAs[Long]("ex_h") == 10L) // EXTRACT spelling agrees with hour()
     // a malformed zone suffix still fails loudly rather than silently
     // parsing as something else
     assertThrows[Exception](
