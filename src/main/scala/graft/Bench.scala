@@ -87,7 +87,13 @@ object Bench {
     // the END of the suite (the box has often drained by then) and
     // record the CLEANER of the two runs; the retried names ship in the
     // artifact so a judge can see which medians are second-pass.
-    val needRetry = firstPass.filter { case (_, mn, med, _) => med > 2 * mn }
+    // Two triggers: median/min > 2× (the median itself was measured
+    // through interference) and max/min > 4× (BENCH_r11's ds03 carried a
+    // 4.99 s outlier behind a clean-looking 1.10 s median on a load-6.3
+    // host — the re-measure either replaces it with a clean triple or
+    // confirms the spread is real).
+    val needRetry = firstPass.filter { case (_, mn, med, mx) =>
+      med > 2 * mn || mx > 4 * mn }
     val retried = needRetry.map(_._1)
     val byName = defs.map(q => q.name -> q).toMap
     val retryPass = needRetry.flatMap { case (name, _, _, _) => measure(byName(name)) }
@@ -107,8 +113,6 @@ object Bench {
     val spread = results
       .map { case (k, mn, med, mx) => s"${jstr(k)}:[$mn,$med,$mx]" }
       .mkString("{", ",", "}")
-    val errs = errors.reverse
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val totalMin = results.map(_._2).sum
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -125,55 +129,100 @@ object Bench {
     // shuffle-write/read and spill bytes captured from stage metrics.
     // The LSH contract rides along: candidate pairs at 10× must stay
     // ~linear vs 1× (quadratic growth = a hot-bucket/clique failure).
+    // Spark's listener bus is asynchronous: without a flush, stage events
+    // from the last measured run may not have been delivered when the
+    // counters are read (undercount), and prewarm events can land after
+    // reset() (overcount). waitUntilEmpty is private[spark], so reach it
+    // reflectively; fall back to a generous sleep if the internals move.
+    def flushListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .map(_.invoke(bus))
+          .getOrElse(Thread.sleep(1000))
+      } catch { case _: Throwable => Thread.sleep(1000) }
+      ()
+    }
+
+    def runStressBlock(scale: Int): String = {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docsK = graft.ops.ScaleStress.multiplyDocs(docs, scale).persist(lvl)
+      val rowsK = docsK.count()
+      val pairs1x = graft.ops.ScaleStress.lshCandidateCount(docs)
+      val pairsKx = graft.ops.ScaleStress.lshCandidateCount(docsK)
+      val geom = graft.ops.ScaleStress.geometryFor(rowsK)
+      // Per-block canary pair: the headline canaries bracket the whole
+      // suite, but the stress block runs minutes later — its own pair
+      // lets a contended stress number (BENCH_r11's d07x 60.7 s vs
+      // 39.4 s drained) be normalized without guessing host state.
+      val cPre = cpuCanary()
+      val entries = graft.ops.ScaleStress.pipelines(docsK, Some(geom)).map {
+        case (name, build) =>
+          val m = new StressMetrics
+          spark.sparkContext.addSparkListener(m)
+          def once(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try {
+              build().write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch {
+              case e: Throwable =>
+                if (!errors.exists(_._1 == name))
+                  errors ::= (name,
+                    Option(e.getMessage).getOrElse(e.getClass.getName))
+                None
+            }
+          }
+          once() // prewarm
+          flushListenerBus() // prewarm's stage events must land before reset
+          m.reset()
+          val runs = (1 to 3).flatMap(_ => once()).sorted
+          flushListenerBus() // last run's stage events must land before read
+          spark.sparkContext.removeSparkListener(m)
+          val timing =
+            if (runs.isEmpty) "null"
+            else s"[${runs.head},${runs(runs.size / 2)},${runs.last}]"
+          s"${jstr(name)}:{" +
+            s""""sec_min_med_max":$timing,""" +
+            s""""shuffle_write_bytes":${m.shuffleWrite.get},""" +
+            s""""shuffle_read_bytes":${m.shuffleRead.get},""" +
+            s""""mem_spill_bytes":${m.memSpill.get},""" +
+            s""""disk_spill_bytes":${m.diskSpill.get}}"""
+      }
+      val cPost = cpuCanary()
+      docsK.unpersist(blocking = false)
+      (entries :+
+        s""""scale":$scale,"rows":$rowsK,"planes":${geom._1},"tables":${geom._2},""" +
+        s""""lsh_pairs_1x":$pairs1x,"lsh_pairs_scaled":$pairsKx,""" +
+        s""""lsh_pair_ratio":${
+          if (pairs1x == 0) -1.0 else pairsKx.toDouble / pairs1x},""" +
+        s""""lsh_pair_ratio_per_scale":${
+          if (pairs1x == 0) -1.0 else pairsKx.toDouble / pairs1x / scale},""" +
+        s""""cpu_canary_sec":[$cPre,$cPost]""")
+        .mkString("{", ",", "}")
+    }
+
     val stressJson =
       if (sys.env.getOrElse("SPARK_GRAFT_STRESS", "1") == "0") "{}"
-      else {
-        val docs = Tables.load(spark, sfDir, "documents")
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val docsK = graft.ops.ScaleStress.multiplyDocs(docs, 10).persist(lvl)
-        val rowsK = docsK.count()
-        val pairs1x = graft.ops.ScaleStress.lshCandidateCount(docs)
-        val pairs10x = graft.ops.ScaleStress.lshCandidateCount(docsK)
-        val entries = graft.ops.ScaleStress.pipelines(docsK).map {
-          case (name, build) =>
-            val m = new StressMetrics
-            spark.sparkContext.addSparkListener(m)
-            def once(): Option[Double] = {
-              val t0 = System.nanoTime()
-              try {
-                build().write.format("noop").mode("overwrite").save()
-                Some((System.nanoTime() - t0) / 1e9)
-              } catch {
-                case e: Throwable =>
-                  if (!errors.exists(_._1 == name))
-                    errors ::= (name,
-                      Option(e.getMessage).getOrElse(e.getClass.getName))
-                  None
-              }
-            }
-            once() // prewarm
-            m.reset()
-            val runs = (1 to 3).flatMap(_ => once()).sorted
-            spark.sparkContext.removeSparkListener(m)
-            val timing =
-              if (runs.isEmpty) "null"
-              else s"[${runs.head},${runs(runs.size / 2)},${runs.last}]"
-            s"${jstr(name)}:{" +
-              s""""sec_min_med_max":$timing,""" +
-              s""""shuffle_write_bytes":${m.shuffleWrite.get},""" +
-              s""""shuffle_read_bytes":${m.shuffleRead.get},""" +
-              s""""mem_spill_bytes":${m.memSpill.get},""" +
-              s""""disk_spill_bytes":${m.diskSpill.get}}"""
-        }
-        docsK.unpersist(blocking = false)
-        (entries :+
-          s""""rows_10x":$rowsK,"lsh_pairs_1x":$pairs1x,"lsh_pairs_10x":$pairs10x,"lsh_pair_ratio":${
-            if (pairs1x == 0) -1.0 else pairs10x.toDouble / pairs1x}""")
-          .mkString("{", ",", "}")
-      }
+      else runStressBlock(10)
+    // Opt-in deep-scale point (e.g. SPARK_GRAFT_STRESS_HI=40): verifies
+    // the planes ≈ log2(n/16) geometry rule holds CONTINUOUSLY, not just
+    // at 10×. Off by default so the driver's bench stays bounded.
+    val stressHiJson = sys.env.get("SPARK_GRAFT_STRESS_HI") match {
+      case Some(s) if s.matches("[0-9]+") && s.toInt > 1 => runStressBlock(s.toInt)
+      case _ => "{}"
+    }
+
+    // errs is rendered AFTER the stress block so stress pipeline failures
+    // (appended to `errors` inside runStressBlock) reach the artifact.
+    val errs = errors.reverse
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
 
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"retried":$retriedJson,"stress_10x":$stressJson,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost]}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"retried":$retriedJson,"stress_10x":$stressJson,"stress_hi":$stressHiJson,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost]}""")
     spark.stop()
   }
 

@@ -620,8 +620,19 @@ object GeoOverlay {
   }
 
   /** Union with at least one lineal side: the areal part absorbs
-    * covered linework; uncovered linework rides along in a collection
-    * (reference stUnion over mixed types returns exactly this shape). */
+    * covered linework; uncovered linework rides along in a collection.
+    *
+    * This absorb IS the reference's observable output shape: stUnion
+    * unions per dimension (the Esri geometry-api issue #199 workaround,
+    * presto-geospatial/.../GeoFunctions.java:603-648) but then passes the
+    * combined collection through `flattenAndRemoveOverlaps()`, which
+    * REMOVES lower-dimension parts covered by higher ones — the
+    * reference's own expectation pins it
+    * (presto-geospatial/.../TestGeoFunctions.java:987: the lineal union
+    * LINESTRING (1 1, 4 1), partially covered by the unioned polygon's
+    * boundary and interior, survives only as LINESTRING (3 1, 4 1)).
+    * Boundary-covered linework is absorbed exactly like
+    * interior-covered linework, per that same case. */
   def unionMixed(a: Geom, b: Geom): Geom = {
     val (areals, lineals) = Vector(a, b).partition(g => arealParts(g).nonEmpty)
     val arealPart: Option[Geom] =

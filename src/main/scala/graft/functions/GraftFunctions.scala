@@ -178,8 +178,13 @@ object GraftFunctions {
       // entirely, letting merged counts UNDERestimate true frequencies —
       // the sketch's guarantee is overestimate-only. Exact regime
       // (capacity ≥ distinct values) never evicts, so corpus results are
-      // unchanged. Fold order is fixed (count desc, key) so the result
-      // does not depend on which partition arrives first.
+      // unchanged and — since no entry is ever dropped — partition
+      // arrival order cannot matter there. In the EVICTION regime the
+      // merge is asymmetric (b2 folds into b1), so merge(a,b) and
+      // merge(b,a) can keep different keys; the overestimate guarantee
+      // holds either way, order-independence does NOT. The fixed fold
+      // order (count desc, key) only pins which of b2's own entries
+      // fold first, for reproducibility of a single merge call.
       val buckets = math.max(b1._1, b2._1)
       val cap = math.max(b1._2, b2._2)
       val merged = b2._3.toSeq.sortBy { case (k, c) => (-c, k) }

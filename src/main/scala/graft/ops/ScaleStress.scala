@@ -34,10 +34,36 @@ object ScaleStress {
         col("lang"), col("source"), col("n_chars"))
   }
 
+  /** The sign-LSH geometry rule as a CONTINUOUS function of corpus size,
+    * so any stress scale point (10×, 40×, …) picks its planes/tables the
+    * same way a 100-TB deployment would, instead of hand-chosen constants
+    * per point:
+    *  - planes ≈ log2(n/16) holds per-bucket occupancy ~constant (the
+    *    round-11 stress run measured what fixed buckets do: occupancy
+    *    ×10 → candidate pairs ×100, 22 GB spill);
+    *  - tables = the count that keeps ≥99% recall for a cosine-0.8 pair
+    *    under 1-bit multiprobe, derived from the collision probability
+    *    q = 1 - acos(0.8)/π per plane: P(hamming≤1) = q^p + p·q^(p-1)(1-q),
+    *    tables = ⌈ln(0.01)/ln(1-P)⌉.
+    * At 50k docs this yields (12, 16) — exactly the pair the round-11
+    * fix hand-derived; at 200k it yields (14, 23). */
+  def geometryFor(rows: Long): (Int, Int) = {
+    val planes = math.max(8,
+      math.ceil(math.log(math.max(rows, 32).toDouble / 16) / math.log(2)).toInt)
+    val q = 1 - math.acos(0.8) / math.Pi
+    val pHit = math.pow(q, planes) +
+      planes * math.pow(q, planes - 1) * (1 - q)
+    val tables = math.max(8, math.ceil(math.log(0.01) / math.log(1 - pHit)).toInt)
+    (planes, tables)
+  }
+
   /** The four stress pipelines over a (pre-materialized) documents
     * frame — the same public operators the corpus entries d02/d05/d07/
-    * d09 run, so a stress regression IS an operator regression. */
-  def pipelines(docs: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    * d09 run, so a stress regression IS an operator regression. The
+    * embedding pipeline's LSH geometry comes from [[geometryFor]] unless
+    * overridden. */
+  def pipelines(docs: DataFrame,
+      geometry: Option[(Int, Int)] = None): Seq[(String, () => DataFrame)] = Seq(
     "d02x_minhash" -> (() =>
       MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)),
     "d05x_training_pipeline" -> (() => {
@@ -51,18 +77,20 @@ object ScaleStress {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("bigint").as("total_chars"))
     }),
-    // The 10× run SCALES THE LSH GEOMETRY with the corpus: the first
+    // The stress run SCALES THE LSH GEOMETRY with the corpus: the first
     // stress measurement ran the 1× defaults (8 planes = 256 fixed
     // buckets) and caught quadratic candidate growth — bucket occupancy
     // rose 10×, candidate pairs ~100×, 22 GB of spill, 103 s. The
-    // standard sign-LSH scaling fixes it: planes 8→12 keeps bucket
-    // occupancy roughly constant (4096 buckets), and tables 8→16 holds
-    // recall (a cosine-0.8 pair's per-table multiprobe collision
-    // probability is ~0.26 at 12 planes; 16 tables → ~99% overall). At
-    // 100 TB the same rule applies continuously: planes ~ log2(n/16).
-    "d07x_embedding" -> (() =>
+    // [[geometryFor]] rule fixes it continuously: planes ~ log2(n/16)
+    // holds occupancy, tables rise to hold ≥99% recall.
+    "d07x_embedding" -> (() => {
+      val (p, t) = geometry.getOrElse {
+        // count() reads cached partitions (callers persist docs first)
+        geometryFor(docs.count())
+      }
       EmbeddingDedup.nearDuplicates(docs, "doc_id", "text", 0.8,
-        planes = 12, tables = 16)),
+        planes = p, tables = t)
+    }),
     "d09x_components" -> (() =>
       DupComponents.components(
         MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)

@@ -187,6 +187,18 @@ class GeoOverlaySpec extends AnyFunSuite {
     }
     val inside = GeoOverlay.unionMixed(p("LINESTRING (2 2, 8 8)"), p(sq10))
     assert(geomEquals(inside, p(sq10)).contains(true))
+    // Boundary-covered linework is absorbed too — the reference's own
+    // expectation (TestGeoFunctions.java:987): LINESTRING (1 1, 4 1)
+    // along the bottom edge of POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))
+    // survives only as the uncovered LINESTRING (3 1, 4 1).
+    val onEdge = GeoOverlay.unionMixed(
+      p("LINESTRING (1 1, 4 1)"), p("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))
+    onEdge match {
+      case GCollection(parts) =>
+        assert(parts.length === 2)
+        assert(GeoFunctions.print(parts(1)) === "LINESTRING (3 1, 4 1)")
+      case other => fail(s"expected GEOMETRYCOLLECTION, got ${GeoFunctions.print(other)}")
+    }
   }
 
   test("DE-9IM full matrices match the published values") {
