@@ -1416,6 +1416,13 @@ object Dialect {
     * token). */
   private def rewriteStatement(q: String): String = {
     val base = q
+      // graft session property: ANSI arithmetic-error semantics (the
+      // reference always raises on 1/0 and overflow — BigintOperators
+      // .java:114,126; Spark's non-ANSI default returns NULL). The
+      // property name maps onto Spark's own switch so EXPLAIN/SET output
+      // stays inspectable.
+      .replaceFirst("(?i)^(\\s*)set\\s+session\\s+ansi_errors\\s*=",
+        "$1SET spark.sql.ansi.enabled =")
       .replaceFirst("(?i)^(\\s*)set\\s+session\\s+", "$1SET ")
       .replaceFirst("(?i)^(\\s*)show\\s+session\\s*$", "$1SET")
       .replaceFirst("[;\\s]+$", "")
@@ -1431,8 +1438,130 @@ object Dialect {
   }
 
   def translate(query: String): String =
-    injectNullOrdering(rewrite(rewriteUnnest(
-      rewriteCreateFunction(rewriteStatement(query)))))
+    injectNullOrdering(normalizeZonedValues(rewrite(rewriteUnnest(
+      rewriteCreateFunction(rewriteStatement(query))))))
+
+  // ------------------------------------------------------ TSWTZ post-pass
+
+  private val ZoneCallPrefixRe = "(?is)^(at_timezone|with_timezone)\\s*\\(".r
+
+  /** The whole trimmed string is exactly one at_timezone/with_timezone
+    * call → (function name lowercased, its two argument texts). */
+  private def wholeZoneCall(s: String): Option[(String, Seq[String])] = {
+    val t = s.trim
+    ZoneCallPrefixRe.findPrefixMatchOf(t).flatMap { m =>
+      parseParenArgs(t, m.end - 1) match {
+        case Some((args, after)) if after == t.length && args.lengthCompare(2) == 0 =>
+          Some((m.group(1).toLowerCase, args))
+        case _ => None
+      }
+    }
+  }
+
+  /** TSWTZ value-semantics post-pass over the REWRITTEN text, where
+    * every zone spelling (`AT TIME ZONE`, at_timezone, with_timezone)
+    * has been normalized to a function call. The reference packs (millis,
+    * zoneKey) per VALUE (presto-common/.../type/DateTimeEncoding.java:
+    * 34-41); the narrowed model (README "Time zone semantics") shifts to
+    * the value's wall clock at the at_timezone boundary, which gets
+    * extraction and rendering right — including dynamic zones from
+    * columns — but leaves three spellings where the reference speaks the
+    * INSTANT or the VALUE'S ZONE and the bare shift does not:
+    *
+    *  1. CHAINS: `ts AT TIME ZONE 'A' AT TIME ZONE 'B'` re-zones the
+    *     same instant in the reference; a double shift would compound
+    *     offsets. at_timezone directly over at_timezone collapses to the
+    *     innermost operand + outermost zone.
+    *  2. ZONE FIELDS: timezone_hour/timezone_minute of an
+    *     at_timezone/with_timezone result report the VALUE's zone offset
+    *     at the value's instant (DateTimeFunctions.java timeZoneHourFromTimestampWithTimeZone);
+    *     rewritten to the offset computed from the zone argument —
+    *     works for literal AND column zones, DST-correct.
+    *  3. COMPARISONS: TSWTZ compares on the instant in the reference
+    *     (a plain-TIMESTAMP other side coerces via the session zone,
+    *     which is the same instant under the narrowing). An at_timezone
+    *     call adjacent to =, <>, !=, <, <=, >, >= is stripped to its
+    *     instant operand. with_timezone results already carry the
+    *     correct instant. NOT COVERED (documented): BETWEEN / IN
+    *     operands, ORDER BY and GROUP BY keys (single-zone ORDER BY is
+    *     order-preserving under a constant offset; cross-zone grouping
+    *     of identical instants remains split — README).
+    */
+  private def normalizeZonedValues(q: String): String = {
+    // comparison op right before the emitted text, ignoring lambda "->"
+    def behindComp(out: StringBuilder): Boolean = {
+      var e = out.length
+      while (e > 0 && out(e - 1).isWhitespace) e -= 1
+      if (e >= 2 && Set("<=", ">=", "<>", "!=").contains(out.substring(e - 2, e)))
+        return true
+      if (e >= 2 && out.substring(e - 2, e) == "->") return false
+      e >= 1 && "=<>".contains(out(e - 1))
+    }
+    def aheadComp(from: Int): Boolean = {
+      val k = nextNonSpace(q, from)
+      if (k >= q.length) false
+      else if (k + 2 <= q.length &&
+        Set("<=", ">=", "<>", "!=").contains(q.substring(k, k + 2))) true
+      else if (k + 2 <= q.length && q.substring(k, k + 2) == "->") false
+      else "=<>".contains(q(k))
+    }
+    val out = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c == '\'') {
+        val e = literalEnd(q, i); out.append(q.substring(i, e)); i = e
+      } else if (c == '`' || c == '"') {
+        var e = i + 1
+        while (e < q.length && q(e) != c) e += 1
+        out.append(q.substring(i, math.min(e + 1, q.length))); i = e + 1
+      } else if (isWordChar(c) && (i == 0 || !isWordChar(q(i - 1)))) {
+        var j = i
+        while (j < q.length && isWordChar(q(j))) j += 1
+        val word = q.substring(i, j)
+        val lower = word.toLowerCase
+        val k = nextNonSpace(q, j)
+        if ((lower == "at_timezone" || lower == "with_timezone") &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
+          val (args, after) = parseParenArgs(q, k).get
+          val a0 = normalizeZonedValues(args.head).trim
+          val a1 = normalizeZonedValues(args(1)).trim
+          // chain collapse: the inner at_timezone's shift is rendering
+          // only — its instant is its own operand
+          val operand = wholeZoneCall(a0) match {
+            case Some(("at_timezone", inner)) if lower == "at_timezone" =>
+              normalizeZonedValues(inner.head).trim
+            case _ => a0
+          }
+          if (lower == "at_timezone" && (behindComp(out) || aheadComp(after)))
+            out.append(s"($operand)") // instant comparison
+          else
+            out.append(s"$lower($operand, $a1)")
+          i = after
+        } else if ((lower == "timezone_hour" || lower == "timezone_minute") &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists { case (args, _) =>
+              args.lengthCompare(1) == 0 &&
+                wholeZoneCall(normalizeZonedValues(args.head)).isDefined }) {
+          val (args, after) = parseParenArgs(q, k).get
+          val (fn, zargs) = wholeZoneCall(normalizeZonedValues(args.head)).get
+          val zone = zargs(1).trim
+          val inst =
+            if (fn == "at_timezone") s"(${zargs.head.trim})"
+            else s"to_utc_timestamp(${zargs.head.trim}, $zone)"
+          val off =
+            s"(to_unix_timestamp(from_utc_timestamp($inst, $zone)) - " +
+              s"to_unix_timestamp($inst))"
+          out.append(
+            if (lower == "timezone_hour") s"CAST($off div 3600 AS BIGINT)"
+            else s"CAST(($off div 60) % 60 AS BIGINT)")
+          i = after
+        } else { out.append(word); i = j }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** SQL-invoked function DDL (reference: presto-parser/.../SqlBase.g4:72-77
     * `createFunction` with `routineCharacteristics` + `routineBody`;
@@ -1683,6 +1812,178 @@ object Dialect {
 
   private def lastPart(name: String): String =
     name.substring(name.lastIndexOf('.') + 1).toLowerCase
+
+  // ----------------------------------------------------- enum value maps
+
+  /** A value-map enum type (reference: presto-common/.../type/
+    * BigintEnumType.java `LongEnumMap` / VarcharEnumType.java
+    * `VarcharEnumMap`). The reference registers these ONLY through the
+    * programmatic `addUserDefinedType` path (presto-tests/.../TestEnums
+    * .java:88-93 — no public SQL grammar creates one), so graft defines
+    * the natural spelling mirroring the signature:
+    *
+    *   CREATE TYPE test.enum.mood AS BIGINT ENUM ('HAPPY' = 0, 'SAD' = 1)
+    *   CREATE TYPE test.enum.country AS VARCHAR ENUM ('US' = 'United States')
+    *
+    * Keys normalize to UPPER CASE (TypeUtils.normalizeEnumMap) and must
+    * be unique; member access `test.enum.mood.happy` is case-insensitive
+    * like the reference's (TestEnums testEnumHashOperators). Values are
+    * literals of the base type. An enum VALUE is represented as its
+    * underlying bigint/varchar (the reference's runtime representation —
+    * AbstractLongType/slice), so comparisons, grouping and casts TO the
+    * base type are free; CAST to the enum type checks value membership
+    * and raises the reference's "No value 'x' in enum" error
+    * (type/EnumCasts.java:44-52), with TRY_CAST null-on-miss. KNOWN
+    * NARROWING: enum values are not NOMINALLY typed — casting one enum's
+    * value to another enum fails only if the value is not in the target's
+    * value set (the reference rejects cross-enum casts and comparisons at
+    * analysis time). */
+  final case class EnumDef(base: String, entries: Seq[(String, String)]) {
+    def valueOf(key: String): Option[String] =
+      entries.find(_._1 == key.toUpperCase(java.util.Locale.ROOT)).map(_._2)
+    def kindName: String = if (base == "bigint") "BigintEnum" else "VarcharEnum"
+    def typed(sql: String): String =
+      if (base == "bigint") s"CAST($sql AS BIGINT)" else s"CAST($sql AS STRING)"
+  }
+
+  private val EnumDefRe = "(?is)^\\s*(bigint|varchar)\\s+enum\\s*\\((.*)\\)\\s*$".r
+  private val EnumEntryRe = "(?is)^\\s*'((?:[^']|'')*)'\\s*=\\s*(.+?)\\s*$".r
+
+  /** Parse a CREATE TYPE definition as an enum value map; None when the
+    * definition is a row/distinct shape (the established k32 paths). */
+  def parseEnumDef(definition: String): Option[EnumDef] = definition.trim match {
+    case EnumDefRe(base, body) =>
+      val b = base.toLowerCase
+      val entries = splitTopLevel(body).map { e =>
+        e.trim match {
+          case EnumEntryRe(key, value) =>
+            val v = value.trim
+            require(
+              if (b == "varchar") v.startsWith("'") && v.endsWith("'")
+              else v.matches("[+-]?\\d+"),
+              s"enum value $v does not match base type $base")
+            (key.replace("''", "'").toUpperCase(java.util.Locale.ROOT), v)
+          case other => throw new IllegalArgumentException(
+            s"malformed enum entry '$other' — expected 'KEY' = <literal>")
+        }
+      }
+      require(entries.map(_._1).distinct.lengthCompare(entries.length) == 0,
+        s"duplicate enum key after upper-case normalization in: $definition")
+      Some(EnumDef(b, entries))
+    case _ => None
+  }
+
+  /** Substitute registered enum spellings in a query BEFORE type-alias
+    * substitution: member literals `name.KEY` become the underlying
+    * value, and `CAST(x AS name)` / `TRY_CAST(x AS name)` become
+    * membership-checked expressions. Remaining bare uses of the name
+    * (nested type positions like `row(y test.enum.mood)`) are left for
+    * the distinct-alias pass, which resolves them to the base type. */
+  def substituteEnums(
+      sql: String, enums: scala.collection.Map[String, EnumDef]): String = {
+    if (enums.isEmpty) return sql
+    // 1. member literals, literal-aware, longest name first
+    def members(span: String): String =
+      enums.toSeq.sortBy(-_._1.length).foldLeft(span) {
+        case (acc, (name, ed)) =>
+          val re = ("(?iu)(?<![\\w.])" + java.util.regex.Pattern.quote(name) +
+            "\\.(?:\"([^\"]+)\"|([\\p{L}\\p{N}_]+))").r
+          re.replaceAllIn(acc, m => {
+            val key = Option(m.group(1)).getOrElse(m.group(2))
+            val v = ed.valueOf(key).getOrElse(throw new IllegalArgumentException(
+              s"No key '$key' in enum '$name'"))
+            java.util.regex.Matcher.quoteReplacement(
+              if (ed.base == "bigint") s"CAST($v AS BIGINT)" else v)
+          })
+      }
+    val afterMembers = {
+      val out = new StringBuilder
+      var i = 0
+      var spanStart = 0
+      while (i < sql.length) {
+        if (sql.charAt(i) == '\'') {
+          out.append(members(sql.substring(spanStart, i)))
+          val e = literalEnd(sql, i)
+          out.append(sql.substring(i, e)); i = e; spanStart = e
+        } else i += 1
+      }
+      out.append(members(sql.substring(spanStart)))
+      out.toString
+    }
+    // 2. CAST sites (paren-aware, innermost-first via recursion)
+    rewriteEnumCasts(afterMembers, enums)
+  }
+
+  private def rewriteEnumCasts(
+      q: String, enums: scala.collection.Map[String, EnumDef]): String = {
+    // last top-level " AS " inside a CAST argument → (expr, target type)
+    def splitCastArg(arg: String): Option[(String, String)] = {
+      var depth = 0
+      var i = 0
+      var last = -1
+      while (i < arg.length) {
+        val c = arg(i)
+        if (c == '\'') i = literalEnd(arg, i)
+        else {
+          if (c == '(' || c == '[') depth += 1
+          else if (c == ')' || c == ']') depth -= 1
+          else if (depth == 0 && (c == 'a' || c == 'A') &&
+              i + 1 < arg.length && (arg(i + 1) == 's' || arg(i + 1) == 'S') &&
+              (i == 0 || !isWordChar(arg(i - 1))) &&
+              (i + 2 >= arg.length || !isWordChar(arg(i + 2))))
+            last = i
+          i += 1
+        }
+      }
+      if (last <= 0) None
+      else Some((arg.substring(0, last).trim, arg.substring(last + 2).trim))
+    }
+    val out = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c == '\'') { val e = literalEnd(q, i); out.append(q.substring(i, e)); i = e }
+      else if (isWordChar(c) && (i == 0 || !isWordChar(q(i - 1)))) {
+        var j = i
+        while (j < q.length && isWordChar(q(j))) j += 1
+        val word = q.substring(i, j)
+        val lower = word.toLowerCase
+        val k = nextNonSpace(q, j)
+        val handled = (lower == "cast" || lower == "try_cast") &&
+          k < q.length && q(k) == '(' && {
+            parseParenArgs(q, k) match {
+              case Some((args, after)) if args.lengthCompare(1) == 0 =>
+                val inner = rewriteEnumCasts(args.head, enums)
+                splitCastArg(inner) match {
+                  case Some((expr, tpe)) if enums.contains(tpe.toLowerCase) =>
+                    val ed = enums(tpe.toLowerCase)
+                    val typed = ed.typed(s"($expr)")
+                    val values = ed.entries.map(_._2).mkString(", ")
+                    val miss =
+                      if (lower == "try_cast")
+                        s"CAST(NULL AS ${if (ed.base == "bigint") "BIGINT" else "STRING"})"
+                      else ed.typed(
+                        s"raise_error(concat('No value ''', " +
+                          s"CAST(($expr) AS STRING), " +
+                          s"''' in enum ''${ed.kindName}'''))")
+                    out.append(
+                      s"CASE WHEN $typed IN ($values) THEN $typed ELSE $miss END")
+                    i = after
+                    true
+                  case _ =>
+                    out.append(word).append(q.substring(j, k))
+                      .append('(').append(inner).append(')')
+                    i = after
+                    true
+                }
+              case _ => false
+            }
+          }
+        if (!handled) { out.append(word); i = j }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   def classifyPrepared(q: String): Option[PreparedOp] = q match {
     case PrepareRe(name, body) => Some(PrepareStmt(name.toLowerCase, body))

@@ -26,6 +26,19 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ANSI error semantics — Spark 4's own default, pinned explicitly
+      // because the engine RELIES on it in two ways: (1) the reference
+      // raises on division by zero / numeric overflow (presto-main/.../
+      // type/BigintOperators.java:114,126) and ANSI mode matches that
+      // exactly, with TRY(...) null-on-error in both engines (corpus
+      // n07); (2) the ConcatArrayElement resolution rule needs ANSI
+      // coercion to keep `ARRAY[1] || 2` un-stringified (see its
+      // COUPLING note). `SET SESSION ansi_errors = false` opts a
+      // session into Spark's legacy NULL-on-error arithmetic;
+      // SPARK_GRAFT_ANSI=false starts the whole session that way (for
+      // corpus-wide experiments, not for production use).
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
       // Tables.load (Spark has no nanos timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -200,7 +213,8 @@ object Engine {
     // method first resolves the session's user-defined type names
     // (CREATE TYPE), then runs the dialect translation
     def translate(q: String): String =
-      Dialect.translate(substituteTypes(spark, q))
+      Dialect.translate(substituteTypes(spark,
+        Dialect.substituteEnums(q, enumsFor(spark))))
     ExplainIoRe.findFirstMatchIn(query) match {
       case Some(m) =>
         // EXPLAIN (TYPE IO) — the reference's I/O plan document
@@ -371,11 +385,22 @@ object Engine {
             s"(catalog.schema.name — the reference stores user-defined " +
             s"types in a function namespace), got '$name'")
         require(!typesFor(spark).contains(name), s"Type already exists: $name")
-        val resolved = substituteTypes(spark, definition).trim
-        val stored =
-          if (resolved.startsWith("(")) "ROW " + resolved // structural row
-          else resolved                                   // distinct alias
-        typesFor(spark).put(name, stored)
+        Dialect.parseEnumDef(definition) match {
+          case Some(ed) =>
+            // enum value map (Dialect.EnumDef Scaladoc). The name ALSO
+            // registers as a distinct alias of the base type so nested
+            // type positions (row(y test.enum.mood)) resolve; CAST sites
+            // get the membership check via substituteEnums.
+            enumsFor(spark).put(name, ed)
+            typesFor(spark).put(name,
+              if (ed.base == "bigint") "bigint" else "varchar")
+          case None =>
+            val resolved = substituteTypes(spark, definition).trim
+            val stored =
+              if (resolved.startsWith("(")) "ROW " + resolved // structural row
+              else resolved                                   // distinct alias
+            typesFor(spark).put(name, stored)
+        }
         spark.sql(s"SELECT 'CREATE TYPE' AS result, '$name' AS type")
       case Some(Dialect.UseStmt(schema)) =>
         val known = Set("graft", "default", "graft.default", "memory.default")
@@ -402,6 +427,7 @@ object Engine {
   private val viewsFor = new SessionStore[String]
   private val matViewsFor = new SessionStore[graft.plans.Views.MatView]
   private val typesFor = new SessionStore[String]
+  private val enumsFor = new SessionStore[Dialect.EnumDef]
 
   /** Resolve registered user-defined type names (qualified, so they
     * cannot collide with bare column identifiers) to their stored

@@ -29,8 +29,13 @@ package graft.functions
   *
   * Robustness model: double arithmetic with a scale-relative tolerance
   * (1e-9·max|coord|) for identifying coincident points — the same model
-  * the rest of GeoFunctions uses. Not exact-arithmetic; adversarial
-  * near-degenerate inputs beyond the tolerance are out of contract.
+  * the rest of GeoFunctions uses. ORIENTATION decisions are exact
+  * (Shewchuk-filtered [[orient]]: double fast path, BigDecimal-exact
+  * fallback inside the rounding-error band), so near-degenerate sign
+  * classifications cannot flip with evaluation noise; coordinate
+  * CONSTRUCTION (crossing points, buffers) remains double-precision
+  * with tolerance clustering, which is the documented contract for
+  * coincidence decisions.
   */
 object GeoOverlay {
   import GeoFunctions._
@@ -42,8 +47,49 @@ object GeoOverlay {
 
   private def segLen(a: Pt, b: Pt): Double = Math.hypot(b.x - a.x, b.y - a.y)
 
-  private def orient(o: Pt, a: Pt, b: Pt): Double =
-    (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+  /** Orientation determinant with a Shewchuk-style floating-point
+    * filter (round-12): the straight double evaluation is kept when its
+    * magnitude exceeds the a-priori rounding-error bound (the A-stage of
+    * Shewchuk, "Adaptive Precision Floating-Point Arithmetic and Fast
+    * Robust Geometric Predicates", 1997 — public algorithm); inside the
+    * uncertainty band the determinant is recomputed EXACTLY in
+    * BigDecimal (doubles are exact rationals, so -,× on them are exact)
+    * and the exact sign is returned. Near-degenerate inputs at
+    * 1e-12-scale perturbations now classify consistently instead of
+    * flipping with evaluation noise; callers use the SIGN for
+    * classification and the o3/(o3-o4) ratio for crossing parameters,
+    * which the tolerance-clustering point pool absorbs either way. */
+  private val CcwErrBoundA = {
+    val eps = Math.ulp(1.0) / 2 // 2^-53, Shewchuk's machine epsilon
+    (3.0 + 16.0 * eps) * eps
+  }
+
+  private[graft] def orient(o: Pt, a: Pt, b: Pt): Double = {
+    val detLeft = (a.x - o.x) * (b.y - o.y)
+    val detRight = (a.y - o.y) * (b.x - o.x)
+    val det = detLeft - detRight
+    // opposite (or zero) term signs decide the sign outright
+    val detSum =
+      if (detLeft > 0) { if (detRight <= 0) return det else detLeft + detRight }
+      else if (detLeft < 0) {
+        if (detRight >= 0) return det else -detLeft - detRight
+      } else return det
+    if (det >= CcwErrBoundA * detSum || -det >= CcwErrBoundA * detSum) det
+    else {
+      // java.math.BigDecimal: new BigDecimal(double) is the EXACT binary
+      // expansion (scala.BigDecimal(double) goes through Double.toString
+      // — the shortest decimal, a DIFFERENT number near ties — and its
+      // default MathContext rounds products; both would break exactness)
+      def jbd(d: Double) = new java.math.BigDecimal(d)
+      val exact = jbd(a.x).subtract(jbd(o.x)).multiply(jbd(b.y).subtract(jbd(o.y)))
+        .subtract(jbd(a.y).subtract(jbd(o.y)).multiply(jbd(b.x).subtract(jbd(o.x))))
+      if (exact.signum == 0) 0.0
+      else {
+        val d = exact.doubleValue
+        if (d != 0.0) d else exact.signum * java.lang.Double.MIN_NORMAL
+      }
+    }
+  }
 
   private def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
     val dx = b.x - a.x; val dy = b.y - a.y

@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
   *    dense arrays in the projection path, one shuffle on the doc key.
   *  - Candidates come from a self-equi-join on (table, lshBucket) with
   *    1-bit multiprobe expansion on the build side; never all pairs.
-  *    Expected scan fraction ~ tables*(1+planes)/2^planes.
-  *  - Verification joins the candidate pair ids back to the dense
-  *    vectors and scores with the native codegen dot product
-  *    ([[VectorSearch.cosine]] / graft_dot).
+  *    Expected scan fraction ~ tables*(1+planes)/2^planes. Pairs must
+  *    agree in >=2 independent tables (when tables >= 4) before
+  *    verification — hash accidents rarely repeat across independent
+  *    sign matrices, so most false candidates die before any dense
+  *    vector is shipped.
+  *  - Verification joins the surviving pair ids back to dense SMALLINT
+  *    vectors (counts are exact integers, so shorts halve the shuffled
+  *    bytes with bit-identical cosines) and scores with the native
+  *    codegen dot product ([[VectorSearch.cosine]] / graft_dot).
   *
   * Reference capability analog: the reference's nearest operator is
   * cosine_similarity over sparse maps (presto-main/src/main/java/com/
@@ -60,17 +65,28 @@ object EmbeddingDedup {
       .groupBy("__id", "__bucket")
       .agg(count(lit(1)).cast("double").as("__c"))
 
-  /** Dense float vector (length [[Dim]]) from the sparse counts — only
-    * materialized for the verification dot product, never for the LSH
-    * projection. */
+  /** Dense SMALLINT vector (length [[Dim]]) from the sparse counts —
+    * only materialized for the verification dot product, never for the
+    * LSH projection. Shorts, not floats: the counts are exact integers,
+    * so a short reads back to the identical double the float form would
+    * (bit-identical cosines) while the verify join — the pipeline's
+    * dominant shuffle at stress scale, two dense vectors per candidate
+    * pair — ships half the bytes. A per-document count that would
+    * overflow a short (>32767 distinct shingles in ONE of 256 buckets ≈
+    * an 8M-word document) fails loudly rather than wrapping. */
   private def densify(cnt: DataFrame): DataFrame =
     cnt.groupBy("__id")
       .agg(map_from_arrays(
-        collect_list("__bucket"), collect_list("__c")).as("__m"))
+        collect_list("__bucket"), collect_list("__c")).as("__m"),
+        max("__c").as("__mx"))
       .select(col("__id"),
-        transform(sequence(lit(0), lit(Dim - 1)),
-          i => coalesce(element_at(col("__m"), i), lit(0.0))
-            .cast("float")).as("__v"))
+        when(col("__mx") <= 32767.0,
+          transform(sequence(lit(0), lit(Dim - 1)),
+            i => coalesce(element_at(col("__m"), i), lit(0.0))
+              .cast("short")))
+          .otherwise(raise_error(concat(
+            lit("embedding shingle count overflows smallint: "),
+            col("__mx").cast("string")))).as("__v"))
 
   /** Broadcastable sign matrix: one row per (table, bucket) carrying
     * ALL plane signs for that coordinate as an array — the
@@ -133,7 +149,7 @@ object EmbeddingDedup {
     val raw = shingleCounts(df, idCol, textCol)
     if (!materialize)
       return pairsFrom(lshBuckets(raw, planes, tables), densify(raw),
-        minCosine, planes)
+        minCosine, planes, tables)
     // Persist every frame the candidate join consumes twice: the counts
     // feed both densify and the projection, the bucket assignment is both
     // sides of the self-join, and the vectors back both pair-id joins —
@@ -144,7 +160,8 @@ object EmbeddingDedup {
     val cnt = raw.persist(lvl)
     val vecs = densify(cnt).persist(lvl)
     val assign = lshBuckets(cnt, planes, tables).persist(lvl)
-    try pairsFrom(assign, vecs, minCosine, planes).localCheckpoint(eager = true)
+    try pairsFrom(assign, vecs, minCosine, planes, tables)
+      .localCheckpoint(eager = true)
     finally {
       assign.unpersist(blocking = false)
       vecs.unpersist(blocking = false)
@@ -155,19 +172,37 @@ object EmbeddingDedup {
   /** LSH candidates -> exact-cosine verification. */
   private def pairsFrom(
       assign: DataFrame, vecs: DataFrame,
-      minCosine: Double, planes: Int): DataFrame = {
+      minCosine: Double, planes: Int, tables: Int): DataFrame = {
     // 1-bit multiprobe on the left side only: XOR distance is symmetric,
     // so every hamming<=1 pair is found regardless of id order.
     val probes = assign.select(col("__id").as("id1"), col("__t"),
       explode(array(
         col("__lsh") +: (0 until planes)
           .map(j => col("__lsh").bitwiseXOR(lit(1 << j))): _*)).as("__probe"))
+    // Cross-table signature-agreement prefilter (replaces the bare
+    // distinct): per (pair, table) at most one probe can match (the
+    // right side's bucket is a single value and the probe set is
+    // distinct), so count(*) per pair IS the number of agreeing tables.
+    // A truly-similar pair collides in MANY tables — at the 0.8
+    // threshold and 8+ tables the expected agreement is >6 and
+    // P(agreement<2) is ~1e-4 even for a pair AT the threshold — while
+    // a hash-accident pair rarely repeats across independent sign
+    // matrices. Requiring >=2 agreeing tables kills most false
+    // candidates BEFORE any dense vector is joined or shipped: the
+    // verify join below is the pipeline's dominant shuffle at stress
+    // scale (BENCH_r11: 6.46 GB for d07x), and its input count is what
+    // this filter cuts. The same groupBy that deduplicated pairs anyway
+    // now also counts — no extra shuffle.
+    val minAgree = if (tables >= 4) 2 else 1
     val cands = probes
       .join(assign.select(col("__id").as("id2"), col("__t"),
           col("__lsh").as("__probe")),
         Seq("__t", "__probe"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("__agree"))
+      .filter(col("__agree") >= minAgree)
+      .select("id1", "id2")
     cands
       .join(vecs.select(col("__id").as("id1"), col("__v").as("__v1")), "id1")
       .join(vecs.select(col("__id").as("id2"), col("__v").as("__v2")), "id2")

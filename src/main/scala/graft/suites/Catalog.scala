@@ -771,7 +771,9 @@ object Catalog {
         |  CAST(3 AS BIGINT) AS ts_h,
         |  CAST(5 AS BIGINT) AS tz_h,
         |  CAST(30 AS BIGINT) AS tz_m,
-        |  CAST(-7 AS BIGINT) AS la_tz_h""".stripMargin) { (s, dir) =>
+        |  CAST(-7 AS BIGINT) AS la_tz_h,
+        |  CAST(-2 AS BIGINT) AS nst_h,
+        |  CAST(-30 AS BIGINT) AS nst_m""".stripMargin) { (s, dir) =>
       graft.Engine.sql(s, dir,
         """SELECT
           |  CAST(hour(TIME '10:00:00 +05:30') AS BIGINT) AS h_val,
@@ -782,7 +784,11 @@ object Catalog {
           |  timezone_hour(TIME '10:00:00 +05:30') AS tz_h,
           |  timezone_minute(TIME '10:00:00 +05:30') AS tz_m,
           |  timezone_hour(TIMESTAMP '2001-08-22 03:04:05 America/Los_Angeles')
-          |    AS la_tz_h""".stripMargin)
+          |    AS la_tz_h,
+          |  timezone_hour(TIMESTAMP '2001-08-22 03:04:05 America/St_Johns')
+          |    AS nst_h,
+          |  timezone_minute(TIMESTAMP '2001-08-22 03:04:05 America/St_Johns')
+          |    AS nst_m""".stripMargin)
     },
 
     // CREATE VIEW / query-through-view / DROP VIEW (reference: grammar
@@ -946,6 +952,123 @@ object Catalog {
           |  CAST(ROW(n_nationkey * 2, n_regionkey) AS graft.corpus.pair).snd AS snd,
           |  CAST(n_nationkey AS graft.corpus.num) AS dnum
           |FROM nation ORDER BY k""".stripMargin)
+    },
+
+    // TSWTZ value semantics through EXPRESSIONS (round-12; reference
+    // packs millis+zoneKey per value — DateTimeEncoding.java:34-41,
+    // DateTimeFunctions.java timeZoneHourFromTimestampWithTimeZone).
+    // The Dialect post-pass (normalizeZonedValues) makes three spellings
+    // speak the VALUE's zone / instant like the reference:
+    //  - at_timezone CHAINS re-zone the same instant (no double shift);
+    //  - timezone_hour/minute of at_timezone/with_timezone results
+    //    report the value zone's offset AT the value's instant — for
+    //    literal and COLUMN zones, DST-correct, including negative
+    //    fractional-hour zones (St_Johns -3:30) and +8:45 (Eucla);
+    //  - comparisons on at_timezone results compare instants.
+    // DuckDB's ICU AT TIME ZONE is the independent zone-rules oracle;
+    // offsets derive from epoch differences with toward-zero division
+    // (both engines' integer division truncates toward zero, matching
+    // the reference's Java semantics).
+    Qdef.duckOnly(
+      "k33_tswtz_value_zone",
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 24) * INTERVAL 1 HOUR AS ts,
+        |    CASE o_orderkey % 3 WHEN 0 THEN 'Asia/Kolkata'
+        |      WHEN 1 THEN 'America/St_Johns' ELSE 'Australia/Eucla' END AS z
+        |  FROM orders WHERE o_orderkey < 500),
+        |o AS (
+        |  SELECT o_orderkey, ts, z,
+        |    CAST(epoch(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE z AS TIMESTAMP))
+        |      - epoch(ts) AS BIGINT) AS off,
+        |    CAST(epoch(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Los_Angeles' AS TIMESTAMP))
+        |      - epoch(ts) AS BIGINT) AS la_off
+        |  FROM t)
+        |SELECT o_orderkey,
+        |  hour(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Los_Angeles' AS TIMESTAMP)) AS chain_h,
+        |  off // 3600 AS tzh,
+        |  (off // 60) % 60 AS tzm,
+        |  la_off // 3600 AS la_tzh,
+        |  TRUE AS eq_instant,
+        |  FALSE AS lt_instant
+        |FROM o ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """WITH t AS (
+          |  SELECT o_orderkey,
+          |    date_add('hour', CAST(o_orderkey % 24 AS INTEGER),
+          |             CAST(o_orderdate AS TIMESTAMP)) AS ts,
+          |    CASE o_orderkey % 3 WHEN 0 THEN 'Asia/Kolkata'
+          |      WHEN 1 THEN 'America/St_Johns' ELSE 'Australia/Eucla' END AS z
+          |  FROM orders WHERE o_orderkey < 500)
+          |SELECT o_orderkey,
+          |  CAST(hour(ts AT TIME ZONE 'Asia/Kolkata'
+          |            AT TIME ZONE 'America/Los_Angeles') AS BIGINT) AS chain_h,
+          |  timezone_hour(at_timezone(ts, z)) AS tzh,
+          |  timezone_minute(at_timezone(ts, z)) AS tzm,
+          |  timezone_hour(ts AT TIME ZONE 'America/Los_Angeles') AS la_tzh,
+          |  at_timezone(ts, 'Asia/Kolkata') = at_timezone(ts, 'America/New_York')
+          |    AS eq_instant,
+          |  at_timezone(ts, 'Asia/Kolkata') < ts AS lt_instant
+          |FROM t ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Enum value-map types (round-12; reference: presto-common/.../type/
+    // BigintEnumType.java LongEnumMap, VarcharEnumType.java
+    // VarcharEnumMap, casts type/EnumCasts.java:44-52, behavior
+    // presto-tests/.../TestEnums.java — the reference has NO public SQL
+    // spelling for creating one, so graft defines CREATE TYPE … AS
+    // BIGINT|VARCHAR ENUM ('KEY' = value, …) mirroring the signature).
+    // Exercises: member literals (case-insensitive keys), casts in/out
+    // with value-membership validation, TRY_CAST null-on-miss, enum
+    // comparisons/IN, enums nested in ROW casts, and the invalid-value
+    // rejection ("No value '7' in enum 'BigintEnum'") observed
+    // driver-side. Values mirror TestEnums' mood/country maps.
+    Qdef.duckOnly(
+      "k34_enum_types",
+      """SELECT
+        |  CAST(0 AS BIGINT) AS happy_v,
+        |  CAST(2147483657 AS BIGINT) AS mellow_v,
+        |  CAST(-2 AS BIGINT) AS curious_v,
+        |  CAST(1 AS BIGINT) AS sad_cast,
+        |  'The Bahamas' AS bahamas,
+        |  CAST(NULL AS BIGINT) AS bad_try,
+        |  CAST(NULL AS VARCHAR) AS bad_try_v,
+        |  TRUE AS happy_eq,
+        |  TRUE AS in_list,
+        |  CAST(1 AS BIGINT) AS row_y,
+        |  TRUE AS cast_7_raises""".stripMargin) { (s, dir) =>
+      def ddl(q: String): Unit =
+        try { graft.Engine.sql(s, dir, q).collect(); () }
+        catch { case e: Exception
+          if Option(e.getMessage).exists(_.contains("already exists")) => () }
+      ddl("CREATE TYPE graft.corpus.mood AS BIGINT ENUM " +
+        "('HAPPY' = 0, 'SAD' = 1, 'MELLOW' = 2147483657, 'curious' = -2)")
+      ddl("CREATE TYPE graft.corpus.country AS VARCHAR ENUM " +
+        "('US' = 'United States', 'BAHAMAS' = 'The Bahamas', 'FRANCE' = 'France')")
+      val rejects =
+        try {
+          graft.Engine.sql(s, dir,
+            "SELECT CAST(7 AS graft.corpus.mood) AS x").collect()
+          false
+        } catch {
+          case e: Throwable =>
+            (e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+              .contains("No value '7' in enum 'BigintEnum'")
+        }
+      graft.Engine.sql(s, dir,
+        s"""SELECT
+           |  graft.corpus.mood.happy AS happy_v,
+           |  CAST(graft.corpus.mood.MELLOW AS BIGINT) AS mellow_v,
+           |  graft.corpus.mood.CURIOUS AS curious_v,
+           |  CAST(1 AS graft.corpus.mood) AS sad_cast,
+           |  CAST('The Bahamas' AS graft.corpus.country) AS bahamas,
+           |  TRY_CAST(7 AS graft.corpus.mood) AS bad_try,
+           |  TRY_CAST('Xx' AS graft.corpus.country) AS bad_try_v,
+           |  graft.corpus.mood.HAPPY = CAST(0 AS graft.corpus.mood) AS happy_eq,
+           |  graft.corpus.mood.SAD IN
+           |    (graft.corpus.mood.HAPPY, graft.corpus.mood.SAD) AS in_list,
+           |  CAST(ROW(1, 1) AS ROW(x BIGINT, y graft.corpus.mood)).y AS row_y,
+           |  $rejects AS cast_7_raises""".stripMargin)
     }
   )
 }

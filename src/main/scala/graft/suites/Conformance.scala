@@ -134,6 +134,63 @@ object Conformance {
           expr("entropy(o_totalprice)").as("ent"),
           expr("td_value_at_quantile(tdigest_agg(o_totalprice), 0.5)").as("td_p50"),
           expr("value_at_quantile(qdigest_agg(o_totalprice), 0.5)").as("qd_p50"))
+    },
+
+    // ANSI arithmetic-error semantics (round-12; reference: division by
+    // zero and numeric overflow RAISE — presto-main/.../type/
+    // BigintOperators.java:114,126 DIVISION_BY_ZERO/NUMERIC_VALUE_OUT_OF_
+    // RANGE). The engine's DEFAULT session (Spark 4's own ANSI default,
+    // pinned in Engine.session) matches the reference's raising
+    // semantics exactly, with Spark's error classes; TRY(...) stays
+    // null-on-error like the reference's TRY over a raising expression.
+    // `SET SESSION ansi_errors = false` opts into Spark's legacy
+    // NULL-on-error arithmetic. The probes run EAGERLY inside the
+    // builder (driver-side try/catch — a lazily-built frame would
+    // evaluate after the conf restore), and the entry's value is the
+    // observed outcome table.
+    Qdef.duckOnly(
+      "n07_ansi_error_semantics",
+      """SELECT * FROM (VALUES
+        |  ('div_zero',      'DIVIDE_BY_ZERO'),
+        |  ('long_overflow', 'ARITHMETIC_OVERFLOW'),
+        |  ('cast_overflow', 'CAST_OVERFLOW'),
+        |  ('cast_malformed','CAST_INVALID_INPUT'),
+        |  ('mod_zero',      'REMAINDER_BY_ZERO'),
+        |  ('try_div_zero',  'NULL'),
+        |  ('try_overflow',  'NULL'),
+        |  ('try_cast_bad',  'NULL'),
+        |  ('legacy_div_zero', 'NULL')
+        |) AS t(probe, outcome) ORDER BY probe""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def outcomeOf(sql: String): String =
+        try {
+          val r = graft.Engine.sql(s, dir, sql).collect()
+          if (r.head.isNullAt(0)) "NULL" else r.head.get(0).toString
+        } catch {
+          case st: org.apache.spark.SparkThrowable
+            if st.getErrorClass != null => st.getErrorClass
+          case e: Throwable => e.getClass.getSimpleName
+        }
+      val prev = s.conf.get("spark.sql.ansi.enabled", "true")
+      val ansi =
+        try {
+          graft.Engine.sql(s, dir, "SET SESSION ansi_errors = true").collect()
+          Seq(
+            "div_zero"       -> outcomeOf("SELECT 1/0"),
+            "long_overflow"  -> outcomeOf("SELECT 9223372036854775807 + 1"),
+            "cast_overflow"  -> outcomeOf("SELECT CAST(300 AS TINYINT)"),
+            "cast_malformed" -> outcomeOf("SELECT CAST('abc' AS INTEGER)"),
+            "mod_zero"       -> outcomeOf("SELECT MOD(10, 0)"),
+            "try_div_zero"   -> outcomeOf("SELECT TRY(1/0)"),
+            "try_overflow"   -> outcomeOf("SELECT TRY(9223372036854775807 + 1)"),
+            "try_cast_bad"   -> outcomeOf("SELECT TRY_CAST('abc' AS INTEGER)"))
+        } finally s.conf.set("spark.sql.ansi.enabled", prev)
+      val legacy =
+        try {
+          graft.Engine.sql(s, dir, "SET SESSION ansi_errors = false").collect()
+          Seq("legacy_div_zero" -> outcomeOf("SELECT 1/0"))
+        } finally s.conf.set("spark.sql.ansi.enabled", prev)
+      (ansi ++ legacy).toDF("probe", "outcome").orderBy("probe")
     }
   )
 }

@@ -1256,5 +1256,117 @@ object TpcdsShapes {
           .cast("double").as("sumsales"))
         .orderBy(col("sumsales").asc, col("ss_customer").asc)
         .limit(100)
+    },
+
+    // q95 shape (reference: presto-benchto-benchmarks/.../tpcds/q95.sql):
+    // an expensive self-joined CTE (ws_wh — orders shipped from more
+    // than one warehouse; here: orders with lines from more than one
+    // supplier) consumed by TWO IN-subqueries over the same fact scan —
+    // directly and through a returns join. Both INs must lower to
+    // LeftSemi hash joins (never a nested loop), and the repeated
+    // multi_supp subplan is where exchange reuse pays: PlanSpec pins the
+    // semi lowering and the reused exchange under the self-join.
+    Qdef(
+      "ds27_ship_semi_reuse",
+      """WITH multi_supp AS (
+        |  SELECT l1.l_orderkey AS okey
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        |)
+        |SELECT count(DISTINCT l_orderkey) AS order_cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total_net
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-02'
+        |  AND o_orderpriority = '1-URGENT'
+        |  AND l_orderkey IN (SELECT okey FROM multi_supp)
+        |  AND l_orderkey IN (
+        |    SELECT lr.l_orderkey
+        |    FROM lineitem lr JOIN multi_supp ON lr.l_orderkey = multi_supp.okey
+        |    WHERE lr.l_returnflag = 'R')""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val multiSupp = li.as("l1")
+        .join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+        .select(col("l1.l_orderkey").as("okey"))
+      val returnedMulti = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("rkey"))
+        .join(multiSupp, col("rkey") === col("okey"))
+        .select("rkey")
+      li.join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate").between("1996-01-01", "1996-03-02") &&
+          col("o_orderpriority") === "1-URGENT")
+        .join(multiSupp, col("l_orderkey") === col("okey"), "left_semi")
+        .join(returnedMulti, col("l_orderkey") === col("rkey"), "left_semi")
+        .agg(
+          countDistinct(col("l_orderkey")).as("order_cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("total_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,2)")).cast("double").as("total_net"))
+    },
+
+    // q23 shape (reference: .../tpcds/q23_1.sql): a multi-CTE
+    // max-over-aggregate threshold chain — frequent items (HAVING over a
+    // star join), a scalar MAX over per-customer sales, a best-customers
+    // aggregate thresholded against that scalar (HAVING … > 0.5 * (SELECT
+    // max …)), and a final windowed fact scan semi-joined against BOTH
+    // derived sets. Inner per-group sums are DECIMAL(18,2) so every
+    // threshold comparison is exact and order-independent in both
+    // engines. The scalar max lands as a 1-row broadcast; the two
+    // membership tests lower to LeftSemi joins.
+    Qdef(
+      "ds28_threshold_chain",
+      """WITH frequent_items AS (
+        |  SELECT l_partkey AS item_sk
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) IN (1993, 1994, 1995, 1996)
+        |  GROUP BY l_partkey HAVING count(*) > 4
+        |),
+        |max_sales AS (
+        |  SELECT max(csales) AS tpcds_cmax FROM (
+        |    SELECT o_custkey,
+        |      sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS csales
+        |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    WHERE year(o_orderdate) IN (1993, 1994, 1995, 1996)
+        |    GROUP BY o_custkey) x
+        |),
+        |best_customers AS (
+        |  SELECT o_custkey AS c_sk
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY o_custkey
+        |  HAVING sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2)))
+        |    > 0.5 * (SELECT tpcds_cmax FROM max_sales)
+        |)
+        |SELECT CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total_sales
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE year(o_orderdate) = 1997
+        |  AND l_partkey IN (SELECT item_sk FROM frequent_items)
+        |  AND o_custkey IN (SELECT c_sk FROM best_customers)""".stripMargin) { (s, dir) =>
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      val sales = (col("l_quantity") * col("l_extendedprice"))
+        .cast("decimal(18,2)")
+      val window4y = lo.filter(year(col("o_orderdate")).isin(1993, 1994, 1995, 1996))
+      val frequentItems = window4y.groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 4)
+        .select(col("l_partkey").as("item_sk"))
+      val maxSales = window4y.groupBy("o_custkey")
+        .agg(sum(sales).as("csales"))
+        .agg(max("csales").as("tpcds_cmax"))
+      val bestCustomers = lo.groupBy("o_custkey")
+        .agg(sum(sales).as("ssales"))
+        .join(broadcast(maxSales))
+        .filter(col("ssales") > col("tpcds_cmax") * 0.5)
+        .select(col("o_custkey").as("c_sk"))
+      lo.filter(year(col("o_orderdate")) === 1997)
+        .join(frequentItems, col("l_partkey") === col("item_sk"), "left_semi")
+        .join(bestCustomers, col("o_custkey") === col("c_sk"), "left_semi")
+        .agg(sum(sales).cast("double").as("total_sales"))
     })
 }

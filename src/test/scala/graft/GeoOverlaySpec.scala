@@ -358,6 +358,52 @@ class GeoOverlaySpec extends AnyFunSuite {
       p("LINESTRING (5 5, 15 5)"), p(donut)) === "101FF0212")
   }
 
+  test("orientation predicate: filtered sign agrees with exact arithmetic " +
+      "under 1e-12-scale perturbations") {
+    // Near-collinear triples where the naive double determinant's sign
+    // flips with evaluation noise: b sits on the line o->a nudged by a
+    // sub-rounding-error amount. The exact (BigDecimal) determinant is
+    // the ground truth; the filtered orient must agree on EVERY case.
+    val rnd = new scala.util.Random(20260814)
+    def jbd(d: Double) = new java.math.BigDecimal(d) // exact binary value
+    def exactSign(o: Pt, a: Pt, b: Pt): Int =
+      jbd(a.x).subtract(jbd(o.x)).multiply(jbd(b.y).subtract(jbd(o.y)))
+        .subtract(jbd(a.y).subtract(jbd(o.y)).multiply(jbd(b.x).subtract(jbd(o.x))))
+        .signum
+    var exercisedBand = 0
+    for (_ <- 1 to 50000) {
+      val o = Pt(rnd.nextDouble() * 24, rnd.nextDouble() * 24)
+      val a = Pt(o.x + rnd.nextDouble() * 12, o.y + rnd.nextDouble() * 12)
+      val t = rnd.nextDouble() * 2
+      val nudge = (rnd.nextInt(7) - 3) * 1e-12 * rnd.nextDouble()
+      val b = Pt(o.x + t * (a.x - o.x) + nudge, o.y + t * (a.y - o.y) - nudge)
+      val es = exactSign(o, a, b)
+      val fs = math.signum(GeoOverlay.orient(o, a, b)).toInt
+      assert(fs === es,
+        s"filtered=$fs exact=$es for o=$o a=$a b=$b")
+      // count the cases where the NAIVE determinant disagrees with the
+      // exact sign — proof the test exercises the uncertainty band
+      val naive = (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+      if (math.signum(naive).toInt != es) exercisedBand += 1
+    }
+    assert(exercisedBand > 0,
+      "perturbations never produced a naive-sign error — test is vacuous")
+  }
+
+  test("overlay of near-degenerate sliver polygons stays consistent") {
+    // two rectangles sharing an edge nudged by 1e-12: the union must be
+    // a single polygon of (close to) the combined area, not a sliver
+    // explosion from inconsistent orientation tests
+    val a = "POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))"
+    val b = "POLYGON ((0 5.000000000001, 10 5, 10 10, 0 10, 0 5.000000000001))"
+    val uni = GeoOverlay.overlayAreal(
+      Vector(p(a), p(b)), m => m(0) || m(1))
+    assert(math.abs(area(uni) - 100.0) < 1e-6, GeoFunctions.print(uni))
+    val inter = GeoOverlay.overlayAreal(
+      Vector(p(a), p(b)), m => m(0) && m(1))
+    assert(area(inter) < 1e-6, GeoFunctions.print(inter))
+  }
+
   test("buffer of a closed ring polyline rounds a frame") {
     val l = p("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)")
     val buf = GeoOverlay.bufferGeneral(l, 1.0)

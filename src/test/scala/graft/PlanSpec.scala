@@ -490,6 +490,41 @@ class PlanSpec extends QueryAssertions {
       "ORDER BY + LIMIT 100 must lower to TopN")
   }
 
+  test("ds27: both IN-subqueries lower to semi joins over the shared self-join") {
+    val optimized = SparkEntry.queries("ds27_ship_semi_reuse")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("LeftSemi".r.findAllIn(optimized).size >= 2,
+      s"both INs must lower to LeftSemi:\n${optimized.take(3000)}")
+    val df = run("ds27_ship_semi_reuse")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the multi-supplier self-join must stay an equi join:\n${plan.take(3000)}")
+    // the multi_supp subplan feeds two consumers; the duplicate exchange
+    // under it must be REUSED, not recomputed. AQE applies stage reuse
+    // at RUNTIME, so execute first and read the FINAL plan.
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("Reused"),
+      s"expected exchange/stage reuse under the twice-consumed self-join:\n${
+        finalPlan.take(3000)}")
+  }
+
+  test("ds28: threshold chain keeps the scalar max as a 1-row broadcast " +
+      "and both memberships as semi joins") {
+    val optimized = SparkEntry.queries("ds28_threshold_chain")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("LeftSemi".r.findAllIn(optimized).size >= 2,
+      s"both memberships must lower to LeftSemi:\n${optimized.take(3000)}")
+    val plan = planOf(run("ds28_threshold_chain"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop") ||
+      plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
+      s"only the 1-row scalar max may broadcast without keys:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"),
+      "per-customer sums must be hash aggregates with partial pushdown")
+  }
+
   test("ds25: mixed inner/outer wide join keeps outer edges and broadcasts dims") {
     val optimized = SparkEntry.queries("ds25_wide_join_promo")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
