@@ -18,10 +18,17 @@ import scala.collection.mutable
   *   - `expr[i]` subscripts → `element_at(expr, i)`: Presto subscripts are
   *     1-based for arrays and key-based for maps (reference: operator/
   *     scalar/ArraySubscriptOperator.java), matching `element_at`'s
-  *     indexing; Spark's native `[]` is 0-based. KNOWN DIVERGENCE on the
-  *     error path: Presto's `[]` throws on an out-of-range array index or
-  *     a missing map key (ArraySubscriptOperator/MapSubscriptOperator),
-  *     while `element_at` under non-ANSI mode returns NULL instead.
+  *     indexing; Spark's native `[]` is 0-based. Error-path conformance
+  *     under the engine's pinned ANSI default: an out-of-range array
+  *     subscript THROWS exactly like Presto's ArraySubscriptOperator
+  *     (Spark class INVALID_ARRAY_INDEX_IN_ELEMENT_AT). KNOWN DIVERGENCE:
+  *     a missing MAP key returns NULL where Presto's
+  *     MapSubscriptOperator throws — Spark 4 removed the raising map
+  *     accessor outright (SPARK-40066), so there is no conforming
+  *     spelling to map onto. The user-facing `element_at(...)` FUNCTION,
+  *     by contrast, is Presto's null-returning accessor
+  *     (scalar/ArrayElementAtFunction.java), so the facade aliases it to
+  *     `try_element_at` — null-on-miss in both ANSI modes.
   *   - double-quoted identifiers → backticks (SqlBase.g4 quotedIdentifier;
   *     Spark reads double quotes as string literals).
   *   - `TRY(expr)` passes through as a call to the graft-injected `try`
@@ -65,6 +72,15 @@ object Dialect {
     "from_base64"         -> "unbase64",
     "bitwise_and_agg"     -> "bit_and",
     "bitwise_or_agg"      -> "bit_or",
+    // Presto's element_at is the NULL-returning accessor (out-of-range
+    // array index or missing map key → NULL; reference: operator/scalar/
+    // ArrayElementAtFunction.java) — under the engine's pinned ANSI
+    // default Spark's own element_at raises on array out-of-range, so
+    // the conforming target is try_element_at (null-on-miss in both
+    // modes). The facade-inserted subscript rewrite `expr[i]` is NOT
+    // affected (it emits into the output buffer, which this alias pass
+    // never rescans) and keeps raising like Presto's subscript.
+    "element_at"          -> "try_element_at",
     // Presto log(number, base) vs Spark log(base, number): arg swap done
     // by the injected expression, not by string surgery.
     "log"                 -> "presto_log",
@@ -1481,11 +1497,20 @@ object Dialect {
     *     (a plain-TIMESTAMP other side coerces via the session zone,
     *     which is the same instant under the narrowing). An at_timezone
     *     call adjacent to =, <>, !=, <, <=, >, >= is stripped to its
-    *     instant operand. with_timezone results already carry the
-    *     correct instant. NOT COVERED (documented): BETWEEN / IN
-    *     operands, ORDER BY and GROUP BY keys (single-zone ORDER BY is
-    *     order-preserving under a constant offset; cross-zone grouping
-    *     of identical instants remains split — README).
+    *     instant operand, and so is one standing as a BETWEEN operand
+    *     (either side — after BETWEEN or after AND: at_timezone can
+    *     never type to boolean, so a call directly after AND can only
+    *     be a comparison operand) or as a DIRECT IN-list member (the
+    *     list parens tracked by frame; a projection buried in an
+    *     `IN (SELECT …)` subquery is not an element and keeps the
+    *     narrowed shift). with_timezone results already carry the
+    *     correct instant. NOT COVERED (documented): `IN (SELECT
+    *     at_timezone(…) …)` projections, ORDER BY and GROUP BY keys
+    *     (single-zone ORDER BY
+    *     is order-preserving under a constant offset; cross-zone
+    *     grouping of identical instants remains split; stripping a
+    *     GROUP BY key would have to strip the matching SELECT item too,
+    *     which would change the RENDERED value — README).
     */
   private def normalizeZonedValues(q: String): String = {
     // comparison op right before the emitted text, ignoring lambda "->"
@@ -1497,6 +1522,20 @@ object Dialect {
       if (e >= 2 && out.substring(e - 2, e) == "->") return false
       e >= 1 && "=<>".contains(out(e - 1))
     }
+    def lastWordOf(out: StringBuilder): String = {
+      var e = out.length
+      while (e > 0 && out(e - 1).isWhitespace) e -= 1
+      var s = e
+      while (s > 0 && isWordChar(out(s - 1))) s -= 1
+      out.substring(s, e).toLowerCase
+    }
+    // BETWEEN low AND high compares instants on both operands; a call
+    // after a logical AND can only be a comparison operand anyway
+    // (at_timezone never types to boolean), so stripping is safe there
+    def behindBetween(out: StringBuilder): Boolean = {
+      val w = lastWordOf(out)
+      w == "between" || w == "and"
+    }
     def aheadComp(from: Int): Boolean = {
       val k = nextNonSpace(q, from)
       if (k >= q.length) false
@@ -1504,6 +1543,30 @@ object Dialect {
         Set("<=", ">=", "<>", "!=").contains(q.substring(k, k + 2))) true
       else if (k + 2 <= q.length && q.substring(k, k + 2) == "->") false
       else "=<>".contains(q(k))
+    }
+    // `at_timezone(…) BETWEEN / IN / NOT BETWEEN / NOT IN …`
+    def aheadMembership(from: Int): Boolean = {
+      var k = nextNonSpace(q, from)
+      var j = k
+      while (j < q.length && isWordChar(q(j))) j += 1
+      var w = q.substring(k, j).toLowerCase
+      if (w == "not") {
+        k = nextNonSpace(q, j); j = k
+        while (j < q.length && isWordChar(q(j))) j += 1
+        w = q.substring(k, j).toLowerCase
+      }
+      w == "between" || w == "in"
+    }
+    // paren frames streamed by THIS loop (a zone call consumes its own
+    // parens via parseParenArgs, keeping the stack balanced): the frame
+    // remembers whether its '(' directly followed IN, i.e. its direct
+    // elements are membership-list members comparing on the instant
+    val inListFrame = scala.collection.mutable.Stack[Boolean]()
+    def atListElement(out: StringBuilder): Boolean = {
+      if (inListFrame.isEmpty || !inListFrame.top) return false
+      var e = out.length
+      while (e > 0 && out(e - 1).isWhitespace) e -= 1
+      e >= 1 && (out(e - 1) == '(' || out(e - 1) == ',')
     }
     val out = new StringBuilder
     var i = 0
@@ -1515,6 +1578,12 @@ object Dialect {
         var e = i + 1
         while (e < q.length && q(e) != c) e += 1
         out.append(q.substring(i, math.min(e + 1, q.length))); i = e + 1
+      } else if (c == '(') {
+        inListFrame.push(lastWordOf(out) == "in")
+        out.append(c); i += 1
+      } else if (c == ')') {
+        if (inListFrame.nonEmpty) inListFrame.pop()
+        out.append(c); i += 1
       } else if (isWordChar(c) && (i == 0 || !isWordChar(q(i - 1)))) {
         var j = i
         while (j < q.length && isWordChar(q(j))) j += 1
@@ -1534,8 +1603,10 @@ object Dialect {
               normalizeZonedValues(inner.head).trim
             case _ => a0
           }
-          if (lower == "at_timezone" && (behindComp(out) || aheadComp(after)))
-            out.append(s"($operand)") // instant comparison
+          if (lower == "at_timezone" && (behindComp(out) || aheadComp(after) ||
+              behindBetween(out) || aheadMembership(after) ||
+              atListElement(out)))
+            out.append(s"($operand)") // instant comparison / membership
           else
             out.append(s"$lower($operand, $a1)")
           i = after

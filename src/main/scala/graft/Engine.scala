@@ -77,6 +77,7 @@ object Engine {
   /** The actual registrations; unconditional. */
   private def registerFunctionsNow(spark: SparkSession): Unit = {
     graft.functions.DotProductFloat.register(spark)
+    graft.functions.EmbeddingKernels.registerAll(spark)
     graft.functions.GraftFunctions.registerAll(spark)
     graft.functions.HyperLogLog.registerAll(spark)
     graft.functions.QuantileSketch.registerAll(spark)

@@ -990,7 +990,9 @@ object Catalog {
         |  (off // 60) % 60 AS tzm,
         |  la_off // 3600 AS la_tzh,
         |  TRUE AS eq_instant,
-        |  FALSE AS lt_instant
+        |  FALSE AS lt_instant,
+        |  TRUE AS between_inst,
+        |  TRUE AS in_inst
         |FROM o ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       graft.Engine.sql(s, dir,
         """WITH t AS (
@@ -1008,7 +1010,11 @@ object Catalog {
           |  timezone_hour(ts AT TIME ZONE 'America/Los_Angeles') AS la_tzh,
           |  at_timezone(ts, 'Asia/Kolkata') = at_timezone(ts, 'America/New_York')
           |    AS eq_instant,
-          |  at_timezone(ts, 'Asia/Kolkata') < ts AS lt_instant
+          |  at_timezone(ts, 'Asia/Kolkata') < ts AS lt_instant,
+          |  at_timezone(ts, z) BETWEEN at_timezone(ts, 'America/New_York')
+          |    AND ts AS between_inst,
+          |  at_timezone(ts, z) IN (TIMESTAMP '1971-02-03 04:05:06', ts)
+          |    AS in_inst
           |FROM t ORDER BY o_orderkey""".stripMargin)
     },
 

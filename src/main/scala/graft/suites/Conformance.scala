@@ -156,6 +156,9 @@ object Conformance {
         |  ('cast_overflow', 'CAST_OVERFLOW'),
         |  ('cast_malformed','CAST_INVALID_INPUT'),
         |  ('mod_zero',      'REMAINDER_BY_ZERO'),
+        |  ('subscript_oob', 'INVALID_ARRAY_INDEX_IN_ELEMENT_AT'),
+        |  ('element_at_oob','NULL'),
+        |  ('element_at_map_missing','NULL'),
         |  ('try_div_zero',  'NULL'),
         |  ('try_overflow',  'NULL'),
         |  ('try_cast_bad',  'NULL'),
@@ -181,6 +184,17 @@ object Conformance {
             "cast_overflow"  -> outcomeOf("SELECT CAST(300 AS TINYINT)"),
             "cast_malformed" -> outcomeOf("SELECT CAST('abc' AS INTEGER)"),
             "mod_zero"       -> outcomeOf("SELECT MOD(10, 0)"),
+            // Presto's SUBSCRIPT throws on an out-of-range index
+            // (ArraySubscriptOperator) — ANSI element_at matches —
+            // while Presto's element_at FUNCTION returns NULL
+            // (ArrayElementAtFunction), hence the try_element_at alias.
+            "subscript_oob"  -> outcomeOf("SELECT (ARRAY[1, 2, 3])[5]"),
+            "element_at_oob" -> outcomeOf("SELECT element_at(ARRAY[1, 2, 3], 5)"),
+            // documented divergence: Presto's map subscript/element_at
+            // raise/NULL split exists, but Spark 4 has no raising map
+            // accessor (SPARK-40066) — both spellings are NULL here
+            "element_at_map_missing" ->
+              outcomeOf("SELECT element_at(MAP(ARRAY['a'], ARRAY[1]), 'zz')"),
             "try_div_zero"   -> outcomeOf("SELECT TRY(1/0)"),
             "try_overflow"   -> outcomeOf("SELECT TRY(9223372036854775807 + 1)"),
             "try_cast_bad"   -> outcomeOf("SELECT TRY_CAST('abc' AS INTEGER)"))

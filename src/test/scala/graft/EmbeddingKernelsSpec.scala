@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.{EmbeddingDedup, MinHashLSH, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** The map-side embedding-dedup kernels (functions/EmbeddingKernels)
+  * and the redesigned pipeline they carry (ops/EmbeddingDedup): each
+  * kernel must reproduce, bit for bit, the declarative formula it
+  * replaced, and the end-to-end pair set must equal brute force.
+  */
+class EmbeddingKernelsSpec extends QueryAssertions {
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  test("graft_shingle_hist equals the md5-hex SQL formula per bucket") {
+    // The DuckDB oracle replays conv(substring(md5(g),1,4),16,10) % 256;
+    // the kernel must agree on every (doc, bucket, count) triple.
+    val sample = docs.limit(60)
+    val viaSql = sample
+      .select(col("doc_id"), explode(MinHashLSH.shingles(col("text"))).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("int")
+          % EmbeddingDedup.Dim).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).cast("int").as("c"))
+    val viaKernel = sample
+      .select(col("doc_id"),
+        call_function("graft_shingle_hist",
+          MinHashLSH.shingles(col("text")), lit(EmbeddingDedup.Dim)).as("v"))
+      .select(col("doc_id"), posexplode(col("v")).as(Seq("b", "c")))
+      .filter(col("c") > 0)
+      .select(col("doc_id"), col("b"), col("c").cast("int").as("c"))
+    assert(viaSql.exceptAll(viaKernel).isEmpty && viaKernel.exceptAll(viaSql).isEmpty,
+      "kernel histogram diverged from the declarative formula")
+  }
+
+  test("graft_lsh_sig equals the declarative sign-projection buckets") {
+    val (planes, tables) = (6, 3)
+    val base = EmbeddingDedup.featurize(docs.limit(40), "doc_id", "text",
+      planes, tables)
+    val viaKernel = base.select(col("__id"),
+      posexplode(col("__sigs")).as(Seq("t", "lsh")))
+    // declarative replay: per table, bit j set iff sum(c * sign) > 0 —
+    // the exact formula the round-11 lshBuckets computed via a broadcast
+    // sign-matrix join
+    val viaSql = (0 until tables).map { t =>
+      val signs = VectorSearch.planeSigns(planes, EmbeddingDedup.Dim, t)
+      val bucket = (0 until planes).map { j =>
+        val planeLit = array(signs(j).map(lit): _*)
+        val dot = expr(s"aggregate(zip_with(__v, ${planeLit.toString}, " +
+          "(c, s) -> CAST(c AS DOUBLE) * s), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        when(dot > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      base.select(col("__id"), lit(t).as("t"), bucket.as("lsh"))
+    }.reduce(_ unionAll _)
+    assert(viaSql.exceptAll(viaKernel).isEmpty && viaKernel.exceptAll(viaSql).isEmpty,
+      "kernel signatures diverged from the declarative projection")
+  }
+
+  test("graft_pack_ints / graft_sig_match: agreement count and canonical table") {
+    val rows = spark.sql(
+      """SELECT
+        |  graft_sig_match(graft_pack_ints(array(5, 9, 12)),
+        |                  graft_pack_ints(array(5, 9, 12))) AS all_agree,
+        |  graft_sig_match(graft_pack_ints(array(5, 9, 12)),
+        |                  graft_pack_ints(array(4, 2, 12))) AS ham1_and_exact,
+        |  graft_sig_match(graft_pack_ints(array(5, 9, 12)),
+        |                  graft_pack_ints(array(6, 2, 3))) AS none,
+        |  graft_sig_match(graft_pack_ints(array(7, 9)),
+        |                  graft_pack_ints(array(3, 0))) AS first_only
+        |""".stripMargin).head()
+    // (agree << 8) | firstAgreeingTable; 0xFF marks "no agreeing table"
+    assert(rows.getInt(0) == (3 << 8 | 0), "identical sigs agree everywhere")
+    // 5 vs 4 = hamming 1 (agrees), 9 vs 2 = hamming 3 (no), 12 vs 12 exact
+    assert(rows.getInt(1) == (2 << 8 | 0), "hamming-1 counts as agreement")
+    assert(rows.getInt(2) == 0xFF, "disjoint sigs: zero agreement, no table")
+    // 7 vs 3 = hamming 1 (table 0), 9 vs 0 = hamming 2 (no)
+    assert(rows.getInt(3) == (1 << 8 | 0), "canonical table is the first")
+  }
+
+  test("nearDuplicates equals brute-force exact cosine at threshold 0.8") {
+    val got = EmbeddingDedup.nearDuplicates(docs, "doc_id", "text", 0.8)
+      .orderBy("id1", "id2").collect().map(_.toString).toSeq
+    val base = EmbeddingDedup.featurize(docs, "doc_id", "text", 8, 8)
+      .select(col("__id"), col("__v")).cache()
+    val brute = base.select(col("__id").as("id1"), col("__v").as("v1"))
+      .join(base.select(col("__id").as("id2"), col("__v").as("v2")),
+        col("id1") < col("id2"))
+      .withColumn("cosine", VectorSearch.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= 0.8)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id1", "id2").collect().map(_.toString).toSeq
+    base.unpersist(blocking = false)
+    assert(got.nonEmpty, "fixture corpus must contain planted near-dups")
+    assert(got == brute,
+      s"pair sets diverged: got ${got.size}, brute ${brute.size}")
+  }
+
+  test("featurization is a narrow plan: zero exchanges before the self-join") {
+    val base = EmbeddingDedup.featurize(docs, "doc_id", "text", 8, 8)
+    val plan = base.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"featurization must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("histogram overflow fails loudly instead of wrapping") {
+    val e = intercept[Exception] {
+      // dim = 1 funnels every shingle into one bucket; 40k distinct
+      // shingles overflow smallint there
+      spark.range(1).select(call_function("graft_shingle_hist",
+        expr("transform(sequence(1, 40000), i -> CAST(i AS STRING))"),
+        lit(1))).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("overflows smallint")),
+      s"expected the overflow error, got: ${e.getMessage}")
+  }
+}

@@ -803,6 +803,45 @@ class FacadeSpec extends AnyFunSuite {
     assert(h >= 0 && h <= 23)
   }
 
+  test("TSWTZ instant semantics reach BETWEEN and IN operands") {
+    // The reference compares TSWTZ on the INSTANT (DateTimeEncoding
+    // packs millis+zoneKey; comparison reads the millis). at_timezone
+    // results standing as BETWEEN operands (either side) or IN-list
+    // members are stripped to their instant by normalizeZonedValues —
+    // without the strip, the narrowed wall-clock shift (+5:30 Kolkata)
+    // would make every one of these FALSE.
+    val row = Engine.sql(spark, dir,
+      """SELECT
+        |  at_timezone(TIMESTAMP '2024-03-01 12:00:00', 'Asia/Kolkata')
+        |    BETWEEN TIMESTAMP '2024-03-01 12:00:00'
+        |    AND TIMESTAMP '2024-03-01 12:00:00' AS betw_subject,
+        |  TIMESTAMP '2024-03-01 12:00:00'
+        |    BETWEEN at_timezone(TIMESTAMP '2024-03-01 12:00:00', 'Asia/Kolkata')
+        |    AND at_timezone(TIMESTAMP '2024-03-01 12:00:00', 'America/New_York')
+        |    AS betw_bounds,
+        |  at_timezone(TIMESTAMP '2024-03-01 12:00:00', 'Asia/Kolkata')
+        |    NOT BETWEEN TIMESTAMP '2024-03-02 00:00:00'
+        |    AND TIMESTAMP '2024-03-03 00:00:00' AS not_betw,
+        |  at_timezone(TIMESTAMP '2024-03-01 12:00:00', 'Asia/Kolkata')
+        |    IN (TIMESTAMP '1999-01-01 00:00:00',
+        |        TIMESTAMP '2024-03-01 12:00:00') AS in_subject,
+        |  TIMESTAMP '2024-03-01 12:00:00' IN (
+        |    at_timezone(TIMESTAMP '2024-03-01 12:00:00', 'Asia/Kolkata'),
+        |    TIMESTAMP '1999-01-01 00:00:00') AS in_element,
+        |  at_timezone(TIMESTAMP '2024-03-01 12:00:00', 'Asia/Kolkata')
+        |    NOT IN (TIMESTAMP '1999-01-01 00:00:00') AS not_in""".stripMargin)
+      .collect()(0)
+    for (c <- Seq("betw_subject", "betw_bounds", "not_betw",
+        "in_subject", "in_element", "not_in"))
+      assert(row.getAs[Boolean](c), s"$c must compare on the instant")
+    // rendering positions are NOT stripped: the value still speaks the
+    // zone's wall clock outside comparison contexts
+    assert(Engine.sql(spark, dir,
+      "SELECT CAST(hour(at_timezone(TIMESTAMP '2024-03-01 12:00:00', " +
+        "'Asia/Kolkata')) AS BIGINT) AS h").collect()(0)
+      .getAs[Long]("h") == 17L)
+  }
+
   test("TIME WITH TIME ZONE literals: instant comparison, value-zone extraction") {
     // COMPARISON: the offset applies at parse (10:00+05:30 IS 04:30
     // UTC), so cross-offset equality/ordering match the reference's
