@@ -87,9 +87,9 @@ object EmbeddingKernels {
     reg.createOrReplaceTempFunction("graft_lsh_sig",
       exprs => LshSignature(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_pack_ints",
-      exprs => PackInts(exprs(0)), "built-in")
+      exprs => PackInts(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_match",
-      exprs => SigMatch(exprs(0), exprs(1)), "built-in")
+      exprs => SigMatch(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   private[functions] def foldableInt(e: Expression, what: String): Int = {
@@ -217,15 +217,27 @@ case class LshSignature(
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
-/** graft_pack_ints(arr): array<int> → binary, 4 bytes little-endian per
-  * element. The packed form rides the candidate join as the per-row
-  * signature payload at ~half the unsafe-array footprint. */
-case class PackInts(child: Expression) extends UnaryExpression {
+/** graft_pack_ints(arr, width): array<int> → binary, `width` (2 or 4)
+  * bytes little-endian per element. The packed form rides the candidate
+  * join as the per-row signature payload; at ≤16 planes every bucket id
+  * fits two bytes, halving the dominant probe-side shuffle (the 40×
+  * stress point measured the 4-byte form at 6 GB/run). Width-2 packing
+  * of a value outside [0, 65535] fails loudly. */
+case class PackInts(left: Expression, right: Expression)
+    extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(IntegerType, _) if right.foldable &&
+        right.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_pack_ints expects array<int>, got ${other.simpleString}")
+      s"graft_pack_ints expects (array<int>, literal width), got " +
+        s"${other.simpleString}")
+  }
+
+  private lazy val width = {
+    val w = EmbeddingKernels.foldableInt(right, "width")
+    require(w == 2 || w == 4, s"pack width must be 2 or 4, got $w")
+    w
   }
 
   override def dataType: DataType = BinaryType
@@ -233,81 +245,109 @@ case class PackInts(child: Expression) extends UnaryExpression {
 
   def compute(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
-    val out = new Array[Byte](4 * n)
+    val out = new Array[Byte](width * n)
     var i = 0
     while (i < n) {
       val v = a.getInt(i)
-      out(4 * i) = v.toByte
-      out(4 * i + 1) = (v >>> 8).toByte
-      out(4 * i + 2) = (v >>> 16).toByte
-      out(4 * i + 3) = (v >>> 24).toByte
+      if (width == 2) {
+        if (v < 0 || v > 0xFFFF) throw new IllegalStateException(
+          s"signature $v does not fit 2-byte packing")
+        out(2 * i) = v.toByte
+        out(2 * i + 1) = (v >>> 8).toByte
+      } else {
+        out(4 * i) = v.toByte
+        out(4 * i + 1) = (v >>> 8).toByte
+        out(4 * i + 2) = (v >>> 16).toByte
+        out(4 * i + 3) = (v >>> 24).toByte
+      }
       i += 1
     }
     out
   }
 
-  override protected def nullSafeEval(v: Any): Any =
+  override protected def nullSafeEval(v: Any, w: Any): Any =
     compute(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("packInts", this, classOf[PackInts].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** graft_sig_match(sig1, sig2): compare two packed LSH signature vectors
-  * table by table. A table AGREES when its buckets are within hamming
-  * distance 1 (exactly the reach of 1-bit multiprobe). Returns
-  * `(agreeCount << 8) | firstAgreeingTable` — one int carrying both the
-  * cross-table agreement strength and a canonical table index, so a
-  * matched candidate row can be (a) strength-filtered and (b) kept
-  * exactly once (row table == canonical table) entirely MAP-SIDE,
-  * replacing the candidate-dedup groupBy that the 10× stress profile
-  * measured at 1.37 GB of shuffle. */
-case class SigMatch(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"graft_sig_match expects (binary, binary), got $other")
-    }
-
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_sig_match"
-
-  def compute(b1: Array[Byte], b2: Array[Byte]): Int = {
-    val n = math.min(b1.length, b2.length) / 4
-    var agree = 0
-    var tMin = 0xFF
-    var t = 0
-    while (t < n) {
-      val s1 = (b1(4 * t) & 0xFF) | ((b1(4 * t + 1) & 0xFF) << 8) |
-        ((b1(4 * t + 2) & 0xFF) << 16) | ((b1(4 * t + 3) & 0xFF) << 24)
-      val s2 = (b2(4 * t) & 0xFF) | ((b2(4 * t + 1) & 0xFF) << 8) |
-        ((b2(4 * t + 2) & 0xFF) << 16) | ((b2(4 * t + 3) & 0xFF) << 24)
-      if (Integer.bitCount(s1 ^ s2) <= 1) {
-        agree += 1
-        if (tMin == 0xFF) tMin = t
-      }
-      t += 1
-    }
-    (agree << 8) | tMin
-  }
-
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    compute(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("sigMatch", this, classOf[SigMatch].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.compute($a);")
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** graft_sig_match(sig1, sig2, width): compare two packed LSH signature
+  * vectors table by table. A table AGREES when its buckets are within
+  * hamming distance 1 (exactly the reach of 1-bit multiprobe). Returns
+  * `(totalBitHamming << 16) | (agreeCount << 8) | firstAgreeingTable` —
+  * one int carrying three map-side decisions for a matched candidate
+  * row: (a) agreement strength-filtering, (b) exact-once dedup (row
+  * table == canonical first agreeing table) replacing the
+  * candidate-dedup groupBy the 10× stress profile measured at 1.37 GB
+  * of shuffle, and (c) a COSINE ESTIMATE — the buckets are
+  * planes×tables INDEPENDENT sign-projection bits, so totalBitHamming/B
+  * estimates angle/π with binomial error sqrt(f(1-f)/B), which the
+  * caller turns into a conservative pre-verify filter (the 40× stress
+  * profile measured 9.2 GB of dense vectors shipped for sub-threshold
+  * candidate pairs that 322 sign bits already rule out). */
+case class SigMatch(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (BinaryType, BinaryType) if third.foldable &&
+          third.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sig_match expects (binary, binary, literal width), got $other")
+    }
+
+  private lazy val width = {
+    val w = EmbeddingKernels.foldableInt(third, "width")
+    require(w == 2 || w == 4, s"pack width must be 2 or 4, got $w")
+    w
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sig_match"
+
+  def compute(b1: Array[Byte], b2: Array[Byte]): Int = {
+    val n = math.min(b1.length, b2.length) / width
+    var agree = 0
+    var tMin = 0xFF
+    var hamming = 0
+    var t = 0
+    while (t < n) {
+      val s1 =
+        if (width == 2) (b1(2 * t) & 0xFF) | ((b1(2 * t + 1) & 0xFF) << 8)
+        else (b1(4 * t) & 0xFF) | ((b1(4 * t + 1) & 0xFF) << 8) |
+          ((b1(4 * t + 2) & 0xFF) << 16) | ((b1(4 * t + 3) & 0xFF) << 24)
+      val s2 =
+        if (width == 2) (b2(2 * t) & 0xFF) | ((b2(2 * t + 1) & 0xFF) << 8)
+        else (b2(4 * t) & 0xFF) | ((b2(4 * t + 1) & 0xFF) << 8) |
+          ((b2(4 * t + 2) & 0xFF) << 16) | ((b2(4 * t + 3) & 0xFF) << 24)
+      val h = Integer.bitCount(s1 ^ s2)
+      hamming += h
+      if (h <= 1) {
+        agree += 1
+        if (tMin == 0xFF) tMin = t
+      }
+      t += 1
+    }
+    (math.min(hamming, 0xFFFF) << 16) | (agree << 8) | tMin
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any, w: Any): Any =
+    compute(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigMatch", this, classOf[SigMatch].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, _) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

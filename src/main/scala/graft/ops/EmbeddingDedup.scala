@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-cosine near-duplicate detection — the last member of the
@@ -46,7 +46,14 @@ import org.apache.spark.sql.functions._
   *    agreeing table (each pair survives exactly once). This replaces
   *    the groupBy(id1, id2) dedup — the pipeline's single largest
   *    shuffle at stress scale — with a filter that drops ~63M matched
-  *    rows before any exchange.
+  *    rows before any exchange. The same kernel call also returns the
+  *    pair's TOTAL sign-bit hamming, whose fraction of B=planes·tables
+  *    independent bits estimates angle/π — candidates more than 5σ
+  *    below the cosine threshold are discarded BEFORE any dense vector
+  *    ships (see [[hammingCap]]; the 40× stress run measured 9.2 GB of
+  *    vectors shipped for sub-threshold pairs without it). The ~3·10⁻⁷
+  *    at-threshold tail this admits is an order below the ~1% LSH
+  *    table-recall bound the operator already carries.
   *  - Verification joins the surviving pair ids back to dense SMALLINT
   *    vectors (counts are exact integers, so shorts halve the shuffled
   *    bytes with bit-identical cosines) and scores with the native
@@ -69,6 +76,33 @@ object EmbeddingDedup {
     * __sigs per-table LSH buckets, __sigp the packed signature payload).
     * No shuffle — the whole featurization is expressions inside one
     * whole-stage-codegen projection. */
+  /** Bytes per packed signature entry: bucket ids fit 2 bytes through
+    * 16 planes (n ≈ 1M docs under the geometry rule) — the probe side
+    * replicates the payload (1+planes)× per table, so the width is the
+    * single biggest lever on the candidate join's shuffle. */
+  private def packWidth(planes: Int): Int = if (planes <= 16) 2 else 4
+
+  /** Conservative total-bit-hamming cap for the pre-verify filter: the
+    * signature vectors hold B = planes·tables INDEPENDENT sign bits, so
+    * a pair's bit-hamming fraction h/B estimates its angle/π with
+    * binomial error σ = sqrt(f(1−f)/B). A pair AT the cosine threshold
+    * has expected fraction f₀ = acos(minCosine)/π; capping at
+    * f₀ + 5σ keeps every at-threshold pair except a ~3·10⁻⁷ one-sided
+    * tail — an order below the LSH table-recall bound the geometry rule
+    * already accepts (~1%) — while discarding the sub-threshold mass
+    * whose true fraction sits many σ above the cap (the 40× stress
+    * measured 28M agreement-passing pairs of cosine ≲ 0.6 dragging
+    * 9.2 GB of dense vectors to verification; at B = 322 a cosine-0.5
+    * pair sits 5.8σ above this cap). Returns B (= no filtering) when
+    * the margin reaches past every possible hamming. */
+  private[graft] def hammingCap(
+      minCosine: Double, planes: Int, tables: Int): Int = {
+    val b = planes * tables
+    val f0 = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+    val sigma = math.sqrt(f0 * (1 - f0) / b)
+    math.min(b, math.ceil(b * (f0 + 5 * sigma)).toInt)
+  }
+
   def featurize(
       df: DataFrame, idCol: String, textCol: String,
       planes: Int, tables: Int): DataFrame = {
@@ -80,7 +114,8 @@ object EmbeddingDedup {
         call_function("graft_lsh_sig",
           col("__v"), lit(planes), lit(tables)).as("__sigs"))
       .select(col("__id"), col("__v"), col("__sigs"),
-        call_function("graft_pack_ints", col("__sigs")).as("__sigp"))
+        call_function("graft_pack_ints",
+          col("__sigs"), lit(packWidth(planes))).as("__sigp"))
   }
 
   /** All pairs (id1 < id2, cosine) with embedding cosine >= minCosine.
@@ -124,17 +159,25 @@ object EmbeddingDedup {
   private def pairsFrom(
       base: DataFrame, minCosine: Double,
       planes: Int, tables: Int): DataFrame = {
+    val width = packWidth(planes)
+    // (table, bucket) packed into ONE int join key: t·2^planes + bucket
+    // — 4 bytes instead of 8 on every probe-side row.
+    require(planes + 32 - Integer.numberOfLeadingZeros(tables) <= 31,
+      s"(tables=$tables) << (planes=$planes) must fit an int key")
+    def keyOf(t: Column, bucket: Column): Column =
+      shiftleft(t, planes) + bucket
     val assign = base.select(col("__id"), col("__sigp"),
       posexplode(col("__sigs")).as(Seq("__t", "__lsh")))
     // 1-bit multiprobe on the probe side only: XOR distance is symmetric,
     // so every hamming<=1 pair is found regardless of id order.
     val probes = assign.select(col("__id").as("id1"),
-      col("__sigp").as("__sp1"), col("__t"),
+      col("__sigp").as("__sp1"),
       explode(array(
-        col("__lsh") +: (0 until planes)
-          .map(j => col("__lsh").bitwiseXOR(lit(1 << j))): _*)).as("__probe"))
+        keyOf(col("__t"), col("__lsh")) +: (0 until planes)
+          .map(j => keyOf(col("__t"),
+            col("__lsh").bitwiseXOR(lit(1 << j)))): _*)).as("__k"))
     val build = assign.select(col("__id").as("id2"),
-      col("__sigp").as("__sp2"), col("__t"), col("__lsh").as("__probe"))
+      col("__sigp").as("__sp2"), keyOf(col("__t"), col("__lsh")).as("__k"))
     // Per (pair, table) at most one probe can match (the build side's
     // bucket is a single value and the probe set is distinct), so a
     // matched row exists for table t iff the pair's buckets are within
@@ -145,18 +188,29 @@ object EmbeddingDedup {
     // table` keeps each surviving pair exactly once. Both are map-side
     // filters on the join output: nothing shuffles between candidate
     // generation and verification.
+    //
+    // The build side is HINTED to a shuffled hash join: it is n·tables
+    // compact rows against n·tables·(1+planes) probe rows — the default
+    // sort-merge join SORTS the big probe side, which is pure overhead
+    // (40× stress: 119 GB of sort spill); hashing the small build side
+    // lets probes stream through unsorted.
     val minAgree = if (tables >= 4) 2 else 1
+    val hMax = hammingCap(minCosine, planes, tables)
     val cands = probes
-      .join(build, Seq("__t", "__probe"))
+      .join(build.hint("shuffle_hash"), Seq("__k"))
       .filter(col("id1") < col("id2"))
       .withColumn("__m", call_function("graft_sig_match",
-        col("__sp1"), col("__sp2")))
-      .filter(col("__m").bitwiseAND(lit(255)) === col("__t") &&
-        shiftright(col("__m"), 8) >= minAgree)
+        col("__sp1"), col("__sp2"), lit(width)))
+      .filter(col("__m").bitwiseAND(lit(255)) ===
+        shiftright(col("__k"), planes) &&
+        shiftright(col("__m"), 8).bitwiseAND(lit(255)) >= minAgree &&
+        shiftright(col("__m"), 16) <= hMax)
       .select("id1", "id2")
     cands
-      .join(base.select(col("__id").as("id1"), col("__v").as("__v1")), "id1")
-      .join(base.select(col("__id").as("id2"), col("__v").as("__v2")), "id2")
+      .join(base.select(col("__id").as("id1"), col("__v").as("__v1"))
+        .hint("shuffle_hash"), "id1")
+      .join(base.select(col("__id").as("id2"), col("__v").as("__v2"))
+        .hint("shuffle_hash"), "id2")
       .withColumn("cosine", VectorSearch.cosine(col("__v1"), col("__v2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))

@@ -57,24 +57,50 @@ class EmbeddingKernelsSpec extends QueryAssertions {
   }
 
   test("graft_pack_ints / graft_sig_match: agreement count and canonical table") {
-    val rows = spark.sql(
-      """SELECT
-        |  graft_sig_match(graft_pack_ints(array(5, 9, 12)),
-        |                  graft_pack_ints(array(5, 9, 12))) AS all_agree,
-        |  graft_sig_match(graft_pack_ints(array(5, 9, 12)),
-        |                  graft_pack_ints(array(4, 2, 12))) AS ham1_and_exact,
-        |  graft_sig_match(graft_pack_ints(array(5, 9, 12)),
-        |                  graft_pack_ints(array(6, 2, 3))) AS none,
-        |  graft_sig_match(graft_pack_ints(array(7, 9)),
-        |                  graft_pack_ints(array(3, 0))) AS first_only
-        |""".stripMargin).head()
-    // (agree << 8) | firstAgreeingTable; 0xFF marks "no agreeing table"
-    assert(rows.getInt(0) == (3 << 8 | 0), "identical sigs agree everywhere")
-    // 5 vs 4 = hamming 1 (agrees), 9 vs 2 = hamming 3 (no), 12 vs 12 exact
-    assert(rows.getInt(1) == (2 << 8 | 0), "hamming-1 counts as agreement")
-    assert(rows.getInt(2) == 0xFF, "disjoint sigs: zero agreement, no table")
-    // 7 vs 3 = hamming 1 (table 0), 9 vs 0 = hamming 2 (no)
-    assert(rows.getInt(3) == (1 << 8 | 0), "canonical table is the first")
+    for (w <- Seq(2, 4)) {
+      val rows = spark.sql(
+        s"""SELECT
+          |  graft_sig_match(graft_pack_ints(array(5, 9, 12), $w),
+          |                  graft_pack_ints(array(5, 9, 12), $w), $w) AS all_agree,
+          |  graft_sig_match(graft_pack_ints(array(5, 9, 12), $w),
+          |                  graft_pack_ints(array(4, 2, 12), $w), $w) AS ham1_and_exact,
+          |  graft_sig_match(graft_pack_ints(array(5, 9, 12), $w),
+          |                  graft_pack_ints(array(6, 2, 3), $w), $w) AS none,
+          |  graft_sig_match(graft_pack_ints(array(7, 9), $w),
+          |                  graft_pack_ints(array(3, 0), $w), $w) AS first_only
+          |""".stripMargin).head()
+      // (totalBitHamming << 16) | (agree << 8) | firstAgreeingTable;
+      // 0xFF in the low byte marks "no agreeing table"
+      assert(rows.getInt(0) == (3 << 8 | 0), s"w=$w: identical sigs agree everywhere")
+      // 5 vs 4 = hamming 1 (agrees), 9 vs 2 = hamming 3 (no), 12 vs 12
+      // exact; total bits differing = 1 + 3 + 0 = 4
+      assert(rows.getInt(1) == (4 << 16 | 2 << 8 | 0),
+        s"w=$w: hamming-1 counts as agreement, total hamming rides high")
+      // 5^6=3 (2 bits), 9^2=11 (3), 12^3=15 (4): total 9, zero agreement
+      assert(rows.getInt(2) == (9 << 16 | 0xFF), s"w=$w: disjoint sigs: zero agreement")
+      // 7 vs 3 = hamming 1 (table 0), 9 vs 0 = hamming 2 (no): total 3
+      assert(rows.getInt(3) == (3 << 16 | 1 << 8 | 0),
+        s"w=$w: canonical table is the first")
+    }
+    // a 16-bit-plus bucket id refuses 2-byte packing loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_pack_ints(array(70000), 2)").collect())
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("2-byte packing")),
+      s"expected the packing-width error, got: ${e.getMessage}")
+  }
+
+  test("hammingCap: 5-sigma margins at the corpus and stress geometries") {
+    // independently computed: f0 = acos(0.8)/pi = 0.204833,
+    // sigma = sqrt(f0(1-f0)/B); cap = ceil(B(f0 + 5 sigma))
+    assert(EmbeddingDedup.hammingCap(0.8, 8, 8) == 30)    // B = 64
+    assert(EmbeddingDedup.hammingCap(0.8, 14, 23) == 103) // B = 322
+    // never filters when the margin reaches past every hamming
+    assert(EmbeddingDedup.hammingCap(-1.0, 8, 8) == 64)
+    // tightens monotonically with the threshold
+    assert(EmbeddingDedup.hammingCap(0.94, 14, 23) <
+      EmbeddingDedup.hammingCap(0.8, 14, 23))
   }
 
   test("nearDuplicates equals brute-force exact cosine at threshold 0.8") {
