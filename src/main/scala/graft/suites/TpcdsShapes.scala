@@ -1368,5 +1368,435 @@ object TpcdsShapes {
         .join(frequentItems, col("l_partkey") === col("item_sk"), "left_semi")
         .join(bestCustomers, col("o_custkey") === col("c_sk"), "left_semi")
         .agg(sum(sales).cast("double").as("total_sales"))
+    },
+
+    // q11/q4 shape (reference: .../tpcds/q11.sql, q04.sql): ONE
+    // year_total CTE — per-customer yearly totals per sales channel —
+    // self-joined FOUR ways (two channels × two consecutive years) with
+    // a cross-channel growth-ratio comparison. Channels here are kept
+    // vs returned lineitem revenue; years 1994/1995 are spelled as DATE
+    // ranges so each of the four branches pushes ITS year into ITS scan
+    // (PlanSpec pins the per-branch pushdown — the optimizer must split
+    // the shared CTE, not materialize it unfiltered). The reference
+    // compares r2/r1 > c2/c1 through CASE-guarded division; positive
+    // totals make that equivalent to the cross-multiplied
+    // r2·c1 > c2·r1, which stays in EXACT decimal arithmetic — no
+    // engine-dependent quotient rounding can flip a boundary row.
+    Qdef(
+      "ds29_yoy_growth",
+      """WITH year_total AS (
+        |  SELECT o_custkey AS cust, year(o_orderdate) AS yr,
+        |    l_returnflag = 'R' AS returned,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
+        |  GROUP BY 1, 2, 3)
+        |SELECT c1.cust AS cust,
+        |  CAST(c1.total AS DOUBLE) AS kept_y1,
+        |  CAST(c2.total AS DOUBLE) AS kept_y2,
+        |  CAST(r1.total AS DOUBLE) AS ret_y1,
+        |  CAST(r2.total AS DOUBLE) AS ret_y2
+        |FROM year_total c1
+        |JOIN year_total c2 ON c1.cust = c2.cust
+        |JOIN year_total r1 ON c1.cust = r1.cust
+        |JOIN year_total r2 ON c1.cust = r2.cust
+        |WHERE NOT c1.returned AND c1.yr = 1994
+        |  AND NOT c2.returned AND c2.yr = 1995
+        |  AND r1.returned AND r1.yr = 1994
+        |  AND r2.returned AND r2.yr = 1995
+        |  AND c1.total > 0 AND r1.total > 0
+        |  AND r2.total * c1.total > c2.total * r1.total
+        |ORDER BY cust""".stripMargin) { (s, dir) =>
+      def yearTotal(y1: String, y2: String, ret: Boolean, pre: String) =
+        t(s, dir, "lineitem")
+          .filter(if (ret) col("l_returnflag") === "R"
+            else col("l_returnflag") =!= "R")
+          .join(t(s, dir, "orders").filter(
+            col("o_orderdate").between(y1, y2)),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as(s"${pre}_cust"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .as(s"${pre}_total"))
+      val c1 = yearTotal("1994-01-01", "1994-12-31", ret = false, "c1")
+      val c2 = yearTotal("1995-01-01", "1995-12-31", ret = false, "c2")
+      val r1 = yearTotal("1994-01-01", "1994-12-31", ret = true, "r1")
+      val r2 = yearTotal("1995-01-01", "1995-12-31", ret = true, "r2")
+      c1.join(c2, col("c1_cust") === col("c2_cust"))
+        .join(r1, col("c1_cust") === col("r1_cust"))
+        .join(r2, col("c1_cust") === col("r2_cust"))
+        .filter(col("c1_total") > 0 && col("r1_total") > 0 &&
+          col("r2_total") * col("c1_total") > col("c2_total") * col("r1_total"))
+        .select(col("c1_cust").as("cust"),
+          col("c1_total").cast("double").as("kept_y1"),
+          col("c2_total").cast("double").as("kept_y2"),
+          col("r1_total").cast("double").as("ret_y1"),
+          col("r2_total").cast("double").as("ret_y2"))
+        .orderBy("cust")
+    },
+
+    // q51 shape (reference: .../tpcds/q51.sql): two channel aggregates
+    // (open vs finished lines stand in for web vs store sales) FULL
+    // OUTER joined on (item group, month), then CUMULATIVE sums via
+    // windows over the coalesced join output, keeping rows where one
+    // channel's running total overtakes the other. The window
+    // partitions by a COALESCE of the two join keys — the composition
+    // q51 exists to stress (windows don't see which side a row came
+    // from). Monthly sums are exact decimals; cumulative sums stay
+    // decimal so the overtake comparison is engine-exact.
+    Qdef(
+      "ds30_cumulative_overtake",
+      """WITH o AS (
+        |  SELECT l_partkey % 25 AS grp, month(l_shipdate) AS mth,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+        |  FROM lineitem WHERE l_linestatus = 'O'
+        |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT l_partkey % 25 AS grp, month(l_shipdate) AS mth,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+        |  FROM lineitem WHERE l_linestatus = 'F'
+        |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(o.grp, f.grp) AS grp, coalesce(o.mth, f.mth) AS mth,
+        |    coalesce(o.s, CAST(0 AS DECIMAL(18,2))) AS open_s,
+        |    coalesce(f.s, CAST(0 AS DECIMAL(18,2))) AS fin_s
+        |  FROM o FULL OUTER JOIN f ON o.grp = f.grp AND o.mth = f.mth)
+        |SELECT grp, mth,
+        |  CAST(cum_open AS DOUBLE) AS cum_open,
+        |  CAST(cum_fin AS DOUBLE) AS cum_fin
+        |FROM (
+        |  SELECT grp, mth,
+        |    sum(open_s) OVER (PARTITION BY grp ORDER BY mth) AS cum_open,
+        |    sum(fin_s) OVER (PARTITION BY grp ORDER BY mth) AS cum_fin
+        |  FROM j) w
+        |WHERE cum_open > cum_fin
+        |ORDER BY grp, mth""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+      def channel(status: String, pre: String) =
+        li.filter(col("l_linestatus") === status)
+          .groupBy((col("l_partkey") % 25).as(s"${pre}_grp"),
+            month(col("l_shipdate")).as(s"${pre}_mth"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .as(s"${pre}_s"))
+      val zero = lit(0).cast("decimal(18,2)")
+      val j = channel("O", "o").join(channel("F", "f"),
+          col("o_grp") === col("f_grp") && col("o_mth") === col("f_mth"),
+          "full_outer")
+        .select(coalesce(col("o_grp"), col("f_grp")).as("grp"),
+          coalesce(col("o_mth"), col("f_mth")).as("mth"),
+          coalesce(col("o_s"), zero).as("open_s"),
+          coalesce(col("f_s"), zero).as("fin_s"))
+      val w = Window.partitionBy("grp").orderBy("mth")
+      j.select(col("grp"), col("mth"),
+          sum("open_s").over(w).as("cum_open"),
+          sum("fin_s").over(w).as("cum_fin"))
+        .filter(col("cum_open") > col("cum_fin"))
+        .select(col("grp"), col("mth"),
+          col("cum_open").cast("double").as("cum_open"),
+          col("cum_fin").cast("double").as("cum_fin"))
+        .orderBy("grp", "mth")
+    },
+
+    // q39 shape (reference: .../tpcds/q39_1.sql): per-(group, month)
+    // mean/stdev of a fact measure, rows flagged where the coefficient
+    // of variation exceeds a threshold, then the flagged set SELF-JOINED
+    // on consecutive months (mth, mth+1) — a statistical aggregate
+    // feeding a sequential equi join. The reference filters
+    // stdev/mean > 1 in floating point; quantities here are uniform
+    // (cov ≈ 0.58) so the threshold is 0.5, and the FILTER is
+    // cross-multiplied into exact decimal integer arithmetic —
+    // 4·n·(n·Σq² − (Σq)²) > (Σq)²·(n−1) ⇔ stdev/mean > 0.5 — because a
+    // last-ULP stdev difference between engines must not flip a
+    // boundary row (the displayed mean/stdev stay double and compare
+    // under the gate's float tolerance).
+    Qdef(
+      "ds31_variability_pairs",
+      """WITH stats AS (
+        |  SELECT l_partkey % 50 AS grp, month(l_shipdate) AS mth,
+        |    count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS s2
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1, 2 HAVING count(*) > 1),
+        |flagged AS (
+        |  SELECT grp, mth, n, s, s2 FROM stats
+        |  WHERE 4 * n * (n * s2 - s * s) > s * s * (n - 1))
+        |SELECT a.grp AS grp, a.mth AS mth1, b.mth AS mth2,
+        |  round(CAST(a.s AS DOUBLE) / a.n, 6) AS mean1,
+        |  round(sqrt((CAST(a.s2 AS DOUBLE) - CAST(a.s AS DOUBLE)
+        |    * CAST(a.s AS DOUBLE) / a.n) / (a.n - 1)), 6) AS stdev1,
+        |  round(CAST(b.s AS DOUBLE) / b.n, 6) AS mean2,
+        |  round(sqrt((CAST(b.s2 AS DOUBLE) - CAST(b.s AS DOUBLE)
+        |    * CAST(b.s AS DOUBLE) / b.n) / (b.n - 1)), 6) AS stdev2
+        |FROM flagged a JOIN flagged b
+        |  ON a.grp = b.grp AND b.mth = a.mth + 1
+        |ORDER BY grp, mth1""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast("decimal(18,2)")
+      val stats = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .groupBy((col("l_partkey") % 50).as("grp"),
+          month(col("l_shipdate")).as("mth"))
+        .agg(count(lit(1)).as("n"), sum(q).as("s"),
+          sum(q * q).cast("decimal(18,4)").as("s2"))
+        .filter(col("n") > 1)
+      val flagged = stats.filter(
+        lit(4) * col("n") * (col("n") * col("s2") - col("s") * col("s")) >
+          col("s") * col("s") * (col("n") - 1))
+      def moments(pre: String)(d: DataFrame) = d.select(
+        col("grp").as(s"${pre}_grp"), col("mth").as(s"${pre}_mth"),
+        round(col("s").cast("double") / col("n"), 6).as(s"mean$pre"),
+        round(sqrt((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - 1)), 6).as(s"stdev$pre"))
+      moments("1")(flagged).join(moments("2")(flagged),
+          col("1_grp") === col("2_grp") && col("2_mth") === col("1_mth") + 1)
+        .select(col("1_grp").as("grp"), col("1_mth").as("mth1"),
+          col("2_mth").as("mth2"), col("mean1"), col("stdev1"),
+          col("mean2"), col("stdev2"))
+        .orderBy("grp", "mth1")
+    },
+
+    // q1/q30/q81 shape (reference: .../tpcds/q1.sql): a per-(customer,
+    // group) returns-total CTE filtered by a CORRELATED per-group
+    // average threshold — "customers returning more than 1.2× their
+    // nation's average". The oracle spells the reference's correlated
+    // scalar subqueries; the Spark program is the decorrelated plan
+    // every engine should reach: aggregate the SAME CTE per group once
+    // and equi-join it back. The 1.2× comparison is cross-multiplied
+    // into exact decimal/integer arithmetic (5·total·cnt > 6·Σtotal ⇔
+    // total > 1.2·avg) so no engine's avg quotient rounding can flip a
+    // boundary customer.
+    Qdef(
+      "ds32_return_outliers",
+      """WITH ctr AS (
+        |  SELECT c_custkey AS cust, c_nationkey AS grp,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1, 2)
+        |SELECT c1.cust AS cust, c1.grp AS grp,
+        |  CAST(c1.total AS DOUBLE) AS total
+        |FROM ctr c1
+        |WHERE 5 * c1.total
+        |    * (SELECT CAST(count(*) AS DECIMAL(10,0)) FROM ctr c2 WHERE c2.grp = c1.grp)
+        |  > 6 * (SELECT CAST(sum(total) AS DECIMAL(18,2)) FROM ctr c2 WHERE c2.grp = c1.grp)
+        |ORDER BY cust""".stripMargin) { (s, dir) =>
+      val ctr = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey").as("cust"), col("c_nationkey").as("grp"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("total"))
+      val perNation = ctr.groupBy(col("grp").as("n_grp"))
+        .agg(count(lit(1)).cast("decimal(10,0)").as("n_cnt"),
+          sum(col("total")).cast("decimal(18,2)").as("n_sum"))
+      ctr.join(perNation, col("grp") === col("n_grp"))
+        .filter(lit(5) * col("total") * col("n_cnt") >
+          lit(6) * col("n_sum"))
+        .select(col("cust"), col("grp"), col("total").cast("double").as("total"))
+        .orderBy("cust")
+    },
+
+    // q2/q59 shape (reference: .../tpcds/q2.sql): weekly revenue PIVOTED
+    // by day-of-week through conditional aggregation (one scan, one
+    // shuffle — the reference's 7 sum(CASE …) columns), then the weekly
+    // rows SELF-JOINED on consecutive weeks and each day's ratio taken.
+    // The week/day keys derive from raw day arithmetic (days since an
+    // epoch Monday ÷ 7) rather than weekofyear(), whose ISO rules differ
+    // between engines. Ratios are double divisions of exact decimal
+    // sums — IEEE-identical in both engines — CASE-guarded like the
+    // reference against empty denominators.
+    Qdef(
+      "ds33_weekly_dow_ratios",
+      """WITH weekly AS (
+        |  SELECT CAST(floor(date_diff('day', DATE '1996-01-01', l_shipdate) / 7.0) AS INTEGER) AS wk,
+        |    sum(CASE WHEN date_diff('day', DATE '1996-01-01', l_shipdate) % 7 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS d0,
+        |    sum(CASE WHEN date_diff('day', DATE '1996-01-01', l_shipdate) % 7 = 1 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS d1,
+        |    sum(CASE WHEN date_diff('day', DATE '1996-01-01', l_shipdate) % 7 = 2 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS d2,
+        |    sum(CASE WHEN date_diff('day', DATE '1996-01-01', l_shipdate) % 7 = 3 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS d3,
+        |    sum(CASE WHEN date_diff('day', DATE '1996-01-01', l_shipdate) % 7 = 4 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS d4,
+        |    sum(CASE WHEN date_diff('day', DATE '1996-01-01', l_shipdate) % 7 = 5 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS d5,
+        |    sum(CASE WHEN date_diff('day', DATE '1996-01-01', l_shipdate) % 7 = 6 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS d6
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-22'
+        |  GROUP BY 1)
+        |SELECT a.wk AS wk,
+        |  CASE WHEN a.d0 > 0 THEN round(CAST(b.d0 AS DOUBLE) / CAST(a.d0 AS DOUBLE), 6) END AS r0,
+        |  CASE WHEN a.d1 > 0 THEN round(CAST(b.d1 AS DOUBLE) / CAST(a.d1 AS DOUBLE), 6) END AS r1,
+        |  CASE WHEN a.d2 > 0 THEN round(CAST(b.d2 AS DOUBLE) / CAST(a.d2 AS DOUBLE), 6) END AS r2,
+        |  CASE WHEN a.d3 > 0 THEN round(CAST(b.d3 AS DOUBLE) / CAST(a.d3 AS DOUBLE), 6) END AS r3,
+        |  CASE WHEN a.d4 > 0 THEN round(CAST(b.d4 AS DOUBLE) / CAST(a.d4 AS DOUBLE), 6) END AS r4,
+        |  CASE WHEN a.d5 > 0 THEN round(CAST(b.d5 AS DOUBLE) / CAST(a.d5 AS DOUBLE), 6) END AS r5,
+        |  CASE WHEN a.d6 > 0 THEN round(CAST(b.d6 AS DOUBLE) / CAST(a.d6 AS DOUBLE), 6) END AS r6
+        |FROM weekly a JOIN weekly b ON b.wk = a.wk + 1
+        |ORDER BY wk""".stripMargin) { (s, dir) =>
+      def weekly(pre: String): DataFrame = {
+        val days = datediff(col("l_shipdate"), to_date(lit("1996-01-01")))
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").between("1996-01-01", "1996-12-22"))
+          .groupBy(floor(days / 7).cast("int").as(s"${pre}_wk"))
+          .agg(
+            sum(when(days % 7 === 0, price)).as(s"${pre}_d0"),
+            sum(when(days % 7 === 1, price)).as(s"${pre}_d1"),
+            sum(when(days % 7 === 2, price)).as(s"${pre}_d2"),
+            sum(when(days % 7 === 3, price)).as(s"${pre}_d3"),
+            sum(when(days % 7 === 4, price)).as(s"${pre}_d4"),
+            sum(when(days % 7 === 5, price)).as(s"${pre}_d5"),
+            sum(when(days % 7 === 6, price)).as(s"${pre}_d6"))
+      }
+      def ratio(k: Int) = when(col(s"a_d$k") > 0,
+        round(col(s"b_d$k").cast("double") / col(s"a_d$k").cast("double"), 6))
+        .as(s"r$k")
+      weekly("a").join(weekly("b"), col("b_wk") === col("a_wk") + 1)
+        .select(col("a_wk").as("wk") +: (0 to 6).map(ratio): _*)
+        .orderBy("wk")
+    },
+
+    // q54 shape (reference: .../tpcds/q54.sql): a customer COHORT defined
+    // by one month's purchases of a target item class, that cohort's
+    // revenue over the FOLLOWING three months — where the month-index
+    // bounds are SCALAR SUBQUERIES (base month + 1 … base month + 3,
+    // the reference's d_month_seq+1/+3 arithmetic), planned as a 1-row
+    // broadcast — and the final segment histogram: count of customers
+    // per floor(revenue/500) band. Composes an uncorrelated-scalar
+    // filter bound, a DISTINCT semi-join cohort, and band bucketing.
+    Qdef(
+      "ds34_cohort_spend_bands",
+      """WITH base AS (
+        |  SELECT min(month(o_orderdate)) AS m FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'),
+        |cohort AS (
+        |  SELECT DISTINCT o_custkey AS cust
+        |  FROM orders
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE year(o_orderdate) = 1996
+        |    AND month(o_orderdate) = (SELECT m + 1 FROM base)
+        |    AND p_size = 15),
+        |rev AS (
+        |  SELECT o_custkey AS cust,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        |  FROM orders
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1996
+        |    AND month(o_orderdate) BETWEEN (SELECT m + 2 FROM base)
+        |                               AND (SELECT m + 4 FROM base)
+        |    AND o_custkey IN (SELECT cust FROM cohort)
+        |  GROUP BY 1)
+        |SELECT CAST(floor(CAST(revenue AS DOUBLE) / 50000) AS BIGINT) AS band,
+        |  count(*) AS cnt
+        |FROM rev GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      val base = broadcast(t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996 &&
+          col("o_orderpriority") === "1-URGENT")
+        .agg(min(month(col("o_orderdate"))).as("m")))
+      val o96 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+      val li = t(s, dir, "lineitem")
+      val cohort = o96.crossJoin(base)
+        .filter(month(col("o_orderdate")) === col("m") + 1)
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part").filter(col("p_size") === 15),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("o_custkey").as("cust")).distinct()
+      o96.crossJoin(base)
+        .filter(month(col("o_orderdate"))
+          .between(col("m") + 2, col("m") + 4))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(cohort, col("o_custkey") === col("cust"), "left_semi")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+        .select(floor(col("revenue").cast("double") / 50000)
+          .cast("bigint").as("band"))
+        .groupBy("band").agg(count(lit(1)).as("cnt"))
+        .orderBy("band")
+    },
+
+    // q5/q80 shape (reference: .../tpcds/q80.sql): a per-channel sales
+    // report NETTED against returns — sales and returns aggregated to
+    // the (channel, item) grain, LEFT JOINED (an item with sales but no
+    // returns must survive with 0), profit = sales − returns in exact
+    // decimals — under GROUP BY ROLLUP (channel, item) with grouping()
+    // markers. The reference unions three channel tables; with one fact
+    // table the faithful translation TAGS the channel (a CASE over the
+    // order priority, the ds23 precedent) in one pass per side instead
+    // of scanning three times. The LEFT join must survive optimization
+    // (its NULLs feed coalesce, not a null-rejecting filter) — pinned
+    // in PlanSpec.
+    Qdef(
+      "ds35_channel_returns_rollup",
+      """WITH sales AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'pri'
+        |              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+        |              ELSE 'std' END AS channel,
+        |    p_brand AS brand,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sales
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag <> 'R' AND year(l_shipdate) = 1996
+        |  GROUP BY 1, 2),
+        |rets AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'pri'
+        |              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+        |              ELSE 'std' END AS channel,
+        |    p_brand AS brand,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996
+        |  GROUP BY 1, 2)
+        |SELECT coalesce(s.channel, 'ALL') AS channel,
+        |  coalesce(s.brand, 'ALL') AS brand,
+        |  CAST(grouping(s.channel) AS INT) AS g_ch,
+        |  CAST(grouping(s.brand) AS INT) AS g_br,
+        |  CAST(sum(s.sales) AS DOUBLE) AS sales,
+        |  CAST(sum(coalesce(r.ret, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS ret,
+        |  CAST(sum(s.sales - coalesce(r.ret, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+        |FROM sales s LEFT JOIN rets r
+        |  ON s.channel = r.channel AND s.brand = r.brand
+        |GROUP BY ROLLUP (s.channel, s.brand)
+        |ORDER BY channel, brand""".stripMargin) { (s, dir) =>
+      val channel = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "pri")
+        .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+        .otherwise("std")
+      def side(returned: Boolean, pre: String): DataFrame =
+        t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")) === 1996 &&
+            (if (returned) col("l_returnflag") === "R"
+             else col("l_returnflag") =!= "R"))
+          .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+          .groupBy(channel.as(s"${pre}_channel"),
+            col("p_brand").as(s"${pre}_brand"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as(pre))
+      val zero = lit(0).cast("decimal(18,2)")
+      side(returned = false, "sales")
+        .join(side(returned = true, "rets"),
+          col("sales_channel") === col("rets_channel") &&
+            col("sales_brand") === col("rets_brand"), "left_outer")
+        .select(col("sales_channel").as("channel"),
+          col("sales_brand").as("brand"),
+          col("sales"), coalesce(col("rets"), zero).as("netret"))
+        .rollup(col("channel"), col("brand"))
+        .agg(
+          grouping(col("channel")).cast("int").as("g_ch"),
+          grouping(col("brand")).cast("int").as("g_br"),
+          sum(col("sales")).cast("double").as("sales"),
+          sum(col("netret")).cast("double").as("ret"),
+          sum(col("sales") - col("netret")).cast("double").as("profit"))
+        .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+          coalesce(col("brand"), lit("ALL")).as("brand"),
+          col("g_ch"), col("g_br"), col("sales"), col("ret"), col("profit"))
+        .orderBy("channel", "brand")
     })
 }

@@ -536,4 +536,132 @@ class PlanSpec extends QueryAssertions {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"every edge is an equi join:\n${plan.take(3000)}")
   }
+
+  test("ds29: each year-total branch pushes its own date range into its scan") {
+    // the four year_total instances differ only in their (year, channel)
+    // filters; each branch's date range must reach ITS orders scan as a
+    // data filter — an unfiltered shared materialization would scan the
+    // whole fact table four times at 100 TB
+    val plan = planOf(run("ds29_yoy_growth"))
+    val scanLines = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet")).toVector
+    // 4 branches, but the kept/returned pair of one year shares an
+    // identical orders subtree — exchange reuse may print it once, so 2
+    // scans (one per year) is the BETTER plan and 4 the upper bound
+    assert(scanLines.size >= 2 && scanLines.size <= 4,
+      s"expected per-year orders scans:\n${scanLines.mkString("\n")}")
+    // match the range LOWER bounds — the formatted scan line truncates
+    // long filter lists mid-date ("1994-12-3...")
+    assert(scanLines.exists(_.contains("1994-01-01")) &&
+      scanLines.exists(_.contains("1995-01-01")),
+      s"each branch must push its own year bounds:\n${scanLines.mkString("\n")}")
+    assert(!scanLines.exists(l => !l.contains("1994") && !l.contains("1995")),
+      s"no branch may scan all years:\n${scanLines.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      "the four-way self-join must stay equi joins")
+  }
+
+  test("ds30: cumulative windows run over the full-outer channel join") {
+    val optimized = SparkEntry.queries("ds30_cumulative_overtake")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("FullOuter"),
+      s"the channel join must stay full outer (coalesced keys are not " +
+        s"null-rejecting):\n${optimized.take(3000)}")
+    val plan = planOf(run("ds30_cumulative_overtake"))
+    assert(plan.contains("Window"), "cumulative sums must be window functions")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the channel join is an equi join:\n${plan.take(2000)}")
+  }
+
+  test("ds31: variability pairs self-join stays an equi join over partial aggs") {
+    val plan = planOf(run("ds31_variability_pairs"))
+    // b.mth = a.mth + 1 is an EQUALITY on a derived key — it must join
+    // hash/merge, not nested-loop (the reference's q39 pattern)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"consecutive-month self-join must be an equi join:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"),
+      "the moment sums must aggregate partial-before-exchange")
+  }
+
+  test("ds32: correlated-average threshold decorrelates to an equi join " +
+      "over two aggregates of one subtree") {
+    val plan = planOf(run("ds32_return_outliers"))
+    // the per-nation average side re-aggregates the SAME per-customer
+    // CTE and joins back on the group key — no nested-loop anywhere
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the threshold join must be an equi join on the group key:\n${
+        plan.take(3000)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "both the per-customer and per-nation aggregates must be hash aggs")
+    // the returns filter reaches the fact scan
+    val scan = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).mkString
+    assert(scan.contains("l_returnflag"),
+      s"l_returnflag = 'R' must push into the lineitem scan:\n$scan")
+  }
+
+  test("ds33: day-of-week pivot is conditional aggregation, not Expand, " +
+      "and the week self-join is an equi join") {
+    val plan = planOf(run("ds33_weekly_dow_ratios"))
+    // 7 sum(CASE) columns in ONE aggregate — a PIVOT/Expand would
+    // multiply the scan rows 7×
+    assert(!plan.contains("Expand"),
+      s"the pivot must be conditional aggregation in one pass:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"b.wk = a.wk + 1 is an equality on a derived key:\n${plan.take(3000)}")
+    // each weekly instance pushes the date range into its scan
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toVector
+    assert(scans.nonEmpty && scans.forall(_.contains("1996-01-01")),
+      s"the week-range filter must reach every lineitem scan:\n${
+        scans.mkString("\n")}")
+  }
+
+  test("ds34: cohort membership lowers to a semi join and the scalar " +
+      "month bounds broadcast as one row") {
+    val optimized = SparkEntry.queries("ds34_cohort_spend_bands")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"),
+      s"the cohort IN-set must lower to LeftSemi:\n${optimized.take(3000)}")
+    val plan = planOf(run("ds34_cohort_spend_bands"))
+    // the only keyless join allowed is the 1-row scalar-bounds broadcast
+    // (the ds28 carve-out); everything else joins on keys
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val bnlBuildRight =
+      "BroadcastNestedLoopJoin BuildRight".r.findAllIn(plan).size
+    assert(!plan.contains("CartesianProduct") && bnl == bnlBuildRight,
+      s"only the 1-row bounds may broadcast keyless:\n${plan.take(3000)}")
+  }
+
+  test("ds35: returns netting keeps its LEFT join and one Expand does " +
+      "the rollup") {
+    val optimized =
+      SparkEntry.queries("ds35_channel_returns_rollup")(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+    // sales-without-returns rows feed coalesce(ret, 0) — the LEFT join
+    // must survive optimization
+    assert(optimized.contains("LeftOuter"),
+      s"the netting join must stay left outer:\n${optimized.take(3000)}")
+    val plan = planOf(run("ds35_channel_returns_rollup"))
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"ROLLUP lowers to exactly one Expand over the netted grain:\n${
+        plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"channel/brand joins are equi joins:\n${plan.take(3000)}")
+    // the channel-slice literal predicates reach both fact scans (the
+    // year(l_shipdate) filter is a function of the column, evaluated
+    // post-scan — but l_returnflag = 'R' / <> 'R' must push)
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toVector
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag")),
+      s"the returnflag slice must push into every lineitem scan:\n${
+        scans.mkString("\n")}")
+  }
 }
