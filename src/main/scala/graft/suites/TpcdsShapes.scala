@@ -1798,5 +1798,182 @@ object TpcdsShapes {
           coalesce(col("brand"), lit("ALL")).as("brand"),
           col("g_ch"), col("g_br"), col("sales"), col("ret"), col("profit"))
         .orderBy("channel", "brand")
+    },
+
+    // q17/q29/q25 shape (reference: .../tpcds/q29.sql): THREE instances
+    // of the fact chained on a compound (customer, brand) key — a sale
+    // in the first half-year, a return by the same customer of the same
+    // brand during the year, and a second-half re-purchase — each leg a
+    // full star (fact ⋆ orders ⋆ part) aggregated to its grain BEFORE
+    // the chain (the fixture has no ticket linkage, and at 100 TB the
+    // pre-aggregation is what keeps the 3-way join from exploding:
+    // compound-key equi joins over reduced grains, not line×line×line).
+    Qdef(
+      "ds36_sale_return_repurchase",
+      """WITH s AS (
+        |  SELECT o_custkey AS cust, p_brand AS brand,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag <> 'R'
+        |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_custkey AS cust, p_brand AS brand,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT o_custkey AS cust, p_brand AS brand,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag <> 'R'
+        |    AND o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1996-12-31'
+        |  GROUP BY 1, 2)
+        |SELECT s.brand AS brand,
+        |  CAST(sum(s.q) AS DOUBLE) AS sold_q,
+        |  CAST(sum(r.q) AS DOUBLE) AS returned_q,
+        |  CAST(sum(s2.q) AS DOUBLE) AS repurchased_q,
+        |  count(*) AS chains
+        |FROM s
+        |JOIN r ON s.cust = r.cust AND s.brand = r.brand
+        |JOIN s2 ON s.cust = s2.cust AND s.brand = s2.brand
+        |GROUP BY 1
+        |ORDER BY brand""".stripMargin) { (s, dir) =>
+      def leg(flagR: Boolean, lo: String, hi: String, pre: String) =
+        t(s, dir, "lineitem")
+          .filter(if (flagR) col("l_returnflag") === "R"
+            else col("l_returnflag") =!= "R")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate").between(lo, hi)),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+          .groupBy(col("o_custkey").as(s"${pre}_cust"),
+            col("p_brand").as(s"${pre}_brand"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as(s"${pre}_q"))
+      leg(flagR = false, "1996-01-01", "1996-06-30", "s")
+        .join(leg(flagR = true, "1996-01-01", "1996-12-31", "r"),
+          col("s_cust") === col("r_cust") && col("s_brand") === col("r_brand"))
+        .join(leg(flagR = false, "1996-07-01", "1996-12-31", "s2"),
+          col("s_cust") === col("s2_cust") && col("s_brand") === col("s2_brand"))
+        .groupBy(col("s_brand").as("brand"))
+        .agg(sum(col("s_q")).cast("double").as("sold_q"),
+          sum(col("r_q")).cast("double").as("returned_q"),
+          sum(col("s2_q")).cast("double").as("repurchased_q"),
+          count(lit(1)).as("chains"))
+        .orderBy("brand")
+    },
+
+    // q44 shape (reference: .../tpcds/q44.sql): one per-item aggregate
+    // ranked BOTH ascending and descending, the top 10 of each joined
+    // ON RANK POSITION, and the item dimension joined twice for the two
+    // names. The rank key is an EXACT decimal sum (a double avg could
+    // order differently in the two engines' last ULP and reshuffle rank
+    // positions). The ranked input is the per-part aggregate — dimension
+    // grain, not fact grain — which is what makes the unpartitioned
+    // window acceptable at 100 TB (and q44's own semantics).
+    Qdef(
+      "ds37_best_worst_by_rank",
+      """WITH perf AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1),
+        |best AS (
+        |  SELECT part, rnk FROM (
+        |    SELECT part, rank() OVER (ORDER BY rev DESC, part ASC) AS rnk
+        |    FROM perf) b WHERE rnk <= 10),
+        |worst AS (
+        |  SELECT part, rnk FROM (
+        |    SELECT part, rank() OVER (ORDER BY rev ASC, part ASC) AS rnk
+        |    FROM perf) w WHERE rnk <= 10)
+        |SELECT best.rnk AS rnk, p1.p_name AS best_name, p2.p_name AS worst_name
+        |FROM best
+        |JOIN worst ON best.rnk = worst.rnk
+        |JOIN part p1 ON p1.p_partkey = best.part
+        |JOIN part p2 ON p2.p_partkey = worst.part
+        |ORDER BY rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perf = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .groupBy(col("l_partkey").as("part"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("rev"))
+      def ranked(w: org.apache.spark.sql.expressions.WindowSpec, pre: String) =
+        perf.select(col("part").as(s"${pre}_part"),
+            rank().over(w).as(s"${pre}_rnk"))
+          .filter(col(s"${pre}_rnk") <= 10)
+      val best = ranked(
+        Window.orderBy(col("rev").desc, col("part").asc), "b")
+      val worst = ranked(
+        Window.orderBy(col("rev").asc, col("part").asc), "w")
+      best.join(worst, col("b_rnk") === col("w_rnk"))
+        .join(t(s, dir, "part").select(col("p_partkey").as("pk1"),
+          col("p_name").as("best_name")), col("pk1") === col("b_part"))
+        .join(t(s, dir, "part").select(col("p_partkey").as("pk2"),
+          col("p_name").as("worst_name")), col("pk2") === col("w_part"))
+        .select(col("b_rnk").as("rnk"), col("best_name"), col("worst_name"))
+        .orderBy("rnk")
+    },
+
+    // q58 shape (reference: .../tpcds/q58.sql): three per-item channel
+    // revenues (the three return-flag slices stand in for store/catalog/
+    // web) joined three ways on the item, keeping items where EVERY
+    // channel sits within ±10% of the three-channel average — the
+    // symmetric band spelled 30·rev BETWEEN 9·total AND 11·total in
+    // exact decimal arithmetic (the reference divides by 3 and
+    // multiplies by 0.9/1.1 in float, where a last-ULP quotient could
+    // flip a boundary item).
+    Qdef(
+      "ds38_symmetric_channel_band",
+      """WITH flagrev AS (
+        |  SELECT l_returnflag AS flag, l_partkey AS part,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1, 2)
+        |SELECT a.part AS part,
+        |  CAST(a.rev AS DOUBLE) AS rev_a,
+        |  CAST(n.rev AS DOUBLE) AS rev_n,
+        |  CAST(r.rev AS DOUBLE) AS rev_r
+        |FROM (SELECT part, rev FROM flagrev WHERE flag = 'A') a
+        |JOIN (SELECT part, rev FROM flagrev WHERE flag = 'N') n ON a.part = n.part
+        |JOIN (SELECT part, rev FROM flagrev WHERE flag = 'R') r ON a.part = r.part
+        |WHERE 30 * a.rev BETWEEN 9 * (a.rev + n.rev + r.rev)
+        |                     AND 11 * (a.rev + n.rev + r.rev)
+        |  AND 30 * n.rev BETWEEN 9 * (a.rev + n.rev + r.rev)
+        |                     AND 11 * (a.rev + n.rev + r.rev)
+        |  AND 30 * r.rev BETWEEN 9 * (a.rev + n.rev + r.rev)
+        |                     AND 11 * (a.rev + n.rev + r.rev)
+        |ORDER BY part""".stripMargin) { (s, dir) =>
+      def channel(flag: String, pre: String) =
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").between("1996-01-01", "1996-12-31") &&
+            col("l_returnflag") === flag)
+          .groupBy(col("l_partkey").as(s"${pre}_part"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as(s"${pre}_rev"))
+      val total = col("a_rev") + col("n_rev") + col("r_rev")
+      def inBand(c: org.apache.spark.sql.Column) =
+        (lit(30) * c).between(lit(9) * total, lit(11) * total)
+      channel("A", "a")
+        .join(channel("N", "n"), col("a_part") === col("n_part"))
+        .join(channel("R", "r"), col("a_part") === col("r_part"))
+        .filter(inBand(col("a_rev")) && inBand(col("n_rev")) &&
+          inBand(col("r_rev")))
+        .select(col("a_part").as("part"),
+          col("a_rev").cast("double").as("rev_a"),
+          col("n_rev").cast("double").as("rev_n"),
+          col("r_rev").cast("double").as("rev_r"))
+        .orderBy("part")
     })
 }

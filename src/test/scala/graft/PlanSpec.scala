@@ -664,4 +664,52 @@ class PlanSpec extends QueryAssertions {
       s"the returnflag slice must push into every lineitem scan:\n${
         scans.mkString("\n")}")
   }
+
+  test("ds36: the three-leg chain joins pre-aggregated grains on " +
+      "compound keys") {
+    val plan = planOf(run("ds36_sale_return_repurchase"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"every chain edge is a compound-key equi join:\n${plan.take(3000)}")
+    // each leg must aggregate to (cust, part) BELOW the chain joins —
+    // a line×line×line chain would explode at scale. 3 leg aggregates
+    // (partial+final) + the final brand rollup.
+    assert("HashAggregate".r.findAllIn(plan).size >= 8,
+      s"legs must pre-aggregate below the chain:\n${plan.take(3000)}")
+    // each leg pushes its own date window into its orders scan
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet")).toVector
+    assert(scans.exists(_.contains("1996-07-01")),
+      s"the re-purchase leg must push its second-half window:\n${
+        scans.mkString("\n")}")
+  }
+
+  test("ds37: best/worst ranks run over the dimension-grain aggregate " +
+      "and join on rank position") {
+    val plan = planOf(run("ds37_best_worst_by_rank"))
+    assert("Window".r.findAllIn(plan).size >= 2,
+      s"both rank directions are window functions:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the rank-position join is an equi join:\n${plan.take(3000)}")
+    // the window input is the per-part AGGREGATE (dimension grain), not
+    // fact rows: an aggregate must sit below every window
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "the ranked input must be the per-part aggregate, not raw lines")
+  }
+
+  test("ds38: the symmetric band filters stay residual predicates on " +
+      "equi joins over per-channel aggregates") {
+    val plan = planOf(run("ds38_symmetric_channel_band"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the three-way item join must be equi:\n${plan.take(3000)}")
+    // each channel slice pushes its flag literal into its scan
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toVector
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag")),
+      s"each channel's flag must push into its scan:\n${scans.mkString("\n")}")
+  }
 }
