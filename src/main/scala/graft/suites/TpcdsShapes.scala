@@ -1975,5 +1975,137 @@ object TpcdsShapes {
           col("n_rev").cast("double").as("rev_n"),
           col("r_rev").cast("double").as("rev_r"))
         .orderBy("part")
+    },
+
+    // q36/q70/q86 shape (reference: .../tpcds/q36.sql): rank() whose
+    // PARTITION KEY is derived from the grouping() markers of a ROLLUP —
+    // each row ranks against its siblings WITHIN its hierarchy level
+    // (lochierarchy = grouping(a)+grouping(b); the parent key is
+    // CASE WHEN grouping(b)=0 THEN a END, so leaf rows rank within their
+    // parent and level-1 rows rank against each other in the NULL-parent
+    // partition). The rank key is the EXACT decimal revenue (q36 ranks a
+    // float margin ratio, where a last-ULP quotient could swap adjacent
+    // ranks between engines) with (ptype, brand) tiebreaks. One Expand
+    // feeds both the rollup aggregate and — a level up — the windows;
+    // the window input is the rolled-up grain (≤ 6·25 + 6 + 1 rows), not
+    // fact rows, so the unpartitioned level-2 row costs nothing at scale.
+    Qdef(
+      "ds39_rollup_rank_hierarchy",
+      """WITH m AS (
+        |  SELECT CAST(grouping(p_type) + grouping(p_brand) AS INT) AS hier,
+        |    CASE WHEN grouping(p_brand) = 0 THEN p_type END AS parent,
+        |    coalesce(p_type, 'ALL') AS ptype,
+        |    coalesce(p_brand, 'ALL') AS brand,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY ROLLUP (p_type, p_brand))
+        |SELECT hier, ptype, brand, CAST(rev AS DOUBLE) AS rev,
+        |  rank() OVER (PARTITION BY hier, parent
+        |    ORDER BY rev DESC, ptype ASC, brand ASC) AS rnk
+        |FROM m
+        |ORDER BY hier DESC, ptype, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .rollup(col("p_type"), col("p_brand"))
+        .agg(
+          (grouping(col("p_type")) + grouping(col("p_brand")))
+            .cast("int").as("hier"),
+          grouping(col("p_brand")).cast("int").as("g_brand"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("rev"))
+        .select(col("hier"),
+          when(col("g_brand") === 0, col("p_type")).as("parent"),
+          coalesce(col("p_type"), lit("ALL")).as("ptype"),
+          coalesce(col("p_brand"), lit("ALL")).as("brand"),
+          col("rev"))
+      val w = Window.partitionBy(col("hier"), col("parent"))
+        .orderBy(col("rev").desc, col("ptype").asc, col("brand").asc)
+      m.select(col("hier"), col("ptype"), col("brand"),
+          col("rev").cast("double").as("rev"), rank().over(w).as("rnk"))
+        .orderBy(col("hier").desc, col("ptype"), col("rnk"))
+    },
+
+    // q9 shape (reference: .../tpcds/q9.sql): five CASE branches each
+    // choosing between two scalar subqueries by a third — 15 scalar
+    // subqueries over the SAME fact with different quantity bands,
+    // driven off a one-row dimension. The oracle keeps the reference's
+    // 15-subquery spelling; the Spark program collapses all 15 into ONE
+    // conditional-aggregation pass (count/avg over CASE WHEN band) — at
+    // 100 TB that is 1 fact scan instead of 15, and the one-row result
+    // broadcast-joins to the driver dimension. PlanSpec pins the single
+    // lineitem scan.
+    Qdef(
+      "ds40_scalar_case_buckets",
+      """SELECT
+        |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 12000
+        |       THEN (SELECT CAST(avg(l_extendedprice) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+        |       ELSE (SELECT CAST(avg(l_discount) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
+        |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 12000
+        |       THEN (SELECT CAST(avg(l_extendedprice) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+        |       ELSE (SELECT CAST(avg(l_discount) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2,
+        |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 12000
+        |       THEN (SELECT CAST(avg(l_extendedprice) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+        |       ELSE (SELECT CAST(avg(l_discount) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS bucket3,
+        |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 12000
+        |       THEN (SELECT CAST(avg(l_extendedprice) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+        |       ELSE (SELECT CAST(avg(l_discount) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS bucket4,
+        |  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 12000
+        |       THEN (SELECT CAST(avg(l_extendedprice) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+        |       ELSE (SELECT CAST(avg(l_discount) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS bucket5
+        |FROM region WHERE r_regionkey = 0""".stripMargin) { (s, dir) =>
+      def band(lo: Int, hi: Int) = col("l_quantity").between(lo, hi)
+      val bands = Seq(1 -> 10, 11 -> 20, 21 -> 30, 31 -> 40, 41 -> 50)
+      val aggs = bands.zipWithIndex.flatMap { case ((lo, hi), i) =>
+        Seq(
+          count(when(band(lo, hi), lit(1))).as(s"c${i + 1}"),
+          avg(when(band(lo, hi), col("l_extendedprice"))).as(s"p${i + 1}"),
+          avg(when(band(lo, hi), col("l_discount"))).as(s"d${i + 1}"))
+      }
+      val stats = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val buckets = (1 to 5).map(i =>
+        when(col(s"c$i") > 12000, col(s"p$i")).otherwise(col(s"d$i"))
+          .cast("double").as(s"bucket$i"))
+      t(s, dir, "region").filter(col("r_regionkey") === 0)
+        .crossJoin(broadcast(stats))
+        .select(buckets: _*)
+    },
+
+    // q50/q62/q99 shape (reference: .../tpcds/q50.sql): the lag between
+    // two joined event dates (sale → return; here order → ship) banded
+    // into fixed windows as a sum(CASE) pivot per group — "how late do
+    // we fulfil, by priority". The bands are computed MAP-SIDE before
+    // the partial aggregate (5 counters per group, not a row per band),
+    // so the only shuffle is the orderkey join plus a 5-group exchange;
+    // the date window pushes into the orders scan.
+    Qdef(
+      "ds41_fulfillment_lag_buckets",
+      """SELECT o_orderpriority AS priority,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) BETWEEN 91 AND 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate").between("1996-01-01", "1996-12-31")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          sum(when(lag <= 30, 1).otherwise(0)).as("d30"),
+          sum(when(lag.between(31, 60), 1).otherwise(0)).as("d60"),
+          sum(when(lag.between(61, 90), 1).otherwise(0)).as("d90"),
+          sum(when(lag.between(91, 120), 1).otherwise(0)).as("d120"),
+          sum(when(lag > 120, 1).otherwise(0)).as("dmore"))
+        .orderBy("priority")
     })
 }

@@ -712,4 +712,47 @@ class PlanSpec extends QueryAssertions {
       l.contains("PushedFilters") && l.contains("l_returnflag")),
       s"each channel's flag must push into its scan:\n${scans.mkString("\n")}")
   }
+
+  test("ds39: ranks partition by the grouping-level key over ONE rollup " +
+      "Expand, and the window input is the rolled-up grain") {
+    val plan = planOf(run("ds39_rollup_rank_hierarchy"))
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"exactly one Expand for the rollup:\n${plan.take(3000)}")
+    // the window must sit ABOVE the rollup aggregate — it ranks the
+    // rolled-up rows (<= 6*25+6+1), never fact rows
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "the ranked input must be the rollup output, not fact rows")
+  }
+
+  test("ds40: fifteen scalar subqueries collapse to ONE fact scan") {
+    val plan = planOf(run("ds40_scalar_case_buckets"))
+    val factScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toVector
+    assert(factScans.size == 1,
+      s"the conditional-agg rewrite must scan the fact ONCE (found ${
+        factScans.size}):\n${factScans.mkString("\n")}")
+    // the one-row stats side is broadcast to the driver dimension
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the one-row stats join must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("ds41: lag bands aggregate map-side behind one equi join with " +
+      "the date window pushed into the orders scan") {
+    val plan = planOf(run("ds41_fulfillment_lag_buckets"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the orderkey join must be equi:\n${plan.take(3000)}")
+    // partial+final aggregate: the 5 band counters combine map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"band counters must partial-aggregate:\n${plan.take(3000)}")
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet")).toVector
+    assert(scans.exists(l => l.contains("PushedFilters") &&
+      l.contains("o_orderdate")),
+      s"the date window must push into the orders scan:\n${
+        scans.mkString("\n")}")
+  }
 }
