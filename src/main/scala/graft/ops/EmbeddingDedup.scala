@@ -134,14 +134,22 @@ object EmbeddingDedup {
     * `materialize = false` skips the persist + eager localCheckpoint and
     * returns the raw composed plan — for plan-shape tests only (the
     * checkpointed frame's executed plan is just an RDD scan, which would
-    * make a no-cartesian assertion vacuous). */
+    * make a no-cartesian assertion vacuous).
+    *
+    * `estimateFilter = false` disables the 5σ hamming-estimate pre-verify
+    * filter, shipping EVERY agreement-passing candidate's dense vectors
+    * to exact verification. Recall within the LSH candidate set is then
+    * exact (no ~3·10⁻⁷ at-threshold tail) at the cost the 40× stress
+    * measured (9.2 GB of sub-threshold vector traffic) — for callers
+    * whose contract is "the LSH tables decide, never an estimate". */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, minCosine: Double,
       planes: Int = 8, tables: Int = 8,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      estimateFilter: Boolean = true): DataFrame = {
     val base = featurize(df, idCol, textCol, planes, tables)
     if (!materialize)
-      return pairsFrom(base, minCosine, planes, tables)
+      return pairsFrom(base, minCosine, planes, tables, estimateFilter)
     // One persist backs everything downstream: the featurized frame
     // feeds both candidate-join sides and both verify-join vector
     // lookups — without it each consumer recomputes the shingle+kernel
@@ -149,7 +157,7 @@ object EmbeddingDedup {
     // persist/release lifecycle as MinHashLSH.nearDuplicates.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cached = base.persist(lvl)
-    try pairsFrom(cached, minCosine, planes, tables)
+    try pairsFrom(cached, minCosine, planes, tables, estimateFilter)
       .localCheckpoint(eager = true)
     finally cached.unpersist(blocking = false)
   }
@@ -158,7 +166,7 @@ object EmbeddingDedup {
     * the verify join taken map-side (see the object scaladoc). */
   private def pairsFrom(
       base: DataFrame, minCosine: Double,
-      planes: Int, tables: Int): DataFrame = {
+      planes: Int, tables: Int, estimateFilter: Boolean = true): DataFrame = {
     val width = packWidth(planes)
     // (table, bucket) packed into ONE int join key: t·2^planes + bucket
     // — 4 bytes instead of 8 on every probe-side row.
@@ -195,7 +203,9 @@ object EmbeddingDedup {
     // (40× stress: 119 GB of sort spill); hashing the small build side
     // lets probes stream through unsorted.
     val minAgree = if (tables >= 4) 2 else 1
-    val hMax = hammingCap(minCosine, planes, tables)
+    val hMax =
+      if (estimateFilter) hammingCap(minCosine, planes, tables)
+      else planes * tables
     val cands = probes
       .join(build.hint("shuffle_hash"), Seq("__k"))
       .filter(col("id1") < col("id2"))

@@ -2107,5 +2107,143 @@ object TpcdsShapes {
           sum(when(lag.between(91, 120), 1).otherwise(0)).as("d120"),
           sum(when(lag > 120, 1).otherwise(0)).as("dmore"))
         .orderBy("priority")
+    },
+
+    // q66 shape (reference: .../tpcds/q66.sql): a very WIDE two-level
+    // pivot — each channel pre-aggregates its own 12-month × 2-measure
+    // sum(CASE) pivot (24 agg columns, NO Expand: this is conditional
+    // aggregation, not grouping sets), the channel pivots UNION ALL, and
+    // an outer aggregate re-sums all 24 columns per group. The 24-wide
+    // aggregate is a codegen-width stress (q66 has 44 columns); decimal
+    // sums keep every cell exact and the final projection casts to
+    // DOUBLE. The month/measure column lists are generated — the SQL
+    // and the DataFrame program are derived from the same (month,
+    // measure) grid so the 48 aliases cannot drift apart.
+    {
+      val sqlPivot = (1 to 12).map(m =>
+        s"    CAST(sum(CASE WHEN mon = $m THEN amt ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS amt_$m,\n" +
+        s"    CAST(sum(CASE WHEN mon = $m THEN qty ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_$m")
+        .mkString(",\n")
+      val sqlOuter = (1 to 12).flatMap(m => Seq(
+        s"  CAST(sum(amt_$m) AS DOUBLE) AS amt_$m",
+        s"  CAST(sum(qty_$m) AS DOUBLE) AS qty_$m")).mkString(",\n")
+      def sqlChannel(flag: String) =
+        s"""  SELECT n_name AS nation, month(l_shipdate) AS mon,
+           |    CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+           |    CAST(l_quantity AS DECIMAL(18,2)) AS qty
+           |  FROM lineitem
+           |  JOIN supplier ON s_suppkey = l_suppkey
+           |  JOIN nation ON n_nationkey = s_nationkey
+           |  WHERE l_returnflag = '$flag'
+           |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin
+      Qdef(
+        "ds42_wide_month_pivot",
+        s"""WITH c1 AS (
+           |  SELECT nation,
+           |$sqlPivot
+           |  FROM (
+           |${sqlChannel("A")}) ch
+           |  GROUP BY nation),
+           |c2 AS (
+           |  SELECT nation,
+           |$sqlPivot
+           |  FROM (
+           |${sqlChannel("N")}) ch
+           |  GROUP BY nation)
+           |SELECT nation,
+           |$sqlOuter
+           |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2) u
+           |GROUP BY nation
+           |ORDER BY nation""".stripMargin) { (s, dir) =>
+        def channel(flag: String) = {
+          val rows = t(s, dir, "lineitem")
+            .filter(col("l_returnflag") === flag &&
+              col("l_shipdate").between("1996-01-01", "1996-12-31"))
+            .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+            .join(broadcast(t(s, dir, "nation")),
+              col("n_nationkey") === col("s_nationkey"))
+            .select(col("n_name").as("nation"),
+              month(col("l_shipdate")).as("mon"),
+              col("l_extendedprice").cast("decimal(18,2)").as("amt"),
+              col("l_quantity").cast("decimal(18,2)").as("qty"))
+          val pivots = (1 to 12).flatMap(m => Seq(
+            sum(when(col("mon") === m, col("amt"))
+              .otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("decimal(18,2)").as(s"amt_$m"),
+            sum(when(col("mon") === m, col("qty"))
+              .otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("decimal(18,2)").as(s"qty_$m")))
+          rows.groupBy("nation").agg(pivots.head, pivots.tail: _*)
+        }
+        val outer = (1 to 12).flatMap(m => Seq(
+          sum(col(s"amt_$m")).cast("double").as(s"amt_$m"),
+          sum(col(s"qty_$m")).cast("double").as(s"qty_$m")))
+        channel("A").unionByName(channel("N"))
+          .groupBy("nation").agg(outer.head, outer.tail: _*)
+          .orderBy("nation")
+      }
+    },
+
+    // q75 shape (reference: .../tpcds/q75.sql): year-over-year DECLINE
+    // over returns-netted quantities — per (year, brand) the net
+    // quantity and amount (returned rows SUBTRACT, q75's
+    // sales-minus-returns netting folded into one sum(CASE) at the
+    // fact grain), the netted CTE self-joined prev-year × curr-year on
+    // the brand, keeping brands that shrank. The decline compare and
+    // the reported drop stay in EXACT decimals (q75 compares raw
+    // quantities and reports sales_amt_diff; a double net could flip a
+    // zero-margin brand between engines).
+    Qdef(
+      "ds43_yoy_decline_netted",
+      """WITH net AS (
+        |  SELECT year(o_orderdate) AS yr, p_brand AS brand,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |        THEN -CAST(l_quantity AS DECIMAL(18,2))
+        |        ELSE CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |        THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+        |        ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS amt
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1, 2)
+        |SELECT prev.brand AS brand,
+        |  CAST(prev.qty AS DOUBLE) AS prev_qty,
+        |  CAST(curr.qty AS DOUBLE) AS curr_qty,
+        |  CAST(prev.amt - curr.amt AS DOUBLE) AS amt_drop
+        |FROM net prev
+        |JOIN net curr ON prev.brand = curr.brand
+        |WHERE prev.yr = 1995 AND curr.yr = 1996
+        |  AND curr.qty < prev.qty
+        |ORDER BY brand""".stripMargin) { (s, dir) =>
+      // the oracle's yr filter is spelled as the equivalent per-branch
+      // DATE RANGE (orderdates are midnight-quantized, so BETWEEN
+      // yyyy-01-01 .. yyyy-12-31 IS year = yyyy) — a year(col) = lit
+      // predicate would not reach the parquet scan, a range does
+      // (PlanSpec pins both branches' bounds).
+      def net(yr: Int, pre: String) = {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate").between(s"$yr-01-01", s"$yr-12-31")),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand").as(s"${pre}_brand"))
+          .agg(
+            sum(when(col("l_returnflag") === "R", -dec(col("l_quantity")))
+              .otherwise(dec(col("l_quantity"))))
+              .cast("decimal(18,2)").as(s"${pre}_qty"),
+            sum(when(col("l_returnflag") === "R", -dec(col("l_extendedprice")))
+              .otherwise(dec(col("l_extendedprice"))))
+              .cast("decimal(18,2)").as(s"${pre}_amt"))
+      }
+      net(1995, "p").join(net(1996, "c"), col("p_brand") === col("c_brand"))
+        .filter(col("c_qty") < col("p_qty"))
+        .select(col("p_brand").as("brand"),
+          col("p_qty").cast("double").as("prev_qty"),
+          col("c_qty").cast("double").as("curr_qty"),
+          (col("p_amt") - col("c_amt")).cast("double").as("amt_drop"))
+        .orderBy("brand")
     })
 }

@@ -755,4 +755,38 @@ class PlanSpec extends QueryAssertions {
       s"the date window must push into the orders scan:\n${
         scans.mkString("\n")}")
   }
+
+  test("ds42: the 24-wide pivot is conditional aggregation (no Expand) " +
+      "with each channel's flag pushed into its scan") {
+    val plan = planOf(run("ds42_wide_month_pivot"))
+    assert(!plan.contains("Expand"),
+      s"sum(CASE) pivots must not expand rows:\n${plan.take(3000)}")
+    assert(plan.contains("Union"),
+      s"the two channel pivots must union:\n${plan.take(3000)}")
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toVector
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag")),
+      s"each channel's flag must push into its scan:\n${scans.mkString("\n")}")
+  }
+
+  test("ds43: netting happens inside the per-year aggregates below an " +
+      "equi self-join, with per-branch year pushdown") {
+    val plan = planOf(run("ds43_yoy_decline_netted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the prev×curr join must be equi on the brand:\n${plan.take(3000)}")
+    // two branch aggregates (partial+final each) run BELOW the join
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"each year must net below the self-join:\n${plan.take(3000)}")
+    // each branch narrows its orders scan to its own year: the range
+    // bounds land in PushedFilters (formatted scan lines can truncate,
+    // so match the lower bounds)
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet")).toVector
+    assert(scans.exists(_.contains("1995-01-01")) &&
+      scans.exists(_.contains("1996-01-01")),
+      s"per-branch year bounds must push into the orders scans:\n${
+        scans.mkString("\n")}")
+  }
 }
