@@ -2245,5 +2245,253 @@ object TpcdsShapes {
           col("c_qty").cast("double").as("curr_qty"),
           (col("p_amt") - col("c_amt")).cast("double").as("amt_drop"))
         .orderBy("brand")
+    },
+
+    // q88 shape (reference: .../tpcds/q88.sql): EIGHT single-row count(*)
+    // derived tables cross-joined into one 8-column row — each leg scans
+    // the fact over its own contiguous time band (half-month l_shipdate
+    // windows standing in for q88's half-hour time_dim bands; banding on
+    // the fact column directly means each leg's range reaches its parquet
+    // scan) with the SAME disjunctive demographics filter (three
+    // (segment, acctbal-cap) branches mirroring q88's (dep_count,
+    // vehicle_count) triples — the OR references only customer columns,
+    // so it pushes into every leg's customer scan) and the same fixed
+    // "store" equality (o_orderpriority). The cross join of eight 1-row
+    // relations is the WANTED plan (BroadcastNestedLoop over single
+    // rows is free); the window list is generated once so the SQL and
+    // DataFrame legs cannot drift.
+    {
+      val bands = Seq(
+        ("1995-03-01", "1995-03-15"), ("1995-03-16", "1995-03-31"),
+        ("1995-04-01", "1995-04-15"), ("1995-04-16", "1995-04-30"),
+        ("1995-05-01", "1995-05-15"), ("1995-05-16", "1995-05-31"),
+        ("1995-06-01", "1995-06-15"), ("1995-06-16", "1995-06-30"))
+      val demoSql =
+        """((c_mktsegment = 'BUILDING' AND c_acctbal <= 6000)
+          |      OR (c_mktsegment = 'AUTOMOBILE' AND c_acctbal <= 4000)
+          |      OR (c_mktsegment = 'MACHINERY' AND c_acctbal <= 2000))""".stripMargin
+      val legsSql = bands.zipWithIndex.map { case ((lo, hi), i) =>
+        s"""  (SELECT count(*) AS h${i + 1}
+           |    FROM lineitem
+           |    JOIN orders ON o_orderkey = l_orderkey
+           |    JOIN customer ON c_custkey = o_custkey
+           |    WHERE l_shipdate BETWEEN DATE '$lo' AND DATE '$hi'
+           |      AND o_orderpriority = '1-URGENT'
+           |      AND $demoSql) s${i + 1}""".stripMargin
+      }.mkString(",\n")
+      Qdef(
+        "ds44_timeband_counts",
+        s"""SELECT *
+           |FROM
+           |$legsSql""".stripMargin) { (s, dir) =>
+        def leg(lo: String, hi: String, i: Int) = {
+          val demo = (col("c_mktsegment") === "BUILDING" && col("c_acctbal") <= 6000) ||
+            (col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") <= 4000) ||
+            (col("c_mktsegment") === "MACHINERY" && col("c_acctbal") <= 2000)
+          t(s, dir, "lineitem").filter(col("l_shipdate").between(lo, hi))
+            .join(t(s, dir, "orders")
+                .filter(col("o_orderpriority") === "1-URGENT"),
+              col("o_orderkey") === col("l_orderkey"))
+            .join(t(s, dir, "customer").filter(demo),
+              col("c_custkey") === col("o_custkey"))
+            .agg(count(lit(1)).as(s"h$i"))
+        }
+        bands.zipWithIndex.map { case ((lo, hi), i) => leg(lo, hi, i + 1) }
+          .reduce(_.crossJoin(_))
+      }
+    },
+
+    // q13 shape (reference: .../tpcds/q13.sql): one GLOBAL aggregate over
+    // a star where the JOIN EQUALITIES THEMSELVES live inside each OR
+    // branch — every demographic branch repeats the customer equi-key
+    // next to its (segment, priority, price-band) conjunction, and every
+    // geography branch repeats the supplier equi-key next to its
+    // (nation-set, discount-band) conjunction. BooleanSimplification must
+    // factor the common equality out of each disjunction so both joins
+    // plan as hash joins with the band OR left as a residual — the plan
+    // regression this guards is a BNLJ/cartesian when the factoring
+    // fails (PlanSpec pins none appear). The nation dim-side equality is
+    // pre-joined (broadcast, 25 rows) rather than repeated per branch:
+    // repeating it would cross supplier×nation at scale for no semantic
+    // gain.
+    Qdef(
+      "ds45_disjunctive_star",
+      """SELECT round(avg(l_quantity), 6) AS agg1,
+        |  round(avg(l_extendedprice), 6) AS agg2,
+        |  round(avg(l_discount), 6) AS agg3,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS agg4
+        |FROM lineitem, orders, customer, supplier, nation
+        |WHERE l_orderkey = o_orderkey
+        |  AND s_nationkey = n_nationkey
+        |  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |  AND ((o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |        AND o_orderpriority = '1-URGENT'
+        |        AND l_extendedprice BETWEEN 100 AND 30000)
+        |    OR (o_custkey = c_custkey AND c_mktsegment = 'MACHINERY'
+        |        AND o_orderpriority = '2-HIGH'
+        |        AND l_extendedprice BETWEEN 20000 AND 60000)
+        |    OR (o_custkey = c_custkey AND c_mktsegment = 'AUTOMOBILE'
+        |        AND o_orderpriority = '3-MEDIUM'
+        |        AND l_extendedprice BETWEEN 10000 AND 50000))
+        |  AND ((l_suppkey = s_suppkey
+        |        AND n_name IN ('FRANCE', 'GERMANY', 'RUSSIA')
+        |        AND l_discount BETWEEN 0.01 AND 0.04)
+        |    OR (l_suppkey = s_suppkey
+        |        AND n_name IN ('JAPAN', 'CHINA', 'INDIA')
+        |        AND l_discount BETWEEN 0.03 AND 0.07)
+        |    OR (l_suppkey = s_suppkey
+        |        AND n_name IN ('BRAZIL', 'CANADA', 'PERU')
+        |        AND l_discount BETWEEN 0.00 AND 0.05))""".stripMargin) { (s, dir) =>
+      val demoOr =
+        (col("o_custkey") === col("c_custkey") &&
+          col("c_mktsegment") === "BUILDING" &&
+          col("o_orderpriority") === "1-URGENT" &&
+          col("l_extendedprice").between(100, 30000)) ||
+        (col("o_custkey") === col("c_custkey") &&
+          col("c_mktsegment") === "MACHINERY" &&
+          col("o_orderpriority") === "2-HIGH" &&
+          col("l_extendedprice").between(20000, 60000)) ||
+        (col("o_custkey") === col("c_custkey") &&
+          col("c_mktsegment") === "AUTOMOBILE" &&
+          col("o_orderpriority") === "3-MEDIUM" &&
+          col("l_extendedprice").between(10000, 50000))
+      val geoOr =
+        (col("l_suppkey") === col("s_suppkey") &&
+          col("n_name").isin("FRANCE", "GERMANY", "RUSSIA") &&
+          col("l_discount").between(0.01, 0.04)) ||
+        (col("l_suppkey") === col("s_suppkey") &&
+          col("n_name").isin("JAPAN", "CHINA", "INDIA") &&
+          col("l_discount").between(0.03, 0.07)) ||
+        (col("l_suppkey") === col("s_suppkey") &&
+          col("n_name").isin("BRAZIL", "CANADA", "PERU") &&
+          col("l_discount").between(0.00, 0.05))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate").between("1995-01-01", "1995-12-31")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), demoOr)
+        .join(t(s, dir, "supplier").join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey")),
+          geoOr)
+        .agg(
+          round(avg("l_quantity"), 6).as("agg1"),
+          round(avg("l_extendedprice"), 6).as("agg2"),
+          round(avg("l_discount"), 6).as("agg3"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("agg4"))
+    },
+
+    // q78 shape (reference: .../tpcds/q78.sql): per-channel CTEs each
+    // spelled as fact LEFT JOIN returns + WHERE return-key IS NULL (the
+    // un-returned-sales anti idiom, kept verbatim rather than rewritten
+    // to LEFT ANTI — the optimizer owns that choice), aggregated per
+    // (year, item, customer), then the store channel LEFT-joins the
+    // other two and the null-INTOLERANT COALESCE(qty,0) > 0 filters must
+    // collapse BOTH top outer joins to inner (EliminateOuterJoin — the
+    // whole point of the shape; PlanSpec counts surviving outer joins).
+    // Channels split l_shipmode three ways; the group key is
+    // (year, brand, segment) rather than q78's raw item/customer keys so
+    // groups actually co-occur across all three channels at test SF; the
+    // channel axis is the ORDER PRIORITY (the fixture lineitem carries
+    // no shipmode), split three disjoint ways at the orders dimension.
+    // Note the reference SQL's cs join carries a "cs_item_sk" =
+    // "cs_item_sk" self-equality (a benchto typo); this port implements
+    // the intended item = item key.
+    Qdef(
+      "ds46_cross_channel_qty_ratio",
+      """WITH ret AS (
+        |  SELECT DISTINCT l_orderkey AS r_ok, l_partkey AS r_pk
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |ch_ss AS (
+        |  SELECT year(o_orderdate) AS yr, p_brand AS item, c_mktsegment AS cust,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ss_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ss_sp
+        |  FROM lineitem
+        |  LEFT JOIN ret ON r_ok = l_orderkey AND r_pk = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE r_ok IS NULL AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY 1, 2, 3),
+        |ch_ws AS (
+        |  SELECT year(o_orderdate) AS yr, p_brand AS item, c_mktsegment AS cust,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ws_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ws_sp
+        |  FROM lineitem
+        |  LEFT JOIN ret ON r_ok = l_orderkey AND r_pk = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE r_ok IS NULL AND o_orderpriority IN ('3-MEDIUM')
+        |  GROUP BY 1, 2, 3),
+        |ch_cs AS (
+        |  SELECT year(o_orderdate) AS yr, p_brand AS item, c_mktsegment AS cust,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS cs_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS cs_sp
+        |  FROM lineitem
+        |  LEFT JOIN ret ON r_ok = l_orderkey AND r_pk = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE r_ok IS NULL AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        |  GROUP BY 1, 2, 3)
+        |SELECT c1.yr AS yr, c1.item AS item, c1.cust AS cust,
+        |  CAST(ss_qty AS DOUBLE) / COALESCE(CAST(ws_qty + cs_qty AS DOUBLE), 1.0) AS ratio,
+        |  CAST(ss_qty AS DOUBLE) AS store_qty,
+        |  CAST(ss_sp AS DOUBLE) AS store_sp,
+        |  CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE) AS other_qty,
+        |  CAST(COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS DOUBLE) AS other_sp
+        |FROM ch_ss c1
+        |LEFT JOIN ch_ws c2 ON c2.yr = c1.yr AND c2.item = c1.item AND c2.cust = c1.cust
+        |LEFT JOIN ch_cs c3 ON c3.yr = c1.yr AND c3.item = c1.item AND c3.cust = c1.cust
+        |WHERE COALESCE(ws_qty, 0) > 0 AND COALESCE(cs_qty, 0) > 0
+        |  AND c1.yr = 1995
+        |ORDER BY yr, item, cust
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk"))
+        .distinct()
+      def channel(prios: Seq[String], pre: String) =
+        t(s, dir, "lineitem")
+          .join(ret, col("r_ok") === col("l_orderkey") &&
+            col("r_pk") === col("l_partkey"), "left")
+          .filter(col("r_ok").isNull)
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderpriority").isin(prios: _*)),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+          .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+          .groupBy(year(col("o_orderdate")).as(s"${pre}_yr"),
+            col("p_brand").as(s"${pre}_item"),
+            col("c_mktsegment").as(s"${pre}_cust"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("decimal(18,2)").as(s"${pre}_qty"),
+            sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as(s"${pre}_sp"))
+      val ss = channel(Seq("1-URGENT", "2-HIGH"), "ss")
+      val ws = channel(Seq("3-MEDIUM"), "ws")
+      val cs = channel(Seq("4-NOT SPECIFIED", "5-LOW"), "cs")
+      ss.join(ws, col("ws_yr") === col("ss_yr") &&
+          col("ws_item") === col("ss_item") &&
+          col("ws_cust") === col("ss_cust"), "left")
+        .join(cs, col("cs_yr") === col("ss_yr") &&
+          col("cs_item") === col("ss_item") &&
+          col("cs_cust") === col("ss_cust"), "left")
+        .filter(coalesce(col("ws_qty"), lit(0)) > 0 &&
+          coalesce(col("cs_qty"), lit(0)) > 0 &&
+          col("ss_yr") === 1995)
+        .select(col("ss_yr").as("yr"), col("ss_item").as("item"),
+          col("ss_cust").as("cust"),
+          (col("ss_qty").cast("double") /
+            coalesce((col("ws_qty") + col("cs_qty")).cast("double"), lit(1.0)))
+            .as("ratio"),
+          col("ss_qty").cast("double").as("store_qty"),
+          col("ss_sp").cast("double").as("store_sp"),
+          (coalesce(col("ws_qty"), lit(0)) + coalesce(col("cs_qty"), lit(0)))
+            .cast("double").as("other_qty"),
+          (coalesce(col("ws_sp"), lit(0)) + coalesce(col("cs_sp"), lit(0)))
+            .cast("double").as("other_sp"))
+        .orderBy("yr", "item", "cust")
+        .limit(100)
     })
 }

@@ -789,4 +789,58 @@ class PlanSpec extends QueryAssertions {
       s"per-branch year bounds must push into the orders scans:\n${
         scans.mkString("\n")}")
   }
+
+  test("ds44: every leg's time band pushes into its own lineitem scan " +
+      "and the single-row cross join never becomes a real cartesian") {
+    val plan = planOf(run("ds44_timeband_counts"))
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row legs must broadcast, not cartesian:\n${plan.take(3000)}")
+    // 8 legs → 8 lineitem scans, each carrying its own half-month lower
+    // bound (formatted scan lines can truncate, so match lower bounds)
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toVector
+    assert(scans.size == 8, s"expected 8 fact scans, got ${scans.size}")
+    val lowers = Seq("1995-03-01", "1995-03-16", "1995-04-01", "1995-04-16",
+      "1995-05-01", "1995-05-16", "1995-06-01", "1995-06-16")
+    lowers.foreach(lo => assert(scans.exists(_.contains(lo)),
+      s"band lower bound $lo must push into a fact scan:\n${
+        scans.mkString("\n")}"))
+    // the disjunctive demographics filter references only customer
+    // columns, so it must reach the customer scans as pushed predicates
+    val custScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("customer")).toVector
+    assert(custScans.nonEmpty && custScans.forall(l =>
+      l.contains("PushedFilters") && l.contains("c_")),
+      s"demo OR must push into the customer scans:\n${custScans.mkString("\n")}")
+  }
+
+  test("ds45: join equalities inside each OR branch factor out into " +
+      "hash joins (no BNLJ, no cartesian)") {
+    val plan = planOf(run("ds45_disjunctive_star"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"BooleanSimplification must extract the common equi keys:\n${
+        plan.take(4000)}")
+    // the band disjunction survives as a residual somewhere (join
+    // condition or post-join filter), not silently dropped
+    assert(plan.contains("BUILDING") && plan.contains("MACHINERY"),
+      s"the residual OR bands must remain in the plan:\n${plan.take(4000)}")
+  }
+
+  test("ds46: null-intolerant COALESCE filters collapse the two top " +
+      "outer joins; only the three channel anti idioms stay outer") {
+    val optimized = run("ds46_cross_channel_qty_ratio")
+      .queryExecution.optimizedPlan.toString
+    // 5 LEFT JOINs written: 3 channel (LEFT JOIN ret + IS NULL — Spark
+    // may keep LeftOuter or lower to LeftAnti, both correct) + 2 top
+    // channel-combine joins that EliminateOuterJoin MUST collapse
+    val outer = "LeftOuter".r.findAllIn(optimized).size +
+      "LeftAnti".r.findAllIn(optimized).size
+    assert(outer == 3,
+      s"exactly the 3 channel anti joins may stay non-inner, got $outer:\n${
+        optimized.take(4000)}")
+    val plan = planOf(run("ds46_cross_channel_qty_ratio"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT 100 must lower to TopN")
+  }
 }
