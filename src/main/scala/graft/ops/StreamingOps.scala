@@ -55,6 +55,66 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Per-user running activity totals via Spark 4's transformWithState —
+    * the arbitrary-state successor to mapGroupsWithState (SURVEY §2.10's
+    * custom-state row; the reference's analog is per-key accumulator
+    * state in its streaming-less batch aggregators). Exercises the NEW
+    * surface the older API can't express: MULTIPLE named state variables
+    * per key, each with its own type — two ValueStates (count, sum) and
+    * one MapState (per-event-type counts whose key count is the distinct
+    * type cardinality) — all RocksDB-backed. Input (user_id, event_type,
+    * value); output one (user_id, n_events, n_types, total_value) row
+    * per key per batch, so Update mode + a single AvailableNow batch
+    * yields exactly the batch-aggregation answer. */
+  class UserActivityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Double), (Long, Long, Long, Double)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var sumState: ValueState[Double] = _
+    @transient private var typeState: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
+      sumState = getHandle.getValueState("sum", Encoders.scalaDouble, TTLConfig.NONE)
+      typeState = getHandle.getMapState(
+        "types", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, String, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var sum = if (sumState.exists()) sumState.get() else 0.0
+      rows.foreach { case (_, tpe, v) =>
+        n += 1; sum += v
+        val c = if (typeState.containsKey(tpe)) typeState.getValue(tpe) else 0L
+        typeState.updateValue(tpe, c + 1)
+      }
+      nState.update(n); sumState.update(sum)
+      Iterator.single((key, n, typeState.keys().size.toLong, sum))
+    }
+  }
+
+  /** Run `df` to completion with the RocksDB state store provider forced
+    * for the query's lifetime (transformWithState refuses the default
+    * HDFS-backed provider), restoring the previous provider after so the
+    * rest of the suite keeps its configuration. */
+  def runWithRocksDb(
+      df: DataFrame, spark: SparkSession, mode: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToCompletion(df, spark, mode)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run a stream through foreachBatch into parquet (the production sink
     * pattern: per-microbatch exactly-once file commits). */
   def runToParquet(df: DataFrame, outDir: String): Unit = {

@@ -328,6 +328,38 @@ object Streaming {
         .agg(count(lit(1)).as("n_rows"),
           count(col("pu")).as("n_matched"),
           count(when(col("pu").isNull, 1)).as("n_unmatched"))
+    },
+
+    // transformWithState (Spark 4's arbitrary-state API, the successor
+    // to st07's mapGroupsWithState): per-user totals held in MULTIPLE
+    // named RocksDB-backed state variables — two ValueStates plus a
+    // MapState whose key count is the distinct-type cardinality. The
+    // batch oracle recomputes the same totals with plain aggregation;
+    // Update mode + the single AvailableNow batch makes the streamed
+    // answer exactly the batch one (st07's contract).
+    Qdef(
+      "st12_transform_with_state",
+      """SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  sum(value) AS total_value
+        |FROM events
+        |WHERE user_id < 30
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val ds = StreamingOps.streamEvents(s, dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id").cast("long"), col("event_type"),
+          col("value").cast("double"))
+        .as[(Long, String, Double)]
+      val totals = ds.groupByKey(_._1)
+        .transformWithState(new StreamingOps.UserActivityProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "n_types", "total_value")
+      StreamingOps.runWithRocksDb(totals, s, mode = "update")
+        .orderBy("user_id")
     }
   )
 }
