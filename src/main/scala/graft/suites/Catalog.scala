@@ -1075,6 +1075,52 @@ object Catalog {
            |    (graft.corpus.mood.HAPPY, graft.corpus.mood.SAD) AS in_list,
            |  CAST(ROW(1, 1) AS ROW(x BIGINT, y graft.corpus.mood)).y AS row_y,
            |  $rejects AS cast_7_raises""".stripMargin)
+    },
+
+    // Recursive WITH (round-12): the reference PARSES the RECURSIVE
+    // keyword (presto-parser/.../SqlBase.g4:143) but its analyzer
+    // REJECTS it ("Recursive WITH queries are not supported",
+    // presto-main/.../analyzer/StatementAnalyzer.java:2663-2664) — this
+    // is a deliberate capability UPGRADE over the reference, executed by
+    // Spark 4's native recursive-CTE support (UnionLoop iteration), and
+    // documented as such in README's divergence matrix. The walk is
+    // DATA-driven, not a constant ladder: each iteration equi-joins the
+    // frontier back to `part` on a doubled key, so the recursion depth
+    // (and the result) is bounded by the table's actual key range —
+    // seeds 1..5 double until the key leaves the table, with overlapping
+    // chains (1→2→4… and the seed 2,4 chains) exercising UNION ALL's
+    // keep-duplicates contract across iterations. DuckDB runs the
+    // identical text as the oracle; sharedDialect also replays it
+    // through Engine.sql's translation path.
+    Qdef(
+      "k35_recursive_cte",
+      """WITH RECURSIVE chain (k, depth) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_partkey <= 5
+        |  UNION ALL
+        |  SELECT p.p_partkey, c.depth + 1
+        |  FROM chain c JOIN part p ON p.p_partkey = c.k * 2
+        |  WHERE c.depth < 20)
+        |SELECT k,
+        |  CAST(count(*) AS BIGINT) AS paths,
+        |  CAST(min(depth) AS BIGINT) AS min_depth,
+        |  CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM chain
+        |GROUP BY k
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """WITH RECURSIVE chain (k, depth) AS (
+          |  SELECT p_partkey, 0 FROM part WHERE p_partkey <= 5
+          |  UNION ALL
+          |  SELECT p.p_partkey, c.depth + 1
+          |  FROM chain c JOIN part p ON p.p_partkey = c.k * 2
+          |  WHERE c.depth < 20)
+          |SELECT k,
+          |  CAST(count(*) AS BIGINT) AS paths,
+          |  CAST(min(depth) AS BIGINT) AS min_depth,
+          |  CAST(max(depth) AS BIGINT) AS max_depth
+          |FROM chain
+          |GROUP BY k
+          |ORDER BY k""".stripMargin)
     }
   )
 }
