@@ -159,7 +159,27 @@ object Bench {
       // lets a contended stress number (BENCH_r11's d07x 60.7 s vs
       // 39.4 s drained) be normalized without guessing host state.
       val cPre = cpuCanary()
-      val entries = graft.ops.ScaleStress.pipelines(docsK, Some(geom)).map {
+      // ANN leg of the stress block: the embeddings corpus multiplied by
+      // the same scale through per-replica orthogonal shifts, indexed
+      // with the continuous √n-lists geometry; recall@5 and the scanned
+      // fraction are computed once (outside the timed loop) so the
+      // sublinear-scan claim is auditable next to the timing.
+      val embK = graft.ops.ScaleStress
+        .multiplyEmbeddings(Tables.load(spark, sfDir, "embeddings"), scale)
+        .persist(lvl)
+      val embRows = embK.count()
+      val (ivfLists, ivfNprobe) = graft.ops.ScaleStress.ivfGeometryFor(embRows)
+      val (ivfRecall, ivfScanFrac) =
+        try graft.ops.ScaleStress.ivfQuality(embK, ivfLists, ivfNprobe)
+        catch { case e: Throwable =>
+          errors ::= ("v04x_ivf_quality",
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+          (-1.0, -1.0)
+        }
+      val allPipelines = graft.ops.ScaleStress.pipelines(docsK, Some(geom)) :+
+        ("v04x_ivf" -> (() =>
+          graft.ops.ScaleStress.ivfPipeline(embK, ivfLists, ivfNprobe)))
+      val entries = allPipelines.map {
         case (name, build) =>
           val m = new StressMetrics
           spark.sparkContext.addSparkListener(m)
@@ -194,7 +214,11 @@ object Bench {
       }
       val cPost = cpuCanary()
       docsK.unpersist(blocking = false)
+      embK.unpersist(blocking = false)
       (entries :+
+        s""""ivf_rows":$embRows,"ivf_lists":$ivfLists,""" +
+        s""""ivf_nprobe":$ivfNprobe,"ivf_recall_at5":$ivfRecall,""" +
+        s""""ivf_scan_frac":$ivfScanFrac""" :+
         s""""scale":$scale,"rows":$rowsK,"planes":${geom._1},"tables":${geom._2},""" +
         s""""lsh_pairs_1x":$pairs1x,"lsh_pairs_scaled":$pairsKx,""" +
         s""""lsh_pair_ratio":${

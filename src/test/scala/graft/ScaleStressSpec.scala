@@ -44,4 +44,54 @@ class ScaleStressSpec extends QueryAssertions {
     assert(pairs10 >= 5 * pairs1,
       s"candidate pairs grew sub-linearly (replicas lost their dups): $pairs1 -> $pairs10")
   }
+
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("multiplyEmbeddings: kx rows, unique ids, orthogonal per-replica " +
+      "transforms (norms exactly preserved, cross-replica copies shifted)") {
+    val k = 5
+    val mult = ScaleStress.multiplyEmbeddings(emb, k)
+    val n = emb.count()
+    assert(mult.count() == k * n)
+    assert(mult.select("vec_id").distinct().count() == k * n,
+      "replica ids must stay unique")
+    // a circular shift preserves the multiset of components exactly —
+    // every replica of a vector has the SAME sorted component list but
+    // (for shift ≠ 0 mod dim) a different first component than replica 0
+    val reps = mult.filter(col("vec_id") % 1000000000000L === 3L)
+      .select((col("vec_id") / 1000000000000L).cast("int").as("r"),
+        array_sort(col("embedding")).as("sorted"),
+        element_at(col("embedding"), 1).as("first"))
+    assert(reps.select(countDistinct("sorted")).head().getLong(0) == 1,
+      "shift must preserve the component multiset")
+    assert(reps.select(countDistinct("first")).head().getLong(0) > 1,
+      "replicas must actually be shifted into different bases")
+  }
+
+  test("ivfGeometryFor: sqrt(n) lists, bounded nprobe, monotone") {
+    assert(ScaleStress.ivfGeometryFor(2000) == (45, 8))
+    assert(ScaleStress.ivfGeometryFor(20000) == (142, 18))
+    assert(ScaleStress.ivfGeometryFor(200000) == (448, 56))
+    val pts = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(ScaleStress.ivfGeometryFor)
+    assert(pts.map(_._1) == pts.map(_._1).sorted, "lists must be monotone")
+    pts.foreach { case (l, p) => assert(p <= l) }
+  }
+
+  test("IVF stress quality: recall@5 holds and the scan is a bounded " +
+      "corpus fraction at 5x") {
+    val mult = ScaleStress.multiplyEmbeddings(emb, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = mult.count()
+      val (lists, nprobe) = ScaleStress.ivfGeometryFor(rows)
+      val (recall, scanFrac) = ScaleStress.ivfQuality(mult, lists, nprobe)
+      assert(recall >= 0.5,
+        s"recall@5 collapsed under the scaled geometry: $recall")
+      assert(scanFrac <= 2.5 * nprobe.toDouble / lists,
+        s"scan fraction $scanFrac far exceeds nprobe/lists = ${
+          nprobe.toDouble / lists} — lists are badly unbalanced")
+      assert(scanFrac > 0, "candidates must be non-empty")
+    } finally { mult.unpersist(blocking = false); () }
+  }
 }
