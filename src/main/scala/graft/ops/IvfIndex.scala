@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * (the classic IVF-Flat layout of the FAISS line of work).
   *
   * Everything is expressed as DataFrame ops that survive 100 TB:
-  *  - Training iterates Lloyd's algorithm with a BROADCAST k-row
-  *    centroid table — assignment is a broadcast join + min_by, the
-  *    update a posexplode → groupBy(cluster, dim) average. Only the k
-  *    centroid rows ever reach the driver (the same bounded-model
-  *    contour as [[VectorSearch.planeSigns]]), never the corpus.
+  *  - Training iterates Lloyd's algorithm with the k centroids embedded
+  *    as a LITERAL array — assignment is a MAP-SIDE codegen'd HOF argmin
+  *    (zero exchange, rows stay n; see [[assignTo]] for the n×k-row
+  *    broadcast-join design the 40× stress run retired), the update a
+  *    posexplode → groupBy(cluster, dim) average. Only the k centroid
+  *    rows ever reach the driver (the same bounded-model contour as
+  *    [[VectorSearch.planeSigns]]), never the corpus.
   *  - Init and iteration are DETERMINISTIC: seeds are the k vectors
   *    with the smallest md5(id), and every centroid component is
   *    rounded to 6 dp after each update so shuffle-order float jitter
@@ -88,15 +90,49 @@ object IvfIndex {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast the k centroid rows, join,
-    * keep the argmin cluster per vector. */
-  private def assignTo(c: DataFrame, centroids: DataFrame): DataFrame =
-    c.crossJoin(broadcast(centroids))
-      .withColumn("__dist", sqDist("__v", "centroid"))
-      .groupBy("__id")
-      .agg(
-        min_by(col("cluster"), struct(col("__dist"), col("cluster"))).as("__cluster"),
-        first(col("__v")).as("__v"))
+  /** Nearest-centroid assignment, MAP-SIDE: the k centroids are
+    * collected (k bounded rows — the same driver-size contract as the
+    * trained model itself) and embedded as a LITERAL array, so each
+    * corpus row computes its argmin in one codegen'd HOF pass over k
+    * structs. The first design broadcast-JOINED the centroid frame and
+    * min_by-grouped the n×k result — same flops, but it MATERIALIZED
+    * and shuffled n×k rows carrying two dense vectors each; the 40×
+    * ANN stress run measured what that does (80 000 × 283 ≈ 23 M
+    * ~600-byte rows → 2.4 GB of spill, 78 s). Map-side, rows stay n
+    * and assignment needs no exchange at all. Per-centroid squared
+    * norms ride in the literal so the squared distance costs ONE dot
+    * product per (row, centroid): ‖c−v‖² = ‖c‖² − 2c·v + ‖v‖², with
+    * ‖v‖² hoisted out of the per-centroid lambda. Ties break to the
+    * smallest cluster id via struct ordering, exactly like the min_by
+    * form did. */
+  private def assignTo(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("cluster").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray))
+      .sortBy(_._1)
+      .map { case (cl, cv) =>
+        (cl, cv, cv.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      }
+    val centLit = typedlit(cents) // array<struct<_1:int,_2:array<float>,_3:double>>
+    // running-argmin accumulator rather than array_min(transform(...)):
+    // the transform form allocates a k-struct array PER ROW before
+    // reducing it — measurable object churn at n·k scale. ‖v‖² is
+    // dropped from the distance entirely: it is constant per row, so
+    // argmin(‖c‖² − 2c·v) = argmin(‖c−v‖²). Strict `<` keeps the FIRST
+    // minimum, and the literal is sorted by cluster id — ties break to
+    // the smallest cluster, exactly like the min_by(struct(d, cl)) form.
+    val best = aggregate(centLit,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cl")),
+      (acc, e) => {
+        val d = e("_3") -
+          lit(2.0) * call_function("graft_dot", e("_2"), col("__v"))
+        when(d < acc("d"), struct(d.as("d"), e("_1").as("cl")))
+          .otherwise(acc)
+      })
+    c.withColumn("__cluster", best("cl"))
+  }
 
   /** The inverted file: (id, vec, cluster) — cluster is the partition /
     * bucketing key a 100-TB layout would persist by (see the PlanSpec
