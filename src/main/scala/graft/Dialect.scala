@@ -60,7 +60,27 @@ object Dialect {
     "json_extract_scalar" -> "get_json_object",
     "codepoint"           -> "ascii",
     "pow"                 -> "power",
-    "is_nan"              -> "isnan",
+    // Presto is_nan(NULL) is NULL (@SqlNullable, MathFunctions.java);
+    // Spark's isnan(NULL) is false → null-propagating wrapper.
+    "is_nan"              -> "presto_is_nan",
+    // Presto's only `contains` is ARRAY membership (ArrayContains.java);
+    // Spark's builtin of that name is string-contains, which no Presto
+    // query can mean. The wrapper also nulls an untyped-NULL probe that
+    // Spark's array_contains rejects at analysis.
+    "contains"            -> "presto_contains",
+    "array_position"      -> "presto_array_position",
+    "ltrim"               -> "presto_ltrim",
+    "rtrim"               -> "presto_rtrim",
+    // NULL-propagating variadic extrema (reference-replay pack — see
+    // plans/PrestoFunctions.scala for each wrapper's citation).
+    "greatest"            -> "presto_greatest",
+    "least"               -> "presto_least",
+    "array_min"           -> "presto_array_min",
+    "array_max"           -> "presto_array_max",
+    "split_part"          -> "presto_split_part",
+    "substr"              -> "presto_substr",
+    // comma form only — the FROM form is re-shaped by its own branch
+    "substring"           -> "presto_substr",
     "levenshtein_distance" -> "levenshtein",
     // Presto chr is a Unicode code-point constructor
     // (StringFunctions.java:69); Spark's chr is ASCII mod 256.
@@ -137,6 +157,12 @@ object Dialect {
     "date_format", "format_datetime", "timezone_hour", "timezone_minute")
 
   private val ExtractFromRe = "(?is)^\\s*(\\w+)\\s+from\\s+(.+)$".r
+
+  /** SUBSTRING(x FROM a [FOR b]) — the single-"argument" SQL form
+    * (SqlBase.g4 primaryExpression SUBSTRING). Non-greedy head so a
+    * FROM inside a nested call binds to the OUTERMOST separator. */
+  private val SubstringFromRe =
+    "(?is)^(.+?)\\s+from\\s+(.+?)(?:\\s+for\\s+(.+))?$".r
 
   /** Presto EXTRACT field → the equivalent registered function name
     * (reference SqlBase.g4 extract / DateTimeFunctions.java). */
@@ -537,6 +563,45 @@ object Dialect {
             case d  => body.length - d - 1
           }
           out.append(s"CAST('$body' AS DECIMAL(${math.max(digits, 1)}, $scale))")
+          i = end
+        } else if (lower == "substring" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists { case (args, _) =>
+              args.lengthCompare(1) == 0 &&
+                SubstringFromRe.findFirstMatchIn(args.head).isDefined }) {
+          // SUBSTRING(x FROM a [FOR b]) → presto_substr(x, a[, b]): the
+          // comma form goes through the functionAliases pass, but the
+          // FROM form must be re-shaped first (a function-name alias
+          // would leave the FROM inside the call). presto_substr carries
+          // the reference's boundary contract (position 0 / out-of-range
+          // negative → '') that Spark's builtin clamps away.
+          val (args, after) = parseParenArgs(q, k).get
+          val m = SubstringFromRe.findFirstMatchIn(args.head).get
+          val parts = Seq(m.group(1), m.group(2)) ++ Option(m.group(3))
+          out.append(rewrite(parts.mkString("presto_substr(", ", ", ")")))
+          i = after
+        } else if (lower == "like" && {
+            var j = k
+            while (j < q.length && q(j).isWhitespace) j += 1
+            j < q.length && q(j) == '\''
+          }) {
+          // LIKE '<literal>' with NO ESCAPE clause: the reference's LIKE
+          // has no default escape character — a backslash in the pattern
+          // is an ordinary character (LikeFunctions.java compiles the
+          // pattern with only the user-declared escape; TestConditions
+          // pins '_monkey_' NOT LIKE '\_monkey\_'). Spark's LIKE treats
+          // backslash as an implicit escape, so literal backslashes are
+          // doubled here. A user-written ESCAPE clause is honored
+          // identically by both engines → pattern left untouched.
+          var j = k
+          while (j < q.length && q(j).isWhitespace) j += 1
+          val end = literalEnd(q, j)
+          val lit = q.substring(j, end)
+          var h = end
+          while (h < q.length && q(h).isWhitespace) h += 1
+          val hasEscape = q.regionMatches(true, h, "escape", 0, 6) &&
+            (h + 6 >= q.length || !isWordChar(q(h + 6)))
+          out.append("LIKE ")
+          out.append(if (hasEscape) lit else lit.replace("\\", "\\\\"))
           i = end
         } else if (lower == "extract" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists { case (args, _) =>
@@ -1454,8 +1519,37 @@ object Dialect {
   }
 
   def translate(query: String): String =
-    injectNullOrdering(normalizeZonedValues(rewrite(rewriteUnnest(
-      rewriteCreateFunction(rewriteStatement(query))))))
+    escapeLiteralBackslashes(injectNullOrdering(normalizeZonedValues(
+      rewrite(rewriteUnnest(rewriteCreateFunction(
+        rewriteStatement(query)))))))
+
+  /** FINAL post-pass: double every backslash inside single-quoted
+    * literals. Presto string literals are standard SQL — the only escape
+    * is '' doubling and a backslash is an ordinary character (grammar
+    * SqlBase.g4 STRING rule), while Spark's default parser C-escapes
+    * them, silently corrupting every regexp pattern a Presto user writes
+    * ('\d+' → 'd+'). Doubling at the very end of translation makes the
+    * default parser reconstruct the original value exactly, and keeps
+    * Spark's ''-doubling (which matches Presto) untouched. Spark's
+    * LEGACY escapedStringLiterals mode is NOT the answer: it preserves
+    * backslashes but stops un-doubling '' (measured: 'it''s' stays
+    * "it''s"), breaking the standard escape instead. This pass runs
+    * exactly ONCE per statement (translate is the single entry), so
+    * internal rewrites that re-enter `rewrite` never double twice. */
+  private[graft] def escapeLiteralBackslashes(q: String): String = {
+    if (q.indexOf('\\') < 0) return q
+    val out = new StringBuilder(q.length + 8)
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c == '\'') {
+        val end = literalEnd(q, i)
+        out.append(q.substring(i, end).replace("\\", "\\\\"))
+        i = end
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   // ------------------------------------------------------ TSWTZ post-pass
 

@@ -42,6 +42,14 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
       // Tables.load (Spark has no nanos timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE on string literals: Presto's are standard SQL ('' doubling
+      // only; backslash is an ordinary character — SqlBase.g4 STRING
+      // rule). The facade preserves that by DOUBLING backslashes inside
+      // literals as translation's final pass (Dialect.
+      // escapeLiteralBackslashes) rather than via Spark's legacy
+      // escapedStringLiterals flag, which would stop un-doubling ''
+      // (measured: 'it''s' stays "it''s") and change the rules for
+      // every DataFrame-side expr() string too.
       // Scan split sizing is input-aware, set per data directory in
       // Tables.tuneScans (a fixed value is wrong at one end of the scale
       // or the other); the session starts at Spark's defaults.

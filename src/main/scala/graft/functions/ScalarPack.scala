@@ -199,10 +199,19 @@ object ScalarPack {
       (j: String, v: String) =>
         if (v == null) null
         else jsonArrayContains(j, n => n.isTextual && n.asText == v))
+    // token-type STRICT like the reference's overloads (JsonFunctions.
+    // java: the bigint overload matches only integer tokens, the double
+    // overload only floating tokens — contains('[1.0]', 1) is false)
+    spark.udf.register("json_array_contains_long",
+      (j: String, v: java.lang.Long) =>
+        if (v == null) null
+        else jsonArrayContains(j,
+          n => n.isIntegralNumber && n.asLong == v.longValue))
     spark.udf.register("json_array_contains_num",
       (j: String, v: java.lang.Double) =>
         if (v == null) null
-        else jsonArrayContains(j, n => n.isNumber && n.asDouble == v.doubleValue))
+        else jsonArrayContains(j,
+          n => n.isFloatingPointNumber && n.asDouble == v.doubleValue))
     spark.udf.register("json_array_contains_bool",
       (j: String, v: java.lang.Boolean) =>
         if (v == null) null
@@ -233,7 +242,14 @@ object ScalarPack {
         else jsonTree(s).getOrElse(
           throw new IllegalArgumentException(s"Cannot convert to JSON: '$s'"))
           .toString)
-    spark.udf.register("json_format", (s: String) => s)
+    // json_format renders the CANONICAL form (the reference formats the
+    // parsed JSON value, never the source spelling — TestJsonFunctions
+    // pins format(JSON '["a", "b"]') = '["a","b"]'); unparseable text
+    // passes through (it can only reach here via a non-JSON string)
+    spark.udf.register("json_format",
+      (s: String) =>
+        if (s == null) null
+        else jsonTree(s).map(_.toString).getOrElse(s))
   }
 
   private lazy val jsonMapper =

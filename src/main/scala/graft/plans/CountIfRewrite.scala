@@ -64,11 +64,21 @@ object ConcatArrayElement extends Rule[LogicalPlan] {
       case Concat(children)
           if children.nonEmpty && children.forall(_.resolved) &&
             children.exists(isArray) && children.exists(!isArray(_)) =>
-        // a bare NULL operand wraps too (Spark's concat coercion has
-        // already stringified it by the time this rule fires): the
-        // element-append overload with an unknown-typed NULL appends a
-        // NULL element, matching the reference's resolution
-        Concat(children.map(e => if (isArray(e)) e else CreateArray(Seq(e))))
+        // a LITERAL NULL operand resolves the whole call to the all-array
+        // overload with a null argument → NULL result (the reference's
+        // TestArrayOperators pins concat(ARRAY[], …, NULL, …) = null);
+        // a RUNTIME null non-array operand keeps element-append
+        // semantics and contributes a null ELEMENT
+        val nullArg = children.exists {
+          case org.apache.spark.sql.catalyst.expressions.Literal(null, t)
+              if !t.isInstanceOf[ArrayType] => true
+          case _ => false
+        }
+        if (nullArg)
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            null, children.find(isArray).get.dataType)
+        else
+          Concat(children.map(e => if (isArray(e)) e else CreateArray(Seq(e))))
     }
 }
 
@@ -101,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => UnnestCodegenRewrite)
     ext.injectResolutionRule(_ => ConcatArrayElement)
     ext.injectResolutionRule(_ => ResolveReduceAgg)
+    ext.injectResolutionRule(_ => MapEqualityRewrite)
     PrestoFunctions.registerAll(ext)
   }
 }

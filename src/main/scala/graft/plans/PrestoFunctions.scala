@@ -392,6 +392,133 @@ object PrestoFunctions {
     },
     fd("presto_log") { a => Logarithm(dbl(a(1)), dbl(a(0))) },
 
+    // ---- Reference-replay conformance pack (round 12: semantics found
+    // by replaying the reference's own scalar-test assertions, see
+    // ReferenceReplaySpec). Each wrapper exists because Spark's builtin
+    // of the same name diverges on an edge the reference pins.
+
+    // greatest/least return NULL when ANY argument is null
+    // (MathFunctions.java greatest/least via @SqlNullable CHECK —
+    // TestMathFunctions pins it); Spark's skip nulls.
+    fd("presto_greatest") { a =>
+      If(a.map(IsNull).reduceLeft(Or),
+        Literal.create(null, org.apache.spark.sql.types.NullType),
+        Greatest(a))
+    },
+    fd("presto_least") { a =>
+      If(a.map(IsNull).reduceLeft(Or),
+        Literal.create(null, org.apache.spark.sql.types.NullType),
+        Least(a))
+    },
+    // array_min/array_max return NULL when the array CONTAINS a null
+    // element (ArrayMinFunction.java/ArrayMaxFunction.java); Spark's
+    // ignore null elements. A null-containing array is detected as
+    // size(arr) != size(array_compact(arr)).
+    fd("presto_array_min") { a =>
+      If(Not(EqualTo(Size(a.head), Size(ArrayCompact(a.head)))),
+        Literal.create(null, org.apache.spark.sql.types.NullType),
+        ArrayMin(a.head))
+    },
+    fd("presto_array_max") { a =>
+      If(Not(EqualTo(Size(a.head), Size(ArrayCompact(a.head)))),
+        Literal.create(null, org.apache.spark.sql.types.NullType),
+        ArrayMax(a.head))
+    },
+    // split_part: index past the split count yields NULL
+    // (StringFunctions.java:splitPart returns null, TestStringFunctions
+    // "SPLIT_PART('abc', 'abc', 3)" → null); Spark's builtin yields ''.
+    // Split on the LITERAL delimiter (StringSplitSQL — the non-regex
+    // split Spark's own split_part uses), then null-on-overrun lookup.
+    // An EMPTY delimiter splits to single characters with an empty
+    // string producing ZERO parts (same reference test file). Divergence:
+    // a non-positive index returns NULL here where the reference raises
+    // INVALID_FUNCTION_ARGUMENT.
+    fd("presto_split_part") { a =>
+      val idx = Cast(a(2), IntegerType)
+      val byChar = If(GreaterThan(idx, Length(a(0))),
+        Literal.create(null, org.apache.spark.sql.types.StringType),
+        Substring(a(0), idx, Literal(1)))
+      If(EqualTo(Length(a(1)), Literal(0)),
+        If(EqualTo(Length(a(0)), Literal(0)),
+          Literal.create(null, org.apache.spark.sql.types.StringType),
+          byChar),
+        ElementAt(StringSplitSQL(a(0), a(1)), idx, None, failOnError = false))
+    },
+    // ltrim/rtrim 2-arg: the reference is (string, trim-chars)
+    // (StringFunctions.java leftTrim/rightTrim codepoint-set overloads);
+    // Spark's 2-arg builtins take (trim-chars, string) — SWAPPED. The
+    // 1-arg forms agree.
+    fd("presto_ltrim") {
+      case Seq(s)    => StringTrimLeft(s)
+      case Seq(s, t) => StringTrimLeft(s, t)
+      case args => throw new IllegalArgumentException(
+        s"ltrim expects 1 or 2 arguments, got ${args.length}")
+    },
+    fd("presto_rtrim") {
+      case Seq(s)    => StringTrimRight(s)
+      case Seq(s, t) => StringTrimRight(s, t)
+      case args => throw new IllegalArgumentException(
+        s"rtrim expects 1 or 2 arguments, got ${args.length}")
+    },
+    // contains / array_position with an UNTYPED NULL probe return NULL
+    // (ArrayFunctions.java @SqlNullable); Spark's builtins REJECT a
+    // NullType argument at analysis. array_position also has the 3-arg
+    // instance form (ArrayPositionFunction.java: the n-th occurrence,
+    // negative n counts from the end; 0 raises).
+    fd("presto_contains") { a =>
+      if (a(1).dataType == org.apache.spark.sql.types.NullType)
+        Literal.create(null, org.apache.spark.sql.types.BooleanType)
+      else ArrayContains(a(0), a(1))
+    },
+    fd("presto_array_position") { a =>
+      if (a(1).dataType == org.apache.spark.sql.types.NullType)
+        Literal.create(null, LongType)
+      else a.length match {
+        case 2 => Cast(ArrayPosition(a(0), a(1)), LongType)
+        case _ =>
+          // positions of all matches, then the n-th (ElementAt handles
+          // the negative-instance form); overrun → 0 like the 1-instance
+          // builtin's no-match contract
+          val arr = a(0); val el = a(1)
+          val inst = Cast(a(2), IntegerType)
+          val positions = ArrayFilter(
+            Sequence(Literal(1), Size(arr), None),
+            {
+              val x = NamedLambdaVariable("pos",
+                IntegerType, nullable = false)
+              LambdaFunction(
+                EqualTo(ElementAt(arr, x, None, failOnError = false), el),
+                Seq(x))
+            })
+          Cast(Coalesce(Seq(
+            ElementAt(positions, inst, None, failOnError = false),
+            Literal(0))), LongType)
+      }
+    },
+    // substr: position 0 or |negative position| > length(str) yield ''
+    // (StringFunctions.java substr boundary contract —
+    // TestStringFunctions "SUBSTR('Quadratically', -50)" → ""); Spark
+    // clamps both to the whole string.
+    fd("presto_substr") { a =>
+      val s = a(0)
+      val p = Cast(a(1), IntegerType)
+      val empty = Or(EqualTo(p, Literal(0)),
+        And(LessThan(p, Literal(0)),
+          GreaterThan(UnaryMinus(p), Length(s))))
+      val body = a.length match {
+        case 2 => Substring(s, p, Literal(Int.MaxValue))
+        case _ => Substring(s, p, Cast(a(2), IntegerType))
+      }
+      If(empty, Literal(""), body)
+    },
+    // is_nan(NULL) is NULL (@SqlNullable in MathFunctions.java isNaN);
+    // Spark's isnan(NULL) is false.
+    fd("presto_is_nan") { a =>
+      If(IsNull(a.head),
+        Literal.create(null, org.apache.spark.sql.types.NullType),
+        IsNaN(dbl(a.head)))
+    },
+
     // to_base / from_base (reference: operator/scalar/MathFunctions.java
     // toBase/fromBase — signed, lowercase digits). Spark's conv treats a
     // negative input as unsigned 2^64 wraparound and emits uppercase, so
@@ -571,11 +698,18 @@ object PrestoFunctions {
     fd("json_array_contains") { a =>
       val catalog =
         org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      // the reference's overloads are TOKEN-TYPE strict
+      // (JsonFunctions.java jsonArrayContains(bigint) matches only
+      // VALUE_NUMBER_INT tokens, (double) only VALUE_NUMBER_FLOAT —
+      // TestJsonFunctions pins contains('[1.0]', 1) = false and
+      // contains('[1]', 1.0) = false), so integral and fractional
+      // probes dispatch to DIFFERENT membership UDFs
       val (name, v) =
         if (a(1).resolved && a(1).dataType == org.apache.spark.sql.types.BooleanType)
           ("json_array_contains_bool", a(1))
-        else if (isIntegralTyped(a(1)) ||
-            (a(1).resolved && a(1).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+        else if (isIntegralTyped(a(1)))
+          ("json_array_contains_long", Cast(a(1), LongType))
+        else if (a(1).resolved && a(1).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
           ("json_array_contains_num", Cast(a(1), DoubleType))
         else ("json_array_contains_str", Cast(a(1), StringType))
       catalog.lookupFunction(FunctionIdentifier(name), Seq(a(0), v))
