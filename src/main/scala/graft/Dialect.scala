@@ -56,7 +56,10 @@ object Dialect {
   val functionAliases: Map[String, String] = Map(
     "approx_distinct"     -> "approx_count_distinct",
     "arbitrary"           -> "any_value",
-    "strpos"              -> "instr",
+    "strpos"              -> "presto_strpos",
+    "strrpos"             -> "presto_strrpos",
+    "array_intersect"     -> "presto_array_intersect",
+    "arrays_overlap"      -> "presto_arrays_overlap",
     "json_extract_scalar" -> "get_json_object",
     "codepoint"           -> "ascii",
     "pow"                 -> "power",
@@ -600,9 +603,30 @@ object Dialect {
           while (h < q.length && q(h).isWhitespace) h += 1
           val hasEscape = q.regionMatches(true, h, "escape", 0, 6) &&
             (h + 6 >= q.length || !isWordChar(q(h + 6)))
+          // ESCAPE '' — the reference's explicit "no escape character"
+          // spelling (LikeFunctions.java accepts an empty escape);
+          // Spark rejects a zero-length escape, so the clause is
+          // dropped and the pattern gets the same no-escape doubling
+          val emptyEscape = hasEscape && {
+            var g = h + 6
+            while (g < q.length && q(g).isWhitespace) g += 1
+            g + 1 < q.length && q(g) == '\'' && q(g + 1) == '\'' &&
+              (g + 2 >= q.length || q(g + 2) != '\'')
+          }
           out.append("LIKE ")
-          out.append(if (hasEscape) lit else lit.replace("\\", "\\\\"))
-          i = end
+          // each source backslash needs FOUR in the emitted text: the
+          // parser's C-unescape halves them (this branch bypasses
+          // preserveBackslashes) and LIKE's own unescape halves again,
+          // leaving the literal backslash the reference's escape-less
+          // LIKE sees
+          out.append(if (hasEscape && !emptyEscape)
+            lit.replace("\\", "\\\\") // parser-level only; ESCAPE kept
+            else lit.replace("\\", "\\\\\\\\"))
+          i = if (emptyEscape) {
+            var g = h + 6
+            while (g < q.length && q(g).isWhitespace) g += 1
+            g + 2
+          } else end
         } else if (lower == "extract" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists { case (args, _) =>
               args.lengthCompare(1) == 0 &&
@@ -1519,37 +1543,8 @@ object Dialect {
   }
 
   def translate(query: String): String =
-    escapeLiteralBackslashes(injectNullOrdering(normalizeZonedValues(
-      rewrite(rewriteUnnest(rewriteCreateFunction(
-        rewriteStatement(query)))))))
-
-  /** FINAL post-pass: double every backslash inside single-quoted
-    * literals. Presto string literals are standard SQL — the only escape
-    * is '' doubling and a backslash is an ordinary character (grammar
-    * SqlBase.g4 STRING rule), while Spark's default parser C-escapes
-    * them, silently corrupting every regexp pattern a Presto user writes
-    * ('\d+' → 'd+'). Doubling at the very end of translation makes the
-    * default parser reconstruct the original value exactly, and keeps
-    * Spark's ''-doubling (which matches Presto) untouched. Spark's
-    * LEGACY escapedStringLiterals mode is NOT the answer: it preserves
-    * backslashes but stops un-doubling '' (measured: 'it''s' stays
-    * "it''s"), breaking the standard escape instead. This pass runs
-    * exactly ONCE per statement (translate is the single entry), so
-    * internal rewrites that re-enter `rewrite` never double twice. */
-  private[graft] def escapeLiteralBackslashes(q: String): String = {
-    if (q.indexOf('\\') < 0) return q
-    val out = new StringBuilder(q.length + 8)
-    var i = 0
-    while (i < q.length) {
-      val c = q(i)
-      if (c == '\'') {
-        val end = literalEnd(q, i)
-        out.append(q.substring(i, end).replace("\\", "\\\\"))
-        i = end
-      } else { out.append(c); i += 1 }
-    }
-    out.toString
-  }
+    injectNullOrdering(normalizeZonedValues(rewrite(rewriteUnnest(
+      rewriteCreateFunction(rewriteStatement(query))))))
 
   // ------------------------------------------------------ TSWTZ post-pass
 

@@ -44,9 +44,9 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // NOTE on string literals: Presto's are standard SQL ('' doubling
       // only; backslash is an ordinary character — SqlBase.g4 STRING
-      // rule). The facade preserves that by DOUBLING backslashes inside
-      // literals as translation's final pass (Dialect.
-      // escapeLiteralBackslashes) rather than via Spark's legacy
+      // rule). The facade preserves that inside translation
+      // (Dialect.preserveBackslashes doubles them so Spark's C-escaping
+      // parser reconstructs the original) rather than via Spark's legacy
       // escapedStringLiterals flag, which would stop un-doubling ''
       // (measured: 'it''s' stays "it''s") and change the rules for
       // every DataFrame-side expr() string too.

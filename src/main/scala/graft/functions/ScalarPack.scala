@@ -199,6 +199,27 @@ object ScalarPack {
       (j: String, v: String) =>
         if (v == null) null
         else jsonArrayContains(j, n => n.isTextual && n.asText == v))
+    // lenient UTF-8 decode (reference StringFunctions.java fromUtf8):
+    // each invalid byte sequence becomes the replacement string (U+FFFD
+    // by default, '' drops them); never raises like Spark's ANSI decode
+    spark.udf.register("from_utf8_lenient",
+      (b: Array[Byte], repl: String) => {
+        if (b == null || repl == null) null
+        else {
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          if (repl.isEmpty) {
+            dec.onMalformedInput(java.nio.charset.CodingErrorAction.IGNORE)
+            dec.onUnmappableCharacter(java.nio.charset.CodingErrorAction.IGNORE)
+          } else {
+            require(repl.codePointCount(0, repl.length) == 1,
+              "replacement character must be a single character")
+            dec.onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+            dec.onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+            dec.replaceWith(repl)
+          }
+          dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+        }
+      })
     // token-type STRICT like the reference's overloads (JsonFunctions.
     // java: the bigint overload matches only integer tokens, the double
     // overload only floating tokens — contains('[1.0]', 1) is false)

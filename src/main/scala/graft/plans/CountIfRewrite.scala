@@ -69,11 +69,11 @@ object ConcatArrayElement extends Rule[LogicalPlan] {
         // TestArrayOperators pins concat(ARRAY[], …, NULL, …) = null);
         // a RUNTIME null non-array operand keeps element-append
         // semantics and contributes a null ELEMENT
-        val nullArg = children.exists {
-          case org.apache.spark.sql.catalyst.expressions.Literal(null, t)
-              if !t.isInstanceOf[ArrayType] => true
-          case _ => false
-        }
+        // the null operand may already be coercion-wrapped
+        // (cast(null as string)) by the time this rule fires — detect
+        // any FOLDABLE null non-array child, not just a bare literal
+        val nullArg = children.exists(e =>
+          !isArray(e) && e.foldable && e.eval(null) == null)
         if (nullArg)
           org.apache.spark.sql.catalyst.expressions.Literal.create(
             null, children.find(isArray).get.dataType)
@@ -112,6 +112,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ConcatArrayElement)
     ext.injectResolutionRule(_ => ResolveReduceAgg)
     ext.injectResolutionRule(_ => MapEqualityRewrite)
+    ext.injectResolutionRule(_ => DoubleDivisionRewrite)
     PrestoFunctions.registerAll(ext)
   }
 }

@@ -63,8 +63,94 @@ object MapEqualityRewrite extends Rule[LogicalPlan] {
     l.resolved && r.resolved &&
       l.dataType.isInstanceOf[MapType] && r.dataType.isInstanceOf[MapType]
 
+  /** Null-safe (`IS [NOT] DISTINCT FROM`, spelled `<=>` by the parser)
+    * map comparison: DISTINCT logic is two-valued — a NULL value is a
+    * known value that equals only NULL (MapDistinctFromOperator in the
+    * reference's generated operators) — so the fold needs no Kleene
+    * third state. */
+  private def mapEqNullSafe(l: Expression, r: Expression): Expression = {
+    val keyType = l.dataType.asInstanceOf[MapType].keyType
+    val acc = NamedLambdaVariable("acc", IntegerType, nullable = false)
+    val k = NamedLambdaVariable("k", keyType, nullable = false)
+    val cmp = If(
+      And(MapContainsKey(r, k),
+        EqualNullSafe(GetMapValue(l, k), GetMapValue(r, k))),
+      Literal(1), Literal(0))
+    val accOut = NamedLambdaVariable("accOut", IntegerType, nullable = false)
+    val folded = ArrayAggregate(
+      MapKeys(l), Literal(1),
+      LambdaFunction(
+        If(Or(EqualTo(acc, Literal(0)), EqualTo(cmp, Literal(0))),
+          Literal(0), Literal(1)),
+        Seq(acc, k)),
+      LambdaFunction(accOut, Seq(accOut)))
+    If(Or(IsNull(l), IsNull(r)),
+      And(IsNull(l), IsNull(r)),
+      And(EqualTo(Size(MapKeys(l)), Size(MapKeys(r))),
+        EqualTo(folded, Literal(1))))
+  }
+
+  private def isNullTyped(e: Expression): Boolean =
+    e.resolved && e.dataType == org.apache.spark.sql.types.NullType
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveExpressions {
       case EqualTo(l, r) if bothMaps(l, r) => mapEq(l, r)
+      case EqualNullSafe(l, r) if bothMaps(l, r) => mapEqNullSafe(l, r)
+      // map <=> NULL (untyped): true iff the map side is NULL
+      case EqualNullSafe(l, r)
+          if l.resolved && l.dataType.isInstanceOf[MapType] && isNullTyped(r) =>
+        IsNull(l)
+      case EqualNullSafe(l, r)
+          if r.resolved && r.dataType.isInstanceOf[MapType] && isNullTyped(l) =>
+        IsNull(r)
     }
+}
+
+/** Presto float division is IEEE-754 (DoubleOperators.java /
+  * RealOperators.java divide — plain Java `/`; zero denominators give
+  * ±Infinity/NaN, pinned all over TestMathFunctions via
+  * `is_infinite(1.0E0 / 0.0E0)`), while Spark's ANSI mode raises
+  * DIVIDE_BY_ZERO for EVERY numeric type. This rule lowers float-typed
+  * division to [[graft.functions.IeeeDivide]]; integral and decimal
+  * division keep ANSI's raising behavior, which IS the reference's
+  * (BigintOperators.java:114 DIVISION_BY_ZERO). REAL/REAL narrows back
+  * to float like the reference's REAL-typed divide. */
+object DoubleDivisionRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  /** True when the expression is float-typed BEFORE any coercion casts:
+    * Spark's `/` coerces INTEGER operands to double (1/0 arrives here as
+    * Divide(cast(1), cast(0)) with a double result), but the reference
+    * types that as INTEGER division, whose by-zero contract is the ANSI
+    * RAISE — only genuinely float-rooted division may go IEEE. */
+  private def floatRooted(e: Expression): Boolean = e match {
+    case c: Cast => floatRooted(c.child)
+    case _ => e.dataType == DoubleType || e.dataType == FloatType
+  }
+
+  /** Top-down rewrite that REFUSES to descend into try-guarded subtrees:
+    * Spark's try_divide resolves to TryEval(Divide(…, ANSI)) under ANSI
+    * mode, and an IEEE divide inside would return Infinity where the
+    * TRY contract promises NULL-on-zero. EvalMode.TRY divides (the
+    * non-ANSI try_divide lowering) are skipped by the mode guard. */
+  private def rw(e: Expression): Expression = e match {
+    case t: TryEval => t
+    // never rewrite inside a RuntimeReplaceable's lowering (try_divide,
+    // try_multiply, …): those subtrees implement a Spark API contract
+    // (NULL-on-error), not user-written division
+    case rr: RuntimeReplaceable => rr
+    case d @ Divide(l, r, mode)
+        if mode != EvalMode.TRY && d.resolved &&
+          d.dataType == DoubleType && (floatRooted(l) || floatRooted(r)) =>
+      graft.functions.IeeeDivide(rw(l), rw(r))
+    case d @ Divide(l, r, mode)
+        if mode != EvalMode.TRY && d.resolved && d.dataType == FloatType =>
+      Cast(graft.functions.IeeeDivide(
+        Cast(rw(l), DoubleType), Cast(rw(r), DoubleType)), FloatType)
+    case other => other.mapChildren(rw)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp { case p => p.mapExpressions(rw) }
 }

@@ -53,6 +53,83 @@ object PrestoFunctions {
   }
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
 
+  /** 1..n index sequence that is EMPTY for n < 1 — a bare
+    * Sequence(1, 0) descends to [1, 0] and its 0 probe then raises
+    * INVALID_INDEX_OF_ZERO inside any element lookup. */
+  private def safeIndexSeq(n: Expression): Expression =
+    If(LessThan(n, Literal(1)),
+      Literal.create(Array.empty[Int],
+        org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)),
+      Sequence(Literal(1), n, None))
+
+  /** Position (1-based, BIGINT) of the n-th occurrence of `sub` in `s`
+    * (n counts from the end when fromEnd) — 0 when there is no such
+    * occurrence, error on a non-positive n, and the reference's
+    * empty-substring contract (strpos(s, '') = 1). Overlapping
+    * occurrences count, like the reference's indexOf loop. */
+  private def nthPosition(
+      s: Expression, sub: Expression, n: Expression,
+      fromEnd: Boolean): Expression = {
+    val inst = Cast(n, IntegerType)
+    val x = NamedLambdaVariable("i", IntegerType, nullable = false)
+    val positions = ArrayFilter(
+      safeIndexSeq(Length(s)),
+      LambdaFunction(
+        EqualTo(Substring(s, x, Length(sub)), sub), Seq(x)))
+    val ordered = if (fromEnd) Reverse(positions) else positions
+    val nth = Coalesce(Seq(
+      If(EqualTo(Size(ordered), Literal(0)), Literal(0),
+        ElementAt(ordered, inst, None, failOnError = false)),
+      Literal(0)))
+    Cast(
+      If(Or(Or(IsNull(s), IsNull(sub)), IsNull(n)),
+        Literal.create(null, IntegerType),
+        If(LessThanOrEqual(inst, Literal(0)),
+          Cast(RaiseError(Literal(
+            "'instance' must be a positive or negative number.")), IntegerType),
+          If(EqualTo(Length(sub), Literal(0)), Literal(1), nth))),
+      LongType)
+  }
+
+  /** Unify decimal element types of two arrays (the reference's
+    * decimal coercion; Spark's binary array functions demand identical
+    * element types and reject e.g. array<decimal(3,1)> vs
+    * array<decimal(3,2)>). Non-decimal pairs pass through. */
+  private def widenArrays(
+      a: Expression, b: Expression): (Expression, Expression) = {
+    import org.apache.spark.sql.types.{ArrayType, DecimalType}
+    (a.dataType, b.dataType) match {
+      case (ArrayType(x: DecimalType, n1), ArrayType(y: DecimalType, n2))
+          if x != y =>
+        val s = math.max(x.scale, y.scale)
+        val p = math.min(
+          math.max(x.precision - x.scale, y.precision - y.scale) + s, 38)
+        val t = ArrayType(DecimalType(p, s), n1 || n2)
+        (Cast(a, t), Cast(b, t))
+      case _ => (a, b)
+    }
+  }
+
+  /** Same unification between an array and a probe element. */
+  private def widenElem(
+      arr: Expression, el: Expression): (Expression, Expression) = {
+    import org.apache.spark.sql.types.{ArrayType, DecimalType}
+    (arr.dataType, el.dataType) match {
+      case (ArrayType(x: DecimalType, n), y: DecimalType) if x != y =>
+        val s = math.max(x.scale, y.scale)
+        val p = math.min(
+          math.max(x.precision - x.scale, y.precision - y.scale) + s, 38)
+        val t = DecimalType(p, s)
+        (Cast(arr, ArrayType(t, n)), Cast(el, t))
+      case (ArrayType(x: DecimalType, n), y)
+          if Seq(ByteType, ShortType, IntegerType, LongType).contains(y) =>
+        val t = DecimalType(
+          math.min(math.max(x.precision - x.scale, 20) + x.scale, 38), x.scale)
+        (Cast(arr, ArrayType(t, n)), Cast(el, t))
+      case _ => (arr, el)
+    }
+  }
+
   /** Input-type bit width for the reference's per-type shift overloads
     * (BitwiseFunctions.java): TINYINT/SMALLINT/INTEGER wrap to 8/16/32
     * bits; everything else (BIGINT and untyped literals) is 64. Builders
@@ -399,14 +476,17 @@ object PrestoFunctions {
 
     // greatest/least return NULL when ANY argument is null
     // (MathFunctions.java greatest/least via @SqlNullable CHECK —
-    // TestMathFunctions pins it); Spark's skip nulls.
+    // TestMathFunctions pins it); Spark's skip nulls. The reference
+    // also accepts a SINGLE argument (identity); Spark requires two.
     fd("presto_greatest") { a =>
-      If(a.map(IsNull).reduceLeft(Or),
+      if (a.lengthCompare(1) == 0) a.head
+      else If(a.map(IsNull).reduceLeft(Or),
         Literal.create(null, org.apache.spark.sql.types.NullType),
         Greatest(a))
     },
     fd("presto_least") { a =>
-      If(a.map(IsNull).reduceLeft(Or),
+      if (a.lengthCompare(1) == 0) a.head
+      else If(a.map(IsNull).reduceLeft(Or),
         Literal.create(null, org.apache.spark.sql.types.NullType),
         Least(a))
     },
@@ -473,27 +553,92 @@ object PrestoFunctions {
     fd("presto_array_position") { a =>
       if (a(1).dataType == org.apache.spark.sql.types.NullType)
         Literal.create(null, LongType)
-      else a.length match {
-        case 2 => Cast(ArrayPosition(a(0), a(1)), LongType)
-        case _ =>
-          // positions of all matches, then the n-th (ElementAt handles
-          // the negative-instance form); overrun → 0 like the 1-instance
-          // builtin's no-match contract
-          val arr = a(0); val el = a(1)
-          val inst = Cast(a(2), IntegerType)
-          val positions = ArrayFilter(
-            Sequence(Literal(1), Size(arr), None),
-            {
-              val x = NamedLambdaVariable("pos",
-                IntegerType, nullable = false)
-              LambdaFunction(
-                EqualTo(ElementAt(arr, x, None, failOnError = false), el),
-                Seq(x))
-            })
-          Cast(Coalesce(Seq(
-            ElementAt(positions, inst, None, failOnError = false),
-            Literal(0))), LongType)
+      else {
+        val (arr, el) = widenElem(a(0), a(1))
+        a.length match {
+          case 2 => Cast(ArrayPosition(arr, el), LongType)
+          case _ =>
+            // positions of all matches, then the n-th (ElementAt handles
+            // the negative-instance form); overrun → 0 like the
+            // 1-instance builtin's no-match contract
+            val inst = Cast(a(2), IntegerType)
+            val positions = ArrayFilter(
+              safeIndexSeq(Size(arr)),
+              {
+                val x = NamedLambdaVariable("pos",
+                  IntegerType, nullable = false)
+                LambdaFunction(
+                  EqualTo(ElementAt(arr, x, None, failOnError = false), el),
+                  Seq(x))
+              })
+            Cast(Coalesce(Seq(
+              If(EqualTo(Size(positions), Literal(0)), Literal(0),
+                ElementAt(positions, inst, None, failOnError = false)),
+              Literal(0))), LongType)
+        }
       }
+    },
+    // strpos/strrpos instance forms (StringFunctions.java stringPosition
+    // with an occurrence count; strrpos counts occurrences from the
+    // END). Spark's instr has no instance argument. A non-positive
+    // instance raises like the reference's INVALID_FUNCTION_ARGUMENT.
+    fd("presto_strpos") {
+      case Seq(s, sub) => Cast(StringInstr(s, sub), LongType)
+      case Seq(s, sub, n) => nthPosition(s, sub, n, fromEnd = false)
+      case args => throw new IllegalArgumentException(
+        s"strpos expects 2 or 3 arguments, got ${args.length}")
+    },
+    fd("presto_strrpos") {
+      case Seq(s, sub) =>
+        nthPosition(s, sub, Literal(1), fromEnd = true)
+      case Seq(s, sub, n) => nthPosition(s, sub, n, fromEnd = true)
+      case args => throw new IllegalArgumentException(
+        s"strrpos expects 2 or 3 arguments, got ${args.length}")
+    },
+    // array_intersect: NULL arrays propagate NULL (@SqlNullable), the
+    // 1-arg form intersects an array OF arrays (ArrayIntersectFunction
+    // .java both signatures), and decimal element types of different
+    // scales unify like the reference's coercion.
+    fd("presto_array_intersect") { a =>
+      if (a.exists(_.dataType == org.apache.spark.sql.types.NullType))
+        Literal.create(null,
+          a.map(_.dataType).find(_ != org.apache.spark.sql.types.NullType)
+            .getOrElse(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.NullType)))
+      else if (a.lengthCompare(1) == 0) {
+        val arr = a.head
+        val elemT = arr.dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val acc = NamedLambdaVariable("acc", elemT, nullable = true)
+        val x = NamedLambdaVariable("x", elemT, nullable = true)
+        val accOut = NamedLambdaVariable("accOut", elemT, nullable = true)
+        ArrayAggregate(
+          arr,
+          ElementAt(arr, Literal(1), None, failOnError = false),
+          LambdaFunction(ArrayIntersect(acc, x), Seq(acc, x)),
+          LambdaFunction(accOut, Seq(accOut)))
+      } else {
+        val (l, r) = widenArrays(a(0), a(1))
+        ArrayIntersect(l, r)
+      }
+    },
+    fd("presto_arrays_overlap") { a =>
+      val (l, r) = widenArrays(a(0), a(1))
+      ArraysOverlap(l, r)
+    },
+    // width_bucket's ARRAY-of-bins form (MathFunctions.java
+    // widthBucket(double, array<double>): the count of sorted bin
+    // boundaries ≤ x); the 4-arg form is Spark's own builtin.
+    fd("width_bucket") {
+      case Seq(x, bins) =>
+        val b = NamedLambdaVariable("b", DoubleType, nullable = true)
+        Cast(Size(ArrayFilter(
+          Cast(bins, org.apache.spark.sql.types.ArrayType(DoubleType)),
+          LambdaFunction(LessThanOrEqual(b, Cast(x, DoubleType)), Seq(b)))),
+          LongType)
+      case Seq(x, lo, hi, n) => WidthBucket(dbl(x), dbl(lo), dbl(hi), long(n))
+      case args => throw new IllegalArgumentException(
+        s"width_bucket expects 2 or 4 arguments, got ${args.length}")
     },
     // substr: position 0 or |negative position| > length(str) yield ''
     // (StringFunctions.java substr boundary contract —
@@ -538,8 +683,12 @@ object PrestoFunctions {
       val body = If(
         Or(neg, StartsWith(s, Literal("+"))),
         Substring(s, Literal(2), Literal(Integer.MAX_VALUE)), s)
-      val mag = Cast(Conv(body, r, Literal(10)), LongType)
-      If(neg, UnaryMinus(mag), mag)
+      val magStr = Conv(body, r, Literal(10))
+      // the negative branch negates in DECIMAL first: Long.MinValue's
+      // magnitude (2^63) does not fit a BIGINT before the sign lands
+      val negVal = Cast(UnaryMinus(
+        Cast(magStr, org.apache.spark.sql.types.DecimalType(20, 0))), LongType)
+      If(neg, negVal, Cast(magStr, LongType))
     },
 
     // Aggregates the registry-builder path can express natively:
@@ -720,7 +869,23 @@ object PrestoFunctions {
     // sequences decode to U+FFFD on both sides. normalize dispatches its
     // optional form argument (NFC default) to the registered UDF.
     fd("to_utf8") { a => Encode(a.head, Literal("UTF-8")) },
-    fd("from_utf8") { a => StringDecode(a.head, Literal("UTF-8")) },
+    // from_utf8 is LENIENT (StringFunctions.java fromUtf8: invalid
+    // sequences become U+FFFD, or the caller's replacement character /
+    // codepoint, '' drops them) — Spark's ANSI decode RAISES
+    // MALFORMED_CHARACTER_CODING instead, so the decode runs in the
+    // registered lenient UDF.
+    fd("from_utf8") { a =>
+      val catalog =
+        org.apache.spark.sql.SparkSession.active.sessionState.catalog
+      val repl: Expression =
+        if (a.lengthCompare(1) == 0) Literal("�")
+        else if (isIntegralTyped(a(1)))
+          catalog.lookupFunction(
+            FunctionIdentifier("presto_chr"), Seq(long(a(1))))
+        else Cast(a(1), StringType)
+      catalog.lookupFunction(
+        FunctionIdentifier("from_utf8_lenient"), Seq(a.head, repl))
+    },
     fd("normalize") { a =>
       val form = if (a.length > 1) a(1) else Literal("NFC")
       org.apache.spark.sql.SparkSession.active.sessionState.catalog

@@ -9,7 +9,7 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.translate("SELECT approx_distinct(x) FROM t")
       == "SELECT approx_count_distinct(x) FROM t")
     assert(Engine.translate("SELECT strpos(a, 'b') FROM t")
-      == "SELECT instr(a, 'b') FROM t")
+      == "SELECT presto_strpos(a, 'b') FROM t")
     assert(Engine.translate("SELECT ARBITRARY(x) FROM t")
       == "SELECT any_value(x) FROM t")
   }
@@ -55,7 +55,7 @@ class DialectSpec extends AnyFunSuite {
 
   test("string literals are never rewritten") {
     assert(Engine.translate("SELECT strpos(a, 'strpos(x)') FROM t")
-      == "SELECT instr(a, 'strpos(x)') FROM t")
+      == "SELECT presto_strpos(a, 'strpos(x)') FROM t")
     assert(Engine.translate("SELECT 'it''s arbitrary(1)' FROM t")
       == "SELECT 'it''s arbitrary(1)' FROM t")
   }
@@ -155,7 +155,7 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT approx_set_agg(graft_approx_set_hash(c_name)) FROM customer")
     // nested parens close correctly
     assert(Engine.translate("SELECT approx_set(substr(c_name, 1, 2)) FROM c")
-      == "SELECT approx_set_agg(graft_approx_set_hash(substr(c_name, 1, 2))) FROM c")
+      == "SELECT approx_set_agg(graft_approx_set_hash(presto_substr(c_name, 1, 2))) FROM c")
   }
 
   test("map constructor: two-arg Presto form becomes map_from_arrays") {
@@ -265,10 +265,10 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.translate("SELECT a -- don't rewrite strpos( here\nFROM t")
       == "SELECT a -- don't rewrite strpos( here\nFROM t")
     assert(Engine.translate("SELECT strpos(a, 'x') /* it's fine */ FROM t")
-      == "SELECT instr(a, 'x') /* it's fine */ FROM t")
+      == "SELECT presto_strpos(a, 'x') /* it's fine */ FROM t")
     // an apostrophe in a comment must not desync literal tracking
     assert(Engine.translate("SELECT a, -- don't\n strpos(b, 'c') FROM t ORDER BY a")
-      == "SELECT a, -- don't\n instr(b, 'c') FROM t ORDER BY a NULLS LAST")
+      == "SELECT a, -- don't\n presto_strpos(b, 'c') FROM t ORDER BY a NULLS LAST")
   }
 
   test("LIMIT ALL is dropped; DECIMAL literals become sized casts") {
@@ -294,7 +294,7 @@ class DialectSpec extends AnyFunSuite {
     assert(Engine.translate("SELECT log(x, 2) FROM t")
       == "SELECT presto_log(x, 2) FROM t")
     assert(Engine.translate("SELECT strpos(a, 'arr[1]') FROM t")
-      == "SELECT instr(a, 'arr[1]') FROM t")
+      == "SELECT presto_strpos(a, 'arr[1]') FROM t")
   }
 
   test("prepared-statement classification and parameter binding") {

@@ -261,7 +261,10 @@ class DocVectorsSpec extends AnyFunSuite {
     assert(seq("SELECT ARRAY [1] || 2") == Seq(1, 2))
     assert(seq("SELECT 2 || ARRAY [1]") == Seq(2, 1))
     assert(one("SELECT 'a' || 'b'") == "ab") // plain string concat untouched
-    assert(seq("SELECT ARRAY[1] || NULL") == Seq(1, null)) // element-append overload
+    // a LITERAL NULL resolves to the all-array overload with a null
+    // argument → NULL (the reference's TestArrayOperators.java:437
+    // concat(ARRAY[], …, NULL, …) = null), NOT a null element append
+    assert(one("SELECT ARRAY[1] || NULL") == null)
     assert(seq("SELECT array_sort(ARRAY [3, 2, 5, 1, 2], (x, y) -> IF(x < y, 1, IF(x = y, 0, -1)))")
       == Seq(5, 3, 2, 2, 1))
     assert(seq("SELECT array_sort(ARRAY ['bc', 'ab', 'dc'], (x, y) -> IF(x < y, 1, IF(x = y, 0, -1)))")

@@ -1,0 +1,154 @@
+package graft
+
+/** Replays the reference's OWN scalar-test assertions through
+  * `Engine.sql` (mirroring presto-main's FunctionAssertions: evaluate
+  * one expression, compare one value). Two layers:
+  *
+  *  1. SENTINELS (always run, ~30 cases): one per conformance fix the
+  *     round-12 replay campaign landed — LIKE's no-implicit-escape,
+  *     standard-SQL literals, NULL-propagating extrema, IEEE float
+  *     division, map =/IS DISTINCT FROM, instance-form strpos, lenient
+  *     from_utf8, token-strict json_array_contains, … Each sentinel is
+  *     an exact (expression, expected) pair from the reference test
+  *     files cited in the conformance pack; a regression in any wrapper
+  *     or rewrite trips its sentinel by name.
+  *
+  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 1458 frozen
+  *     simple-literal assertions in reference_assertions.tsv
+  *     (tools/extract_ref_asserts.py). Asserts a pass FLOOR (≥ 1300 —
+  *     measured 1304+ after the pack) rather than exactness: the
+  *     remaining tail is documented divergence families (double→varchar
+  *     E-notation rendering, CHAR(n) padded length, array equality's
+  *     three-valued nulls, JSON-literal→typed-NULL casts), each listed
+  *     in README's divergence matrix, not silent gaps.
+  */
+class ReferenceReplaySpec extends QueryAssertions {
+
+  private def one(sql: String): Any = {
+    val rows = Engine.sql(spark, sfDir, s"SELECT $sql AS v").collect()
+    assert(rows.length == 1, s"expected one row for $sql")
+    rows(0).get(0)
+  }
+
+  private def check(expr: String, expected: Any): Unit = {
+    val got = one(expr)
+    (expected, got) match {
+      case (e: Double, g: Double) =>
+        assert(math.abs(g - e) <= math.abs(e) * 1e-9 + 1e-12,
+          s"$expr: expected $e, got $g")
+      case _ =>
+        assert(String.valueOf(got) == String.valueOf(expected),
+          s"$expr: expected $expected, got $got")
+    }
+  }
+
+  test("sentinels: string-literal and LIKE escape semantics") {
+    check("'a\\d+'", "a\\d+")                       // backslash is ordinary
+    check("'it''s'", "it's")                        // '' doubling still works
+    check("'_monkey_' like '\\_monkey\\_'", false)  // no implicit escape
+    check("'_monkey_' like '_monkey_' escape ''", true) // empty = no escape
+    check("'_monkey_' like '\\_monkey\\_' escape '\\'", true) // explicit kept
+  }
+
+  test("sentinels: NULL-propagating extrema and array min/max") {
+    check("greatest(5, 4, CAST(NULL AS INTEGER), 3)", null)
+    check("least(5, 4, CAST(NULL as DOUBLE), 3)", null)
+    check("greatest(-1)", -1)
+    check("ARRAY_MIN(ARRAY [NULL, 2, 3])", null)
+    check("ARRAY_MAX(ARRAY ['1', '2', NULL])", null)
+    check("is_nan(NULL)", null)
+  }
+
+  test("sentinels: IEEE float division under ANSI integer semantics") {
+    check("is_infinite(1.0E0 / 0.0E0)", true)
+    check("is_nan(0.0E0 / 0.0E0)", true)
+    check("8.0E0 / 2.0E0", 4.0)
+    // integer division-by-zero still RAISES (BigintOperators.java:114)
+    intercept[Exception] { one("1 / 0") }
+  }
+
+  test("sentinels: array membership, position instances, intersect") {
+    check("CONTAINS(ARRAY ['puppies', 'dogs'], 'dogs')", true)
+    check("CONTAINS(ARRAY [1, 2, 3], 5)", false)
+    check("ARRAY_POSITION(ARRAY [10, 20, 30, 30], 30, 2)", 4)
+    check("ARRAY_POSITION(CAST(ARRAY[] AS ARRAY(BIGINT)), 1, -1)", 0)
+    check("ARRAY_POSITION(ARRAY [1.0, 2.0, 3.0, 4.0], 3)", 3)
+    check("ARRAYS_OVERLAP(ARRAY [10.1, 9.1], ARRAY [9.09, 9.0])", false)
+    check("array_intersect(NULL, ARRAY[NULL])", null)
+    check("array_sort(array_intersect(ARRAY[ARRAY[1,2,3], ARRAY[2,3,4]]))[1]", 2)
+  }
+
+  test("sentinels: map comparison operators") {
+    check("MAP(ARRAY[1,3], ARRAY[2,4]) = MAP(ARRAY[3,1], ARRAY[4,2])", true)
+    check("MAP(ARRAY[1], ARRAY[2]) = MAP(ARRAY[1], ARRAY[4])", false)
+    check("ARRAY[MAP(ARRAY[1], ARRAY[NULL]) = MAP(ARRAY[1], ARRAY[NULL])][1]", null)
+    check("MAP(ARRAY[1], ARRAY[NULL]) IS DISTINCT FROM MAP(ARRAY[1], ARRAY[NULL])",
+      false)
+    check("MAP(ARRAY[1], ARRAY[NULL]) IS DISTINCT FROM MAP(ARRAY[1], ARRAY[0])",
+      true)
+    check("MAP(ARRAY[1], ARRAY[2]) IS DISTINCT FROM NULL", true)
+  }
+
+  test("sentinels: string function boundary contracts") {
+    check("STRPOS('abc/xyz/foo/bar', '/', 3)", 12)
+    check("STRRPOS('foobarfoo', 'oo', 2)", 2)
+    check("SPLIT_PART('abc', 'abc', 3)", null)
+    check("SPLIT_PART('abc', '', 2)", "b")
+    check("SUBSTR('Quadratically', -50)", "")
+    check("SUBSTR('Quadratically', 0)", "")
+    check("LTRIM('  hello  ', 'he ')", "llo  ")
+    check("RTRIM('  hello  ', 'lo ')", "  he")
+    check("from_utf8(from_hex('58DF'), '#')", "X#")
+    check("from_utf8(from_hex('58BF'), '')", "X")
+    check("from_base('-9223372036854775808', 10)", Long.MinValue)
+  }
+
+  test("sentinels: token-strict JSON membership and canonical format") {
+    check("JSON_ARRAY_CONTAINS('[1.0]', 1)", false)
+    check("JSON_ARRAY_CONTAINS('[1]', 1.0)", false)
+    check("JSON_ARRAY_CONTAINS('[1]', 1)", true)
+    check("JSON_FORMAT(JSON '[\"a\", \"b\"]')", """["a","b"]""")
+  }
+
+  test("sentinels: concat of arrays with a NULL argument") {
+    check("concat(ARRAY[], ARRAY[], NULL, ARRAY[])", null)
+    check("cardinality(ARRAY[1] || 2)", 2) // element append still works
+  }
+
+  test("full sweep (SPARK_GRAFT_REPLAY=1): frozen reference assertions " +
+      "hold the pass floor") {
+    assume(sys.env.get("SPARK_GRAFT_REPLAY").contains("1"),
+      "full 1458-case sweep is opt-in (minutes of runtime)")
+    val dec = java.util.Base64.getDecoder
+    def d(s: String) = new String(dec.decode(s), "UTF-8")
+    val in = getClass.getResourceAsStream("/reference_assertions.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    var ok = 0
+    val failures = collection.mutable.Buffer[String]()
+    for (line <- lines) {
+      val Array(_, exprB, _, kind, expB) = line.split("\t", 5)
+      val expr = d(exprB); val expected = d(expB)
+      try {
+        val v = one(expr)
+        val got = if (v == null) "null" else v.toString
+        val matches = kind match {
+          case "null" => v == null
+          case "num" =>
+            v != null && (try {
+              val e = BigDecimal(expected.stripSuffix("L"))
+              val g = BigDecimal(got)
+              e == g || (e != 0 && ((g - e) / e).abs < 1e-9) ||
+                (e == 0 && g.abs < 1e-12)
+            } catch { case _: Throwable => got == expected.stripSuffix("L") })
+          case _ => got == expected
+        }
+        if (matches) ok += 1 else failures += s"$expr exp=$expected got=$got"
+      } catch { case e: Throwable =>
+        failures += s"$expr ERR ${String.valueOf(e.getMessage).take(80)}"
+      }
+    }
+    info(s"replay: $ok / ${lines.size} assertions match")
+    assert(ok >= 1300,
+      s"pass floor broken: $ok of ${lines.size}\n${failures.take(20).mkString("\n")}")
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Extract simple-literal assertFunction cases from the reference's
+scalar-function tests into a replayable TSV.
+
+Reads `assertFunction("<expr>", <TYPE>, <expected>);` lines from a fixed
+list of reference test files and keeps only the cases whose expected
+value is a SIMPLE literal (string / number / boolean / null) and whose
+expression carries no \\uXXXX escapes (the TSV is UTF-8 text; exotic
+codepoint round-trips are the reference's own unicode tests, not
+dialect-conformance signal). Each kept case becomes one TSV row:
+
+    <source file>\t<b64 expr>\t<java type expr>\t<kind>\t<b64 expected>
+
+kind ∈ {null, bool, num, str}. Expressions and expectations are
+base64-encoded so tabs/quotes/newlines can't corrupt the framing.
+
+The frozen output lives at src/test/resources/reference_assertions.tsv
+and is replayed by ReferenceReplaySpec (sentinels always; the full
+sweep under SPARK_GRAFT_REPLAY=1). Regenerate only to pick up MORE
+coverage; the suite's pass-floor assumes the frozen snapshot.
+"""
+import base64
+import re
+import sys
+
+REF = "/root/reference/presto-main/src/test/java/com/facebook/presto/"
+FILES = [
+    "operator/scalar/TestStringFunctions.java",
+    "operator/scalar/TestMathFunctions.java",
+    "operator/scalar/TestBitwiseFunctions.java",
+    "operator/scalar/TestUrlFunctions.java",
+    "operator/scalar/TestJsonFunctions.java",
+    "operator/scalar/TestConditions.java",
+    "operator/scalar/TestArrayIntersectFunction.java",
+    "operator/scalar/TestArraySortFunction.java",
+    "type/TestArrayOperators.java",
+    "type/TestMapOperators.java",
+]
+
+PAT = re.compile(
+    r'assertFunction\("((?:[^"\\]|\\.)*)",\s*([A-Za-z_().,0-9 ]+),\s*(.+?)\);\s*$')
+
+
+def simple(e: str) -> bool:
+    e = e.strip()
+    if e in ("null", "true", "false"):
+        return True
+    if re.fullmatch(r"-?\d+\.?\d*[LE]?\d*", e):
+        return True
+    if re.fullmatch(r'"(?:[^"\\]|\\.)*"', e):
+        return True
+    return False
+
+
+def unesc(s: str) -> str:
+    return s.encode().decode("unicode_escape")
+
+
+def main(out_path: str) -> None:
+    n = 0
+    with open(out_path, "w") as out:
+        for f in FILES:
+            src = open(REF + f).read()
+            for line in src.splitlines():
+                m = PAT.search(line.strip())
+                if not m or not simple(m.group(3)) or "\\u" in m.group(1):
+                    continue
+                expr, typ, exp = m.group(1), m.group(2).strip(), m.group(3).strip()
+                if exp in ("null", "true", "false"):
+                    kind, val = ("null" if exp == "null" else "bool"), exp
+                elif exp.startswith('"'):
+                    kind, val = "str", unesc(exp[1:-1])
+                else:
+                    kind, val = "num", exp
+
+                def b(s: str) -> str:
+                    return base64.b64encode(s.encode()).decode()
+
+                out.write(f"{f}\t{b(unesc(expr))}\t{typ}\t{kind}\t{b(val)}\n")
+                n += 1
+    print(f"wrote {n} cases to {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1
+         else "src/test/resources/reference_assertions.tsv")
