@@ -94,7 +94,8 @@ object MapEqualityRewrite extends Rule[LogicalPlan] {
     e.resolved && e.dataType == org.apache.spark.sql.types.NullType
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveExpressions {
+    plan.resolveExpressionsWithPruning(_.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.BINARY_COMPARISON)) {
       case EqualTo(l, r) if bothMaps(l, r) => mapEq(l, r)
       case EqualNullSafe(l, r) if bothMaps(l, r) => mapEqNullSafe(l, r)
       // map <=> NULL (untyped): true iff the map side is NULL
@@ -152,5 +153,11 @@ object DoubleDivisionRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp { case p => p.mapExpressions(rw) }
+    // prune on the BINARY_ARITHMETIC pattern: plans with no arithmetic
+    // skip the manual traversal entirely (this rule runs every analyzer
+    // iteration of every query)
+    plan.resolveOperatorsUpWithPruning(_.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.BINARY_ARITHMETIC)) {
+      case p => p.mapExpressions(rw)
+    }
 }
