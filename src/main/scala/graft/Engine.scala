@@ -216,7 +216,26 @@ object Engine {
   private val ExplainIoRe =
     "(?is)^\\s*EXPLAIN\\s*\\(([^)]*\\btype\\s+io\\b[^)]*)\\)(.*)$".r
 
+  /** True while the current thread is analyzing a plan submitted
+    * through [[sql]] — the Presto-dialect marker
+    * [[graft.plans.IntegerDivisionRewrite]] keys on. `spark.sql`
+    * analyzes eagerly on the calling thread, so the flag brackets
+    * exactly the facade's own resolution; DataFrame programs and
+    * direct `spark.sql` callers never see it. */
+  private val prestoDialect: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  def prestoDialectActive: Boolean = prestoDialect.get()
+
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val prevDialect = prestoDialect.get()
+    prestoDialect.set(true)
+    try sqlImpl(spark, dir, query)
+    finally prestoDialect.set(prevDialect)
+  }
+
+  private def sqlImpl(
+      spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
     // shadow the object-level translate: every statement path in this
     // method first resolves the session's user-defined type names

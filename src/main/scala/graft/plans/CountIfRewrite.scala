@@ -113,6 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => ResolveReduceAgg)
     ext.injectResolutionRule(_ => MapEqualityRewrite)
     ext.injectResolutionRule(_ => DoubleDivisionRewrite)
+    ext.injectResolutionRule(_ => IntegerDivisionRewrite)
     PrestoFunctions.registerAll(ext)
   }
 }

@@ -161,3 +161,65 @@ object DoubleDivisionRewrite extends Rule[LogicalPlan] {
       case p => p.mapExpressions(rw)
     }
 }
+
+/** Presto `/` between INTEGRAL operands is INTEGER division — 5/2 = 2,
+  * typed as the operands' common type, raising DIVISION_BY_ZERO on a
+  * zero divisor (BigintOperators.java:108-118, IntegerOperators.java
+  * divide) — while Spark's `/` always coerces to DOUBLE (5/2 = 2.5).
+  * This is the facade's largest silent arithmetic divergence, so
+  * int-rooted division is lowered to [[IntegralDivide]] cast back to
+  * the operands' widest type.
+  *
+  * SCOPE: only plans analyzed under [[graft.Engine.sql]] (the
+  * Presto-dialect entry), marked by its thread-local — analysis is
+  * EAGER inside `spark.sql`, so the flag is live exactly while the
+  * facade's plan resolves. DataFrame programs and plain `spark.sql`
+  * keep Spark's float division: the corpus' own DataFrame code (and
+  * any Spark-native caller) depends on it. The TRY guard mirrors
+  * [[DoubleDivisionRewrite]]'s.
+  */
+object IntegerDivisionRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+
+  private val integral = Seq[org.apache.spark.sql.types.DataType](
+    ByteType, ShortType, IntegerType, LongType)
+
+  /** The operand's type as the USER wrote it: descend through
+    * coercion-inserted casts only — a user-written CAST (the parser tags
+    * those USER_SPECIFIED_CAST) fixes the operand's type, so
+    * `CAST(5 AS DOUBLE) / 2` stays double division while the bare
+    * `5 / 2`'s coercion cast is seen through. */
+  private def rootType(e: Expression): org.apache.spark.sql.types.DataType =
+    e match {
+      case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+        rootType(c.child)
+      case _ => e.dataType
+    }
+
+  private def rw(e: Expression): Expression = e match {
+    case t: TryEval => t
+    case rr: RuntimeReplaceable => rr
+    case d @ Divide(l, r, mode)
+        if mode != EvalMode.TRY && d.resolved && d.dataType == DoubleType &&
+          integral.contains(rootType(l)) && integral.contains(rootType(r)) =>
+      val lt = rootType(l); val rt = rootType(r)
+      val wide = if (integral.indexOf(lt) >= integral.indexOf(rt)) lt else rt
+      Cast(IntegralDivide(rw(stripDoubleCast(l)), rw(stripDoubleCast(r))), wide)
+    case other => other.mapChildren(rw)
+  }
+
+  /** Unwrap ONLY the coercion cast to double that Divide's type rules
+    * inserted; any user-written cast stays. */
+  private def stripDoubleCast(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == DoubleType &&
+        c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => c.child
+    case _ => e
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveOperatorsUpWithPruning(_.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.BINARY_ARITHMETIC)) {
+      case p => p.mapExpressions(rw)
+    }
+}

@@ -51,7 +51,16 @@ object PrestoFunctions {
         Cast(RaiseError(Literal("Bits specified must be between 2 and 64")), LongType),
         masked(mask)))
   }
-  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+  private def dbl(e: Expression): Expression = {
+    // tag as user-specified: builder-made typed casts are DELIBERATE
+    // (the function's signature), and IntegerDivisionRewrite must not
+    // see through them the way it sees through coercion casts — a
+    // Divide(dbl(int), dbl(int)) inside e.g. wilsonInterval is double
+    // division by construction
+    val c = Cast(e, DoubleType)
+    c.setTagValue(Cast.USER_SPECIFIED_CAST, ())
+    c
+  }
 
   /** 1..n index sequence that is EMPTY for n < 1 — a bare
     * Sequence(1, 0) descends to [1, 0] and its 0 probe then raises

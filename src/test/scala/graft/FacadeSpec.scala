@@ -530,8 +530,10 @@ class FacadeSpec extends AnyFunSuite {
     assert(one("SELECT typeof(ARRAY['a'])") == "array(varchar)")
     assert(one("SELECT typeof(CAST(1.5 AS DECIMAL(10, 2)))") == "decimal(10,2)")
     // typeof never evaluates its argument (reference is calledOnNullInput):
-    // an erroring expression still types fine
-    assert(one("SELECT typeof(CAST(1 AS INT) / 0)") == "double")
+    // an erroring expression still types fine — and int/int division now
+    // TYPES AS INTEGER like the reference (IntegerDivisionRewrite; this
+    // assertion read "double" while that was a documented divergence)
+    assert(one("SELECT typeof(CAST(1 AS INT) / 0)") == "integer")
     assert(one("SELECT CAST(parse_presto_data_size('2.3MB') AS BIGINT)") == 2411724L)
     // 1 YB = 1024^8 = 2^80 ≈ 1.2089e24 — past bigint range, exact in decimal
     assert(one("SELECT CAST(parse_presto_data_size('1YB') AS DECIMAL(38, 0)) > CAST(1e24 AS DECIMAL(38, 0))") == true)

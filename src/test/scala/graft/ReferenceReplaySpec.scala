@@ -67,6 +67,15 @@ class ReferenceReplaySpec extends QueryAssertions {
     intercept[Exception] { one("1 / 0") }
   }
 
+  test("sentinels: integral division is INTEGER typed like the reference") {
+    check("5 / 2", 2)                       // IntegerOperators.java divide
+    check("-5 / 3", -1)                     // truncates toward zero
+    check("BIGINT '7' / 2", 3L)
+    check("CAST(5 AS DOUBLE) / 2", 2.5)     // user cast fixes the type
+    check("greatest(-1.5E0, -2.3E0, -5/3)", -1.0)
+    check("TRY(1/0)", null)
+  }
+
   test("sentinels: array membership, position instances, intersect") {
     check("CONTAINS(ARRAY ['puppies', 'dogs'], 'dogs')", true)
     check("CONTAINS(ARRAY [1, 2, 3], 5)", false)
