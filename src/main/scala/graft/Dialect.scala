@@ -495,15 +495,36 @@ object Dialect {
           out.append(", ").append(zoneSql).append(')')
           i = end
         } else if (lower == "row" && k < q.length && q(k) == '(' &&
-            !lastWordIs(out, "as")) {
+            !lastWordIs(out, "as") &&
+            parseParenArgs(q, k).exists(_._1.exists(_.trim.nonEmpty))) {
           // ROW(a, b) value constructor (SqlBase.g4 primaryExpression
-          // rowConstructor) → struct(a, b); positional field names differ
-          // (col1… vs field0…) but positional CASTs to a named ROW type
-          // land identically. The AS-guard keeps cast TARGETS (`AS
-          // ROW(...)`) out — those translate to struct<…> DDL in
-          // rewriteJsonCast.
-          out.append("struct(")
-          i = k + 1
+          // rowConstructor) → named_struct('field0', a, 'field1', b):
+          // the reference names anonymous row fields field0, field1, …
+          // and its own tests access them (TestRowOperators
+          // "row(1, 2).field0"), so the names must be real. Positional
+          // CASTs to a named ROW type land identically either way. The
+          // AS-guard keeps cast TARGETS (`AS ROW(...)`) out — those
+          // translate to struct<…> DDL in rewriteJsonCast.
+          val (args, after) = parseParenArgs(q, k).get
+          out.append(args.zipWithIndex.map { case (a, ix) =>
+            s"'field$ix', ${rewrite(a)}" }
+            .mkString("named_struct(", ", ", ")"))
+          i = after
+        } else if (lower == "apply" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
+          // apply(x, f) — the reference's scalar lambda application
+          // (ApplyFunction.java; SURVEY §2.2). Spark registry functions
+          // cannot take lambdas (ResolveFunctions rejects them before
+          // the builder runs — the reduce_agg lesson), so this lowers
+          // at translation: the value rides through a 1-element array
+          // transform (codegen'd HOF; the array never escapes the
+          // expression). try_element_at(…, 1) of a 1-element array is
+          // total.
+          val (args, after) = parseParenArgs(q, k).get
+          out.append(
+            s"try_element_at(transform(array(${rewrite(args(0))}), " +
+              s"${rewrite(args(1))}), 1)")
+          i = after
         } else if (lower == "regexp_replace" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
           // 2-arg regexp_replace(s, p) removes matches (reference:

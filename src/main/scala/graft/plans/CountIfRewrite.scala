@@ -114,6 +114,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => MapEqualityRewrite)
     ext.injectResolutionRule(_ => DoubleDivisionRewrite)
     ext.injectResolutionRule(_ => IntegerDivisionRewrite)
+    ext.injectResolutionRule(_ => FloatCastRoundingRewrite)
     PrestoFunctions.registerAll(ext)
   }
 }

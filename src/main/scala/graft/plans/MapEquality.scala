@@ -223,3 +223,34 @@ object IntegerDivisionRewrite extends Rule[LogicalPlan] {
       case p => p.mapExpressions(rw)
     }
 }
+
+/** Presto CAST(float AS integral) ROUNDS half-up-away-from-zero
+  * (DoubleOperators.java:199-243 — `MathFunctions.round(value)` /
+  * `DoubleMath.roundToLong(value, HALF_UP)`; TestDoubleOperators pins
+  * cast(37.7E0 as bigint) = 38 and cast(-37.7E0 as bigint) = -38),
+  * while Spark's cast truncates toward zero. Spark's own `round(x)` is
+  * the same HALF_UP-away-from-zero, so the lowering is
+  * Cast(Round(x, 0), target) — the outer ANSI cast's range check then
+  * raises out-of-range exactly like the reference's checkedCast.
+  * Scoped to [[graft.Engine.sql]] like integer division: DataFrame
+  * `.cast` keeps Spark's truncation. */
+object FloatCastRoundingRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+
+  private val integral = Seq[org.apache.spark.sql.types.DataType](
+    ByteType, ShortType, IntegerType, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveExpressionsWithPruning(_.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.CAST)) {
+      // the Round guard is the fixpoint terminator: the rewrite's own
+      // output is Cast(Round(..)) and must not re-fire (and a
+      // user-written round(x) inside the cast is already the semantics)
+      case c: Cast
+          if c.child.resolved && integral.contains(c.dataType) &&
+            (c.child.dataType == DoubleType || c.child.dataType == FloatType) &&
+            !c.child.isInstanceOf[Round] =>
+        Cast(Round(Cast(c.child, DoubleType), Literal(0)), c.dataType)
+    }
+}

@@ -13,14 +13,15 @@ package graft
   *     files cited in the conformance pack; a regression in any wrapper
   *     or rewrite trips its sentinel by name.
   *
-  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 1458 frozen
+  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 2403 frozen
   *     simple-literal assertions in reference_assertions.tsv
-  *     (tools/extract_ref_asserts.py). Asserts a pass FLOOR (≥ 1300 —
-  *     measured 1304+ after the pack) rather than exactness: the
-  *     remaining tail is documented divergence families (double→varchar
-  *     E-notation rendering, CHAR(n) padded length, array equality's
-  *     three-valued nulls, JSON-literal→typed-NULL casts), each listed
-  *     in README's divergence matrix, not silent gaps.
+  *     (tools/extract_ref_asserts.py, 27 reference test files). Asserts
+  *     a pass FLOOR (≥ 2200 — measured ~2240 after the campaign) rather
+  *     than exactness: the remaining tail is documented divergence
+  *     families (double→varchar E-notation rendering, CHAR(n) padded
+  *     length, array equality's three-valued nulls, JSON-literal→
+  *     typed-NULL casts, multi-language word_stem), each listed in
+  *     README's divergence matrix, not silent gaps.
   */
 class ReferenceReplaySpec extends QueryAssertions {
 
@@ -74,6 +75,23 @@ class ReferenceReplaySpec extends QueryAssertions {
     check("CAST(5 AS DOUBLE) / 2", 2.5)     // user cast fixes the type
     check("greatest(-1.5E0, -2.3E0, -5/3)", -1.0)
     check("TRY(1/0)", null)
+  }
+
+  test("sentinels: float-to-integral casts round half-up like the reference") {
+    check("cast(37.7E0 as bigint)", 38L)    // DoubleOperators.java:235
+    check("cast(-37.7E0 as bigint)", -38L)
+    check("cast(-17.5E0 as integer)", -18)  // HALF_UP is away from zero
+    check("cast(2.2E0 as smallint)", 2)
+  }
+
+  test("sentinels: scalar lambda apply and anonymous row fields") {
+    check("apply(5, x -> x + 1)", 6)        // ApplyFunction.java
+    check("apply(CAST(NULL AS INTEGER), x -> x IS NULL)", true)
+    check("apply(11, x -> apply(x + 7, y -> apply(y * 3, z -> z * 5) + 1) * 2)",
+      542)
+    check("row(1, 'kittens').field1", "kittens") // TestRowOperators
+    check("array[row(1, 2)][1].field1", 2)
+    check("CAST(row(1, 2) AS ROW(x INTEGER, y INTEGER)).y", 2)
   }
 
   test("sentinels: array membership, position instances, intersect") {
@@ -157,7 +175,7 @@ class ReferenceReplaySpec extends QueryAssertions {
       }
     }
     info(s"replay: $ok / ${lines.size} assertions match")
-    assert(ok >= 1300,
+    assert(ok >= 2200,
       s"pass floor broken: $ok of ${lines.size}\n${failures.take(20).mkString("\n")}")
   }
 }

@@ -35,6 +35,23 @@ FILES = [
     "operator/scalar/TestArraySortFunction.java",
     "type/TestArrayOperators.java",
     "type/TestMapOperators.java",
+    "operator/scalar/TestArrayFunctions.java",
+    "operator/scalar/TestLambdaExpression.java",
+    "operator/scalar/TestMapFilterFunction.java",
+    "operator/scalar/TestMapTransformKeyFunction.java",
+    "operator/scalar/TestMapTransformValueFunction.java",
+    "operator/scalar/TestTypeOfFunction.java",
+    "operator/scalar/TestWordStemFunction.java",
+    "type/TestBigintOperators.java",
+    "type/TestBooleanOperators.java",
+    "type/TestIntegerOperators.java",
+    "type/TestSmallintOperators.java",
+    "type/TestTinyintOperators.java",
+    "type/TestDoubleOperators.java",
+    "type/TestRealOperators.java",
+    "type/TestDecimalOperators.java",
+    "type/TestCharOperators.java",
+    "type/TestRowOperators.java",
 ]
 
 PAT = re.compile(
