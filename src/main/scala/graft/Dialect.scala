@@ -162,10 +162,43 @@ object Dialect {
   private val ExtractFromRe = "(?is)^\\s*(\\w+)\\s+from\\s+(.+)$".r
 
   /** SUBSTRING(x FROM a [FOR b]) — the single-"argument" SQL form
-    * (SqlBase.g4 primaryExpression SUBSTRING). Non-greedy head so a
-    * FROM inside a nested call binds to the OUTERMOST separator. */
-  private val SubstringFromRe =
-    "(?is)^(.+?)\\s+from\\s+(.+?)(?:\\s+for\\s+(.+))?$".r
+    * (SqlBase.g4 primaryExpression SUBSTRING). Splits at the LAST
+    * top-level (paren-depth-0, outside string literals) FROM so a
+    * nested FROM-form call — SUBSTRING(SUBSTRING(s FROM 1) FROM 2) —
+    * binds to the outermost separator; a regex's lazy head would bind
+    * the first textual ' from ' regardless of nesting. Returns
+    * (value, start, length?) or None when no top-level FROM exists. */
+  private def splitSubstringFrom(
+      arg: String): Option[(String, String, Option[String])] = {
+    def wordAt(i: Int, w: String): Boolean =
+      arg.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWordChar(arg(i - 1))) &&
+        (i + w.length >= arg.length || !isWordChar(arg(i + w.length)))
+    var depth = 0
+    var i = 0
+    var fromPos = -1
+    var forPos = -1
+    while (i < arg.length) {
+      val c = arg(i)
+      if (c == '\'') i = literalEnd(arg, i)
+      else {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && wordAt(i, "from")) { fromPos = i; forPos = -1 }
+        else if (depth == 0 && fromPos >= 0 && wordAt(i, "for")) forPos = i
+        i += 1
+      }
+    }
+    if (fromPos <= 0) None
+    else {
+      val head = arg.substring(0, fromPos).trim
+      if (head.isEmpty) None
+      else if (forPos > fromPos)
+        Some((head, arg.substring(fromPos + 4, forPos).trim,
+          Some(arg.substring(forPos + 3).trim)))
+      else Some((head, arg.substring(fromPos + 4).trim, None))
+    }
+  }
 
   /** Presto EXTRACT field → the equivalent registered function name
     * (reference SqlBase.g4 extract / DateTimeFunctions.java). */
@@ -591,7 +624,7 @@ object Dialect {
         } else if (lower == "substring" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists { case (args, _) =>
               args.lengthCompare(1) == 0 &&
-                SubstringFromRe.findFirstMatchIn(args.head).isDefined }) {
+                splitSubstringFrom(args.head).isDefined }) {
           // SUBSTRING(x FROM a [FOR b]) → presto_substr(x, a[, b]): the
           // comma form goes through the functionAliases pass, but the
           // FROM form must be re-shaped first (a function-name alias
@@ -599,8 +632,8 @@ object Dialect {
           // the reference's boundary contract (position 0 / out-of-range
           // negative → '') that Spark's builtin clamps away.
           val (args, after) = parseParenArgs(q, k).get
-          val m = SubstringFromRe.findFirstMatchIn(args.head).get
-          val parts = Seq(m.group(1), m.group(2)) ++ Option(m.group(3))
+          val (value, start, lenOpt) = splitSubstringFrom(args.head).get
+          val parts = Seq(value, start) ++ lenOpt
           out.append(rewrite(parts.mkString("presto_substr(", ", ", ")")))
           i = after
         } else if (lower == "like" && {
@@ -2140,15 +2173,20 @@ object Dialect {
                     val ed = enums(tpe.toLowerCase)
                     val typed = ed.typed(s"($expr)")
                     val values = ed.entries.map(_._2).mkString(", ")
+                    val nullOut =
+                      s"CAST(NULL AS ${if (ed.base == "bigint") "BIGINT" else "STRING"})"
                     val miss =
-                      if (lower == "try_cast")
-                        s"CAST(NULL AS ${if (ed.base == "bigint") "BIGINT" else "STRING"})"
+                      if (lower == "try_cast") nullOut
                       else ed.typed(
                         s"raise_error(concat('No value ''', " +
                           s"CAST(($expr) AS STRING), " +
                           s"''' in enum ''${ed.kindName}'''))")
+                    // leading NULL arm: the reference's EnumCasts operators
+                    // are RETURN_NULL_ON_NULL — CAST(NULL AS enum) is NULL,
+                    // never the miss-branch error
                     out.append(
-                      s"CASE WHEN $typed IN ($values) THEN $typed ELSE $miss END")
+                      s"CASE WHEN ($expr) IS NULL THEN $nullOut " +
+                        s"WHEN $typed IN ($values) THEN $typed ELSE $miss END")
                     i = after
                     true
                   case _ =>

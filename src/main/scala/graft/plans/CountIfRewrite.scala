@@ -64,16 +64,27 @@ object ConcatArrayElement extends Rule[LogicalPlan] {
       case Concat(children)
           if children.nonEmpty && children.forall(_.resolved) &&
             children.exists(isArray) && children.exists(!isArray(_)) =>
-        // a LITERAL NULL operand resolves the whole call to the all-array
-        // overload with a null argument → NULL result (the reference's
-        // TestArrayOperators pins concat(ARRAY[], …, NULL, …) = null);
-        // a RUNTIME null non-array operand keeps element-append
-        // semantics and contributes a null ELEMENT
-        // the null operand may already be coercion-wrapped
-        // (cast(null as string)) by the time this rule fires — detect
-        // any FOLDABLE null non-array child, not just a bare literal
-        val nullArg = children.exists(e =>
-          !isArray(e) && e.foldable && e.eval(null) == null)
+        // a BARE NULL operand (the untyped literal spelling, possibly
+        // coercion-wrapped by the time this rule fires) resolves the
+        // whole call to the all-array overload with a null argument →
+        // NULL result (the reference's TestArrayOperators pins
+        // concat(ARRAY[], …, NULL, …) = null); a TYPED null — a
+        // user-written CAST(NULL AS INTEGER) or a computed null like
+        // (1 + NULL) — resolves to the element-append overload there
+        // and yields […, NULL], so only a NullType-origin literal
+        // (seen through coercion casts, never user casts) folds
+        def bareNullOrigin(e: Expression): Boolean = e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+            l.value == null &&
+              l.dataType == org.apache.spark.sql.types.NullType
+          case c: org.apache.spark.sql.catalyst.expressions.Cast
+              if c.getTagValue(
+                org.apache.spark.sql.catalyst.expressions.Cast
+                  .USER_SPECIFIED_CAST).isEmpty =>
+            bareNullOrigin(c.child)
+          case _ => false
+        }
+        val nullArg = children.exists(e => !isArray(e) && bareNullOrigin(e))
         if (nullArg)
           org.apache.spark.sql.catalyst.expressions.Literal.create(
             null, children.find(isArray).get.dataType)

@@ -126,7 +126,12 @@ object DoubleDivisionRewrite extends Rule[LogicalPlan] {
     * types that as INTEGER division, whose by-zero contract is the ANSI
     * RAISE — only genuinely float-rooted division may go IEEE. */
   private def floatRooted(e: Expression): Boolean = e match {
-    case c: Cast => floatRooted(c.child)
+    // descend through COERCION casts only: a user-written CAST (tagged
+    // USER_SPECIFIED_CAST by the parser) fixes the operand's type, so
+    // CAST(i AS DOUBLE) / j IS float-rooted — mirrors
+    // IntegerDivisionRewrite.rootType's convention
+    case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+      floatRooted(c.child)
     case _ => e.dataType == DoubleType || e.dataType == FloatType
   }
 
@@ -251,6 +256,10 @@ object FloatCastRoundingRewrite extends Rule[LogicalPlan] {
           if c.child.resolved && integral.contains(c.dataType) &&
             (c.child.dataType == DoubleType || c.child.dataType == FloatType) &&
             !c.child.isInstanceOf[Round] =>
-        Cast(Round(Cast(c.child, DoubleType), Literal(0)), c.dataType)
+        // copy, not rebuild: the original cast's evalMode must survive —
+        // a TRY_CAST (EvalMode.TRY) has the reference's TryCastFunction
+        // null-on-error contract, and rebuilding as Cast(...) would
+        // default to ANSI and raise on overflow/NaN instead
+        c.copy(child = Round(Cast(c.child, DoubleType), Literal(0)))
     }
 }

@@ -1039,6 +1039,8 @@ object Catalog {
         |  'The Bahamas' AS bahamas,
         |  CAST(NULL AS BIGINT) AS bad_try,
         |  CAST(NULL AS VARCHAR) AS bad_try_v,
+        |  CAST(NULL AS BIGINT) AS null_cast,
+        |  CAST(NULL AS VARCHAR) AS null_cast_v,
         |  TRUE AS happy_eq,
         |  TRUE AS in_list,
         |  CAST(1 AS BIGINT) AS row_y,
@@ -1070,6 +1072,8 @@ object Catalog {
            |  CAST('The Bahamas' AS graft.corpus.country) AS bahamas,
            |  TRY_CAST(7 AS graft.corpus.mood) AS bad_try,
            |  TRY_CAST('Xx' AS graft.corpus.country) AS bad_try_v,
+           |  CAST(NULL AS graft.corpus.mood) AS null_cast,
+           |  CAST(CAST(NULL AS VARCHAR) AS graft.corpus.country) AS null_cast_v,
            |  graft.corpus.mood.HAPPY = CAST(0 AS graft.corpus.mood) AS happy_eq,
            |  graft.corpus.mood.SAD IN
            |    (graft.corpus.mood.HAPPY, graft.corpus.mood.SAD) AS in_list,

@@ -84,6 +84,40 @@ class ReferenceReplaySpec extends QueryAssertions {
     check("cast(2.2E0 as smallint)", 2)
   }
 
+  test("sentinels: try_cast keeps null-on-error through half-up rounding") {
+    // TryCastFunction null-on-error contract must survive the
+    // FloatCastRoundingRewrite (the rewrite copies the original cast so
+    // EvalMode.TRY is preserved)
+    check("TRY_CAST(1E30 AS BIGINT)", null)
+    check("TRY_CAST(nan() AS INTEGER)", null)
+    check("TRY_CAST(37.7E0 AS BIGINT)", 38L)
+    check("TRY_CAST(-37.7E0 AS INTEGER)", -38)
+  }
+
+  test("sentinels: user-cast double operands take IEEE division") {
+    // CAST(i AS DOUBLE) / j is float-rooted by the USER cast even though
+    // the pre-coercion child is integral (DoubleOperators.java divide)
+    check("is_infinite(CAST(5 AS DOUBLE) / 0)", true)
+    check("CAST(5 AS DOUBLE) / 0 > 0", true)
+    check("is_nan(CAST(0 AS DOUBLE) / 0)", true)
+  }
+
+  test("sentinels: typed-null concat operand appends a NULL element") {
+    // reference resolves ARRAY[1] || <typed null> to the element-append
+    // overload → [1, NULL]; only the BARE untyped NULL spelling folds
+    // the whole concat to NULL (TestArrayOperators:437)
+    assert(one("ARRAY[1] || CAST(NULL AS INTEGER)")
+      .asInstanceOf[scala.collection.Seq[Any]].toList == List(1, null))
+    check("ARRAY[1] || NULL", null)
+    check("NULL || ARRAY[2]", null)
+  }
+
+  test("sentinels: nested FROM-form substring binds the outer separator") {
+    check("SUBSTRING(SUBSTRING('hello' FROM 2) FROM 2)", "llo")
+    check("SUBSTRING(SUBSTRING('abcdef' FROM 2 FOR 4) FROM 2 FOR 2)", "cd")
+    check("SUBSTRING(' from ' FROM 2 FOR 4)", "from")
+  }
+
   test("sentinels: scalar lambda apply and anonymous row fields") {
     check("apply(5, x -> x + 1)", 6)        // ApplyFunction.java
     check("apply(CAST(NULL AS INTEGER), x -> x IS NULL)", true)
