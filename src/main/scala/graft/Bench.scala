@@ -26,11 +26,21 @@ object Bench {
     // query ending in a pure projection would time only its scan. The
     // noop writer consumes full rows (all output columns evaluated) and
     // discards them — write-path overhead without any I/O.
-    def timeOnce(q: Qdef): Option[Double] = {
+    //
+    // Returns (total, planning): DataFrame construction is EAGERLY
+    // analyzed (Dataset.ofRows asserts analysis), so the first leg
+    // times parse + analysis — where every injected resolution rule
+    // runs — and the remainder is optimize + physical planning +
+    // execution. Round-12 showed a ~60-160 ms short-query adder after
+    // ~10 new rules landed; this split makes "rules tax vs host noise"
+    // an artifact fact instead of a guess.
+    def timeOnce(q: Qdef): Option[(Double, Double)] = {
       val t0 = System.nanoTime()
       try {
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val df = q.run(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        Some(((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9))
       }
       catch {
         case e: Throwable =>
@@ -68,17 +78,24 @@ object Bench {
     }
     val canaryPre = cpuCanary()
 
-    // (name, min, median, max): the spread is the contention detector — on
-    // a quiet box min≈median; a loaded box shows median/min ratios of 2-3×
-    // on queries whose code didn't change, so a slow total self-flags as
-    // environment rather than reading as a regression.
-    def measure(q: Qdef): Option[(String, Double, Double, Double)] = {
+    // (name, min, median, max, planningMedian): the spread is the
+    // contention detector — on a quiet box min≈median; a loaded box shows
+    // median/min ratios of 2-3× on queries whose code didn't change, so a
+    // slow total self-flags as environment rather than reading as a
+    // regression.
+    def measure(q: Qdef): Option[(String, Double, Double, Double, Double)] = {
       (1 to Prewarm).foreach(_ => timeOnce(q))
-      val runs = (1 to Measured).flatMap(_ => timeOnce(q)).sorted
-      if (runs.isEmpty) None
-      else Some((q.name, runs.head, runs(runs.size / 2), runs.last))
+      val pairs = (1 to Measured).flatMap(_ => timeOnce(q))
+      if (pairs.isEmpty) None
+      else {
+        val runs = pairs.map(_._1).sorted
+        val plans = pairs.map(_._2).sorted
+        Some((q.name, runs.head, runs(runs.size / 2), runs.last,
+          plans(plans.size / 2)))
+      }
     }
-    val firstPass: Seq[(String, Double, Double, Double)] = defs.flatMap(measure)
+    val firstPass: Seq[(String, Double, Double, Double, Double)] =
+      defs.flatMap(measure)
 
     // Contention retry (BASELINE.md "spread rule"): a median/min spread
     // above 2× means the median was measured through interference, not
@@ -92,11 +109,11 @@ object Bench {
     // 4.99 s outlier behind a clean-looking 1.10 s median on a load-6.3
     // host — the re-measure either replaces it with a clean triple or
     // confirms the spread is real).
-    val needRetry = firstPass.filter { case (_, mn, med, mx) =>
+    val needRetry = firstPass.filter { case (_, mn, med, mx, _) =>
       med > 2 * mn || mx > 4 * mn }
     val retried = needRetry.map(_._1)
     val byName = defs.map(q => q.name -> q).toMap
-    val retryPass = needRetry.flatMap { case (name, _, _, _) => measure(byName(name)) }
+    val retryPass = needRetry.flatMap { case (name, _, _, _, _) => measure(byName(name)) }
       .map(r => r._1 -> r).toMap
     val results = firstPass.map { r =>
       retryPass.get(r._1) match {
@@ -108,10 +125,13 @@ object Bench {
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, _, med, _) => s"${jstr(k)}:$med" }
+    val qs = results.map { case (k, _, med, _, _) => s"${jstr(k)}:$med" }
       .mkString("{", ",", "}")
     val spread = results
-      .map { case (k, mn, med, mx) => s"${jstr(k)}:[$mn,$med,$mx]" }
+      .map { case (k, mn, med, mx, _) => s"${jstr(k)}:[$mn,$med,$mx]" }
+      .mkString("{", ",", "}")
+    val planning = results
+      .map { case (k, _, _, _, pl) => s"${jstr(k)}:$pl" }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val totalMin = results.map(_._2).sum
@@ -176,6 +196,16 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName))
           (-1.0, -1.0)
         }
+      // one-pass per-leg breakdown (train / index / search) so the train
+      // leg's scale behavior is an artifact fact, not a share of the
+      // end-to-end median
+      val (ivfTrainSec, ivfIndexSec, ivfSearchSec) =
+        try graft.ops.ScaleStress.ivfLegTimings(embK, ivfLists, ivfNprobe)
+        catch { case e: Throwable =>
+          errors ::= ("v04x_ivf_legs",
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+          (-1.0, -1.0, -1.0)
+        }
       val allPipelines = graft.ops.ScaleStress.pipelines(docsK, Some(geom)) :+
         ("v04x_ivf" -> (() =>
           graft.ops.ScaleStress.ivfPipeline(embK, ivfLists, ivfNprobe)))
@@ -218,7 +248,9 @@ object Bench {
       (entries :+
         s""""ivf_rows":$embRows,"ivf_lists":$ivfLists,""" +
         s""""ivf_nprobe":$ivfNprobe,"ivf_recall_at5":$ivfRecall,""" +
-        s""""ivf_scan_frac":$ivfScanFrac""" :+
+        s""""ivf_scan_frac":$ivfScanFrac,""" +
+        s""""ivf_train_sec":$ivfTrainSec,"ivf_index_sec":$ivfIndexSec,""" +
+        s""""ivf_search_sec":$ivfSearchSec""" :+
         s""""scale":$scale,"rows":$rowsK,"planes":${geom._1},"tables":${geom._2},""" +
         s""""lsh_pairs_1x":$pairs1x,"lsh_pairs_scaled":$pairsKx,""" +
         s""""lsh_pair_ratio":${
@@ -246,7 +278,7 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
 
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"retried":$retriedJson,"stress_10x":$stressJson,"stress_hi":$stressHiJson,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost]}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"planning_sec":$planning,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"retried":$retriedJson,"stress_10x":$stressJson,"stress_hi":$stressHiJson,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost]}""")
     spark.stop()
   }
 

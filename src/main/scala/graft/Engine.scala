@@ -26,6 +26,14 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (typed Aggregators: vec_sum, sketches) falls
+      // back to SORT-based aggregation after this many distinct keys per
+      // partition — the 128 default turns a k-group centroid update into
+      // a full sort of every partition once k > 128 (the √n IVF rule
+      // crosses that at n ≈ 16k rows). 32k entries of array buffers is
+      // tens of MB; a deployment with multi-KB buffers re-tunes this.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "32768")
       // ANSI error semantics — Spark 4's own default, pinned explicitly
       // because the engine RELIES on it in two ways: (1) the reference
       // raises on division by zero / numeric overflow (presto-main/.../
@@ -85,6 +93,8 @@ object Engine {
   /** The actual registrations; unconditional. */
   private def registerFunctionsNow(spark: SparkSession): Unit = {
     graft.functions.DotProductFloat.register(spark)
+    graft.functions.VecSum.register(spark)
+    graft.functions.NearestList.register(spark)
     graft.functions.EmbeddingKernels.registerAll(spark)
     graft.functions.GraftFunctions.registerAll(spark)
     graft.functions.HyperLogLog.registerAll(spark)

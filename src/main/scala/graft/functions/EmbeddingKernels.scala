@@ -90,6 +90,8 @@ object EmbeddingKernels {
       exprs => PackInts(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_match",
       exprs => SigMatch(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sig_keep",
+      exprs => SigKeep(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 
   private[functions] def foldableInt(e: Expression, what: String): Int = {
@@ -350,4 +352,93 @@ case class SigMatch(first: Expression, second: Expression, third: Expression)
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** graft_sig_keep(sig1, sig2, rowTable, params): the fused keep/drop
+  * decision for one matched candidate row — equivalent to evaluating
+  * [[SigMatch]] and then testing `firstAgreeingTable == rowTable AND
+  * agreeCount >= minAgree AND totalBitHamming <= hMax`, but with the
+  * two structural EARLY EXITS that composition cannot express:
+  *  - hamming accumulates monotonically, so the row is dead the moment
+  *    the running total crosses hMax — a random pair (the overwhelming
+  *    bulk: the 40× stress point feeds 1.38e9 matched rows into this
+  *    decision to keep 3.8e5) accrues ~planes/2 bits per table and
+  *    exits ~1/3 early;
+  *  - an agreeing table BEFORE rowTable means some earlier-table row
+  *    canonically owns the pair — exit without scanning the rest.
+  * `params` packs (width | minAgree<<8 | hMax<<16) into one literal.
+  * The boolean returned is bit-for-bit the composed form's — only
+  * evaluation ORDER changes — so the declarative DuckDB oracle for
+  * d07_embedding_near_dup replays unchanged (pinned by the spec's
+  * equivalence sweep against SigMatch). */
+case class SigKeep(
+    first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, BinaryType, IntegerType) if fourth.foldable &&
+          fourth.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sig_keep expects (binary, binary, int, literal params), got $other")
+    }
+
+  private lazy val params = EmbeddingKernels.foldableInt(fourth, "params")
+  private lazy val width = {
+    val w = params & 0xFF
+    require(w == 2 || w == 4, s"pack width must be 2 or 4, got $w")
+    w
+  }
+  private lazy val minAgree = (params >> 8) & 0xFF
+  private lazy val hMax = params >>> 16
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_sig_keep"
+
+  def compute(b1: Array[Byte], b2: Array[Byte], rowT: Int): Boolean = {
+    val n = math.min(b1.length, b2.length) / width
+    val w = width
+    val cap = hMax
+    var h = 0
+    var agree = 0
+    var agreedAtRow = false
+    var t = 0
+    while (t < n) {
+      val s1 =
+        if (w == 2) (b1(2 * t) & 0xFF) | ((b1(2 * t + 1) & 0xFF) << 8)
+        else (b1(4 * t) & 0xFF) | ((b1(4 * t + 1) & 0xFF) << 8) |
+          ((b1(4 * t + 2) & 0xFF) << 16) | ((b1(4 * t + 3) & 0xFF) << 24)
+      val s2 =
+        if (w == 2) (b2(2 * t) & 0xFF) | ((b2(2 * t + 1) & 0xFF) << 8)
+        else (b2(4 * t) & 0xFF) | ((b2(4 * t + 1) & 0xFF) << 8) |
+          ((b2(4 * t + 2) & 0xFF) << 16) | ((b2(4 * t + 3) & 0xFF) << 24)
+      val ht = Integer.bitCount(s1 ^ s2)
+      h += ht
+      if (h > cap) return false
+      if (ht <= 1) {
+        if (t < rowT) return false // an earlier table owns this pair
+        if (t == rowT) agreedAtRow = true
+        agree += 1
+      }
+      t += 1
+    }
+    agreedAtRow && agree >= minAgree
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigKeep", this, classOf[SigKeep].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c, _) => s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
 }

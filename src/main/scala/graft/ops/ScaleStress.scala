@@ -32,6 +32,13 @@ object ScaleStress {
           .otherwise(regexp_replace(col("text"), lit("(^| )"),
             concat(lit("$1r"), col("__r"), lit("x")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
+      // spread the multiplied corpus like a real one: the sf0.1 fixture
+      // parquet is 2 splits, and an explode preserves its parent's
+      // partitioning — without this every "map-side" stress claim was
+      // being measured on 2 of 32 cores (a 100-TB corpus arrives in
+      // thousands of splits; 2 is an artifact of the tiny fixture). One
+      // bounded shuffle, paid once before the persist().
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** The sign-LSH geometry rule as a CONTINUOUS function of corpus size,
@@ -135,6 +142,10 @@ object ScaleStress {
             slice(col("embedding"), shift + 1, dim - shift),
             slice(col("embedding"), lit(1), shift))).as("embedding"),
         col("label"))
+      // same split-count realism as multiplyDocs: the fixture parquet is
+      // 2 splits and explode inherits them, serializing the map-side
+      // assignment kernels onto 2 cores
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** IVF geometry as a continuous function of corpus size: lists = ⌈√n⌉
@@ -170,6 +181,32 @@ object ScaleStress {
       materialize = true)
     IvfIndex.search(queries, "vec_id", "embedding", indexed, centroids,
       k = 5, nprobe = nprobe)
+  }
+
+  /** Per-leg wall timings (train / index / search), one pass each, for
+    * the stress JSON — the round-12 verdict asked for the train leg's
+    * scaling to be an artifact fact rather than a share of an end-to-end
+    * number. train() and index(materialize=true) both end in eager
+    * checkpoints, so their call wall IS their execution wall; search is
+    * forced through the noop sink. */
+  def ivfLegTimings(
+      emb: DataFrame, lists: Int, nprobe: Int): (Double, Double, Double) = {
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (centroids, tTrain) =
+      timed(IvfIndex.train(emb, "vec_id", "embedding", k = lists))
+    val (indexed, tIndex) =
+      timed(IvfIndex.index(emb, "vec_id", "embedding", centroids,
+        materialize = true))
+    val queries = emb.filter(col("vec_id") < 20)
+    val (_, tSearch) = timed(
+      IvfIndex.search(queries, "vec_id", "embedding", indexed, centroids,
+          k = 5, nprobe = nprobe)
+        .write.format("noop").mode("overwrite").save())
+    (tTrain, tIndex, tSearch)
   }
 
   /** Ride-along quality metrics for the stress JSON (computed once,

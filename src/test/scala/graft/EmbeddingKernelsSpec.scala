@@ -143,6 +143,46 @@ class EmbeddingKernelsSpec extends QueryAssertions {
       s"featurization must not shuffle:\n${plan.take(2000)}")
   }
 
+  test("graft_sig_keep equals graft_sig_match + the three filters " +
+      "on a randomized signature sweep") {
+    // 5 000 random (sig1, sig2, rowTable) triples at the 40×-stress
+    // geometry (14 planes × 23 tables, 2-byte packing, minAgree 2,
+    // hMax from the 5σ rule), seeded for reproducibility. The fused
+    // kernel may only change evaluation ORDER, never the boolean.
+    val planes = 14
+    val tables = 23
+    val minAgree = 2
+    val hMax = graft.ops.EmbeddingDedup.hammingCap(0.8, planes, tables)
+    val params = 2 | (minAgree << 8) | (hMax << 16)
+    // biased generator: ~half the pairs share most buckets (agreement-
+    // rich region) so the first-table/minAgree branches actually fire
+    val rows = spark.range(5000).select(
+      expr(s"""transform(sequence(0, ${tables - 1}), t ->
+        CAST(pmod(hash(id, t, 1), ${1 << planes}) AS INT))""").as("s1raw"),
+      expr(s"""transform(sequence(0, ${tables - 1}), t ->
+        CAST(IF(pmod(hash(id, t, 7), 2) = 0,
+          pmod(hash(id, t, 1), ${1 << planes}),
+          pmod(hash(id, t, 2), ${1 << planes})) AS INT))""").as("s2raw"),
+      expr(s"CAST(pmod(hash(id, 3), $tables) AS INT)").as("rowT"))
+      .select(
+        call_function("graft_pack_ints", col("s1raw"), lit(2)).as("p1"),
+        call_function("graft_pack_ints", col("s2raw"), lit(2)).as("p2"),
+        col("rowT"))
+    val cmp = rows.select(
+      call_function("graft_sig_keep", col("p1"), col("p2"), col("rowT"),
+        lit(params)).as("fused"),
+      call_function("graft_sig_match", col("p1"), col("p2"), lit(2))
+        .as("m"), col("rowT"))
+      .select(col("fused"),
+        (col("m").bitwiseAND(lit(255)) === col("rowT") &&
+          shiftright(col("m"), 8).bitwiseAND(lit(255)) >= minAgree &&
+          shiftright(col("m"), 16) <= hMax).as("composed"))
+    assert(cmp.filter(col("fused") =!= col("composed")).count() == 0)
+    // the sweep must exercise both outcomes
+    assert(cmp.filter(col("fused")).count() > 0, "no keep cases generated")
+    assert(cmp.filter(!col("fused")).count() > 0, "no drop cases generated")
+  }
+
   test("histogram overflow fails loudly instead of wrapping") {
     val e = intercept[Exception] {
       // dim = 1 funnels every shingle into one bucket; 40k distinct

@@ -279,11 +279,19 @@ class PlanSpec extends QueryAssertions {
       .queryExecution.executedPlan.toString
     assert(static.contains("PartitionFilters") && static.contains("ncluster"),
       static.take(2000))
-    // runtime probe set (nearest centroids of a query) → DPP subquery
+    // runtime probe set (nearest centroids of a query) → DPP subquery.
+    // Derived the way IvfIndex.search derives it — rank window + a
+    // `row_number <= nprobe` FILTER — because PartitionPruning's
+    // hasSelectivePredicate demands a likely-selective Filter on the
+    // probe side: an orderBy().limit() spelling has none and would skip
+    // DPP (the pre-r13 train plan only passed here via the size(v)>0
+    // filter InferFiltersFromGenerate added under its posexplode).
     val probed = centroids
       .withColumn("d", expr(
         "graft_dot(centroid, centroid)")) // any derived ranking works here
-      .orderBy("d").limit(4)
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("d"), col("cluster"))))
+      .filter(col("pr") <= 4)
       .select(col("cluster"))
     val dynamic = lists.join(probed, col("ncluster") === col("cluster"))
       .agg(count(lit(1)))

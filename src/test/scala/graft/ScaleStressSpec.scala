@@ -78,6 +78,38 @@ class ScaleStressSpec extends QueryAssertions {
     pts.foreach { case (l, p) => assert(p <= l) }
   }
 
+  test("IVF bounded-sample training: deterministic, actually engages, " +
+      "and its quantizer still recalls") {
+    import graft.ops.{IvfIndex, VectorSearch}
+    // force the sample path at fixture scale (the production rule
+    // max(256k, 1e5) only engages past 1e5 rows)
+    val cap = 100L
+    val c1 = IvfIndex.train(emb, "vec_id", "embedding", k = 16, sampleCap = cap)
+    val c2 = IvfIndex.train(emb, "vec_id", "embedding", k = 16, sampleCap = cap)
+    def centroidMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toList).toMap
+    assert(centroidMap(c1) == centroidMap(c2),
+      "sampled training must be deterministic given the ids")
+    // the cap engaged: sampled centroids differ from full-corpus Lloyd's
+    val full = IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+    assert(centroidMap(c1) != centroidMap(full),
+      "a 100-row cap over the fixture corpus must change the quantizer")
+    // the sampled quantizer still supports the v04 recall floor
+    val queries = emb.filter(col("vec_id") < 5)
+    val indexed = IvfIndex.index(emb, "vec_id", "embedding", c1,
+      materialize = true)
+    val exact = VectorSearch.cosineTopK(queries, emb, "vec_id", "embedding", 5)
+      .select(col("qid").as("eqid"), col("nid").as("enid"))
+    val approx = IvfIndex.search(queries, "vec_id", "embedding", indexed, c1,
+      k = 5, nprobe = 8)
+    val hits = approx.join(exact,
+      col("qid") === col("eqid") && col("nid") === col("enid")).count()
+    val total = exact.count()
+    assert(total > 0 && hits.toDouble / total >= 0.5,
+      s"recall@5 with sample-trained centroids collapsed: $hits/$total")
+  }
+
   test("IVF stress quality: recall@5 holds and the scan is a bounded " +
       "corpus fraction at 5x") {
     val mult = ScaleStress.multiplyEmbeddings(emb, 5)
