@@ -255,39 +255,55 @@ object Dialect {
     var i = out.length - 1
     while (i >= 0 && out(i).isWhitespace) i -= 1
     if (i < 0) return 0
-    if (out(i) == ')') {
-      var depth = 0
-      var j = i
-      while (j >= 0) {
-        val c = out(j)
-        if (c == '\'') { // skip backwards over a literal
+    // the operand is a CHAIN of postfix segments — identifier/dot runs,
+    // `…` quoted ids, (…) call/paren groups and […] subscripts — glued
+    // directly: a.b, f(x).c, CAST(…).col1[2].col0. Walk segments
+    // backwards until the char to the left is not part of the chain
+    // (the original single-segment scan stopped at `CAST(…).col1`'s
+    // closing paren and wrapped only `.col1`, emitting element_at(.col1)
+    // — malformed SQL).
+    var pos = i
+    var start = pos + 1
+    var more = true
+    while (more && pos >= 0) {
+      more = false
+      val c = out(pos)
+      if (c == ')' || c == ']') {
+        val open = if (c == ')') '(' else '['
+        val close = c
+        var depth = 0
+        var j = pos
+        var found = -1
+        while (j >= 0 && found < 0) {
+          val ch = out(j)
+          if (ch == '\'') { // skip backwards over a literal
+            j -= 1
+            while (j >= 0 && out(j) != '\'') j -= 1
+          } else if (ch == close) depth += 1
+          else if (ch == open) { depth -= 1; if (depth == 0) found = j }
           j -= 1
-          while (j >= 0 && out(j) != '\'') j -= 1
-        } else if (c == ')') depth += 1
-        else if (c == '(') {
-          depth -= 1
-          if (depth == 0) {
-            // include the callee name (and dots) before '('
-            var k = j - 1
-            while (k >= 0 && (isWordChar(out(k)) || out(k) == '.')) k -= 1
-            return k + 1
-          }
         }
-        j -= 1
+        if (found < 0) { start = 0 }
+        else { start = found; pos = found - 1; more = true }
+      } else if (c == '`') {
+        var j = pos - 1
+        while (j >= 0 && out(j) != '`') j -= 1
+        start = math.max(j, 0); pos = j - 1; more = true
+      } else if (isWordChar(c) || c == '.') {
+        var j = pos
+        while (j >= 0 && (isWordChar(out(j)) || out(j) == '.')) j -= 1
+        start = j + 1; pos = j; more = true
       }
-      0
-    } else if (out(i) == '`') {
-      var j = i - 1
-      while (j >= 0 && out(j) != '`') j -= 1
-      // leading qualifier like tbl.`col`
-      var k = j - 1
-      while (k >= 0 && (isWordChar(out(k)) || out(k) == '.')) k -= 1
-      k + 1
-    } else {
-      var j = i
-      while (j >= 0 && (isWordChar(out(j)) || out(j) == '.')) j -= 1
-      j + 1
+      // continue only while the next char to the left still glues the
+      // chain (a callee name before '(', a '.' before a field, …)
+      if (more) {
+        more = pos >= 0 && {
+          val ch = out(pos)
+          isWordChar(ch) || ch == '.' || ch == ')' || ch == ']' || ch == '`'
+        }
+      }
     }
+    start
   }
 
   /** Start of the operand preceding `AT TIME ZONE` — operandStart plus
@@ -403,6 +419,55 @@ object Dialect {
       if (one == "=" || one == "<" || one == ">") return Some((one, e - 1))
     }
     None
+  }
+
+  /** Start index (in the already-rewritten `out`) of the expression
+    * operand that ends at `limit` — the LEFT side of a quantified
+    * comparison. A forward scan (string literals skipped, paren depth
+    * tracked) records, per depth, where the current operand began:
+    * after '(' or ',' at that depth, or after a keyword that cannot be
+    * part of a scalar operand (boolean/clause keywords — arithmetic and
+    * '||' bind tighter than comparison, so they do NOT break the
+    * operand). Returns None when the scan ends mid-literal or
+    * unbalanced (caller falls back to the min/max-only lowering). */
+  private val OperandBoundaryWords = Set(
+    "and", "or", "not", "when", "then", "else", "case", "end", "select",
+    "where", "having", "on", "by", "from", "join", "union", "all",
+    "intersect", "except", "distinct", "as", "between", "is", "in",
+    "return", "values", "limit", "offset")
+
+  private def leftOperandStart(out: StringBuilder, limit: Int): Option[Int] = {
+    val starts = mutable.Map(0 -> 0)
+    var depth = 0
+    var i = 0
+    while (i < limit) {
+      val ch = out(i)
+      if (ch == '\'') {
+        var e = i + 1
+        while (e < limit && out(e) != '\'') e += 1
+        if (e >= limit) return None // comparison inside a literal?!
+        i = e + 1
+      } else if (ch == '(') {
+        depth += 1; starts(depth) = i + 1; i += 1
+      } else if (ch == ')') {
+        if (depth == 0) return None
+        starts.remove(depth); depth -= 1; i += 1
+      } else if (ch == ',') {
+        starts(depth) = i + 1
+        i += 1
+      } else if (ch.isLetter || ch == '_') {
+        var e = i
+        while (e < limit && isWordChar(out(e))) e += 1
+        if (OperandBoundaryWords(out.substring(i, e).toLowerCase))
+          starts(depth) = e
+        i = e
+      } else i += 1
+    }
+    starts.get(depth).map { s =>
+      var k = s
+      while (k < limit && out(k).isWhitespace) k += 1
+      k
+    }.filter(_ < limit)
   }
 
   /** Call/bracket frame: kind 'A' = ARRAY[ → array(, 'S' = subscript →
@@ -573,12 +638,17 @@ object Dialect {
           // quantifiedComparison; docs comparison.rst) — Spark has no
           // ANY/SOME/ALL comparison, so:
           //   = ANY/SOME (q) → IN (q);   <> ALL (q) → NOT IN (q)
-          //   </(<=) ANY → vs max;  </(<=) ALL → vs min;  > mirrored.
-          // KNOWN DIVERGENCE: the min/max forms yield NULL over an
-          // EMPTY subquery (reference: TRUE for ALL / FALSE for ANY) and
-          // skip NULL elements (reference three-valued logic can yield
-          // NULL where min/max gives a definite answer); = ANY and
-          // <> ALL keep exact IN/NOT IN semantics.
+          //   </(<=)/>(>=) forms lower to a comparison against the
+          //   binding extremum (min for ALL-of-<, max mirrored) WRAPPED
+          //   in the reference's three-valued algebra (TestQuantified-
+          //   Comparisons): over an EMPTY subquery ALL is TRUE and ANY
+          //   is FALSE regardless of the left side; a satisfied-on-
+          //   extremum comparison over a set that also holds NULLs is
+          //   NULL (unknown witnesses), not the definite answer the
+          //   bare min/max would fake. The three scalar subqueries
+          //   (extremum, count(*), count(v)) merge into ONE aggregate
+          //   pass under MergeScalarSubqueries — PlanSpec ds40 pins
+          //   that behavior.
           // = ALL and <> ANY are left verbatim (loud at Spark's parser).
           val (op, opIdx) = trailingComparisonOp(out).get
           val isAll = lower == "all"
@@ -597,7 +667,26 @@ object Dialect {
             case "<" | "<=" | ">" | ">=" =>
               val fn =
                 if ((op.startsWith("<")) == isAll) "min" else "max"
-              out.append(s" (SELECT $fn(__graft_v) FROM ($sub) AS $alias(__graft_v))")
+              val m = s"(SELECT $fn(__graft_v) FROM ($sub) AS $alias(__graft_v))"
+              leftOperandStart(out, opIdx) match {
+                case Some(xStart) =>
+                  val xTxt = out.substring(xStart, opIdx).trim
+                  val cnt =
+                    s"(SELECT count(*) FROM ($sub) AS ${alias}c(__graft_v))"
+                  val cntv =
+                    s"(SELECT count(__graft_v) FROM ($sub) AS ${alias}n(__graft_v))"
+                  val t = s"(($xTxt) $op $m)"
+                  val nullGuard = s"CASE WHEN $cnt > $cntv THEN " +
+                    s"CAST(NULL AS BOOLEAN) ELSE ${if (isAll) "TRUE" else "FALSE"} END"
+                  out.delete(xStart, out.length)
+                  out.append(
+                    if (isAll) s"(($cnt = 0) OR ($t AND $nullGuard))"
+                    else s"(($cnt > 0) AND ($t OR $nullGuard))")
+                case None =>
+                  // operand extent unknown (unbalanced/odd text): keep
+                  // the bare-extremum lowering rather than guess
+                  out.append(s" $m")
+              }
               true
             case _ => false
           }
@@ -621,6 +710,41 @@ object Dialect {
           }
           out.append(s"CAST('$body' AS DECIMAL(${math.max(digits, 1)}, $scale))")
           i = end
+        } else if (lower == "trim" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
+          // TRIM(s, chars): the reference's 2-arg trim is (string,
+          // trim-character-set) (StringFunctions.java trim codepoint-set
+          // overload) while Spark's 2-arg builtin takes (trim-set,
+          // string) — SWAPPED, silently trimming the wrong operand. The
+          // grammar form TRIM(BOTH x FROM y) parses as ONE argument and
+          // already agrees, as does 1-arg TRIM(s).
+          val (args, after) = parseParenArgs(q, k).get
+          out.append(rewrite(s"presto_trim(${args(0)}, ${args(1)})"))
+          i = after
+        } else if (lower == "double" && {
+            var j2 = k
+            while (j2 < q.length && q(j2).isWhitespace) j2 += 1
+            j2 < q.length && q.regionMatches(true, j2, "precision", 0, 9) &&
+              (j2 + 9 >= q.length || !isWordChar(q(j2 + 9)))
+          }) {
+          // DOUBLE PRECISION — the standard-SQL spelling the reference
+          // accepts everywhere DOUBLE is legal (type position and typed
+          // literal); Spark only knows DOUBLE. A following quote is the
+          // typed-literal form, lowered to a CAST exactly like the
+          // numericTypedLiterals branch above.
+          var j2 = k
+          while (j2 < q.length && q(j2).isWhitespace) j2 += 1
+          var h2 = j2 + 9
+          while (h2 < q.length && q(h2).isWhitespace) h2 += 1
+          if (h2 < q.length && q(h2) == '\'') {
+            val end = literalEnd(q, h2)
+            out.append("CAST(").append(q.substring(h2, end))
+              .append(" AS DOUBLE)")
+            i = end
+          } else {
+            out.append("DOUBLE")
+            i = j2 + 9
+          }
         } else if (lower == "substring" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists { case (args, _) =>
               args.lengthCompare(1) == 0 &&
@@ -747,12 +871,22 @@ object Dialect {
           val end = literalEnd(q, k)
           val body = q.substring(k + 1, end - 1).trim
           val TzTime = "(\\d{1,2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?)\\s*([+-]\\d{2}:\\d{2})".r
+          val ZoneNameTime =
+            ("(\\d{1,2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?)\\s+" +
+              "([A-Za-z][A-Za-z0-9_]*(?:/[A-Za-z0-9_+\\-]+)+|UTC|GMT)").r
           body match {
             case _ if body.matches("\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?") =>
               out.append(s"TIMESTAMP '1970-01-01 $body'")
               i = end
             case TzTime(timePart, offset) =>
               out.append(s"TIMESTAMP '1970-01-01 $timePart$offset'")
+              i = end
+            case ZoneNameTime(timePart, zone) =>
+              // NAMED-zone TIME literal (TIME '01:02:03.456
+              // America/Los_Angeles') — same epoch-day UTC-instant
+              // narrowing as the offset form; Spark's timestamp parser
+              // resolves the named zone at the epoch date
+              out.append(s"TIMESTAMP '1970-01-01 $timePart $zone'")
               i = end
             case _ => out.append(word); i = j
           }
@@ -1051,12 +1185,20 @@ object Dialect {
         body <- inner
         fields <- parseParenArgs("(" + body + ")", 0).map(_._1)
         parts <- {
-          val ps = fields.map { f0 =>
+          val ps = fields.zipWithIndex.map { case (f0, idx) =>
             val f = f0.trim
-            val sp = f.indexWhere(_.isWhitespace)
-            if (sp <= 0) None
-            else prestoTypeToDdl(f.substring(sp + 1))
-              .map(tp => s"${f.substring(0, sp)}:$tp")
+            // an ANONYMOUS field is one whose whole text parses as a
+            // type (ROW(BIGINT, VARCHAR)); it gets the same positional
+            // field0/field1 names the row() constructor uses, so casts
+            // between the two line up
+            prestoTypeToDdl(f) match {
+              case Some(tp) => Some(s"field$idx:$tp")
+              case None =>
+                val sp = f.indexWhere(_.isWhitespace)
+                if (sp <= 0) None
+                else prestoTypeToDdl(f.substring(sp + 1))
+                  .map(tp => s"${f.substring(0, sp)}:$tp")
+            }
           }
           if (ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
         }
@@ -1068,8 +1210,11 @@ object Dialect {
       case "bigint"                             => Some("bigint")
       case "smallint"                           => Some("smallint")
       case "tinyint"                            => Some("tinyint")
-      case "double"                             => Some("double")
+      case "double" | "doubleprecision"         => Some("double")
       case "real"                               => Some("float")
+      // UNKNOWN is the reference's null type (only NULL inhabits it);
+      // string is the carrier Spark's parser accepts everywhere
+      case "unknown"                            => Some("string")
       case "boolean"                            => Some("boolean")
       case "date"                               => Some("date")
       case "timestamp"                          => Some("timestamp")

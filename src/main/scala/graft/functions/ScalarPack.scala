@@ -195,6 +195,25 @@ object ScalarPack {
         })
     // a NULL value argument propagates NULL like the reference's
     // @SqlNullable parameters, never an NPE inside the predicate
+    // reference UrlFunctions.java:124 urlExtractParameter: the FIRST
+    // '&'-separated query entry whose key (text before the first '=')
+    // matches wins; a present-but-valueless key (?k3&k4) yields '',
+    // an absent key NULL. Spark's ParseUrl(QUERY, key) regex skips
+    // valueless keys and so disagrees on both counts.
+    spark.udf.register("url_extract_parameter",
+      (url: String, name: String) => {
+        if (url == null || name == null) null
+        else
+          try {
+            val q = new java.net.URI(url).getQuery
+            if (q == null) null
+            else q.split("&", -1).iterator
+              .map(_.split("=", 2))
+              .collectFirst { case a if a(0) == name =>
+                if (a.length > 1) a(1) else "" }
+              .orNull
+          } catch { case _: Exception => null }
+      })
     spark.udf.register("json_array_contains_str",
       (j: String, v: String) =>
         if (v == null) null
@@ -227,7 +246,12 @@ object ScalarPack {
       (j: String, v: java.lang.Long) =>
         if (v == null) null
         else jsonArrayContains(j,
-          n => n.isIntegralNumber && n.asLong == v.longValue))
+          // canConvertToLong: an integer token beyond the long range
+          // (92233720368547758071) must match NOTHING — asLong alone
+          // wraps it onto small negatives (TestJsonFunctions pins the
+          // overflow row false)
+          n => n.isIntegralNumber && n.canConvertToLong &&
+            n.asLong == v.longValue))
     spark.udf.register("json_array_contains_num",
       (j: String, v: java.lang.Double) =>
         if (v == null) null

@@ -32,11 +32,13 @@ case class ToJsonText(child: Expression)
       case StringType => quote(v.toString)
       case BooleanType | ByteType | ShortType | IntegerType | LongType =>
         v.toString
-      case FloatType | DoubleType =>
-        val d = v match {
-          case f: Float => f.toDouble
-          case d0: Double => d0
-        }
+      case FloatType =>
+        // the float's own shortest decimal form (the reference renders
+        // REAL 3.14 as 3.14, not the widened double 3.140000104904175)
+        val f = v.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) quote(f.toString) else f.toString
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
         if (d.isNaN || d.isInfinite) quote(d.toString) else d.toString
       case _: DecimalType => v.toString
       case DateType =>
@@ -54,16 +56,33 @@ case class ToJsonText(child: Expression)
       case MapType(kt, vt, _) =>
         val m = v.asInstanceOf[MapData]
         val keys = m.keyArray(); val values = m.valueArray()
-        (0 until m.numElements()).map { i =>
+        val entries = (0 until m.numElements()).map { i =>
           // keys render through the TYPED renderer, then coerce to a
           // JSON string (dates/timestamps must not leak internal ints)
-          val rendered = render(keys.get(i, kt), kt)
+          val rawKey = keys.get(i, kt)
+          val rendered = render(rawKey, kt)
           val k =
             if (rendered.startsWith("\"")) rendered else quote(rendered)
           val value =
             if (values.isNullAt(i)) "null" else render(values.get(i, vt), vt)
-          s"$k:$value"
-        }.mkString("{", ",", "}")
+          (rawKey, k, s"$k:$value")
+        }
+        // the reference renders map entries in KEY order (TestMapOperators
+        // pins CAST(MAP(ARRAY[7,5,3,1], …) AS JSON) = {"1":…,"3":…,…});
+        // order numerics by value, everything else by rendered key
+        val sorted = kt match {
+          case ByteType | ShortType | IntegerType | LongType |
+              FloatType | DoubleType | _: DecimalType =>
+            entries.sortBy { case (rk, _, _) =>
+              rk match {
+                case n: java.lang.Number => n.doubleValue
+                case d: org.apache.spark.sql.types.Decimal => d.toDouble
+                case _ => 0.0
+              }
+            }
+          case _ => entries.sortBy(_._2)
+        }
+        sorted.map(_._3).mkString("{", ",", "}")
       case st: StructType =>
         // the reference's default row→JSON cast renders POSITIONALLY as a
         // JSON array (json.rst: CAST(ROW(123,'abc',true) AS ...) AS JSON

@@ -126,6 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => DoubleDivisionRewrite)
     ext.injectResolutionRule(_ => IntegerDivisionRewrite)
     ext.injectResolutionRule(_ => FloatCastRoundingRewrite)
+    ext.injectResolutionRule(_ => DoubleToVarcharRewrite)
+    ext.injectResolutionRule(_ => RaisingMapSubscriptRewrite)
+    ext.injectResolutionRule(_ => RuntimeLikeRewrite)
     PrestoFunctions.registerAll(ext)
   }
 }

@@ -549,6 +549,15 @@ object PrestoFunctions {
       case args => throw new IllegalArgumentException(
         s"rtrim expects 1 or 2 arguments, got ${args.length}")
     },
+    // trim 2-arg, same swapped-argument story (the Dialect trim branch
+    // routes only the comma form here; the TRIM(BOTH x FROM y) grammar
+    // form already agrees)
+    fd("presto_trim") {
+      case Seq(s)    => StringTrim(s)
+      case Seq(s, t) => StringTrim(s, t)
+      case args => throw new IllegalArgumentException(
+        s"trim expects 1 or 2 arguments, got ${args.length}")
+    },
     // contains / array_position with an UNTYPED NULL probe return NULL
     // (ArrayFunctions.java @SqlNullable); Spark's builtins REJECT a
     // NullType argument at analysis. array_position also has the 3-arg
@@ -569,7 +578,10 @@ object PrestoFunctions {
           case _ =>
             // positions of all matches, then the n-th (ElementAt handles
             // the negative-instance form); overrun → 0 like the
-            // 1-instance builtin's no-match contract
+            // 1-instance builtin's no-match contract. A TYPED NULL probe
+            // propagates NULL (@SqlNullable — TestArrayOperators pins
+            // ARRAY_POSITION(..., CAST(NULL AS BIGINT), 1) = null); the
+            // equality filter alone would silently turn it into 0.
             val inst = Cast(a(2), IntegerType)
             val positions = ArrayFilter(
               safeIndexSeq(Size(arr)),
@@ -580,10 +592,11 @@ object PrestoFunctions {
                   EqualTo(ElementAt(arr, x, None, failOnError = false), el),
                   Seq(x))
               })
-            Cast(Coalesce(Seq(
-              If(EqualTo(Size(positions), Literal(0)), Literal(0),
-                ElementAt(positions, inst, None, failOnError = false)),
-              Literal(0))), LongType)
+            If(IsNull(el), Literal.create(null, LongType),
+              Cast(Coalesce(Seq(
+                If(EqualTo(Size(positions), Literal(0)), Literal(0),
+                  ElementAt(positions, inst, None, failOnError = false)),
+                Literal(0))), LongType))
         }
       }
     },
@@ -813,9 +826,11 @@ object PrestoFunctions {
           Literal("")),
         LongType)
     },
-    fd("url_extract_parameter") { a =>
-      new ParseUrl(Seq(a(0), Literal("QUERY"), a(1)), false)
-    },
+    // url_extract_parameter lives in ScalarPack as a UDF: the reference
+    // (UrlFunctions.java:124) returns the FIRST occurrence's value and
+    // '' for a present-but-valueless key (?k3&k4), where Spark's
+    // ParseUrl(QUERY, key) returns the first '='-form value and NULL
+    // for valueless keys.
 
     // split_to_map(text, entryDelim, kvDelim[, (k, v1, v2) -> r])
     // (reference: presto-main/.../operator/scalar/SplitToMapFunction

@@ -159,6 +159,7 @@ object Conformance {
         |  ('subscript_oob', 'INVALID_ARRAY_INDEX_IN_ELEMENT_AT'),
         |  ('element_at_oob','NULL'),
         |  ('element_at_map_missing','NULL'),
+        |  ('subscript_map_missing','USER_RAISED_EXCEPTION'),
         |  ('try_div_zero',  'NULL'),
         |  ('try_overflow',  'NULL'),
         |  ('try_cast_bad',  'NULL'),
@@ -190,11 +191,16 @@ object Conformance {
             // (ArrayElementAtFunction), hence the try_element_at alias.
             "subscript_oob"  -> outcomeOf("SELECT (ARRAY[1, 2, 3])[5]"),
             "element_at_oob" -> outcomeOf("SELECT element_at(ARRAY[1, 2, 3], 5)"),
-            // documented divergence: Presto's map subscript/element_at
-            // raise/NULL split exists, but Spark 4 has no raising map
-            // accessor (SPARK-40066) — both spellings are NULL here
+            // Presto's map raise/NULL split: map[k] RAISES on a missing
+            // key ("Key not present in map", MapSubscriptOperator
+            // .java:129 — Spark 4 removed its raising accessor in
+            // SPARK-40066, so the facade lowers the subscript to a
+            // guarded raise, plans/PrestoConformance) while element_at
+            // returns NULL — both probed
             "element_at_map_missing" ->
               outcomeOf("SELECT element_at(MAP(ARRAY['a'], ARRAY[1]), 'zz')"),
+            "subscript_map_missing" ->
+              outcomeOf("SELECT MAP(ARRAY['a'], ARRAY[1])['zz']"),
             "try_div_zero"   -> outcomeOf("SELECT TRY(1/0)"),
             "try_overflow"   -> outcomeOf("SELECT TRY(9223372036854775807 + 1)"),
             "try_cast_bad"   -> outcomeOf("SELECT TRY_CAST('abc' AS INTEGER)"))

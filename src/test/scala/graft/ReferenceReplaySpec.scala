@@ -176,6 +176,117 @@ class ReferenceReplaySpec extends QueryAssertions {
     check("cardinality(ARRAY[1] || 2)", 2) // element append still works
   }
 
+  test("sentinels: double/real → varchar renders scientific notation") {
+    // TestDoubleOperators.java:180-190 testCastToVarchar /
+    // TestRealOperators testCastToVarchar — DoubleOperators.java:255
+    check("CAST(37.7E0 AS VARCHAR)", "3.77E1")
+    check("CAST(17.1E0 AS VARCHAR)", "1.71E1")
+    check("CAST(12e2 AS VARCHAR)", "1.2E3")
+    check("CAST(12345678.9e0 AS VARCHAR)", "1.23456789E7")
+    check("CAST(0e0 AS VARCHAR)", "0E0")
+    check("CAST(-0e0 AS VARCHAR)", "-0E0")
+    check("CAST(nan() AS VARCHAR)", "NaN")
+    check("CAST(infinity() AS VARCHAR)", "Infinity")
+    check("CAST(-infinity() AS VARCHAR)", "-Infinity")
+    check("CAST(REAL '12e2' AS VARCHAR)", "1.2E3")
+    check("CAST(CAST(755 AS REAL) AS VARCHAR)", "7.55E2")
+    // the rendering follows the value through implicit string contexts
+    check("concat('v=', CAST(1.5E0 AS VARCHAR))", "v=1.5E0")
+  }
+
+  test("sentinels: map subscript raises on missing key, null-propagates") {
+    // TestMapOperators.java:549-555 / MapSubscriptOperator.java:129
+    check("MAP(ARRAY[1], ARRAY[2])[1]", 2)
+    check("MAP(ARRAY['hi'], ARRAY[2])['hi']", 2)
+    val e = intercept[Exception] {
+      one("MAP(ARRAY[BIGINT '1'], ARRAY[BIGINT '2'])[3]")
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: chain(t.getCause)
+    assert(chain(e).exists(_.contains("Key not present in map: 3")),
+      s"expected the missing-key error, got ${e.getMessage}")
+    // RETURN_NULL_ON_NULL: null key / null map both yield NULL, no raise
+    check("MAP(ARRAY['hi'], ARRAY[2])[CAST(NULL AS VARCHAR)]", null)
+    check("CAST(NULL AS MAP(VARCHAR, INTEGER))['hi']", null)
+    // element_at keeps its own NULL-returning contract
+    check("element_at(MAP(ARRAY[1], ARRAY[2]), 3)", null)
+  }
+
+  test("sentinels: non-literal LIKE patterns keep no-implicit-escape") {
+    // LikeFunctions.java:92 — compiled with only the user-declared
+    // escape; a pattern reaching LIKE through an expression must behave
+    // like the literal spelling (TestConditions' escape-less contract)
+    check("'\\_monkey\\_' like substr('\\_monkey\\_x', 1, 10)", true)
+    check("'_monkey_' like substr('\\_monkey\\_x', 1, 10)", false)
+    check("'a%b' like concat('a', '\\%b')", false) // backslash is ordinary
+    check("'a\\xb' like concat('a', '\\_b')", true) // _ still a wildcard
+    check("'_monkey_' like reverse('_yeknom_')", true)
+  }
+
+  test("sentinels: quantified comparisons over empty sets and NULLs") {
+    // reference sql/query quantified-comparison semantics: ALL over an
+    // empty relation is TRUE, ANY/SOME is FALSE, regardless of the left
+    // side; a satisfied extremum over a set that also holds NULLs is
+    // unknown (three-valued), not a definite answer
+    check("5 < ALL (SELECT 1 WHERE false)", true)
+    check("5 > ANY (SELECT 1 WHERE false)", false)
+    check("CAST(NULL AS INTEGER) < ALL (SELECT 1 WHERE false)", true)
+    check("CAST(NULL AS INTEGER) > ANY (SELECT 1 WHERE false)", false)
+    check("5 > ALL (VALUES 1, NULL)", null)
+    check("15 < ALL (VALUES 10, NULL)", false)
+    check("5 < ALL (VALUES 10, NULL)", null)
+    check("5 > ANY (VALUES 1, NULL)", true)
+    check("5 > ANY (VALUES 10, NULL)", null)
+    check("CAST(NULL AS INTEGER) < ALL (VALUES 1, 2)", null)
+    // the non-degenerate forms keep their values
+    check("21 < ALL (VALUES 19, 20, 21)", false)
+    check("19 <= ALL (VALUES 19, 20, 21)", true)
+    check("5 > ANY (VALUES 10, 3, 7)", true)
+  }
+
+  test("sentinels: 2-arg trim set, DOUBLE PRECISION, anonymous ROW types") {
+    // StringFunctions.java trim(string, trim-chars) — Spark's 2-arg
+    // builtin takes the arguments SWAPPED
+    check("TRIM('  hello  ', ' ')", "hello")
+    check("TRIM('  hello  ', 'he ')", "llo")
+    check("TRIM(' hello world ', ' x')", "hello world")
+    check("TRIM('hello  ', 'l')", "hello  ")
+    check("TRIM(BOTH ' ' FROM '  hi  ')", "hi") // grammar form untouched
+    check("DOUBLE PRECISION '12.34'", 12.34)
+    check("cast('37.7' as double precision)", 37.7)
+    // anonymous ROW fields name positionally, like the row() constructor
+    check("CAST(CAST(row(2, 'x') AS ROW(BIGINT, VARCHAR)) AS JSON)",
+      "[2,\"x\"]")
+    check("CAST(row(1.0E0, ARRAY[row(31, 4.1E0), row(32, 4.2E0)]) AS " +
+      "ROW(col0 double, col1 array(row(col0 integer, col1 double)))).col1[2].col0",
+      32)
+  }
+
+  test("sentinels: url parameters, json overflow tokens, null probes, " +
+      "ordered map JSON") {
+    // UrlFunctions.java:124 — first occurrence, '' for valueless keys
+    check("url_extract_parameter('http://e.com/p?k1=v1&k3&k4', 'k3')", "")
+    check("url_extract_parameter('http://e.com/p?k1&k1=v1', 'k1')", "")
+    check("url_extract_parameter('http://e.com/p?k1=v1&k2=v2', 'k2')", "v2")
+    check("url_extract_parameter('http://e.com/p?k1=v1', 'zz')", null)
+    // an integer token beyond long range matches nothing (no wrapping)
+    check("JSON_ARRAY_CONTAINS('[92233720368547758071]', -9)", false)
+    // typed-NULL probe propagates NULL through the instance form
+    check("ARRAY_POSITION(ARRAY [1, NULL, 2], CAST(NULL AS BIGINT), 1)", null)
+    // map→JSON renders entries in key order; REAL values keep their own
+    // shortest form (TestMapOperators / TestArrayOperators)
+    check("CAST(MAP(ARRAY[7,5,3,1], ARRAY[8,6,4,2]) AS JSON)",
+      "{\"1\":2,\"3\":4,\"5\":6,\"7\":8}")
+    check("CAST(CAST(ARRAY[3.14E0] AS ARRAY(REAL)) AS JSON)", "[3.14]")
+    // NAMED-zone TIME literals narrow to the epoch-day UTC instant like
+    // the offset form — equality/ordering match the reference's
+    // UTC-normalized comparison (TestArrayOperators' TIME wtz rows)
+    check("ARRAY [TIME '01:02:03.456 America/Los_Angeles'] = " +
+      "ARRAY [TIME '01:02:03.456 America/Los_Angeles']", true)
+    check("TIME '01:02:03 America/Los_Angeles' < " +
+      "TIME '04:05:06 America/Los_Angeles'", true)
+  }
+
   test("full sweep (SPARK_GRAFT_REPLAY=1): frozen reference assertions " +
       "hold the pass floor") {
     assume(sys.env.get("SPARK_GRAFT_REPLAY").contains("1"),
