@@ -16,12 +16,13 @@ package graft
   *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 2403 frozen
   *     simple-literal assertions in reference_assertions.tsv
   *     (tools/extract_ref_asserts.py, 27 reference test files). Asserts
-  *     a pass FLOOR (≥ 2200 — measured ~2240 after the campaign) rather
-  *     than exactness: the remaining tail is documented divergence
-  *     families (double→varchar E-notation rendering, CHAR(n) padded
-  *     length, array equality's three-valued nulls, JSON-literal→
-  *     typed-NULL casts, multi-language word_stem), each listed in
-  *     README's divergence matrix, not silent gaps.
+  *     a pass FLOOR (≥ 2300 — measured 2332 after the round-13
+  *     closers; 2261 after round 12) rather than exactness: the
+  *     remaining tail is documented divergence families (CHAR(n)
+  *     padded semantics, array/row equality's three-valued nulls,
+  *     JSON-literal→typed-NULL casts, multi-language word_stem,
+  *     reference-internal test helpers like "$internal$bind"), each
+  *     listed in README's divergence matrix, not silent gaps.
   */
 class ReferenceReplaySpec extends QueryAssertions {
 
@@ -320,7 +321,7 @@ class ReferenceReplaySpec extends QueryAssertions {
       }
     }
     info(s"replay: $ok / ${lines.size} assertions match")
-    assert(ok >= 2200,
+    assert(ok >= 2300,
       s"pass floor broken: $ok of ${lines.size}\n${failures.take(20).mkString("\n")}")
   }
 }
