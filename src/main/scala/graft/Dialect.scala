@@ -73,6 +73,7 @@ object Dialect {
     "contains"            -> "presto_contains",
     "array_position"      -> "presto_array_position",
     "ltrim"               -> "presto_ltrim",
+    "replace"             -> "presto_replace",
     "rtrim"               -> "presto_rtrim",
     // NULL-propagating variadic extrema (reference-replay pack — see
     // plans/PrestoFunctions.scala for each wrapper's citation).

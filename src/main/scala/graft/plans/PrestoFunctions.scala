@@ -549,6 +549,34 @@ object PrestoFunctions {
       case args => throw new IllegalArgumentException(
         s"rtrim expects 1 or 2 arguments, got ${args.length}")
     },
+    // replace with an EMPTY search string interleaves the replacement
+    // at every character boundary (StringFunctions.java replace uses
+    // the JDK contract: REPLACE('abc','','xx') = 'xxaxxbxxcxx',
+    // TestStringFunctions) — Spark's builtin returns the input
+    // unchanged. The 2-arg removal form and non-empty searches agree.
+    fd("presto_replace") {
+      case Seq(s, search) => StringReplace(s, search, Literal(""))
+      case Seq(s, search, rep) =>
+        val interleave = If(
+          EqualTo(Length(s), Literal(0)),
+          rep,
+          Concat(Seq(rep,
+            ArrayJoin(
+              ArrayTransform(
+                // regex split on '' → one element per character (the
+                // literal StringSplitSQL treats '' as no-delimiter)
+                StringSplit(s, Literal(""), Literal(-1)),
+                {
+                  val c = NamedLambdaVariable("c",
+                    org.apache.spark.sql.types.StringType, nullable = false)
+                  LambdaFunction(Concat(Seq(c, rep)), Seq(c))
+                }),
+              Literal(""), None))))
+        If(EqualTo(Length(search), Literal(0)),
+          interleave, StringReplace(s, search, rep))
+      case args => throw new IllegalArgumentException(
+        s"replace expects 2 or 3 arguments, got ${args.length}")
+    },
     // trim 2-arg, same swapped-argument story (the Dialect trim branch
     // routes only the comma form here; the TRIM(BOTH x FROM y) grammar
     // form already agrees)

@@ -279,6 +279,12 @@ class ReferenceReplaySpec extends QueryAssertions {
     check("CAST(MAP(ARRAY[7,5,3,1], ARRAY[8,6,4,2]) AS JSON)",
       "{\"1\":2,\"3\":4,\"5\":6,\"7\":8}")
     check("CAST(CAST(ARRAY[3.14E0] AS ARRAY(REAL)) AS JSON)", "[3.14]")
+    // empty-search replace interleaves (StringFunctions.java: the JDK
+    // replaceAll('') contract)
+    check("REPLACE('abc', '', 'xx')", "xxaxxbxxcxx")
+    check("REPLACE('', '', 'xx')", "xx")
+    check("REPLACE('abc', 'b', 'x')", "axc")
+    check("REPLACE('abc', 'b')", "ac")
     // NAMED-zone TIME literals narrow to the epoch-day UTC instant like
     // the offset form — equality/ordering match the reference's
     // UTC-normalized comparison (TestArrayOperators' TIME wtz rows)
