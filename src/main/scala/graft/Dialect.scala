@@ -432,13 +432,20 @@ object Dialect {
     * operand). Returns None when the scan ends mid-literal or
     * unbalanced (caller falls back to the min/max-only lowering). */
   private val OperandBoundaryWords = Set(
-    "and", "or", "not", "when", "then", "else", "case", "end", "select",
+    "and", "or", "not", "when", "then", "else", "select",
     "where", "having", "on", "by", "from", "join", "union", "all",
     "intersect", "except", "distinct", "as", "between", "is", "in",
     "return", "values", "limit", "offset")
 
   private def leftOperandStart(out: StringBuilder, limit: Int): Option[Int] = {
     val starts = mutable.Map(0 -> 0)
+    // CASE…END is one OPERAND, not a boundary: `case` records the operand
+    // start in effect when it opened (so `x + CASE…END < ALL` keeps the
+    // whole arithmetic operand) and the matching `end` RESTORES it —
+    // when/then/else inside the block clobber starts, but the restore
+    // wins. Per-depth stacks pair non-parenthesized nested CASEs LIFO;
+    // a ')' discards that depth's pending cases along with its start.
+    val caseStack = mutable.Map.empty[Int, List[Int]]
     var depth = 0
     var i = 0
     while (i < limit) {
@@ -449,18 +456,27 @@ object Dialect {
         if (e >= limit) return None // comparison inside a literal?!
         i = e + 1
       } else if (ch == '(') {
-        depth += 1; starts(depth) = i + 1; i += 1
+        depth += 1; starts(depth) = i + 1; caseStack.remove(depth); i += 1
       } else if (ch == ')') {
         if (depth == 0) return None
-        starts.remove(depth); depth -= 1; i += 1
+        starts.remove(depth); caseStack.remove(depth); depth -= 1; i += 1
       } else if (ch == ',') {
         starts(depth) = i + 1
         i += 1
       } else if (ch.isLetter || ch == '_') {
         var e = i
         while (e < limit && isWordChar(out(e))) e += 1
-        if (OperandBoundaryWords(out.substring(i, e).toLowerCase))
-          starts(depth) = e
+        out.substring(i, e).toLowerCase match {
+          case "case" =>
+            caseStack(depth) = starts.getOrElse(depth, i) :: caseStack.getOrElse(depth, Nil)
+          case "end" =>
+            caseStack.getOrElse(depth, Nil) match {
+              case h :: t => starts(depth) = h; caseStack(depth) = t
+              case Nil    => starts(depth) = e // stray END: a clause edge
+            }
+          case w if OperandBoundaryWords(w) => starts(depth) = e
+          case _ =>
+        }
         i = e
       } else i += 1
     }
@@ -539,10 +555,12 @@ object Dialect {
         }) {
           // handled in the guard
         } else if ((lower == "ipaddress" || lower == "ipprefix" ||
-            lower == "json") && k < q.length && q(k) == '\'') {
+            lower == "json" || lower == "char") && k < q.length && q(k) == '\'') {
           // typed literals for types narrowed to VARCHAR text forms
           // (SqlBase.g4 typeConstructor; SURVEY §1.2 narrowing): the
-          // value IS the canonical string, so the constructor drops
+          // value IS the canonical string, so the constructor drops.
+          // CHAR 'x' rides the same narrowing (README CHAR(n) divergence:
+          // unpadded semantics pass more reference rows than eager pads)
           val end = literalEnd(q, k)
           out.append(preserveBackslashes(q.substring(k, end)))
           i = end
@@ -699,6 +717,14 @@ object Dialect {
             case Some((repl, after)) => out.append(repl); i = after
             case None                => out.append(word); i = j
           }
+        } else if (lower == "decimal" && lastWordIs(out, "as") &&
+            (k >= q.length || (q(k) != '(' && q(k) != '\''))) {
+          // bare DECIMAL in a cast-target position: the reference's
+          // default decimal is decimal(38,0) (its DecimalType default
+          // precision; TestTypeOfFunction pins typeof(CAST(NULL AS
+          // DECIMAL)) = decimal(38,0)) where Spark's bare DECIMAL means
+          // decimal(10,0)
+          out.append("DECIMAL(38,0)"); i = j
         } else if (lower == "decimal" && k < q.length && q(k) == '\'') {
           // Presto typed literal DECIMAL 'd.dd' (SqlBase.g4 primaryExpression
           // typeConstructor) → CAST with precision/scale read off the text.
@@ -782,6 +808,42 @@ object Dialect {
           while (h < q.length && q(h).isWhitespace) h += 1
           val hasEscape = q.regionMatches(true, h, "escape", 0, 6) &&
             (h + 6 >= q.length || !isWordChar(q(h + 6)))
+          // ESCAPE NULL: the whole predicate is NULL in the reference
+          // (LikeFunctions: a null escape null-propagates through the
+          // RETURN_NULL_ON_NULL convention; TestConditions pins
+          // `'monkey' like 'monkey' escape null` = null). Spark's parser
+          // rejects a non-literal escape outright, so replace the
+          // already-emitted left operand + the predicate with a typed
+          // NULL. A preceding NOT is an operand boundary, stays emitted,
+          // and NOT NULL = NULL keeps the negated form correct.
+          val nullEscape = hasEscape && {
+            var g = h + 6
+            while (g < q.length && q(g).isWhitespace) g += 1
+            var e2 = g
+            while (e2 < q.length && isWordChar(q(e2))) e2 += 1
+            q.substring(g, e2).equalsIgnoreCase("null") && {
+              // a preceding NOT is part of the predicate too (NOT NULL is
+              // NULL, but `x NOT <boolean>` doesn't parse) — scan the
+              // operand to the left of it and delete through it
+              var endTrim = out.length
+              while (endTrim > 0 && out(endTrim - 1).isWhitespace) endTrim -= 1
+              val scanLimit =
+                if (endTrim >= 3 &&
+                    out.substring(endTrim - 3, endTrim).equalsIgnoreCase("not") &&
+                    (endTrim == 3 || !isWordChar(out(endTrim - 4))))
+                  endTrim - 3
+                else out.length
+              leftOperandStart(out, scanLimit) match {
+                case Some(s) =>
+                  out.delete(s, out.length)
+                  out.append("CAST(NULL AS BOOLEAN)")
+                  i = e2
+                  true
+                case None => false // unknown extent: stay loud at the parser
+              }
+            }
+          }
+          if (!nullEscape) {
           // ESCAPE '' — the reference's explicit "no escape character"
           // spelling (LikeFunctions.java accepts an empty escape);
           // Spark rejects a zero-length escape, so the clause is
@@ -806,6 +868,7 @@ object Dialect {
             while (g < q.length && q(g).isWhitespace) g += 1
             g + 2
           } else end
+          }
         } else if (lower == "extract" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists { case (args, _) =>
               args.lengthCompare(1) == 0 &&
@@ -1082,8 +1145,11 @@ object Dialect {
     * None for every cast this rewrite does not own. */
   private def rewriteJsonCast(q: String, open: Int): Option[(String, Int)] = {
     val (args, after) = parseParenArgs(q, open).getOrElse(return None)
-    if (args.lengthCompare(1) != 0) return None
-    val argText = args.head
+    // CAST has one logical argument, but the generic comma split doesn't
+    // know angle-bracket type nesting (MAP<BIGINT, BIGINT> — '<' is also
+    // the less-than operator, so the splitter can't track it as depth);
+    // rejoin the pieces and split on the rightmost AS ourselves
+    val argText = args.mkString(",")
     // rightmost depth-0 AS splits expression from target type
     var asAt = -1
     var i2 = 0
@@ -1110,9 +1176,14 @@ object Dialect {
       return None
     val el = expr.toLowerCase
     val jsonLit = "(?is)^json\\s*('.*')$".r.findFirstMatchIn(expr)
+    // a source that is itself a cast TO JSON (CAST(x AS JSON) — rewritten
+    // to graft_to_json below) is a JSON source like a literal is
+    val castToJson =
+      "(?is)^(?:try_)?cast\\s*\\(.*\\bas\\s+json\\s*\\)$".r.findFirstIn(expr)
     val source =
       if (jsonLit.isDefined) preserveBackslashes(jsonLit.get.group(1))
-      else if (el.startsWith("json_parse") || el.startsWith("json_extract"))
+      else if (el.startsWith("json_parse") || el.startsWith("json_extract") ||
+          castToJson.isDefined)
         rewrite(expr)
       else
         // non-JSON source with a recognized complex target: translate the
@@ -1120,6 +1191,40 @@ object Dialect {
         // (CAST(ROW(…) AS ROW(v1 BIGINT, …)) → CAST(struct(…) AS
         // struct<v1:bigint,…>)
         return Some((s"CAST(${rewrite(expr)} AS $ddl)", after))
+    // the JSON `null` token casts to a TYPED NULL for every complex
+    // target (JsonToArrayCast.java:90 / JsonToMapCast.java / JsonToRowCast
+    // .java all return null on VALUE_NULL) — from_json would instead give
+    // an all-null struct for rows. Duplicating `source` in the guard is
+    // safe: JSON sources here are literals or deterministic scalar calls.
+    def nullTokenGuard(parse: String): String =
+      s"if(trim($source) = 'null', CAST(NULL AS $ddl), $parse)"
+    // Spark's from_json only accepts STRING map keys (JSON object keys
+    // ARE strings): a MAP target with another key type parses with
+    // string keys, then an outer CAST restores the declared key type —
+    // under ANSI a malformed key raises, like the reference's
+    // INVALID_CAST_ARGUMENT
+    val fromJson: String => String = { src =>
+      "^map<(.*)>$".r.findFirstMatchIn(ddl) match {
+        case Some(m) =>
+          val inner = m.group(1)
+          var d = 0; var cut = -1; var x = 0
+          while (x < inner.length && cut < 0) {
+            inner(x) match {
+              case '<' | '(' => d += 1
+              case '>' | ')' => d -= 1
+              case ',' if d == 0 => cut = x
+              case _ =>
+            }
+            x += 1
+          }
+          val (kd, vd) =
+            if (cut < 0) ("string", inner)
+            else (inner.substring(0, cut), inner.substring(cut + 1))
+          if (kd == "string") s"from_json($src, '$ddl')"
+          else s"CAST(from_json($src, 'map<string,$vd>') AS $ddl)"
+        case None => s"from_json($src, '$ddl')"
+      }
+    }
     // JSON → ROW accepts BOTH encodings in the reference (conversion.rst):
     // a JSON object maps fields by NAME (from_json), a JSON ARRAY maps
     // POSITIONALLY. from_json alone nulls out the array case, so for
@@ -1131,10 +1236,10 @@ object Dialect {
         val positional = fields.zipWithIndex.map { case ((name, sparkType), i) =>
           s"'$name', CAST(get_json_object($source, '$$[$i]') AS $sparkType)"
         }.mkString("named_struct(", ", ", ")")
-        Some((
-          s"if(startswith(ltrim($source), '['), $positional, from_json($source, '$ddl'))",
+        Some((nullTokenGuard(
+          s"if(startswith(ltrim($source), '['), $positional, ${fromJson(source)})"),
           after))
-      case None => Some((s"from_json($source, '$ddl')", after))
+      case None => Some((nullTokenGuard(fromJson(source)), after))
     }
   }
 
@@ -1164,7 +1269,11 @@ object Dialect {
   /** Presto type text → Spark DDL (the complex-type subset the JSON cast
     * rewrite needs); None for anything unrecognized. */
   private def prestoTypeToDdl(t0: String): Option[String] = {
-    val t = t0.trim
+    // the reference accepts BOTH bracket spellings (ARRAY<BIGINT> and
+    // ARRAY(BIGINT) — its TypeSignature parser; TestArrayOperators uses
+    // the angle form); inside a type string '<'/'>' can only be brackets,
+    // so normalize to parens once and parse one shape
+    val t = t0.trim.replace('<', '(').replace('>', ')')
     val lower = t.toLowerCase
     def inner: Option[String] = {
       val open = t.indexOf('(')

@@ -60,29 +60,28 @@ case class ToJsonText(child: Expression)
           // keys render through the TYPED renderer, then coerce to a
           // JSON string (dates/timestamps must not leak internal ints)
           val rawKey = keys.get(i, kt)
-          val rendered = render(rawKey, kt)
-          val k =
-            if (rendered.startsWith("\"")) rendered else quote(rendered)
+          // the UNQUOTED, UNESCAPED key string — the sort key below; a
+          // string key sorts on its own characters (quote/backslash
+          // included), not on the JSON-escaped form
+          val raw = kt match {
+            case StringType => rawKey.toString
+            case _ =>
+              val r = render(rawKey, kt)
+              if (r.startsWith("\"")) r.substring(1, r.length - 1) else r
+          }
+          val k = quote(raw)
           val value =
             if (values.isNullAt(i)) "null" else render(values.get(i, vt), vt)
-          (rawKey, k, s"$k:$value")
+          (raw, s"$k:$value")
         }
-        // the reference renders map entries in KEY order (TestMapOperators
-        // pins CAST(MAP(ARRAY[7,5,3,1], …) AS JSON) = {"1":…,"3":…,…});
-        // order numerics by value, everything else by rendered key
-        val sorted = kt match {
-          case ByteType | ShortType | IntegerType | LongType |
-              FloatType | DoubleType | _: DecimalType =>
-            entries.sortBy { case (rk, _, _) =>
-              rk match {
-                case n: java.lang.Number => n.doubleValue
-                case d: org.apache.spark.sql.types.Decimal => d.toDouble
-                case _ => 0.0
-              }
-            }
-          case _ => entries.sortBy(_._2)
-        }
-        sorted.map(_._3).mkString("{", ",", "}")
+        // the reference renders map entries ordered by the RENDERED KEY
+        // STRING — JsonUtil.MapJsonGeneratorWriter:597 collects entries
+        // into a TreeMap<String> keyed on ObjectKeyProvider.getObjectKey,
+        // so numeric keys sort LEXICOGRAPHICALLY too: MAP(ARRAY[2,10],…)
+        // renders {"10":…,"2":…}. The sort key is the raw (unquoted,
+        // unescaped) string, matching the TreeMap's key for strings
+        // containing quote/backslash characters.
+        entries.sortBy(_._1).map(_._2).mkString("{", ",", "}")
       case st: StructType =>
         // the reference's default row→JSON cast renders POSITIONALLY as a
         // JSON array (json.rst: CAST(ROW(123,'abc',true) AS ...) AS JSON

@@ -95,10 +95,19 @@ object IvfIndex {
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__h", md5(col("__id").cast("string")))
     val cap = if (sampleCap > 0) sampleCap else math.max(256L * k, 100000L)
-    val n = c0.count()
+    // Bounded over-cap probe instead of an unconditional full count(): a
+    // zero-column LocalLimit scan stops after cap+1 rows, so a bounded
+    // corpus (every n ≤ cap caller, and the materialize=false plan-shape
+    // path) answers in O(cap) work regardless of corpus size. Only an
+    // over-cap corpus pays the full count — which the threshold fraction
+    // genuinely needs, and which is then the train's only full corpus
+    // pass besides the sample filter itself.
+    val capI = math.min(cap, Int.MaxValue - 1L).toInt
+    val over = c0.select(lit(1).as("__one")).limit(capI + 1).count() > cap
     val c =
-      if (n <= cap) c0
+      if (!over) c0
       else {
+        val n = c0.count()
         // top 60 bits of the md5 hex, compared lexicographically (the
         // hex alphabet is order-preserving): keep ≈ cap/n of the space
         val thresh = (cap.toDouble / n * math.pow(2, 60)).toLong

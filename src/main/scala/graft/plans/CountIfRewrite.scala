@@ -129,6 +129,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => DoubleToVarcharRewrite)
     ext.injectResolutionRule(_ => RaisingMapSubscriptRewrite)
     ext.injectResolutionRule(_ => RuntimeLikeRewrite)
+    ext.injectResolutionRule(_ => NullMapArgsRewrite)
+    ext.injectResolutionRule(_ => ArrayJoinDoubleRewrite)
+    ext.injectResolutionRule(_ => CollectionEqualityRewrite)
     PrestoFunctions.registerAll(ext)
   }
 }

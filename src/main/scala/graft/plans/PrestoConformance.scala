@@ -78,20 +78,135 @@ object RaisingMapSubscriptRewrite extends Rule[LogicalPlan] {
 
   private def rewriteOne(
       m: Expression, k: Expression,
-      dt: org.apache.spark.sql.types.DataType): Expression = {
-    val keyText = m.dataType.asInstanceOf[MapType].keyType match {
-      case DoubleType | FloatType => graft.functions.PrestoDoubleString(k)
-      case _ => Cast(k, StringType)
+      dt: org.apache.spark.sql.types.DataType): Expression =
+    // m and k are bound ONCE through a With/CommonExpressionDef: the
+    // guarded form references each three times (null check, membership,
+    // lookup/error text), and naive duplication would let a
+    // non-deterministic key pass membership with one value and look up
+    // another — spurious raise or wrong NULL
+    With(m, k) { case Seq(mr, kr) =>
+      val keyText = m.dataType.asInstanceOf[MapType].keyType match {
+        case DoubleType | FloatType => graft.functions.PrestoDoubleString(kr)
+        case _ => Cast(kr, StringType)
+      }
+      val raise = Cast(
+        RaiseError(Concat(Seq(
+          Literal("Key not present in map: "), keyText))),
+        dt)
+      If(Or(IsNull(mr), IsNull(kr)),
+        Literal(null, dt),
+        If(ArrayContains(MapKeys(mr), kr),
+          ElementAt(mr, kr, None, failOnError = false),
+          raise))
     }
-    val raise = Cast(
-      RaiseError(Concat(Seq(
-        Literal("Key not present in map: "), keyText))),
-      dt)
-    If(Or(IsNull(m), IsNull(k)),
-      Literal(null, dt),
-      If(ArrayContains(MapKeys(m), k),
-        ElementAt(m, k, None, failOnError = false),
-        raise))
+}
+
+/** ARRAY/ROW `=` with the reference's THREE-VALUED semantics, in SELECT
+  * positions only (the round-13 VERDICT's CHAR-style split adjudication,
+  * measured this round: +10 reference assertions, 0 lost):
+  *
+  *   - Project / Aggregate output expressions are rewritten to
+  *     [[graft.functions.ThreeValuedEqual]] — `ARRAY[1,null] =
+  *     ARRAY[1,null]` is NULL like the reference, and ROWs carrying MAP
+  *     fields become comparable at all (Spark raises
+  *     INVALID_ORDERING_TYPE);
+  *   - Filter predicates and join conditions are left Spark-semantics ON
+  *     PURPOSE: rewriting them would hide the equi-join shape from the
+  *     planner (array join keys lower to hash joins today; a CaseWhen'd
+  *     comparison forces nested-loop plans) — and for filtering, NULL
+  *     and FALSE reject rows identically except under NOT, a narrowing
+  *     recorded in README's divergence matrix.
+  *
+  * IS [NOT] DISTINCT FROM stays on Spark's EqualNullSafe — DISTINCT
+  * logic is two-valued in the reference too. */
+object CollectionEqualityRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveOperatorsUpWithPruning(
+      _.containsPattern(TreePattern.BINARY_COMPARISON)) {
+      case p: Project =>
+        p.copy(projectList = p.projectList
+          .map(_.transformUp(rewrite).asInstanceOf[NamedExpression]))
+      case a: Aggregate =>
+        a.copy(aggregateExpressions = a.aggregateExpressions
+          .map(_.transformUp(rewrite).asInstanceOf[NamedExpression]))
+    }
+  private val rewrite: PartialFunction[Expression, Expression] = {
+    case EqualTo(l, r) if collection(l) && collection(r) =>
+      graft.functions.ThreeValuedEqual(l, r)
+  }
+  private def collection(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => true
+      case _: org.apache.spark.sql.types.StructType => true
+      case _ => false
+    })
+}
+
+/** NULL arguments to the reference's null-propagating map constructors:
+  * `map_concat(m1, NULL, m2)` and `map_from_entries(NULL)` return NULL
+  * (their operators are RETURN_NULL_ON_NULL — MapConcatFunction.java /
+  * MapFromEntriesFunction.java), while Spark REJECTS the untyped-NULL
+  * argument at type-check (MAP_CONCAT_DIFF_TYPES / UNEXPECTED_INPUT_TYPE).
+  * A bare NULL literal argument folds the whole call to a typed NULL:
+  * the map type comes from a sibling argument when one exists, else the
+  * string-carrier map (the reference types it map(unknown,unknown);
+  * only the NULL value is observable). */
+object NullMapArgsRewrite extends Rule[LogicalPlan] {
+  private val fallback =
+    MapType(StringType, StringType)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveExpressions {
+      case mc: MapConcat if mc.children.exists(isNullLit) =>
+        val dt = mc.children.map(_.dataType)
+          .collectFirst { case m: MapType => m }.getOrElse(fallback)
+        Literal(null, dt)
+      case mf: MapFromEntries if isNullLit(mf.child) =>
+        Literal(null, fallback)
+    }
+  private def isNullLit(e: Expression): Boolean = e match {
+    case Literal(null, org.apache.spark.sql.types.NullType) => true
+    case Cast(c, _, _, _) => isNullLit(c)
+    case _ => false
+  }
+}
+
+/** array_join over DOUBLE/REAL elements: the reference stringifies each
+  * element with its scalar cast-to-varchar — scientific notation
+  * (ArrayJoin.java delegates to the element type's cast; TestArray-
+  * Operators pins ARRAY_JOIN(ARRAY[1.0E0,…], 'x') = "1.0E0x…") — where
+  * Spark renders plain decimal. Routes the element rendering through
+  * [[graft.functions.PrestoDoubleString]] via a transform, after which
+  * the join is string-typed and cannot re-match. */
+object ArrayJoinDoubleRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveExpressions {
+      // type coercion has usually ALREADY wrapped the float array in
+      // cast(arr AS array<string>) by the time the call resolves — match
+      // through that wrapper and replace it; the bare pre-coercion form
+      // is matched too
+      case aj @ ArrayJoin(c @ Cast(arr, _, _, _), _, _)
+          if aj.childrenResolved && isFloatArray(arr) &&
+            c.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        aj.withNewChildren(rendered(arr) +: aj.children.tail)
+      case aj @ ArrayJoin(arr, _, _) if aj.childrenResolved && isFloatArray(arr) =>
+        aj.withNewChildren(rendered(arr) +: aj.children.tail)
+    }
+
+  private def isFloatArray(arr: Expression): Boolean =
+    arr.resolved && (arr.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    })
+
+  private def rendered(arr: Expression): Expression = {
+    val et = arr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val lv = NamedLambdaVariable("graft_e", et.elementType, et.containsNull)
+    ArrayTransform(arr,
+      LambdaFunction(graft.functions.PrestoDoubleString(lv), Seq(lv)))
   }
 }
 
