@@ -405,7 +405,9 @@ object GraftFunctions {
       Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.scalaInt)))
     spark.udf.register("geometric_mean", udaf(GeometricMeanAgg, Encoders.DOUBLE))
     spark.udf.register("word_stem_lite", wordStemLite _)
-    spark.udf.register("word_stem", Porter.stem _)
+    // word_stem(word[, lang]) — Snowball stemmers (the reference's
+    // one-arg form is the ENGLISH Snowball stemmer, not Porter 1980)
+    Snowball.register(spark)
     val multimapEnc: Encoder[Map[String, Seq[String]]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Seq[String]]]()
     spark.udf.register("multimap_agg", udaf(new MultimapAgg(multimapEnc),

@@ -1,0 +1,1046 @@
+package graft.functions
+
+/** Snowball stemmers, implemented from M.F. Porter's PUBLISHED algorithm
+  * descriptions (the Snowball project, snowballstem.org — public
+  * algorithms; the English one is "Porter2"). This is the behavior behind
+  * the reference's word_stem (reference: presto-main/.../operator/scalar/
+  * WordStemFunction.java:56-93 maps ISO-639-1 codes to org.tartarus
+  * stemmers and uses the ENGLISH one for the 1-argument form — so
+  * word_stem('generally') is 'general', not Porter-1980's 'gener').
+  *
+  * Implemented languages: en, fr, es, pt, it, de (the German2 variant the
+  * reference maps 'de' to — ae/oe/ue recognized as umlaut spellings).
+  * The reference's other fourteen languages raise loudly (README
+  * divergence matrix) rather than stem wrongly; an UNKNOWN code raises
+  * the reference's own "Unknown stemmer language" error.
+  *
+  * Shared conventions: R1 = region after the first non-vowel following a
+  * vowel; R2 = R1's R1; RV is per-language. Suffix checks are "in Rx"
+  * when the suffix START index ≥ the region start.
+  */
+/** word_stem(word[, lang]) as a native expression so ONE registered name
+  * serves both arities, like the reference's overloads
+  * (WordStemFunction.java:80 one-arg English / :87 two-arg). */
+case class WordStem(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_stem expects (string[, string]), got " +
+          children.map(_.dataType.catalogString).mkString(", "))
+  override protected def nullSafeEval(w: Any, l: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Snowball.stem(w.toString, l.toString))
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "word_stem"
+}
+
+object Snowball {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_stem", {
+        case Seq(w) =>
+          WordStem(w, org.apache.spark.sql.catalyst.expressions.Literal("en"))
+        case Seq(w, l) => WordStem(w, l)
+        case exprs => throw new IllegalArgumentException(
+          s"word_stem takes 1 or 2 arguments, got ${exprs.length}")
+      }, "built-in")
+
+  private val referenceLanguages = Set(
+    "ca", "da", "de", "en", "es", "eu", "fi", "fr", "hu", "hy", "ir",
+    "it", "lt", "nl", "no", "pt", "ro", "ru", "sv", "tr")
+
+  def stem(word: String, language: String): String = {
+    if (word == null || language == null) return null
+    language match {
+      case "en" => English.stem(word)
+      case "fr" => French.stem(word)
+      case "es" => Spanish.stem(word)
+      case "pt" => Portuguese.stem(word)
+      case "it" => Italian.stem(word)
+      case "de" => German.stem(word)
+      case l if referenceLanguages(l) =>
+        throw new UnsupportedOperationException(
+          s"word_stem language '$l' is not implemented in this engine " +
+            "(implemented: de, en, es, fr, it, pt)")
+      case l =>
+        // reference error text (WordStemFunction.java:98)
+        throw new IllegalArgumentException(s"Unknown stemmer language: $l")
+    }
+  }
+
+  /** Region start: index after the first non-vowel that follows a vowel
+    * within [from, n); n when absent. */
+  private def regionAfterVC(w: String, from: Int, isV: Char => Boolean): Int = {
+    var i = from
+    val n = w.length
+    while (i < n && !isV(w(i))) i += 1
+    while (i < n && isV(w(i))) i += 1
+    // i now sits on the first non-vowel after the vowel run (or n)
+    if (i < n) i + 1 else n
+  }
+
+  /** First match wins among suffixes pre-sorted LONGEST FIRST; Snowball
+    * `among` semantics — the longest matching suffix is selected and THEN
+    * its condition runs; a failed condition means NO action (no fallback
+    * to a shorter suffix). */
+  private def longestSuffix(w: String, sufs: Seq[String]): Option[String] =
+    sufs.sortBy(-_.length).find(w.endsWith)
+
+  // ==================================================================
+  // English (Porter2) — snowballstem.org/algorithms/english/stemmer.html
+  // ==================================================================
+  object English {
+    private def isV(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
+
+    private val exceptional = Map(
+      "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+      "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl",
+      "ugly" -> "ugli", "early" -> "earli", "only" -> "onli",
+      "singly" -> "singl", "sky" -> "sky", "news" -> "news",
+      "howe" -> "howe", "atlas" -> "atlas", "cosmos" -> "cosmos",
+      "bias" -> "bias", "andes" -> "andes")
+    private val exceptional1a = Set(
+      "inning", "outing", "canning", "herring", "earring",
+      "proceed", "exceed", "succeed")
+    private val doubles = Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+    private val liEnding = "cdeghkmnrt"
+
+    /** Ends in a short syllable: a vowel followed by a non-vowel other
+      * than w/x/Y, preceded by a non-vowel; or a 2-letter word starting
+      * vowel + non-vowel. */
+    private def endsShortSyllable(w: String): Boolean = {
+      val n = w.length
+      if (n == 2) isV(w(0)) && !isV(w(1))
+      else n >= 3 && !isV(w(n - 3)) && isV(w(n - 2)) && !isV(w(n - 1)) &&
+        "wxY".indexOf(w(n - 1)) < 0
+    }
+
+    def stem(word0: String): String = {
+      var w = word0
+      if (w.startsWith("'")) w = w.substring(1)
+      exceptional.get(w) match {
+        case Some(e) => return e
+        case None =>
+      }
+      if (w.length <= 2) return w
+      // mark consonant-y: initial y or y after a vowel
+      val sb = new StringBuilder(w)
+      for (i <- 0 until sb.length)
+        if (sb(i) == 'y' && (i == 0 || isV(sb(i - 1)))) sb(i) = 'Y'
+      w = sb.toString
+
+      // regions (gener/commun/arsen override R1 — spec's exceptional list)
+      val r1 =
+        Seq("gener", "commun", "arsen").find(w.startsWith) match {
+          case Some(p) => p.length
+          case None => regionAfterVC(w, 0, isV)
+        }
+      val r2 = regionAfterVC(w, math.min(r1, w.length), isV)
+
+      // step 0: longest of 's' / 's / '
+      Seq("'s'", "'s", "'").find(w.endsWith).foreach(s => w = w.dropRight(s.length))
+      stemAfter0(w, r1, r2)
+    }
+
+    private def stemAfter0(word: String, r1: Int, r2: Int): String = {
+      var w = word
+      def inR1(suf: String): Boolean = w.length - suf.length >= r1
+      def inR2(suf: String): Boolean = w.length - suf.length >= r2
+      def unY(s: String): String = s.replace('Y', 'y')
+
+      // step 1a
+      if (w.endsWith("sses")) w = w.dropRight(2)
+      else if (w.endsWith("ied") || w.endsWith("ies"))
+        w = if (w.length - 3 > 1) w.dropRight(2) else w.dropRight(1)
+      else if (w.endsWith("ss") || w.endsWith("us")) ()
+      else if (w.endsWith("s") &&
+          (0 until w.length - 2).exists(i => isV(w(i))))
+        w = w.dropRight(1)
+      if (exceptional1a(w)) return unY(w)
+
+      // step 1b (longest-first)
+      longestSuffix(w, Seq("eedly", "eed", "ingly", "edly", "ing", "ed")) match {
+        case Some(suf @ ("eedly" | "eed")) =>
+          if (inR1(suf)) w = w.dropRight(suf.length) + "ee"
+        case Some(suf) =>
+          val pre = w.dropRight(suf.length)
+          if (pre.exists(isV)) {
+            w = pre
+            if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz"))
+              w += "e"
+            else if (w.length >= 2 && doubles(w.takeRight(2)))
+              w = w.dropRight(1)
+            else if (r1 >= w.length && endsShortSyllable(w))
+              w += "e"
+          }
+        case None =>
+      }
+
+      // step 1c: y → i after a non-vowel that is not the first letter
+      if ((w.endsWith("y") || w.endsWith("Y")) && w.length > 2 &&
+          !isV(w(w.length - 2)))
+        w = w.dropRight(1) + "i"
+
+      // step 2 (in R1)
+      val step2 = Seq(
+        "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+        "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+        "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+        "ation" -> "ate", "alism" -> "al", "aliti" -> "al",
+        "ousli" -> "ous", "iviti" -> "ive", "fulli" -> "ful",
+        "enci" -> "ence", "anci" -> "ance", "abli" -> "able",
+        "izer" -> "ize", "ator" -> "ate", "alli" -> "al",
+        "bli" -> "ble", "ogi" -> "og", "li" -> "")
+      longestSuffix(w, step2.map(_._1)) match {
+        case Some(suf) if inR1(suf) =>
+          val pre = w.dropRight(suf.length)
+          suf match {
+            case "ogi" => if (pre.endsWith("l")) w = pre + "og"
+            case "li" => if (pre.nonEmpty && liEnding.indexOf(pre.last) >= 0) w = pre
+            case _ => w = pre + step2.find(_._1 == suf).get._2
+          }
+        case _ =>
+      }
+
+      // step 3 (in R1; ative needs R2)
+      val step3 = Seq(
+        "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+        "icate" -> "ic", "iciti" -> "ic", "ative" -> "", "ical" -> "ic",
+        "ness" -> "", "ful" -> "")
+      longestSuffix(w, step3.map(_._1)) match {
+        case Some(suf) if inR1(suf) =>
+          if (suf != "ative" || inR2(suf))
+            w = w.dropRight(suf.length) + step3.find(_._1 == suf).get._2
+        case _ =>
+      }
+
+      // step 4 (in R2)
+      val step4 = Seq(
+        "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+        "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic")
+      longestSuffix(w, step4) match {
+        case Some(suf) if inR2(suf) =>
+          val pre = w.dropRight(suf.length)
+          if (suf != "ion" || (pre.nonEmpty && "st".indexOf(pre.last) >= 0))
+            w = pre
+        case _ =>
+      }
+
+      // step 5
+      if (w.endsWith("e") &&
+          (inR2("e") || (inR1("e") && !endsShortSyllable(w.dropRight(1)))))
+        w = w.dropRight(1)
+      else if (w.endsWith("l") && inR2("l") && w.length >= 2 &&
+          w(w.length - 2) == 'l')
+        w = w.dropRight(1)
+
+      unY(w)
+    }
+  }
+
+  // ==================================================================
+  // French — snowballstem.org/algorithms/french/stemmer.html
+  // ==================================================================
+  object French {
+    private val vowels = "aeiouyâàëéêèïîôûù"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    def stem(word0: String): String = {
+      // prelude: u/i between vowels, y next to a vowel, u after q become
+      // NON-vowel markers (left-to-right over the evolving string)
+      val sb = new StringBuilder(word0)
+      for (i <- 0 until sb.length) {
+        val c = sb(i)
+        if ((c == 'u' || c == 'i') && i > 0 && i + 1 < sb.length &&
+            isV(sb(i - 1)) && isV(sb(i + 1)))
+          sb(i) = c.toUpper
+        else if (c == 'y' && ((i > 0 && isV(sb(i - 1))) ||
+            (i + 1 < sb.length && isV(sb(i + 1)))))
+          sb(i) = 'Y'
+        else if (c == 'u' && i > 0 && sb(i - 1) == 'q')
+          sb(i) = 'U'
+      }
+      var w = sb.toString
+      val n = w.length
+
+      // RV: after the third letter when the word starts with two vowels
+      // or with par/col/tap; else after the first vowel not at position 0
+      val rv: Int =
+        if (n >= 3 && isV(w(0)) && isV(w(1))) 3
+        else if (Seq("par", "col", "tap").exists(w.startsWith)) 3
+        else {
+          var i = 1
+          while (i < n && !isV(w(i))) i += 1
+          if (i < n) i + 1 else n
+        }
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def in(region: Int, suf: String): Boolean = w.length - suf.length >= region
+
+      var step1Changed = false
+      var mentFound = false
+
+      // ---- step 1: standard suffix removal (longest among ALL) ----
+      val all1 = Seq(
+        "issements", "issement", "atrices", "amment", "emment", "ements",
+        "atrice", "logies", "usions", "utions", "ateurs", "ations",
+        "ements", "ités", "ances", "iqUes", "ismes", "ables", "istes",
+        "ement", "euses", "ateur", "ation", "logie", "usion", "ution",
+        "ences", "ments", "ance", "iqUe", "isme", "able", "iste", "ence",
+        "ité", "ives", "eaux", "euse", "ment", "eux", "ive", "ifs", "aux", "if")
+      longestSuffix(w, all1) match {
+        case Some(suf) =>
+          val pre = w.dropRight(suf.length)
+          suf match {
+            case "ance" | "iqUe" | "isme" | "able" | "iste" | "eux" |
+                 "ances" | "iqUes" | "ismes" | "ables" | "istes" =>
+              if (in(r2, suf)) { w = pre; step1Changed = true }
+            case "atrice" | "ateur" | "ation" | "atrices" | "ateurs" | "ations" =>
+              if (in(r2, suf)) {
+                w = pre; step1Changed = true
+                if (w.endsWith("ic")) {
+                  if (in(r2, "ic")) w = w.dropRight(2)
+                  else w = w.dropRight(2) + "iqU"
+                }
+              }
+            case "logie" | "logies" =>
+              if (in(r2, suf)) { w = pre + "log"; step1Changed = true }
+            case "usion" | "ution" | "usions" | "utions" =>
+              if (in(r2, suf)) { w = pre + "u"; step1Changed = true }
+            case "ence" | "ences" =>
+              if (in(r2, suf)) { w = pre + "ent"; step1Changed = true }
+            case "ement" | "ements" =>
+              if (in(rv, suf)) { w = pre; step1Changed = true }
+              if (step1Changed) {
+                if (w.endsWith("iv") && in(r2, "iv")) {
+                  w = w.dropRight(2)
+                  if (w.endsWith("at") && in(r2, "at")) w = w.dropRight(2)
+                } else if (w.endsWith("eus")) {
+                  if (in(r2, "eus")) w = w.dropRight(3)
+                  else if (in(r1, "eus")) w = w.dropRight(3) + "eux"
+                } else if (w.endsWith("abl") && in(r2, "abl"))
+                  w = w.dropRight(3)
+                else if (w.endsWith("iqU") && in(r2, "iqU"))
+                  w = w.dropRight(3)
+                else if ((w.endsWith("ièr") || w.endsWith("Ièr")) &&
+                    w.length - 3 >= rv)
+                  w = w.dropRight(3) + "i"
+              }
+            case "ité" | "ités" =>
+              if (in(r2, suf)) {
+                w = pre; step1Changed = true
+                if (w.endsWith("abil")) {
+                  if (in(r2, "abil")) w = w.dropRight(4)
+                  else w = w.dropRight(4) + "abl"
+                } else if (w.endsWith("ic")) {
+                  if (in(r2, "ic")) w = w.dropRight(2)
+                  else w = w.dropRight(2) + "iqU"
+                } else if (w.endsWith("iv") && in(r2, "iv"))
+                  w = w.dropRight(2)
+              }
+            case "if" | "ive" | "ifs" | "ives" =>
+              if (in(r2, suf)) {
+                w = pre; step1Changed = true
+                if (w.endsWith("at") && in(r2, "at")) {
+                  w = w.dropRight(2)
+                  if (w.endsWith("ic")) {
+                    if (in(r2, "ic")) w = w.dropRight(2)
+                    else w = w.dropRight(2) + "iqU"
+                  }
+                }
+              }
+            case "eaux" => w = pre + "eau"; step1Changed = true
+            case "aux" =>
+              if (in(r1, suf)) { w = pre + "al"; step1Changed = true }
+            case "euse" | "euses" =>
+              if (in(r2, suf)) { w = pre; step1Changed = true }
+              else if (in(r1, suf)) { w = pre + "eux"; step1Changed = true }
+            case "issement" | "issements" =>
+              if (in(r1, suf) && pre.nonEmpty && !isV(pre.last)) {
+                w = pre; step1Changed = true
+              }
+            case "amment" =>
+              if (in(rv, suf)) { w = pre + "ant"; step1Changed = true }
+              mentFound = true
+            case "emment" =>
+              if (in(rv, suf)) { w = pre + "ent"; step1Changed = true }
+              mentFound = true
+            case "ment" | "ments" =>
+              if (pre.nonEmpty && isV(pre.last) && pre.length - 1 >= rv) {
+                w = pre; step1Changed = true
+              }
+              mentFound = true
+            case _ =>
+          }
+        case None =>
+      }
+
+      var altered = step1Changed
+      // ---- steps 2a/2b: verb suffixes (in RV) ----
+      if (!step1Changed || mentFound) {
+        val i2a = Seq(
+          "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+          "irions", "issais", "issait", "issant", "issent", "issiez",
+          "issons", "irais", "irait", "irent", "iriez", "irons", "iront",
+          "isses", "issez", "îmes", "îtes", "irai", "iras",
+          "irez", "isse", "ies", "ira", "ît", "ie", "ir", "is",
+          "it", "i")
+        var did2a = false
+        longestSuffix(w, i2a) match {
+          case Some(suf) if in(rv, suf) && {
+              val p = w.length - suf.length - 1
+              p >= rv && p >= 0 && !isV(w(p)) } =>
+            w = w.dropRight(suf.length); did2a = true; altered = true
+          case _ =>
+        }
+        if (!did2a) {
+          // step 2b
+          val g2 = Seq( // é-rooted and er-rooted: plain delete in RV
+            "eraIent", "erions", "èrent", "erais", "erait", "eriez",
+            "erons", "eront", "erai", "eras", "erez", "ées", "era",
+            "iez", "ée", "és", "er", "ez", "é")
+          val g3 = Seq( // a-rooted: delete + a preceding e in RV
+            "assions", "assent", "assiez", "âtes", "antes", "asses",
+            "âmes", "ante", "ants", "asse", "aIent", "ais", "ait",
+            "ant", "ât", "ai", "as", "a")
+          longestSuffix(w, Seq("ions") ++ g2 ++ g3) match {
+            case Some("ions") if in(r2, "ions") && in(rv, "ions") =>
+              w = w.dropRight(4); altered = true
+            case Some(suf) if g2.contains(suf) && in(rv, suf) =>
+              w = w.dropRight(suf.length); altered = true
+            case Some(suf) if g3.contains(suf) && in(rv, suf) =>
+              w = w.dropRight(suf.length)
+              altered = true
+              if (w.endsWith("e") && w.length - 1 >= rv) w = w.dropRight(1)
+            case _ =>
+          }
+        }
+      }
+
+      if (altered) {
+        // step 3
+        if (w.endsWith("Y")) w = w.dropRight(1) + "i"
+        else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+      } else {
+        // step 4
+        if (w.endsWith("s") && w.length >= 2 &&
+            "aiouès".indexOf(w(w.length - 2)) < 0)
+          w = w.dropRight(1)
+        val s4 = Seq("ière", "Ière", "ion", "ier", "Ier", "e", "ë")
+        longestSuffix(w, s4) match {
+          case Some("ion")
+              if in(r2, "ion") && in(rv, "ion") && {
+                val p = w.length - 4
+                p >= rv && p >= 0 && (w(p) == 's' || w(p) == 't') } =>
+            w = w.dropRight(3)
+          case Some(suf @ ("ier" | "Ier" | "ière" | "Ière"))
+              if in(rv, suf) =>
+            w = w.dropRight(suf.length) + "i"
+          case Some("e") if in(rv, "e") => w = w.dropRight(1)
+          case Some("ë") if in(rv, "ë") && w.endsWith("guë") =>
+            w = w.dropRight(1)
+          case _ =>
+        }
+      }
+
+      // step 5: undouble
+      for (d <- Seq("enn", "onn", "ett", "ell", "eill"))
+        if (w.endsWith(d)) { w = w.dropRight(1); }
+      // step 6: un-accent é/è before a final run of non-vowels
+      var i = w.length - 1
+      while (i >= 0 && !isV(w(i))) i -= 1
+      if (i >= 0 && i < w.length - 1 &&
+          (w(i) == 'é' || w(i) == 'è'))
+        w = w.substring(0, i) + "e" + w.substring(i + 1)
+
+      w.map {
+        case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c
+      }
+    }
+  }
+
+  // ==================================================================
+  // Spanish — snowballstem.org/algorithms/spanish/stemmer.html
+  // ==================================================================
+  object Spanish {
+    private val vowels = "aeiouáéíóúü"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    /** RV: if the second letter is a consonant, RV is after the next
+      * vowel; if the first two letters are vowels, after the next
+      * consonant; else (consonant-vowel) after the third letter; else
+      * the end of the word. */
+    private def rvOf(w: String): Int = {
+      val n = w.length
+      if (n < 3) return n
+      if (!isV(w(1))) {
+        var i = 2; while (i < n && !isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isV(w(0)) && isV(w(1))) {
+        var i = 2; while (i < n && isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    private def unaccent(c: Char): Char = c match {
+      case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+      case 'ó' => 'o'; case 'ú' => 'u'; case c0 => c0
+    }
+
+    def stem(word0: String): String = {
+      var w = word0
+      val rv = rvOf(w)
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def in(region: Int, suf: String): Boolean = w.length - suf.length >= region
+
+      // step 0: attached pronouns after a gerund/infinitive stem in RV
+      val pronouns = Seq("selas", "selos", "sela", "selo", "las", "les",
+        "los", "nos", "me", "se", "la", "le", "lo")
+      longestSuffix(w, pronouns) match {
+        case Some(p) =>
+          val pre = w.dropRight(p.length)
+          val accented = Seq("iéndo", "ándo", "ár", "ér", "ír")
+          val plain = Seq("iendo", "ando", "ar", "er", "ir")
+          accented.find(pre.endsWith) match {
+            case Some(a) if pre.length - a.length >= rv =>
+              w = pre.map(unaccent)
+            case _ =>
+              plain.find(pre.endsWith) match {
+                case Some(a) if pre.length - a.length >= rv => w = pre
+                case _ =>
+                  if (pre.endsWith("yendo") && pre.length >= 6 &&
+                      pre(pre.length - 6) == 'u')
+                    w = pre
+              }
+          }
+        case None =>
+      }
+
+      var changed1 = false
+      // step 1: standard suffixes
+      val del2 = Seq("amientos", "imientos", "amiento", "imiento",
+        "anzas", "ismos", "ables", "ibles", "istas", "anza", "icos",
+        "icas", "ismo", "able", "ible", "ista", "osos", "osas",
+        "ico", "ica", "oso", "osa")
+      val ador = Seq("aciones", "adoras", "adores", "ancias", "adora",
+        "ación", "antes", "ancia", "ador", "ante")
+      val all1 = del2 ++ ador ++ Seq("logías", "logía",
+        "uciones", "ución", "encias", "encia", "amente", "mente",
+        "idades", "idad", "ivas", "ivos", "iva", "ivo")
+      longestSuffix(w, all1) match {
+        case Some(suf) =>
+          val pre = w.dropRight(suf.length)
+          def deleteIC(): Unit =
+            if (w.endsWith("ic") && in(r2, "ic")) w = w.dropRight(2)
+          if (del2.contains(suf)) {
+            if (in(r2, suf)) { w = pre; changed1 = true }
+          } else if (ador.contains(suf)) {
+            if (in(r2, suf)) { w = pre; changed1 = true; deleteIC() }
+          } else if (suf == "logías" || suf == "logía") {
+            if (in(r2, suf)) { w = pre + "log"; changed1 = true }
+          } else if (suf == "uciones" || suf == "ución") {
+            if (in(r2, suf)) { w = pre + "u"; changed1 = true }
+          } else if (suf == "encias" || suf == "encia") {
+            if (in(r2, suf)) { w = pre + "ente"; changed1 = true }
+          } else if (suf == "amente") {
+            if (in(r1, suf)) {
+              w = pre; changed1 = true
+              if (w.endsWith("iv") && in(r2, "iv")) {
+                w = w.dropRight(2)
+                if (w.endsWith("at") && in(r2, "at")) w = w.dropRight(2)
+              } else for (x <- Seq("os", "ic", "ad"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(2)
+            }
+          } else if (suf == "mente") {
+            if (in(r2, suf)) {
+              w = pre; changed1 = true
+              for (x <- Seq("ante", "able", "ible"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(x.length)
+            }
+          } else if (suf == "idades" || suf == "idad") {
+            if (in(r2, suf)) {
+              w = pre; changed1 = true
+              for (x <- Seq("abil", "ic", "iv"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(x.length)
+            }
+          } else { // iva ivo ivas ivos
+            if (in(r2, suf)) {
+              w = pre; changed1 = true
+              if (w.endsWith("at") && in(r2, "at")) w = w.dropRight(2)
+            }
+          }
+        case None =>
+      }
+
+      if (!changed1) {
+        // step 2a: y-verbs preceded by u
+        val ys = Seq("yamos", "yeron", "yendo", "yais", "yan", "yen",
+          "yas", "yes", "ya", "ye", "yo", "yó")
+        var did2a = false
+        longestSuffix(w, ys) match {
+          case Some(suf) if in(rv, suf) && {
+              val p = w.length - suf.length - 1
+              p >= 0 && w(p) == 'u' } =>
+            w = w.dropRight(suf.length); did2a = true
+          case _ =>
+        }
+        if (!did2a) {
+          // step 2b: other verb suffixes (in RV)
+          val gu = Seq("emos", "éis", "en", "es") // delete; drop u of a preceding gu
+          val big = Seq(
+            "aríamos", "eríamos", "iríamos", "iéramos",
+            "iésemos", "aríais", "aremos", "eríais",
+            "eremos", "iríais", "iremos", "ierais", "ieseis",
+            "asteis", "isteis", "ábamos", "áramos", "ásemos",
+            "arían", "arías", "aréis", "erían",
+            "erías", "eréis", "irían", "irías",
+            "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
+            "ieses", "abais", "arais", "aseis", "íamos", "arán",
+            "arás", "aría", "erán", "erás",
+            "ería", "irán", "irás", "iría", "iera",
+            "iese", "aste", "iste", "aban", "aran", "asen", "aron",
+            "ando", "abas", "adas", "idas", "aras", "ases", "íais",
+            "ados", "idos", "amos", "imos", "ará", "aré",
+            "erá", "eré", "irá", "iré", "aba",
+            "ada", "ida", "ara", "ase", "ían", "ado", "ido",
+            "ías", "áis", "éis", "ía", "ad", "ed",
+            "id", "an", "ió", "ar", "er", "ir", "as", "ís",
+            "en", "es")
+          longestSuffix(w, gu ++ big) match {
+            case Some(suf) if in(rv, suf) =>
+              w = w.dropRight(suf.length)
+              if (gu.contains(suf) && w.endsWith("gu")) w = w.dropRight(1)
+            case _ =>
+          }
+        }
+      }
+
+      // step 3: residual suffix
+      val resid = Seq("os", "a", "o", "á", "í", "ó")
+      longestSuffix(w, resid ++ Seq("e", "é")) match {
+        case Some(suf @ ("e" | "é")) if in(rv, suf) =>
+          w = w.dropRight(1)
+          if (w.endsWith("gu") && w.length - 1 >= rv) w = w.dropRight(1)
+        case Some(suf) if resid.contains(suf) && in(rv, suf) =>
+          w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      w.map(unaccent)
+    }
+  }
+
+  // ==================================================================
+  // Portuguese — snowballstem.org/algorithms/portuguese/stemmer.html
+  // ==================================================================
+  object Portuguese {
+    private val vowels = "aeiouáéíóúâêô"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    private def rvOf(w: String): Int = {
+      val n = w.length
+      if (n < 3) return n
+      if (!isV(w(1))) {
+        var i = 2; while (i < n && !isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isV(w(0)) && isV(w(1))) {
+        var i = 2; while (i < n && isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    def stem(word0: String): String = {
+      // prelude: nasalized vowels get marker forms so suffix tables can
+      // spell them (ã → a~, õ → o~)
+      var w = word0.replace("ã", "a~").replace("õ", "o~")
+      val rv = rvOf(w)
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def in(region: Int, suf: String): Boolean = w.length - suf.length >= region
+
+      var changed = false
+      // step 1: standard suffixes
+      val del2 = Seq("amentos", "imentos", "amento", "imento", "ezas",
+        "icos", "icas", "ismos", "istas", "osos", "osas", "eza", "ico",
+        "ica", "ismo", "ista", "oso", "osa", "ável", "ível")
+      val ador = Seq("aço~es", "adoras", "adores", "aça~o",
+        "adora", "antes", "ância", "ador", "ante")
+      val all1 = del2 ++ ador ++ Seq("logias", "logia",
+        "uço~es", "uça~o", "ências", "ência",
+        "amente", "mente", "idades", "idade", "ivas", "ivos", "iva",
+        "ivo", "iras", "ira")
+      longestSuffix(w, all1) match {
+        case Some(suf) =>
+          val pre = w.dropRight(suf.length)
+          if (del2.contains(suf)) {
+            if (in(r2, suf)) { w = pre; changed = true }
+          } else if (ador.contains(suf)) {
+            if (in(r2, suf)) {
+              w = pre; changed = true
+              if (w.endsWith("ic") && in(r2, "ic")) w = w.dropRight(2)
+            }
+          } else if (suf == "logias" || suf == "logia") {
+            if (in(r2, suf)) { w = pre + "log"; changed = true }
+          } else if (suf == "uço~es" || suf == "uça~o") {
+            if (in(r2, suf)) { w = pre + "u"; changed = true }
+          } else if (suf == "ências" || suf == "ência") {
+            if (in(r2, suf)) { w = pre + "ente"; changed = true }
+          } else if (suf == "amente") {
+            if (in(r1, suf)) {
+              w = pre; changed = true
+              if (w.endsWith("iv") && in(r2, "iv")) {
+                w = w.dropRight(2)
+                if (w.endsWith("at") && in(r2, "at")) w = w.dropRight(2)
+              } else for (x <- Seq("os", "ic", "ad"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(2)
+            }
+          } else if (suf == "mente") {
+            if (in(r2, suf)) {
+              w = pre; changed = true
+              for (x <- Seq("ante", "avel", "ível"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(x.length)
+            }
+          } else if (suf == "idades" || suf == "idade") {
+            if (in(r2, suf)) {
+              w = pre; changed = true
+              for (x <- Seq("abil", "ic", "iv"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(x.length)
+            }
+          } else if (suf == "ivas" || suf == "ivos" || suf == "iva" || suf == "ivo") {
+            if (in(r2, suf)) {
+              w = pre; changed = true
+              if (w.endsWith("at") && in(r2, "at")) w = w.dropRight(2)
+            }
+          } else { // ira / iras — replace with ir when in RV and after e
+            if (in(rv, suf) && pre.endsWith("e")) {
+              w = pre + "ir"
+              changed = true
+            }
+          }
+        case None =>
+      }
+
+      if (!changed) {
+        // step 2: verb suffixes (in RV)
+        val verbs = Seq(
+          "aríamos", "eríamos", "iríamos", "ássemos",
+          "êssemos", "íssemos", "aríeis", "eríeis",
+          "iríeis", "ásseis", "ésseis", "ísseis",
+          "áramos", "éramos", "íramos", "ávamos",
+          "aremos", "eremos", "iremos", "ariam", "eriam", "iriam",
+          "assem", "essem", "issem", "ara~o", "era~o", "ira~o", "arias",
+          "erias", "irias", "ardes", "erdes", "irdes", "asses", "esses",
+          "isses", "astes", "estes", "istes", "áreis", "areis",
+          "éreis", "ereis", "íreis", "ireis", "áveis",
+          "íamos", "armos", "ermos", "irmos", "aria", "eria",
+          "iria", "asse", "esse", "isse", "aste", "este", "iste",
+          "arei", "erei", "irei", "aram", "eram", "iram", "avam",
+          "arem", "erem", "irem", "ando", "endo", "indo", "arão",
+          "adas", "idas", "arás", "aras", "erás", "eras",
+          "irás", "avas", "ares", "eres", "ires", "íeis",
+          "ados", "idos", "ámos", "amos", "emos", "imos", "iras",
+          "ada", "ida", "ará", "ara", "erá", "era", "irá",
+          "ava", "iam", "ado", "ido", "ias", "ais", "eis", "ira",
+          "ia", "ei", "am", "em", "ar", "er", "ir", "as",
+          "es", "is", "eu", "iu", "ou")
+        longestSuffix(w, verbs) match {
+          case Some(suf) if in(rv, suf) =>
+            w = w.dropRight(suf.length); changed = true
+          case _ =>
+        }
+      }
+
+      if (changed) {
+        // step 3: delete i after c (in RV)
+        if (w.endsWith("i") && w.length - 1 >= rv && w.length >= 2 &&
+            w(w.length - 2) == 'c')
+          w = w.dropRight(1)
+      } else {
+        // step 4: residual suffix
+        val resid = Seq("os", "a", "i", "o", "á", "í", "ó")
+        longestSuffix(w, resid) match {
+          case Some(suf) if in(rv, suf) => w = w.dropRight(suf.length)
+          case _ =>
+        }
+      }
+
+      // step 5
+      if ((w.endsWith("e") || w.endsWith("é") || w.endsWith("ê")) &&
+          w.length - 1 >= rv) {
+        w = w.dropRight(1)
+        if ((w.endsWith("gu") || w.endsWith("ci")) && w.length - 1 >= rv)
+          w = w.dropRight(1)
+      } else if (w.endsWith("ç"))
+        w = w.dropRight(1) + "c"
+
+      w.replace("a~", "ã").replace("o~", "õ")
+    }
+  }
+
+  // ==================================================================
+  // Italian — snowballstem.org/algorithms/italian/stemmer.html
+  // ==================================================================
+  object Italian {
+    private val vowels = "aeiouàèìòù"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    private def rvOf(w: String): Int = {
+      val n = w.length
+      if (n < 3) return n
+      if (!isV(w(1))) {
+        var i = 2; while (i < n && !isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isV(w(0)) && isV(w(1))) {
+        var i = 2; while (i < n && isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    def stem(word0: String): String = {
+      // prelude: acute → grave; i/u between vowels marked as consonants;
+      // u after q marked
+      var w0 = word0
+        .replace('á', 'à').replace('é', 'è')
+        .replace('í', 'ì').replace('ó', 'ò')
+        .replace('ú', 'ù')
+      val sb = new StringBuilder(w0)
+      for (i <- 0 until sb.length) {
+        val c = sb(i)
+        if ((c == 'i' || c == 'u') && i > 0 && i + 1 < sb.length &&
+            isV(sb(i - 1)) && isV(sb(i + 1)))
+          sb(i) = c.toUpper
+        else if (c == 'u' && i > 0 && sb(i - 1) == 'q')
+          sb(i) = 'U'
+      }
+      var w = sb.toString
+      val rv = rvOf(w)
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def in(region: Int, suf: String): Boolean = w.length - suf.length >= region
+
+      // step 0: attached pronouns after a gerund/infinitive in RV
+      val pronouns = Seq("gliela", "gliele", "glieli", "glielo", "gliene",
+        "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+        "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+        "vele", "veli", "velo", "vene", "sene", "gli", "ci", "la", "le",
+        "li", "lo", "mi", "ne", "si", "ti", "vi")
+      longestSuffix(w, pronouns) match {
+        case Some(p) =>
+          val pre = w.dropRight(p.length)
+          if ((pre.endsWith("ando") || pre.endsWith("endo")) &&
+              pre.length - 4 >= rv)
+            w = pre
+          else if ((pre.endsWith("ar") || pre.endsWith("er") ||
+              pre.endsWith("ir")) && pre.length - 2 >= rv)
+            w = pre + "e"
+        case None =>
+      }
+
+      var changed = false
+      // step 1: standard suffixes
+      val del2 = Seq("atrici", "atrice", "abili", "abile", "ibili",
+        "ibile", "mente", "anza", "anze", "iche", "ichi", "ismi",
+        "ismo", "ista", "iste", "isti", "istà", "istè",
+        "istì", "ante", "anti", "ico", "ici", "ica", "ice",
+        "oso", "osi", "osa", "ose")
+      val azione = Seq("azione", "azioni", "atore", "atori")
+      val all1 = del2 ++ azione ++ Seq("logia", "logie", "uzione",
+        "uzioni", "usione", "usioni", "enza", "enze", "amento",
+        "amenti", "imento", "imenti", "amente", "ità", "ivo",
+        "ivi", "iva", "ive")
+      longestSuffix(w, all1) match {
+        case Some(suf) =>
+          val pre = w.dropRight(suf.length)
+          if (del2.contains(suf)) {
+            if (in(r2, suf)) { w = pre; changed = true }
+          } else if (azione.contains(suf)) {
+            if (in(r2, suf)) {
+              w = pre; changed = true
+              if (w.endsWith("ic") && in(r2, "ic")) w = w.dropRight(2)
+            }
+          } else if (suf == "logia" || suf == "logie") {
+            if (in(r2, suf)) { w = pre + "log"; changed = true }
+          } else if (suf.startsWith("u")) { // uzione uzioni usione usioni
+            if (in(r2, suf)) { w = pre + "u"; changed = true }
+          } else if (suf == "enza" || suf == "enze") {
+            if (in(r2, suf)) { w = pre + "ente"; changed = true }
+          } else if (suf.endsWith("mento") || suf.endsWith("menti")) {
+            if (in(rv, suf)) { w = pre; changed = true }
+          } else if (suf == "amente") {
+            if (in(r1, suf)) {
+              w = pre; changed = true
+              if (w.endsWith("iv") && in(r2, "iv")) {
+                w = w.dropRight(2)
+                if (w.endsWith("at") && in(r2, "at")) w = w.dropRight(2)
+              } else for (x <- Seq("os", "ic", "abil"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(x.length)
+            }
+          } else if (suf == "ità") {
+            if (in(r2, suf)) {
+              w = pre; changed = true
+              for (x <- Seq("abil", "ic", "iv"))
+                if (w.endsWith(x) && in(r2, x)) w = w.dropRight(x.length)
+            }
+          } else { // ivo ivi iva ive
+            if (in(r2, suf)) {
+              w = pre; changed = true
+              if (w.endsWith("at") && in(r2, "at")) {
+                w = w.dropRight(2)
+                if (w.endsWith("ic") && in(r2, "ic")) w = w.dropRight(2)
+              }
+            }
+          }
+        case None =>
+      }
+
+      if (!changed) {
+        // step 2: verb suffixes (in RV)
+        val verbs = Seq(
+          "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+          "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+          "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+          "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+          "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+          "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo",
+          "enda", "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo",
+          "immo", "irai", "irei", "isca", "isce", "isci", "isco",
+          "ano", "are", "ata", "ate", "ati", "ato", "ava", "avi", "avo",
+          "erà", "ere", "erò", "ete", "eva", "evi", "evo",
+          "irà", "ire", "irò", "ita", "ite", "iti", "ito",
+          "iva", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto",
+          "ar", "ir")
+        longestSuffix(w, verbs) match {
+          case Some(suf) if in(rv, suf) => w = w.dropRight(suf.length)
+          case _ =>
+        }
+      }
+
+      // step 3a: final vowel (and a preceding i) in RV
+      if (w.nonEmpty && "aeioàèìò".indexOf(w.last) >= 0 &&
+          w.length - 1 >= rv) {
+        w = w.dropRight(1)
+        if (w.endsWith("i") && w.length - 1 >= rv) w = w.dropRight(1)
+      }
+      // step 3b: ch/gh → c/g (in RV)
+      if ((w.endsWith("ch") || w.endsWith("gh")) && w.length - 2 >= rv)
+        w = w.dropRight(1)
+
+      w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+    }
+  }
+
+  // ==================================================================
+  // German (German2 variant) —
+  // snowballstem.org/algorithms/german/stemmer.html; German2 additionally
+  // treats ae/oe/ue as umlaut spellings (the reference maps 'de' to
+  // German2Stemmer)
+  // ==================================================================
+  object German {
+    private val vowels = "aeiouyäöü"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+    private val sEnding = "bdfghklmnrt"
+    private val stEnding = "bdfghklmnt"
+
+    def stem(word0: String): String = {
+      // prelude: ß → ss; German2's ae/oe/ue → umlaut (not after q, and
+      // not 'ue' in a vowel run like 'aue'); u/y between vowels marked
+      var w0 = word0.replace("ß", "ss")
+      val b = new StringBuilder
+      var i = 0
+      while (i < w0.length) {
+        val c = w0(i)
+        if (i + 1 < w0.length && w0(i + 1) == 'e' && (c == 'a' || c == 'o' ||
+            (c == 'u' && (i == 0 || w0(i - 1) != 'q') &&
+              (i == 0 || !isV(w0(i - 1)))))) {
+          c match {
+            case 'a' => b.append('ä')
+            case 'o' => b.append('ö')
+            case _   => b.append('ü')
+          }
+          i += 2
+        } else { b.append(c); i += 1 }
+      }
+      val sb = new StringBuilder(b.toString)
+      for (j <- 0 until sb.length) {
+        val c = sb(j)
+        if ((c == 'u' || c == 'y') && j > 0 && j + 1 < sb.length &&
+            isV(sb(j - 1)) && isV(sb(j + 1)))
+          sb(j) = c.toUpper
+      }
+      var w = sb.toString
+
+      // R1/R2, with R1 moved to at least 3 characters in
+      var r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def in(region: Int, suf: String): Boolean = w.length - suf.length >= region
+
+      // step 1
+      longestSuffix(w, Seq("ern", "em", "er", "en", "es", "e", "s")) match {
+        case Some(suf @ ("ern" | "em" | "er")) if in(r1, suf) =>
+          w = w.dropRight(suf.length)
+        case Some(suf @ ("en" | "es" | "e")) if in(r1, suf) =>
+          w = w.dropRight(suf.length)
+          if (w.endsWith("niss")) w = w.dropRight(1) // nisse → nis
+        case Some("s") if in(r1, "s") && w.length >= 2 &&
+            sEnding.indexOf(w(w.length - 2)) >= 0 =>
+          w = w.dropRight(1)
+        case _ =>
+      }
+
+      // step 2
+      longestSuffix(w, Seq("est", "en", "er", "st")) match {
+        case Some(suf @ ("est" | "en" | "er")) if in(r1, suf) =>
+          w = w.dropRight(suf.length)
+        case Some("st") if in(r1, "st") && w.length >= 6 &&
+            stEnding.indexOf(w(w.length - 3)) >= 0 =>
+          w = w.dropRight(2)
+        case _ =>
+      }
+
+      // step 3: d-suffixes
+      longestSuffix(w, Seq("isch", "lich", "heit", "keit", "end", "ung",
+        "ig", "ik")) match {
+        case Some(suf @ ("end" | "ung")) if in(r2, suf) =>
+          w = w.dropRight(suf.length)
+          if (w.endsWith("ig") && in(r2, "ig") && w.length >= 3 &&
+              w(w.length - 3) != 'e')
+            w = w.dropRight(2)
+        case Some(suf @ ("ig" | "ik" | "isch")) if in(r2, suf) &&
+            (w.length - suf.length == 0 || w(w.length - suf.length - 1) != 'e') =>
+          w = w.dropRight(suf.length)
+        case Some(suf @ ("lich" | "heit")) if in(r2, suf) =>
+          w = w.dropRight(suf.length)
+          for (x <- Seq("er", "en"))
+            if (w.endsWith(x) && in(r1, x)) w = w.dropRight(2)
+        case Some("keit") if in(r2, "keit") =>
+          w = w.dropRight(4)
+          for (x <- Seq("lich", "ig"))
+            if (w.endsWith(x) && in(r2, x)) w = w.dropRight(x.length)
+        case _ =>
+      }
+
+      // postlude: unmark, strip umlauts
+      w.map {
+        case 'U' => 'u'; case 'Y' => 'y'
+        case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'
+        case c => c
+      }
+    }
+  }
+}

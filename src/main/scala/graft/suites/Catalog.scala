@@ -259,16 +259,18 @@ object Catalog {
         .orderBy("m_key")
     },
 
-    // Full Porter word_stem (reference: WordStemFunction.java wraps a
-    // Porter stemmer; the algorithm is Porter 1980). Verified against the
-    // paper's own step examples as an exact literal oracle — DuckDB's fts
-    // stem() is unavailable offline, and these vectors pin each rule
-    // family (plurals, eed/ed/ing, y→i, cvc e-restoration, double-cons
-    // undoubling incl. the l/s/z exceptions).
+    // Snowball-English word_stem (reference: WordStemFunction.java wraps
+    // org.tartarus.snowball EnglishStemmer — "Porter2", the published
+    // Snowball English algorithm). Verified against the algorithm's rule
+    // families as an exact literal oracle — DuckDB's fts stem() is
+    // unavailable offline. The vectors pin plurals (ies→ie after one
+    // letter: ties), eed/ed/ing, y→i, short-word e-restoration, and the
+    // bb..tt double-set undoubling (ll/ss/zz NOT in the set: falling,
+    // hissing, fizzed keep their doubles).
     Qdef(
       "k11_word_stem",
       """SELECT * FROM (VALUES
-        |  ('caresses', 'caress'), ('ponies', 'poni'), ('ties', 'ti'),
+        |  ('caresses', 'caress'), ('ponies', 'poni'), ('ties', 'tie'),
         |  ('cats', 'cat'), ('feed', 'feed'), ('agreed', 'agre'),
         |  ('plastered', 'plaster'), ('motoring', 'motor'),
         |  ('hopping', 'hop'), ('falling', 'fall'), ('hissing', 'hiss'),
