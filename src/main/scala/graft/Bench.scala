@@ -209,38 +209,68 @@ object Bench {
       val allPipelines = graft.ops.ScaleStress.pipelines(docsK, Some(geom)) :+
         ("v04x_ivf" -> (() =>
           graft.ops.ScaleStress.ivfPipeline(embK, ivfLists, ivfNprobe)))
-      val entries = allPipelines.map {
-        case (name, build) =>
-          val m = new StressMetrics
-          spark.sparkContext.addSparkListener(m)
-          def once(): Option[Double] = {
-            val t0 = System.nanoTime()
-            try {
-              build().write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9)
-            } catch {
-              case e: Throwable =>
-                if (!errors.exists(_._1 == name))
-                  errors ::= (name,
-                    Option(e.getMessage).getOrElse(e.getClass.getName))
-                None
-            }
+      // one measured pass of a stress pipeline: prewarm + 3 runs with
+      // stage-metric capture
+      def measurePipeline(name: String,
+          build: () => org.apache.spark.sql.DataFrame)
+          : (Seq[Double], StressMetrics) = {
+        val m = new StressMetrics
+        spark.sparkContext.addSparkListener(m)
+        def once(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try {
+            build().write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              if (!errors.exists(_._1 == name))
+                errors ::= (name,
+                  Option(e.getMessage).getOrElse(e.getClass.getName))
+              None
           }
-          once() // prewarm
-          flushListenerBus() // prewarm's stage events must land before reset
-          m.reset()
-          val runs = (1 to 3).flatMap(_ => once()).sorted
-          flushListenerBus() // last run's stage events must land before read
-          spark.sparkContext.removeSparkListener(m)
-          val timing =
-            if (runs.isEmpty) "null"
-            else s"[${runs.head},${runs(runs.size / 2)},${runs.last}]"
-          s"${jstr(name)}:{" +
-            s""""sec_min_med_max":$timing,""" +
-            s""""shuffle_write_bytes":${m.shuffleWrite.get},""" +
-            s""""shuffle_read_bytes":${m.shuffleRead.get},""" +
-            s""""mem_spill_bytes":${m.memSpill.get},""" +
-            s""""disk_spill_bytes":${m.diskSpill.get}}"""
+        }
+        once() // prewarm
+        flushListenerBus() // prewarm's stage events must land before reset
+        m.reset()
+        val runs = (1 to 3).flatMap(_ => once()).sorted
+        flushListenerBus() // last run's stage events must land before read
+        spark.sparkContext.removeSparkListener(m)
+        (runs, m)
+      }
+      // Spread rule, same contract as the headline suite (round-13
+      // VERDICT: the driver's d05x once recorded a 3.3–96.6 s spread and
+      // d02x a 5× contaminated median with no self-defense): legs whose
+      // median > 2× min or max > 4× min re-measure ONCE at the end of the
+      // block, the cleaner (lower max) run ships, and the retried names
+      // are recorded so second-pass numbers are visible in the artifact.
+      val firstPass2 = allPipelines.map { case (name, build) =>
+        (name, build, measurePipeline(name, build)) }
+      def contaminated(runs: Seq[Double]): Boolean =
+        runs.nonEmpty &&
+          (runs(runs.size / 2) > 2 * runs.head || runs.last > 4 * runs.head)
+      val stressRetried = firstPass2.collect {
+        case (name, _, (runs, _)) if contaminated(runs) => name }
+      val finalRuns = firstPass2.map { case (name, build, first @ (runs, _)) =>
+        val best =
+          if (!contaminated(runs)) first
+          else {
+            val second = measurePipeline(name, build)
+            if (second._1.nonEmpty &&
+                (runs.isEmpty || second._1.last < runs.last)) second
+            else first
+          }
+        (name, best)
+      }
+      val entries = finalRuns.map { case (name, (runs, m)) =>
+        val timing =
+          if (runs.isEmpty) "null"
+          else s"[${runs.head},${runs(runs.size / 2)},${runs.last}]"
+        s"${jstr(name)}:{" +
+          s""""sec_min_med_max":$timing,""" +
+          s""""shuffle_write_bytes":${m.shuffleWrite.get},""" +
+          s""""shuffle_read_bytes":${m.shuffleRead.get},""" +
+          s""""mem_spill_bytes":${m.memSpill.get},""" +
+          s""""disk_spill_bytes":${m.diskSpill.get}}"""
       }
       val cPost = cpuCanary()
       docsK.unpersist(blocking = false)
@@ -251,6 +281,7 @@ object Bench {
         s""""ivf_scan_frac":$ivfScanFrac,""" +
         s""""ivf_train_sec":$ivfTrainSec,"ivf_index_sec":$ivfIndexSec,""" +
         s""""ivf_search_sec":$ivfSearchSec""" :+
+        s""""stress_retried":${stressRetried.map(jstr).mkString("[", ",", "]")}""" :+
         s""""scale":$scale,"rows":$rowsK,"planes":${geom._1},"tables":${geom._2},""" +
         s""""lsh_pairs_1x":$pairs1x,"lsh_pairs_scaled":$pairsKx,""" +
         s""""lsh_pair_ratio":${
@@ -279,6 +310,15 @@ object Bench {
 
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"planning_sec":$planning,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"retried":$retriedJson,"stress_10x":$stressJson,"stress_hi":$stressHiJson,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost]}""")
+    // SPARK_GRAFT_RULE_TIMES=1: per-rule planning attribution (Spark's
+    // own RuleExecutor ledger, accumulated across the whole suite) to
+    // STDERR so the stdout artifact stays one JSON line. This is how the
+    // round-14 drift investigation found ResolveDataSource (parquet
+    // schema re-inference) at 87% of total rule time — keep it cheap to
+    // re-run.
+    if (sys.env.get("SPARK_GRAFT_RULE_TIMES").contains("1"))
+      System.err.println(
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     spark.stop()
   }
 

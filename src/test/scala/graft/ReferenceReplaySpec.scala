@@ -16,13 +16,15 @@ package graft
   *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 2403 frozen
   *     simple-literal assertions in reference_assertions.tsv
   *     (tools/extract_ref_asserts.py, 27 reference test files). Asserts
-  *     a pass FLOOR (≥ 2300 — measured 2332 after the round-13
-  *     closers; 2261 after round 12) rather than exactness: the
-  *     remaining tail is documented divergence families (CHAR(n)
-  *     padded semantics, array/row equality's three-valued nulls,
-  *     JSON-literal→typed-NULL casts, multi-language word_stem,
-  *     reference-internal test helpers like "$internal$bind"), each
-  *     listed in README's divergence matrix, not silent gaps.
+  *     a pass FLOOR (≥ 2360 — measured 2368 after the round-14 closers;
+  *     2334 after round 13, 2261 after round 12) rather than exactness:
+  *     the remaining tail is documented divergence families (CHAR(n)
+  *     padded semantics/comparisons, FILTER/JOIN-position array
+  *     equality, varchar-length-blind typeof, reference-internal test
+  *     helpers like "$internal$bind"/"vl"/"invoke", and a handful of
+  *     expected-exception assertions the extractor recorded as value
+  *     assertions), each listed in README's divergence matrix, not
+  *     silent gaps.
   */
 class ReferenceReplaySpec extends QueryAssertions {
 
@@ -294,6 +296,74 @@ class ReferenceReplaySpec extends QueryAssertions {
       "TIME '04:05:06 America/Los_Angeles'", true)
   }
 
+  test("sentinels: JSON 'null' casts to typed NULL for complex targets") {
+    // JsonToArrayCast.java:90 / JsonToMapCast / JsonToRowCast — VALUE_NULL
+    // returns SQL NULL, not an all-null container
+    check("CAST(JSON 'null' AS ARRAY<BIGINT>)", null)
+    check("CAST(JSON 'null' AS MAP<BIGINT, BIGINT>)", null)
+    check("CAST(JSON 'null' AS ROW(BIGINT))", null)
+    check("CAST(CAST(null AS JSON) AS ARRAY<BIGINT>)", null)
+    check("CAST(CAST(null AS JSON) AS MAP<BIGINT, BIGINT>)", null)
+    // non-null parses still work, angle- and paren-spelled targets alike
+    check("CAST(JSON '[1,2]' AS ARRAY(BIGINT))[1]", 1L)
+    check("CAST(JSON '{\"7\": 3}' AS MAP<BIGINT, BIGINT>)[7]", 3L)
+  }
+
+  test("sentinels: Snowball word_stem — 1-arg English and the 2-arg " +
+      "language overload") {
+    // TestWordStemFunction.java — the reference wraps org.tartarus
+    // Snowball stemmers; 1-arg IS the English one (not Porter 1980)
+    check("word_stem('generally')", "general")
+    check("word_stem('useful')", "use")
+    check("word_stem('authorized', 'en')", "author")
+    check("word_stem('accessories', 'en')", "accessori")
+    check("word_stem('intensifying', 'en')", "intensifi")
+    check("word_stem('continuerait', 'fr')", "continu")
+    check("word_stem('torpedearon', 'es')", "torped")
+    check("word_stem('quilomtricos', 'pt')", "quilomtr")
+    check("word_stem('pronunziare', 'it')", "pronunz")
+    check("word_stem('auferstnde', 'de')", "auferstnd")
+    val e = intercept[Exception] { one("word_stem('x', 'zz')") }
+    assert(String.valueOf(e.getMessage).contains("Unknown stemmer language"))
+  }
+
+  test("sentinels: three-valued ARRAY/ROW equality in SELECT position") {
+    // TestArrayOperators / TestRowOperators — nested NULLs make the
+    // comparison unknown unless a definite inequality exists
+    check("ARRAY [1, 2, null] = ARRAY [1, 2, null]", null)
+    check("ARRAY [1, 2, null] != ARRAY [1, 2, null]", null)
+    check("ARRAY [ARRAY[1], ARRAY[null], ARRAY[3]] = " +
+      "ARRAY [ARRAY[1], ARRAY[2], ARRAY[3]]", null)
+    check("ARRAY [1, null] = ARRAY [1, 2, null]", false) // cardinality
+    check("ARRAY [1, 2] = ARRAY [1, 2]", true)
+    check("row(1, CAST(NULL AS INTEGER)) = row(1, 2)", null)
+    // ROWs with MAP fields are comparable (Spark alone raises)
+    check("row(TRUE, ARRAY [1, 2], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0])) = " +
+      "row(TRUE, ARRAY [1, 2], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0]))", true)
+    check("row(TRUE, ARRAY [1], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0])) = " +
+      "row(TRUE, ARRAY [1, 2], MAP(ARRAY[1, 3], ARRAY[2.0E0, 4.0E0]))", false)
+  }
+
+  test("sentinels: round-14 dialect closers — escape null, char literal, " +
+      "bare decimal, null map args, array_join rendering, json map keys") {
+    check("'monkey' like 'monkey' escape null", null)
+    check("'monkey' not like 'monkey' escape null", null)
+    check("LTRIM('  hello  ', CHAR ' ')", "hello  ")
+    check("typeof(CAST(NULL AS DECIMAL))", "decimal(38,0)")
+    check("MAP_CONCAT(MAP(ARRAY[1], ARRAY[-1]), NULL, MAP(ARRAY[3], ARRAY[-3]))",
+      null)
+    check("map_from_entries(null)", null)
+    check("ARRAY_JOIN(ARRAY [1.0, DOUBLE '002.100', 3.3], 'x')",
+      "1.0E0x2.1E0x3.3E0")
+    // map→JSON orders by the RENDERED key string (TreeMap<String>,
+    // JsonUtil.java:597): numeric keys sort lexicographically
+    check("CAST(MAP(ARRAY[2,10], ARRAY['a','b']) AS JSON)",
+      "{\"10\":\"b\",\"2\":\"a\"}")
+    // CASE…END as a quantified-comparison left operand
+    check("CASE WHEN true THEN 1 ELSE 2 END < ALL (VALUES 10, NULL)", null)
+    check("CASE WHEN true THEN 15 ELSE 2 END < ALL (VALUES 10, NULL)", false)
+  }
+
   test("full sweep (SPARK_GRAFT_REPLAY=1): frozen reference assertions " +
       "hold the pass floor") {
     assume(sys.env.get("SPARK_GRAFT_REPLAY").contains("1"),
@@ -327,7 +397,7 @@ class ReferenceReplaySpec extends QueryAssertions {
       }
     }
     info(s"replay: $ok / ${lines.size} assertions match")
-    assert(ok >= 2300,
+    assert(ok >= 2360,
       s"pass floor broken: $ok of ${lines.size}\n${failures.take(20).mkString("\n")}")
   }
 }
