@@ -92,6 +92,11 @@ object EmbeddingKernels {
       exprs => SigMatch(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_keep",
       exprs => SigKeep(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_key_in_set",
+      exprs => KeyInSortedSet(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sig_keep_routed",
+      exprs => SigKeepRouted(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4)), "built-in")
   }
 
   private[functions] def foldableInt(e: Expression, what: String): Int = {
@@ -101,6 +106,25 @@ object EmbeddingKernels {
       case other => throw new IllegalArgumentException(
         s"$what must be a literal integer, got $other")
     }
+  }
+
+  private[functions] def foldableLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal bigint")
+    e.eval(null) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal bigint, got $other")
+    }
+  }
+
+  /** Extract a foldable array<int> literal, defensively sorted so the
+    * kernels' binary searches never depend on caller discipline. */
+  private[functions] def foldableSortedInts(e: Expression): Array[Int] = {
+    require(e.foldable, "key set must be a literal array<int>")
+    val a = e.eval(null).asInstanceOf[ArrayData].toIntArray()
+    java.util.Arrays.sort(a)
+    a
   }
 }
 
@@ -441,4 +465,200 @@ case class SigKeep(
       newThird: Expression, newFourth: Expression): Expression =
     copy(first = newFirst, second = newSecond,
       third = newThird, fourth = newFourth)
+}
+
+/** graft_key_in_set(key, keySet): membership of an int key in a foldable
+  * int-array literal via binary search — O(log |set|) per row where
+  * `array_contains` on the same literal is O(|set|). Used by the
+  * occupancy-capped embedding-dedup pipeline to drop candidate routes
+  * through over-occupied (table, bucket) cells on BOTH join sides before
+  * any shuffle: the probe key and the build key of a suppressed cell are
+  * filtered by the same set, so a route either fully exists or fully
+  * doesn't (the invariant [[SigKeepRouted]]'s canonical-owner rule
+  * relies on). The set is extracted (and defensively sorted) once per
+  * executor from the literal child. */
+case class KeyInSortedSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(IntegerType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_key_in_set expects (int, foldable array<int>), got $other")
+    }
+
+  @transient private lazy val keys: Array[Int] =
+    EmbeddingKernels.foldableSortedInts(right)
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_key_in_set"
+
+  def compute(k: Int): Boolean =
+    java.util.Arrays.binarySearch(keys, k) >= 0
+
+  override protected def nullSafeEval(k: Any, s: Any): Any =
+    compute(k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keyInSet", this, classOf[KeyInSortedSet].getName)
+    nullSafeCodeGen(ctx, ev, (k, _) => s"${ev.value} = $ref.compute($k);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_sig_keep_routed(sig1, sig2, routed, hotKeys, params): the
+  * occupancy-cap-aware generalization of [[SigKeep]] — the keep/drop
+  * decision for one matched candidate row when routes through
+  * over-occupied (table, bucket) cells have been SUPPRESSED (their build
+  * rows and probe keys dropped by [[KeyInSortedSet]] filters).
+  *
+  * Why the co-design is needed (BASELINE.md round 14, the 100× probe):
+  * natural-text hashed-TF vectors share a cone, so some sign-LSH cells
+  * stay dense at any corpus size — per-(table,bucket) occupancy at 100×
+  * averaged the geometry target 16.9 but p99 = 143 / max = 1812, making
+  * Σocc² (= matched candidate rows) ~4× the uniform model. Capping
+  * occupancy removes that skew tail, but under [[SigKeep]]'s canonical
+  * rule — "the FIRST agreeing table owns the pair" — suppressing the
+  * first agreeing table's route loses the pair even when other tables
+  * found it. This kernel moves the suppression check INTO the canonical
+  * choice: both docs' per-table buckets are already in the packed
+  * signatures, so route liveness is computable per row from the same
+  * foldable hot-key set the filters used, costing zero extra shuffled
+  * bytes.
+  *
+  * Decision (row = probe doc P ⋈ build doc B at table rowT; the join
+  * guarantees hamming(rowT) ≤ 1 and that B's bucket at rowT is live):
+  *  - agreement = #tables with bucket-hamming ≤ 1 (signature-only, hot
+  *    or not) must reach minAgree; total bit-hamming must stay ≤ hMax —
+  *    both exactly [[SigKeep]]'s contract, same early exits;
+  *  - the canonical table t* is the FIRST agreeing table where at least
+  *    one doc's bucket is live (a pair with no live route anywhere
+  *    produces no rows at all — consistently unreported);
+  *  - within t*, the canonical row direction is build = the larger
+  *    doc-id when ITS bucket at t* is live (the [[SigKeep]] convention:
+  *    id1 < id2), else build = the smaller (whose bucket must then be
+  *    live by t*'s definition) — exactly one row per pair survives, and
+  *    the surviving direction's probe key (hamming ≤ 1 into a live
+  *    bucket) and build row both exist under the filters.
+  *
+  * With an EMPTY hot set this reduces bit-for-bit to
+  * `SigKeep(...) AND id1 < id2` (t* = first agreeing table, larger
+  * always live), pinned by the equivalence property in
+  * SigKeepRoutedSpec. `routed` packs (rowTable << 1) | (id1 < id2);
+  * `params` packs width | minAgree<<8 | hMax<<16 | planes<<32 as one
+  * bigint literal (planes sizes the (table << planes) | bucket key the
+  * hot set is expressed in). */
+case class SigKeepRouted(
+    first: Expression, second: Expression, third: Expression,
+    fourth: Expression, fifth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+
+  override def children: Seq[Expression] =
+    Seq(first, second, third, fourth, fifth)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType, BinaryType, IntegerType, ArrayType(IntegerType, _))
+          if fourth.foldable && fifth.foldable &&
+            fifth.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "graft_sig_keep_routed expects (binary, binary, int, foldable " +
+          s"array<int>, literal bigint params), got $other")
+    }
+
+  @transient private lazy val hot: Array[Int] =
+    EmbeddingKernels.foldableSortedInts(fourth)
+  private lazy val params = EmbeddingKernels.foldableLong(fifth, "params")
+  private lazy val width = {
+    val w = (params & 0xFF).toInt
+    require(w == 2 || w == 4, s"pack width must be 2 or 4, got $w")
+    w
+  }
+  private lazy val minAgree = ((params >> 8) & 0xFF).toInt
+  private lazy val hMax = ((params >> 16) & 0xFFFF).toInt
+  private lazy val planes = {
+    val p = ((params >> 32) & 0xFF).toInt
+    // the pipeline's own key-width require (planes + log2(tables) <= 31)
+    // is the governing bound; this only rejects nonsense packings
+    require(p > 0 && p <= 30, s"planes must be in [1, 30], got $p")
+    p
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_sig_keep_routed"
+
+  private def live(t: Int, bucket: Int): Boolean =
+    java.util.Arrays.binarySearch(hot, (t << planes) | bucket) < 0
+
+  def compute(b1: Array[Byte], b2: Array[Byte], routed: Int): Boolean = {
+    val rowT = routed >>> 1
+    val probeSmaller = (routed & 1) == 1
+    val n = math.min(b1.length, b2.length) / width
+    val w = width
+    val cap = hMax
+    val anyHot = hot.length > 0
+    var h = 0
+    var agree = 0
+    var canon = -1
+    var owned = false
+    var t = 0
+    while (t < n) {
+      val s1 =
+        if (w == 2) (b1(2 * t) & 0xFF) | ((b1(2 * t + 1) & 0xFF) << 8)
+        else (b1(4 * t) & 0xFF) | ((b1(4 * t + 1) & 0xFF) << 8) |
+          ((b1(4 * t + 2) & 0xFF) << 16) | ((b1(4 * t + 3) & 0xFF) << 24)
+      val s2 =
+        if (w == 2) (b2(2 * t) & 0xFF) | ((b2(2 * t + 1) & 0xFF) << 8)
+        else (b2(4 * t) & 0xFF) | ((b2(4 * t + 1) & 0xFF) << 8) |
+          ((b2(4 * t + 2) & 0xFF) << 16) | ((b2(4 * t + 3) & 0xFF) << 24)
+      val ht = Integer.bitCount(s1 ^ s2)
+      h += ht
+      if (h > cap) return false
+      if (ht <= 1) {
+        agree += 1
+        if (canon < 0) {
+          val live1 = !anyHot || live(t, s1)
+          val live2 = !anyHot || live(t, s2)
+          if (live1 || live2) {
+            // a live route BEFORE rowT means an earlier table's row
+            // canonically owns the pair — exit without scanning the rest
+            if (t < rowT) return false
+            canon = t
+            // the canonical direction: build = larger id iff the larger
+            // id's bucket here is live (sig1 is always the PROBE doc's,
+            // sig2 the BUILD doc's; probeSmaller says which id is larger)
+            val largerLive = if (probeSmaller) live2 else live1
+            owned = if (largerLive) probeSmaller else !probeSmaller
+            if (!owned) return false // decision is final: not this row
+          }
+          // both buckets hot: not a valid canonical table, keep looking
+        }
+      }
+      t += 1
+    }
+    owned && canon == rowT && agree >= minAgree
+  }
+
+  override def nullSafeEval(
+      a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigKeepRouted", this,
+      classOf[SigKeepRouted].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c, _, _) => s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(first = newChildren(0), second = newChildren(1),
+      third = newChildren(2), fourth = newChildren(3),
+      fifth = newChildren(4))
 }

@@ -146,7 +146,8 @@ object EmbeddingDedup {
       df: DataFrame, idCol: String, textCol: String, minCosine: Double,
       planes: Int = 8, tables: Int = 8,
       materialize: Boolean = true,
-      estimateFilter: Boolean = true): DataFrame = {
+      estimateFilter: Boolean = true,
+      maxOccupancy: Int = 0): DataFrame = {
     val base = featurize(df, idCol, textCol, planes, tables)
     if (!materialize)
       return pairsFrom(base, minCosine, planes, tables, estimateFilter)
@@ -157,16 +158,70 @@ object EmbeddingDedup {
     // persist/release lifecycle as MinHashLSH.nearDuplicates.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cached = base.persist(lvl)
-    try pairsFrom(cached, minCosine, planes, tables, estimateFilter)
-      .localCheckpoint(eager = true)
-    finally cached.unpersist(blocking = false)
+    try {
+      val hot =
+        if (maxOccupancy > 0) hotKeys(cached, planes, maxOccupancy)
+        else Array.empty[Int]
+      pairsFrom(cached, minCosine, planes, tables, estimateFilter, hot)
+        .localCheckpoint(eager = true)
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** The occupancy cap the stress pipeline applies at scale: 8× the
+    * geometry rule's per-(table,bucket) occupancy target (planes ≈
+    * log2(n/16) holds the MEAN at ~16; natural-text hashed-TF vectors
+    * share a cone, so the TAIL grows with n regardless — the 100× probe
+    * measured mean 16.9 / p99 143 / max 1812, Σocc² ≈ 4× uniform).
+    * Candidate rows through a bucket grow as occ², so cells above ~8×
+    * the mean are where the skew's matched-row mass lives while holding
+    * a vanishing share of true-pair routes (a cosine-0.8 pair agrees in
+    * most of the `tables` independent tables — losing the over-cap
+    * routes moves its canonical table, it does not lose the pair). */
+  def occupancyCapFor(n: Long, planes: Int): Int =
+    8 * math.max(16, math.round(n.toDouble / (1L << planes)).toInt)
+
+  /** Over-occupied (table, bucket) cells as sorted packed keys — one
+    * compact aggregation over the persisted featurized frame (n·tables
+    * int keys, map-side partial agg, ≤ tables·2^planes groups), then a
+    * driver collect of only the over-cap tail. The tail is small BY
+    * CONSTRUCTION (cells above 8× the mean hold ≪1% of cells — Σocc is
+    * fixed at n·tables); the require is a tripwire for a miscalibrated
+    * cap, not a working limit. */
+  private[graft] def hotKeys(
+      base: DataFrame, planes: Int, cap: Int): Array[Int] = {
+    val keys = base
+      .select(posexplode(col("__sigs")).as(Seq("__t", "__lsh")))
+      .select((shiftleft(col("__t"), planes) + col("__lsh")).as("__k"))
+      .groupBy("__k").count()
+      .filter(col("count") > cap)
+      .select("__k")
+      .collect().map(_.getInt(0))
+    require(keys.length <= (1 << 20),
+      s"occupancy cap $cap marks ${keys.length} hot cells — the cap is " +
+        "below the occupancy distribution's body, raise it")
+    java.util.Arrays.sort(keys)
+    keys
   }
 
   /** LSH candidates -> exact-cosine verification, all decisions before
-    * the verify join taken map-side (see the object scaladoc). */
+    * the verify join taken map-side (see the object scaladoc).
+    *
+    * A non-empty `hot` set (sorted packed (table,bucket) keys from
+    * [[hotKeys]]) switches the pipeline to its OCCUPANCY-CAPPED form:
+    * routes through over-occupied cells are dropped on both join sides
+    * (probe keys and build rows — the same [[graft.functions
+    * .KeyInSortedSet]] predicate, so a route fully exists or fully
+    * doesn't), and the keep decision moves to [[graft.functions
+    * .SigKeepRouted]], whose canonical-owner rule is suppression-aware:
+    * the pair is owned by its first agreeing table WITH A LIVE ROUTE,
+    * in the direction whose build row survived. A pair is lost only if
+    * EVERY agreeing table's routes are hot — for true near-dups (which
+    * agree in most tables) a vanishing tail, bounded in the
+    * SigKeepRoutedSpec property. */
   private def pairsFrom(
       base: DataFrame, minCosine: Double,
-      planes: Int, tables: Int, estimateFilter: Boolean = true): DataFrame = {
+      planes: Int, tables: Int, estimateFilter: Boolean = true,
+      hot: Array[Int] = Array.empty): DataFrame = {
     val width = packWidth(planes)
     // (table, bucket) packed into ONE int join key: t·2^planes + bucket
     // — 4 bytes instead of 8 on every probe-side row.
@@ -176,16 +231,20 @@ object EmbeddingDedup {
       shiftleft(t, planes) + bucket
     val assign = base.select(col("__id"), col("__sigp"),
       posexplode(col("__sigs")).as(Seq("__t", "__lsh")))
+    val hotLit = typedlit(hot)
+    def dropHot(df: DataFrame): DataFrame =
+      if (hot.isEmpty) df
+      else df.filter(!call_function("graft_key_in_set", col("__k"), hotLit))
     // 1-bit multiprobe on the probe side only: XOR distance is symmetric,
     // so every hamming<=1 pair is found regardless of id order.
-    val probes = assign.select(col("__id").as("id1"),
+    val probes = dropHot(assign.select(col("__id").as("id1"),
       col("__sigp").as("__sp1"),
       explode(array(
         keyOf(col("__t"), col("__lsh")) +: (0 until planes)
           .map(j => keyOf(col("__t"),
-            col("__lsh").bitwiseXOR(lit(1 << j)))): _*)).as("__k"))
-    val build = assign.select(col("__id").as("id2"),
-      col("__sigp").as("__sp2"), keyOf(col("__t"), col("__lsh")).as("__k"))
+            col("__lsh").bitwiseXOR(lit(1 << j)))): _*)).as("__k")))
+    val build = dropHot(assign.select(col("__id").as("id2"),
+      col("__sigp").as("__sp2"), keyOf(col("__t"), col("__lsh")).as("__k")))
     // Per (pair, table) at most one probe can match (the build side's
     // bucket is a single value and the probe set is distinct), so a
     // matched row exists for table t iff the pair's buckets are within
@@ -211,13 +270,34 @@ object EmbeddingDedup {
     // exits composition cannot express — see functions/EmbeddingKernels
     // .SigKeep). This row-decision is the pipeline's CPU center: the 40×
     // stress point runs it on 1.38e9 matched rows to keep 3.8e5.
-    val cands = probes
-      .join(build.hint("shuffle_hash"), Seq("__k"))
-      .filter(col("id1") < col("id2") &&
-        call_function("graft_sig_keep", col("__sp1"), col("__sp2"),
-          shiftright(col("__k"), planes),
-          lit(width | (minAgree << 8) | (hMax << 16))))
-      .select("id1", "id2")
+    val cands =
+      if (hot.isEmpty)
+        probes
+          .join(build.hint("shuffle_hash"), Seq("__k"))
+          .filter(col("id1") < col("id2") &&
+            call_function("graft_sig_keep", col("__sp1"), col("__sp2"),
+              shiftright(col("__k"), planes),
+              lit(width | (minAgree << 8) | (hMax << 16))))
+          .select("id1", "id2")
+      else {
+        // capped form: the canonical owner row may have id1 > id2 (when
+        // the larger id's route at the canonical table is hot), so the
+        // id ordering moves INTO the kernel (`routed` carries it) and
+        // the surviving pair is normalized after. Self-matches (exact
+        // key, id1 == id2) are excluded here — under suppression the
+        // kernel's direction rule alone would let them through.
+        val params = (width | (minAgree << 8) | (hMax << 16)).toLong |
+          (planes.toLong << 32)
+        val routed = shiftleft(shiftright(col("__k"), planes), 1) +
+          when(col("id1") < col("id2"), 1).otherwise(0)
+        probes
+          .join(build.hint("shuffle_hash"), Seq("__k"))
+          .filter(col("id1") =!= col("id2") &&
+            call_function("graft_sig_keep_routed", col("__sp1"),
+              col("__sp2"), routed, hotLit, lit(params)))
+          .select(least(col("id1"), col("id2")).as("id1"),
+            greatest(col("id1"), col("id2")).as("id2"))
+      }
     cands
       .join(base.select(col("__id").as("id1"), col("__v").as("__v1"))
         .hint("shuffle_hash"), "id1")

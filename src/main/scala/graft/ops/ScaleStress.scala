@@ -91,12 +91,18 @@ object ScaleStress {
     // [[geometryFor]] rule fixes it continuously: planes ~ log2(n/16)
     // holds occupancy, tables rise to hold ≥99% recall.
     "d07x_embedding" -> (() => {
-      val (p, t) = geometry.getOrElse {
-        // count() reads cached partitions (callers persist docs first)
-        geometryFor(docs.count())
-      }
+      // count() reads cached partitions (callers persist docs first)
+      val n = docs.count()
+      val (p, t) = geometry.getOrElse(geometryFor(n))
+      // the occupancy CAP rides along with the geometry rule: the rule
+      // holds the MEAN occupancy, the cap cuts the cone-skew TAIL that
+      // the 100× probe measured at Σocc² ≈ 4× uniform (p99 143 / max
+      // 1812 against a mean of 16.9) — matched candidate rows through a
+      // cell grow as occ², so the tail was carrying ~3/4 of the
+      // decision kernel's input while holding ≪1% of true-pair routes
       EmbeddingDedup.nearDuplicates(docs, "doc_id", "text", 0.8,
-        planes = p, tables = t)
+        planes = p, tables = t,
+        maxOccupancy = EmbeddingDedup.occupancyCapFor(n, p))
     }),
     "d09x_components" -> (() =>
       DupComponents.components(

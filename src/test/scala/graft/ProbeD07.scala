@@ -90,9 +90,31 @@ object ProbeD07 {
         .select("id1", "id2").count())
     println(s"  survivors = $survivors")
 
-    timed("full nearDuplicates")(
+    val uncapped = timed("full nearDuplicates")(
       graft.ops.EmbeddingDedup.nearDuplicates(
         docsK, "doc_id", "text", 0.8, planes, tables).count())
+
+    // ---- the occupancy-capped path (round-14 skew fix): hot cells out,
+    // canonical ownership moves to the first agreeing table with a live
+    // route (functions/EmbeddingKernels.SigKeepRouted)
+    val cap = graft.ops.EmbeddingDedup.occupancyCapFor(n, planes)
+    val hotSet = graft.ops.EmbeddingDedup.hotKeys(base, planes, cap)
+    println(s"cap=$cap hotCells=${hotSet.length}")
+    val hotLit = typedlit(hotSet)
+    def liveSide(df: org.apache.spark.sql.DataFrame) =
+      df.filter(!call_function("graft_key_in_set", col("__k"), hotLit))
+    val matchedCapped = timed("CAPPED candidate join COUNT")(
+      liveSide(probes.select("__k"))
+        .join(liveSide(build.select("__k")).hint("shuffle_hash"), Seq("__k"))
+        .count())
+    println(s"  capped matched rows = $matchedCapped " +
+      f"(${matchedCapped.toDouble / matched}%.3f of uncapped)")
+    val capped = timed("full nearDuplicates CAPPED")(
+      graft.ops.EmbeddingDedup.nearDuplicates(
+        docsK, "doc_id", "text", 0.8, planes, tables,
+        maxOccupancy = cap).count())
+    println(f"  pairs: uncapped=$uncapped capped=$capped " +
+      f"retained=${capped.toDouble / math.max(uncapped, 1)}%.4f")
     spark.stop()
   }
 }

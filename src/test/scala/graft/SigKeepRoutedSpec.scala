@@ -1,0 +1,225 @@
+package graft
+
+import graft.functions.{KeyInSortedSet, SigKeepRouted}
+import graft.ops.EmbeddingDedup
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+/** The occupancy-capped embedding-dedup path (EmbeddingDedup
+  * maxOccupancy > 0): the suppression-aware keep kernel
+  * (functions/EmbeddingKernels.SigKeepRouted), the hot-cell membership
+  * predicate (KeyInSortedSet), and the pipeline-level containment /
+  * recall contracts. The design these pin (BASELINE.md round 14, the
+  * 100× probe): natural-text cone skew makes per-cell occupancy p99/max
+  * grow while the mean stays at the geometry target, so candidate rows
+  * (Σocc²) run ~4× the uniform model; capping cells co-designed with
+  * the canonical-owner rule removes the tail without losing pairs that
+  * still have any live agreeing route.
+  */
+class SigKeepRoutedSpec extends QueryAssertions {
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  private def pack(sig: Array[Int], width: Int): Array[Byte] = {
+    val out = new Array[Byte](sig.length * width)
+    var i = 0
+    while (i < sig.length) {
+      var b = 0
+      while (b < width) {
+        out(i * width + b) = ((sig(i) >> (8 * b)) & 0xFF).toByte
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def routedKernel(hot: Array[Int], planes: Int, minAgree: Int,
+      hMax: Int, width: Int = 2): (Array[Int], Array[Int], Int, Boolean) => Boolean = {
+    val params = (width | (minAgree << 8) | (hMax << 16)).toLong |
+      (planes.toLong << 32)
+    val k = SigKeepRouted(
+      Literal(Array.empty[Byte]), Literal(Array.empty[Byte]), Literal(0),
+      Literal.create(hot, ArrayType(IntegerType)), Literal(params))
+    (s1, s2, rowT, probeSmaller) =>
+      k.compute(pack(s1, width), pack(s2, width),
+        (rowT << 1) | (if (probeSmaller) 1 else 0))
+  }
+
+  test("empty hot set: routed kernel == graft_sig_keep AND id1 < id2 " +
+      "on a randomized signature sweep") {
+    // the same biased generator as the SigKeep equivalence sweep, plus a
+    // random probeSmaller bit: with no suppressed cells the routed form
+    // must reduce bit-for-bit to the canonical-first-table kernel gated
+    // by the id ordering
+    val planes = 14
+    val tables = 23
+    val minAgree = 2
+    val hMax = EmbeddingDedup.hammingCap(0.8, planes, tables)
+    val params = 2 | (minAgree << 8) | (hMax << 16)
+    val paramsL = params.toLong | (planes.toLong << 32)
+    val rows = spark.range(5000).select(
+      expr(s"""transform(sequence(0, ${tables - 1}), t ->
+        CAST(pmod(hash(id, t, 1), ${1 << planes}) AS INT))""").as("s1raw"),
+      expr(s"""transform(sequence(0, ${tables - 1}), t ->
+        CAST(IF(pmod(hash(id, t, 7), 2) = 0,
+          pmod(hash(id, t, 1), ${1 << planes}),
+          pmod(hash(id, t, 2), ${1 << planes})) AS INT))""").as("s2raw"),
+      expr(s"CAST(pmod(hash(id, 3), $tables) AS INT)").as("rowT"),
+      expr("pmod(hash(id, 11), 2) = 0").as("probeSmaller"))
+      .select(
+        call_function("graft_pack_ints", col("s1raw"), lit(2)).as("p1"),
+        call_function("graft_pack_ints", col("s2raw"), lit(2)).as("p2"),
+        col("rowT"), col("probeSmaller"))
+    val cmp = rows.select(
+      call_function("graft_sig_keep_routed", col("p1"), col("p2"),
+        shiftleft(col("rowT"), 1) +
+          when(col("probeSmaller"), 1).otherwise(0),
+        typedlit(Array.empty[Int]), lit(paramsL)).as("routed"),
+      (call_function("graft_sig_keep", col("p1"), col("p2"), col("rowT"),
+        lit(params)) && col("probeSmaller")).as("legacy"))
+    assert(cmp.filter(col("routed") =!= col("legacy")).count() == 0)
+    assert(cmp.filter(col("routed")).count() > 0, "no keep cases generated")
+    assert(cmp.filter(!col("routed")).count() > 0, "no drop cases generated")
+  }
+
+  test("exactly-once ownership under suppression: every simulated pair " +
+      "survives once iff it keeps a live agreeing route") {
+    // Direct simulation of the join's row universe for random pairs and
+    // a random hot set: a row (probe P, build B, table t) exists iff
+    // hamming(t) <= 1 and B's bucket at t is live (the KeyInSortedSet
+    // filters drop the build row AND the probe key by the same cell).
+    // The kernel must keep EXACTLY ONE existing row for a reportable
+    // pair (agree >= minAgree, hamming <= hMax, >= 1 live route) and
+    // ZERO rows otherwise.
+    val planes = 6
+    val tables = 8
+    val minAgree = 2
+    val hMax = planes * tables // isolate the routing logic from the cap
+    val rnd = new scala.util.Random(20260816L)
+    val nBuckets = 1 << planes
+    val hot = (0 until nBuckets * tables)
+      .filter(_ => rnd.nextInt(5) == 0).map(identity).toArray
+    val keep = routedKernel(hot, planes, minAgree, hMax)
+    val hotSet = hot.toSet
+    def live(t: Int, b: Int) = !hotSet.contains((t << planes) | b)
+    var reportable = 0
+    var unreachable = 0
+    var filteredOut = 0
+    for (_ <- 0 until 4000) {
+      // near-dup-biased: ~60% of tables agree exactly, some at hamming 1
+      val s1 = Array.fill(tables)(rnd.nextInt(nBuckets))
+      val s2 = s1.zipWithIndex.map { case (b, _) =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 => rnd.nextInt(nBuckets) // disagree (usually)
+          case 3 | 4 => b ^ (1 << rnd.nextInt(planes)) // hamming 1
+          case _ => b // exact
+        }
+      }
+      val agreeTables = (0 until tables).filter(t =>
+        Integer.bitCount(s1(t) ^ s2(t)) <= 1)
+      val agree = agreeTables.size
+      val totalH = (0 until tables).map(t =>
+        Integer.bitCount(s1(t) ^ s2(t))).sum
+      // the row universe: both directions per agreeing table, gated on
+      // the BUILD side's cell liveness. probeSmaller says id1 < id2;
+      // direction A = (probe smaller, build larger) carries (s1=smaller,
+      // s2=larger); direction B the reverse. WLOG doc1 is the smaller id.
+      val survivors = agreeTables.flatMap { t =>
+        val dirA = if (live(t, s2(t)))
+          Some(keep(s1, s2, t, true)) else None
+        val dirB = if (live(t, s1(t)))
+          Some(keep(s2, s1, t, false)) else None
+        Seq(dirA, dirB).flatten.filter(identity)
+      }.size
+      val hasLiveRoute = agreeTables.exists(t =>
+        live(t, s1(t)) || live(t, s2(t)))
+      val expected =
+        if (agree >= minAgree && totalH <= hMax && hasLiveRoute) 1 else 0
+      assert(survivors == expected,
+        s"pair with agree=$agree totalH=$totalH liveRoute=$hasLiveRoute " +
+          s"survived $survivors times (expected $expected)\n" +
+          s"s1=${s1.mkString(",")}\ns2=${s2.mkString(",")}")
+      if (expected == 1) reportable += 1
+      else if (agree >= minAgree && totalH <= hMax) unreachable += 1
+      else filteredOut += 1
+    }
+    // the sweep must exercise all three regimes
+    assert(reportable > 100, s"only $reportable reportable pairs generated")
+    assert(unreachable > 0, "no all-routes-hot pairs generated")
+    assert(filteredOut > 0, "no agreement-filtered pairs generated")
+  }
+
+  test("graft_key_in_set equals array_contains on a randomized sweep " +
+      "and binary-searches an unsorted literal correctly") {
+    val rnd = new scala.util.Random(7L)
+    val keys = Array.fill(257)(rnd.nextInt(10000) - 5000) // unsorted, dups
+    val viaKernel = spark.range(2000)
+      .select((col("id").cast("int") - 1000).as("k"))
+      .select(col("k"), call_function("graft_key_in_set", col("k"),
+        typedlit(keys)).as("got"),
+        array_contains(typedlit(keys), col("k")).as("want"))
+    assert(viaKernel.filter(col("got") =!= col("want")).count() == 0)
+    assert(viaKernel.filter(col("got")).count() > 0, "no members generated")
+    // direct eval path too (interpreted, no codegen)
+    val k = KeyInSortedSet(Literal(keys(13)),
+      Literal.create(keys, ArrayType(IntegerType)))
+    assert(k.eval(null) == true)
+  }
+
+  test("hotKeys returns exactly the over-cap cells") {
+    val base = EmbeddingDedup.featurize(docs, "doc_id", "text", 8, 8)
+      .persist()
+    try {
+      val cap = 4
+      val got = EmbeddingDedup.hotKeys(base, 8, cap).toSet
+      val want = base
+        .select(posexplode(col("__sigs")).as(Seq("t", "lsh")))
+        .select((shiftleft(col("t"), 8) + col("lsh")).as("k"))
+        .groupBy("k").count().filter(col("count") > cap)
+        .select("k").collect().map(_.getInt(0)).toSet
+      assert(got == want)
+      assert(want.nonEmpty,
+        "cap 4 must mark hot cells at the fixture's occupancy " +
+          "(mean 2.9 / p99 13 / max 34, measured)")
+    } finally base.unpersist(blocking = false)
+  }
+
+  test("occupancyCapFor: 8x the geometry rule's occupancy target") {
+    // geometry target is ~16 per cell (planes = log2(n/16))
+    assert(EmbeddingDedup.occupancyCapFor(200000L, 14) == 8 * 16)
+    assert(EmbeddingDedup.occupancyCapFor(500000L, 15) == 8 * 16)
+    // small corpora on the 8-plane default: cap follows the real mean
+    assert(EmbeddingDedup.occupancyCapFor(10000L, 8) == 8 * 39)
+  }
+
+  test("capped pipeline: contained in the uncapped pair set, keeps every " +
+      "pair with a live route, and a loose cap changes nothing") {
+    val uncapped = EmbeddingDedup
+      .nearDuplicates(docs, "doc_id", "text", 0.8)
+      .orderBy("id1", "id2").collect().map(_.toString).toSeq
+    // a cap above the fixture's max occupancy: no hot cells, so the
+    // routed path must reproduce the uncapped pairs exactly
+    val loose = EmbeddingDedup
+      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 1000000)
+      .orderBy("id1", "id2").collect().map(_.toString).toSeq
+    assert(loose == uncapped,
+      s"loose cap diverged: ${loose.size} vs ${uncapped.size}")
+    // a cap INSIDE the fixture's occupancy tail (mean 2.9 / p99 13 /
+    // max 34 measured at 500 docs × 8 planes): the 13–34-occ cone cells
+    // go hot — the exact regime the cap targets at 100× — while the
+    // planted near-dup clusters keep live routes (their pairs agree in
+    // most of the 8 tables, and a pair is lost only if EVERY agreeing
+    // table's routes are hot on both sides)
+    val tight = EmbeddingDedup
+      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12)
+      .orderBy("id1", "id2").collect().map(_.toString).toSeq
+    val uncappedSet = uncapped.toSet
+    assert(tight.forall(uncappedSet.contains),
+      "capped pairs must be a subset of the uncapped pairs")
+    assert(uncapped.nonEmpty &&
+      tight.size.toDouble / uncapped.size >= 0.95,
+      s"tight cap lost too many pairs: ${tight.size} of ${uncapped.size}")
+  }
+}
