@@ -530,8 +530,15 @@ case class KeyInSortedSet(left: Expression, right: Expression)
   * foldable hot-key set the filters used, costing zero extra shuffled
   * bytes.
   *
-  * Decision (row = probe doc P ⋈ build doc B at table rowT; the join
-  * guarantees hamming(rowT) ≤ 1 and that B's bucket at rowT is live):
+  * PRECONDITION: both join sides were filtered by the SAME hot set this
+  * kernel carries — a matched row therefore certifies hamming(rowT) ≤ 1
+  * and that the build doc's bucket at rowT is live, which the kernel
+  * exploits to decide the bulk case (a random pair agreeing only in its
+  * own table, probe id smaller) with zero hot-set searches. Rows
+  * violating the precondition (never produced by EmbeddingDedup) may be
+  * kept in the wrong direction.
+  *
+  * Decision (row = probe doc P ⋈ build doc B at table rowT):
   *  - agreement = #tables with bucket-hamming ≤ 1 (signature-only, hot
   *    or not) must reach minAgree; total bit-hamming must stay ≤ hMax —
   *    both exactly [[SigKeep]]'s contract, same early exits;
@@ -622,21 +629,32 @@ case class SigKeepRouted(
       if (ht <= 1) {
         agree += 1
         if (canon < 0) {
-          val live1 = !anyHot || live(t, s1)
-          val live2 = !anyHot || live(t, s2)
-          if (live1 || live2) {
+          // PRECONDITION the filters guarantee: this row exists, so the
+          // BUILD doc's bucket at rowT is live — at t == rowT the
+          // canonical test (live1 || live2) is TRUE without searching.
+          // The bulk case (a random pair agreeing only in its own table,
+          // probeSmaller) therefore decides with ZERO searches.
+          if (t < rowT) {
             // a live route BEFORE rowT means an earlier table's row
             // canonically owns the pair — exit without scanning the rest
-            if (t < rowT) return false
+            if (!anyHot || live(t, s1) || live(t, s2)) return false
+            // both buckets hot: not a valid canonical table, keep looking
+          } else if (t == rowT) {
             canon = t
             // the canonical direction: build = larger id iff the larger
             // id's bucket here is live (sig1 is always the PROBE doc's,
-            // sig2 the BUILD doc's; probeSmaller says which id is larger)
-            val largerLive = if (probeSmaller) live2 else live1
-            owned = if (largerLive) probeSmaller else !probeSmaller
+            // sig2 the BUILD doc's; probeSmaller says which id is larger;
+            // live2 = true by the precondition)
+            owned =
+              if (probeSmaller) true // larger = build, live here
+              else anyHot && !live(t, s1) // larger = probe: owned iff hot
             if (!owned) return false // decision is final: not this row
+          } else {
+            // t > rowT with canon unset: rowT's table did not actually
+            // agree (synthetic input) — any live later route means some
+            // other row owns the pair, and rowT can never own it
+            if (!anyHot || live(t, s1) || live(t, s2)) return false
           }
-          // both buckets hot: not a valid canonical table, keep looking
         }
       }
       t += 1
