@@ -272,10 +272,28 @@ object Bench {
           s""""mem_spill_bytes":${m.memSpill.get},""" +
           s""""disk_spill_bytes":${m.diskSpill.get}}"""
       }
+      // the occupancy cap's audit facts (round 14): the cap value the
+      // geometry rule derives at this scale and how many (table,bucket)
+      // cells it marks hot — so a cone-density regression (hot-cell
+      // blowup) or a silently-disengaged cap is visible in the artifact,
+      // not only in probe logs. One extra featurize+aggregate pass,
+      // AFTER every timed leg.
+      val d07xCap = graft.ops.EmbeddingDedup.occupancyCapFor(rowsK, geom._1)
+      val d07xHotCells = try {
+        graft.ops.EmbeddingDedup.hotKeys(
+          graft.ops.EmbeddingDedup.featurize(
+            docsK, "doc_id", "text", geom._1, geom._2),
+          geom._1, d07xCap).length
+      } catch { case e: Throwable =>
+        errors ::= ("d07x_hot_cells",
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+        -1
+      }
       val cPost = cpuCanary()
       docsK.unpersist(blocking = false)
       embK.unpersist(blocking = false)
       (entries :+
+        s""""d07x_cap":$d07xCap,"d07x_hot_cells":$d07xHotCells""" :+
         s""""ivf_rows":$embRows,"ivf_lists":$ivfLists,""" +
         s""""ivf_nprobe":$ivfNprobe,"ivf_recall_at5":$ivfRecall,""" +
         s""""ivf_scan_frac":$ivfScanFrac,""" +
