@@ -221,5 +221,16 @@ class SigKeepRoutedSpec extends QueryAssertions {
     assert(uncapped.nonEmpty &&
       tight.size.toDouble / uncapped.size >= 0.95,
       s"tight cap lost too many pairs: ${tight.size} of ${uncapped.size}")
+    // the cap composes with exact-verify mode (estimateFilter=false):
+    // the hamming-estimate prefilter and the occupancy routing are
+    // independent switches, and disabling the estimate must not change
+    // the capped pair set at the fixture (same contract the uncapped
+    // modes pin in EmbeddingKernelsSpec)
+    val tightExact = EmbeddingDedup
+      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12,
+        estimateFilter = false)
+      .orderBy("id1", "id2").collect().map(_.toString).toSeq
+    assert(tightExact == tight,
+      s"capped exact-verify diverged: ${tightExact.size} vs ${tight.size}")
   }
 }
