@@ -611,7 +611,9 @@ case class SigKeepRouted(
     val anyHot = hot.length > 0
     var h = 0
     var agree = 0
-    var canon = -1
+    // the ownership decision is made exactly once, at the first agreeing
+    // table with a live route; every "not this row" outcome exits early,
+    // so reaching the end with owned = true means rowT is canonical
     var owned = false
     var t = 0
     while (t < n) {
@@ -628,7 +630,7 @@ case class SigKeepRouted(
       if (h > cap) return false
       if (ht <= 1) {
         agree += 1
-        if (canon < 0) {
+        if (!owned) {
           // PRECONDITION the filters guarantee: this row exists, so the
           // BUILD doc's bucket at rowT is live — at t == rowT the
           // canonical test (live1 || live2) is TRUE without searching.
@@ -640,7 +642,6 @@ case class SigKeepRouted(
             if (!anyHot || live(t, s1) || live(t, s2)) return false
             // both buckets hot: not a valid canonical table, keep looking
           } else if (t == rowT) {
-            canon = t
             // the canonical direction: build = larger id iff the larger
             // id's bucket here is live (sig1 is always the PROBE doc's,
             // sig2 the BUILD doc's; probeSmaller says which id is larger;
@@ -650,16 +651,16 @@ case class SigKeepRouted(
               else anyHot && !live(t, s1) // larger = probe: owned iff hot
             if (!owned) return false // decision is final: not this row
           } else {
-            // t > rowT with canon unset: rowT's table did not actually
-            // agree (synthetic input) — any live later route means some
-            // other row owns the pair, and rowT can never own it
+            // t > rowT and still undecided: rowT's table did not
+            // actually agree (synthetic input) — any live later route
+            // means some other row owns the pair, never rowT
             if (!anyHot || live(t, s1) || live(t, s2)) return false
           }
         }
       }
       t += 1
     }
-    owned && canon == rowT && agree >= minAgree
+    owned && agree >= minAgree
   }
 
   override def nullSafeEval(

@@ -149,8 +149,15 @@ object EmbeddingDedup {
       estimateFilter: Boolean = true,
       maxOccupancy: Int = 0): DataFrame = {
     val base = featurize(df, idCol, textCol, planes, tables)
-    if (!materialize)
-      return pairsFrom(base, minCosine, planes, tables, estimateFilter)
+    if (!materialize) {
+      // plan-shape mode still honors the cap: the hot-set collection is
+      // an eager side job (it must be — suppression needs global
+      // occupancy), but the RETURNED frame stays the raw composed plan
+      val hot =
+        if (maxOccupancy > 0) hotKeys(base, planes, maxOccupancy)
+        else Array.empty[Int]
+      return pairsFrom(base, minCosine, planes, tables, estimateFilter, hot)
+    }
     // One persist backs everything downstream: the featurized frame
     // feeds both candidate-join sides and both verify-join vector
     // lookups — without it each consumer recomputes the shingle+kernel
@@ -177,8 +184,12 @@ object EmbeddingDedup {
     * a vanishing share of true-pair routes (a cosine-0.8 pair agrees in
     * most of the `tables` independent tables — losing the over-cap
     * routes moves its canonical table, it does not lose the pair). */
-  def occupancyCapFor(n: Long, planes: Int): Int =
-    8 * math.max(16, math.round(n.toDouble / (1L << planes)).toInt)
+  def occupancyCapFor(n: Long, planes: Int): Int = {
+    // clamp BEFORE narrowing: a mismatched geometry (huge n on few
+    // planes) must saturate the cap, not wrap to a tiny one
+    val mean = math.round(n.toDouble / (1L << planes))
+    (8L * math.max(16L, math.min(mean, Int.MaxValue / 8L))).toInt
+  }
 
   /** Over-occupied (table, bucket) cells as sorted packed keys — one
     * compact aggregation over the persisted featurized frame (n·tables

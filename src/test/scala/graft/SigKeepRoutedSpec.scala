@@ -199,13 +199,38 @@ class SigKeepRoutedSpec extends QueryAssertions {
     val uncapped = EmbeddingDedup
       .nearDuplicates(docs, "doc_id", "text", 0.8)
       .orderBy("id1", "id2").collect().map(_.toString).toSeq
-    // a cap above the fixture's max occupancy: no hot cells, so the
-    // routed path must reproduce the uncapped pairs exactly
+    // a cap above the fixture's max occupancy: the hot set comes back
+    // EMPTY and pairsFrom falls back to the uncapped branch — this pins
+    // the fallback wiring (cap requested, nothing hot, same plan)
     val loose = EmbeddingDedup
       .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 1000000)
       .orderBy("id1", "id2").collect().map(_.toString).toSeq
     assert(loose == uncapped,
       s"loose cap diverged: ${loose.size} vs ${uncapped.size}")
+    // cap 33 marks ONLY the fixture's single occ-34 cell hot, so the
+    // ROUTED branch is engaged (non-empty hot set, SigKeepRouted
+    // deciding every candidate) — and with one hot cell and minAgree 2,
+    // equality with the uncapped pairs is GUARANTEED by the math: a
+    // reportable pair has >= 2 agreeing tables and one cell can
+    // suppress routes in only one of them, so a live canonical route
+    // always remains. This is the pipeline-level pin of the routed
+    // path's empty-suppression-effect correctness (the loose-cap case
+    // above never reaches the routed kernel).
+    val routedEq = EmbeddingDedup
+      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 33)
+      .orderBy("id1", "id2").collect().map(_.toString).toSeq
+    assert(routedEq == uncapped,
+      s"routed path with one hot cell diverged: ${routedEq.size} vs ${uncapped.size}")
+    // plan-shape mode honors the cap too: the returned (un-checkpointed)
+    // plan must carry the routed kernel and the hot-key filters, not
+    // silently fall back to the uncapped form
+    val shape = EmbeddingDedup
+      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 33,
+        materialize = false)
+      .queryExecution.analyzed.toString
+    assert(shape.contains("graft_sig_keep_routed") &&
+      shape.contains("graft_key_in_set"),
+      "materialize=false with a cap must build the routed plan")
     // a cap INSIDE the fixture's occupancy tail (mean 2.9 / p99 13 /
     // max 34 measured at 500 docs × 8 planes): the 13–34-occ cone cells
     // go hot — the exact regime the cap targets at 100× — while the
