@@ -33,14 +33,21 @@ object Bench {
     // runs — and the remainder is optimize + physical planning +
     // execution. Round-12 showed a ~60-160 ms short-query adder after
     // ~10 new rules landed; this split makes "rules tax vs host noise"
-    // an artifact fact instead of a guess.
+    // an artifact fact instead of a guess. Operators whose CONSTRUCTION
+    // embeds execution (eager localCheckpoints, bounded collects —
+    // d02/d05/d07/d09/v04) report that wall through graft.ExecTimer;
+    // subtracting it keeps planning_sec meaning one thing for all
+    // queries (it read ≈ total for those five through round 14).
     def timeOnce(q: Qdef): Option[(Double, Double)] = {
+      ExecTimer.drainSec() // discard anything a previous scope leaked
       val t0 = System.nanoTime()
       try {
         val df = q.run(spark, sfDir)
         val t1 = System.nanoTime()
+        val embeddedExec = ExecTimer.drainSec()
         df.write.format("noop").mode("overwrite").save()
-        Some(((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9))
+        Some(((System.nanoTime() - t0) / 1e9,
+          math.max(0.0, (t1 - t0) / 1e9 - embeddedExec)))
       }
       catch {
         case e: Throwable =>
@@ -210,10 +217,15 @@ object Bench {
         ("v04x_ivf" -> (() =>
           graft.ops.ScaleStress.ivfPipeline(embK, ivfLists, ivfNprobe)))
       // one measured pass of a stress pipeline: prewarm + 3 runs with
-      // stage-metric capture
+      // stage-metric capture. Each leg carries its OWN canary pair
+      // (round-14 verdict #2: a uniformly-slow host window passed the
+      // per-leg spread rule — BENCH_r14_hi100_capped's d02x/d05x read
+      // ~1.6× another artifact's on pipelines the change didn't touch,
+      // and only the block-level pair hinted at it); with per-leg pairs
+      // every cross-artifact leg comparison is canary-attributable.
       def measurePipeline(name: String,
           build: () => org.apache.spark.sql.DataFrame)
-          : (Seq[Double], StressMetrics) = {
+          : (Seq[Double], StressMetrics, (Double, Double)) = {
         val m = new StressMetrics
         spark.sparkContext.addSparkListener(m)
         def once(): Option[Double] = {
@@ -232,10 +244,12 @@ object Bench {
         once() // prewarm
         flushListenerBus() // prewarm's stage events must land before reset
         m.reset()
+        val legPre = cpuCanary()
         val runs = (1 to 3).flatMap(_ => once()).sorted
+        val legPost = cpuCanary()
         flushListenerBus() // last run's stage events must land before read
         spark.sparkContext.removeSparkListener(m)
-        (runs, m)
+        (runs, m, (legPre, legPost))
       }
       // Spread rule, same contract as the headline suite (round-13
       // VERDICT: the driver's d05x once recorded a 3.3–96.6 s spread and
@@ -249,8 +263,8 @@ object Bench {
         runs.nonEmpty &&
           (runs(runs.size / 2) > 2 * runs.head || runs.last > 4 * runs.head)
       val stressRetried = firstPass2.collect {
-        case (name, _, (runs, _)) if contaminated(runs) => name }
-      val finalRuns = firstPass2.map { case (name, build, first @ (runs, _)) =>
+        case (name, _, (runs, _, _)) if contaminated(runs) => name }
+      val finalRuns = firstPass2.map { case (name, build, first @ (runs, _, _)) =>
         val best =
           if (!contaminated(runs)) first
           else {
@@ -261,39 +275,46 @@ object Bench {
           }
         (name, best)
       }
-      val entries = finalRuns.map { case (name, (runs, m)) =>
+      val entries = finalRuns.map { case (name, (runs, m, (cA, cB))) =>
         val timing =
           if (runs.isEmpty) "null"
           else s"[${runs.head},${runs(runs.size / 2)},${runs.last}]"
         s"${jstr(name)}:{" +
           s""""sec_min_med_max":$timing,""" +
+          s""""canary_sec":[$cA,$cB],""" +
           s""""shuffle_write_bytes":${m.shuffleWrite.get},""" +
           s""""shuffle_read_bytes":${m.shuffleRead.get},""" +
           s""""mem_spill_bytes":${m.memSpill.get},""" +
           s""""disk_spill_bytes":${m.diskSpill.get}}"""
       }
-      // the occupancy cap's audit facts (round 14): the cap value the
-      // geometry rule derives at this scale and how many (table,bucket)
-      // cells it marks hot — so a cone-density regression (hot-cell
-      // blowup) or a silently-disengaged cap is visible in the artifact,
-      // not only in probe logs. One extra featurize+aggregate pass,
-      // AFTER every timed leg.
+      // the occupancy cap's audit facts (round 14, extended round 15):
+      // the cap value the geometry rule derives at this scale, how many
+      // (table,bucket) cells it marks hot, the over-cap Σocc² share, and
+      // whether the adaptive rule ARMED suppression at this scale — so a
+      // cone-density regression (hot-cell blowup), a silently-disengaged
+      // cap, or a wrong arming decision is visible in the artifact, not
+      // only in probe logs. One extra featurize+aggregate pass, AFTER
+      // every timed leg.
       val d07xCap = graft.ops.EmbeddingDedup.occupancyCapFor(rowsK, geom._1)
-      val d07xHotCells = try {
-        graft.ops.EmbeddingDedup.hotKeys(
+      val (d07xHotCells, d07xHotShare) = try {
+        val (keys, share) = graft.ops.EmbeddingDedup.occupancyProfile(
           graft.ops.EmbeddingDedup.featurize(
             docsK, "doc_id", "text", geom._1, geom._2),
-          geom._1, d07xCap).length
+          geom._1, d07xCap, armShare = 0.0)
+        (keys.length, share)
       } catch { case e: Throwable =>
         errors ::= ("d07x_hot_cells",
           Option(e.getMessage).getOrElse(e.getClass.getName))
-        -1
+        (-1, -1.0)
       }
+      val d07xCapArmed =
+        d07xHotShare >= graft.ops.EmbeddingDedup.DefaultArmShare
       val cPost = cpuCanary()
       docsK.unpersist(blocking = false)
       embK.unpersist(blocking = false)
       (entries :+
-        s""""d07x_cap":$d07xCap,"d07x_hot_cells":$d07xHotCells""" :+
+        s""""d07x_cap":$d07xCap,"d07x_hot_cells":$d07xHotCells,""" +
+        s""""d07x_hot_share":$d07xHotShare,"d07x_cap_armed":$d07xCapArmed""" :+
         s""""ivf_rows":$embRows,"ivf_lists":$ivfLists,""" +
         s""""ivf_nprobe":$ivfNprobe,"ivf_recall_at5":$ivfRecall,""" +
         s""""ivf_scan_frac":$ivfScanFrac,""" +

@@ -119,10 +119,23 @@ object EmbeddingKernels {
   }
 
   /** Extract a foldable array<int> literal, defensively sorted so the
-    * kernels' binary searches never depend on caller discipline. */
+    * kernels' binary searches never depend on caller discipline. NULL
+    * elements are rejected loudly: the functions are SQL-registered, so
+    * a user literal like array(1, CAST(NULL AS INT)) passes the
+    * ArrayType(IntegerType, containsNull=true) type check and would
+    * otherwise die inside toIntArray with an opaque NPE. */
   private[functions] def foldableSortedInts(e: Expression): Array[Int] = {
     require(e.foldable, "key set must be a literal array<int>")
-    val a = e.eval(null).asInstanceOf[ArrayData].toIntArray()
+    val ad = e.eval(null).asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val a = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (ad.isNullAt(i)) throw new IllegalArgumentException(
+        "key set must not contain NULL elements")
+      a(i) = ad.getInt(i)
+      i += 1
+    }
     java.util.Arrays.sort(a)
     a
   }

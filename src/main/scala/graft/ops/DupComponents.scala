@@ -28,23 +28,31 @@ object DupComponents {
     *         edges are absent — callers left-join and coalesce to self.
     */
   def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint() // reused every round — materialize once
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    // the whole iterative section is embedded execution, not planning —
+    // ExecTimer scopes let Bench's construction-vs-execution split hold
+    // for iterative operators too (timed scopes are re-entrant; only the
+    // outermost contributes)
+    val edges = graft.ExecTimer.timed(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .localCheckpoint()) // reused every round — materialize once
+    var labels = graft.ExecTimer.timed(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint())
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val viaNeighbor = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
-        .filter(col("lbl") < col("prev")).count()
+      val next = graft.ExecTimer.timed(
+        labels.union(viaNeighbor)
+          .groupBy("node").agg(min("lbl").as("lbl"))
+          .localCheckpoint())
+      changed = graft.ExecTimer.timed(
+        next.join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
+          .filter(col("lbl") < col("prev")).count())
       labels = next
       iter += 1
     }

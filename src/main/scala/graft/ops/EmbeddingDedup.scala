@@ -142,19 +142,36 @@ object EmbeddingDedup {
     * exact (no ~3·10⁻⁷ at-threshold tail) at the cost the 40× stress
     * measured (9.2 GB of sub-threshold vector traffic) — for callers
     * whose contract is "the LSH tables decide, never an estimate". */
+  /** Arming threshold for the occupancy cap: suppression engages only
+    * when over-cap cells carry at least this share of Σocc² (= matched
+    * candidate rows — the decision kernel's input). Below it the skew
+    * tail cannot repay the routed kernel's per-row liveness checks, and
+    * the pipeline runs the plain [[graft.functions.SigKeep]] form (the
+    * profile pass itself — one compact aggregation — is always paid when
+    * a cap is requested; it is what makes the decision data-driven).
+    * Measured over-cap Σocc² shares on the stress corpus under the
+    * geometry rule's cap (128): 0.233 at 10× (where the r14 artifacts
+    * put capped d07x at ~1.5× the uncapped wall), 0.392 at 40× (capped ≈
+    * 1.1× uncapped), 0.575 at 100× (capped = 0.46× uncapped — the 2.2×
+    * win). 0.48 splits the measured loss region from the measured win
+    * region with near-equal margin on both sides. */
+  val DefaultArmShare = 0.48
+
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, minCosine: Double,
       planes: Int = 8, tables: Int = 8,
       materialize: Boolean = true,
       estimateFilter: Boolean = true,
-      maxOccupancy: Int = 0): DataFrame = {
+      maxOccupancy: Int = 0,
+      minHotShare: Double = DefaultArmShare): DataFrame = {
     val base = featurize(df, idCol, textCol, planes, tables)
     if (!materialize) {
-      // plan-shape mode still honors the cap: the hot-set collection is
+      // plan-shape mode still honors the cap: the occupancy profile is
       // an eager side job (it must be — suppression needs global
       // occupancy), but the RETURNED frame stays the raw composed plan
       val hot =
-        if (maxOccupancy > 0) hotKeys(base, planes, maxOccupancy)
+        if (maxOccupancy > 0)
+          occupancyProfile(base, planes, maxOccupancy, minHotShare)._1
         else Array.empty[Int]
       return pairsFrom(base, minCosine, planes, tables, estimateFilter, hot)
     }
@@ -167,10 +184,13 @@ object EmbeddingDedup {
     val cached = base.persist(lvl)
     try {
       val hot =
-        if (maxOccupancy > 0) hotKeys(cached, planes, maxOccupancy)
+        if (maxOccupancy > 0)
+          graft.ExecTimer.timed(
+            occupancyProfile(cached, planes, maxOccupancy, minHotShare))._1
         else Array.empty[Int]
-      pairsFrom(cached, minCosine, planes, tables, estimateFilter, hot)
-        .localCheckpoint(eager = true)
+      graft.ExecTimer.timed(
+        pairsFrom(cached, minCosine, planes, tables, estimateFilter, hot)
+          .localCheckpoint(eager = true))
     } finally cached.unpersist(blocking = false)
   }
 
@@ -191,28 +211,55 @@ object EmbeddingDedup {
     (8L * math.max(16L, math.min(mean, Int.MaxValue / 8L))).toInt
   }
 
-  /** Over-occupied (table, bucket) cells as sorted packed keys — one
-    * compact aggregation over the persisted featurized frame (n·tables
-    * int keys, map-side partial agg, ≤ tables·2^planes groups), then a
-    * driver collect of only the over-cap tail. The tail is small BY
-    * CONSTRUCTION (cells above 8× the mean hold ≪1% of cells — Σocc is
-    * fixed at n·tables); the require is a tripwire for a miscalibrated
-    * cap, not a working limit. */
-  private[graft] def hotKeys(
-      base: DataFrame, planes: Int, cap: Int): Array[Int] = {
-    val keys = base
+  /** Occupancy profile of the featurized frame against a cap: one
+    * compact aggregation (n·tables int keys, map-side partial agg,
+    * ≤ tables·2^planes groups, persisted — it is tiny) yields BOTH the
+    * over-cap share of Σocc² (matched candidate rows live in occ², so
+    * this is the fraction of the decision kernel's input the cap would
+    * remove) and, only when that share reaches `armShare`, the
+    * over-cap cells as sorted packed keys. Returns (hotKeys, hotShare);
+    * hotKeys is empty when the share is below the threshold — the
+    * cost-based switch the round-14 verdict asked for (reference
+    * analog: stats-driven strategy choice à la presto-main/.../
+    * iterative/rule/DetermineJoinDistributionType.java). The driver
+    * collect is only the over-cap tail, small BY CONSTRUCTION (cells
+    * above 8× the mean hold ≪1% of cells — Σocc is fixed at n·tables);
+    * the require is a tripwire for a miscalibrated cap. */
+  private[graft] def occupancyProfile(
+      base: DataFrame, planes: Int, cap: Int,
+      armShare: Double): (Array[Int], Double) = {
+    val counts = base
       .select(posexplode(col("__sigs")).as(Seq("__t", "__lsh")))
       .select((shiftleft(col("__t"), planes) + col("__lsh")).as("__k"))
       .groupBy("__k").count()
-      .filter(col("count") > cap)
-      .select("__k")
-      .collect().map(_.getInt(0))
-    require(keys.length <= (1 << 20),
-      s"occupancy cap $cap marks ${keys.length} hot cells — the cap is " +
-        "below the occupancy distribution's body, raise it")
-    java.util.Arrays.sort(keys)
-    keys
+      .persist()
+    try {
+      val row = counts.agg(
+        sum(col("count") * col("count")).as("tot"),
+        sum(when(col("count") > cap, col("count") * col("count"))
+          .otherwise(lit(0L))).as("hot")).collect()(0)
+      val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val hotMass = if (row.isNullAt(1)) 0L else row.getLong(1)
+      val share = if (tot == 0L) 0.0 else hotMass.toDouble / tot
+      if (share < armShare) (Array.empty[Int], share)
+      else {
+        val keys = counts.filter(col("count") > cap).select("__k")
+          .collect().map(_.getInt(0))
+        require(keys.length <= (1 << 20),
+          s"occupancy cap $cap marks ${keys.length} hot cells — the cap " +
+            "is below the occupancy distribution's body, raise it")
+        java.util.Arrays.sort(keys)
+        (keys, share)
+      }
+    } finally counts.unpersist(blocking = false)
   }
+
+  /** Over-occupied (table, bucket) cells as sorted packed keys,
+    * unconditionally (no arming threshold) — the audit/probe entry
+    * point; the pipeline itself goes through [[occupancyProfile]]. */
+  private[graft] def hotKeys(
+      base: DataFrame, planes: Int, cap: Int): Array[Int] =
+    occupancyProfile(base, planes, cap, armShare = 0.0)._1
 
   /** LSH candidates -> exact-cosine verification, all decisions before
     * the verify join taken map-side (see the object scaladoc).
@@ -276,6 +323,13 @@ object EmbeddingDedup {
     val hMax =
       if (estimateFilter) hammingCap(minCosine, planes, tables)
       else planes * tables
+    // both kernels carry hMax in a 16-bit params field; reachable only
+    // with estimateFilter=false on a geometry far outside the planes +
+    // log2(tables) <= 31 deployments (e.g. 8 planes × 2^23 tables) —
+    // fail loudly instead of silently truncating the field
+    require(hMax <= 0xFFFF,
+      s"hamming cap $hMax does not fit the kernels' 16-bit params field " +
+        s"(planes=$planes, tables=$tables)")
     // the keep/drop decision is ONE fused kernel call (graft_sig_keep =
     // graft_sig_match + the three filters, same boolean, plus the early
     // exits composition cannot express — see functions/EmbeddingKernels
@@ -297,8 +351,10 @@ object EmbeddingDedup {
         // the surviving pair is normalized after. Self-matches (exact
         // key, id1 == id2) are excluded here — under suppression the
         // kernel's direction rule alone would let them through.
-        val params = (width | (minAgree << 8) | (hMax << 16)).toLong |
-          (planes.toLong << 32)
+        // Fields widen through Long shifts (an Int-packed intermediate
+        // would sign-extend past bit 31 once hMax reaches 0x8000).
+        val params = width.toLong | (minAgree.toLong << 8) |
+          (hMax.toLong << 16) | (planes.toLong << 32)
         val routed = shiftleft(shiftright(col("__k"), planes), 1) +
           when(col("id1") < col("id2"), 1).otherwise(0)
         probes

@@ -71,10 +71,11 @@ object ScaleStress {
     * overridden. */
   def pipelines(docs: DataFrame,
       geometry: Option[(Int, Int)] = None): Seq[(String, () => DataFrame)] = {
-    // counted ONCE at construction (cached partitions — callers persist
-    // docs first), so no TIMED leg pays a corpus pass for the geometry
-    // or the occupancy cap
-    val n = docs.count()
+    // counted ONCE, lazily, on first use (cached partitions — callers
+    // persist docs first), so no TIMED leg pays a corpus pass for the
+    // geometry or the occupancy cap, and a caller that never builds the
+    // d07x thunk (e.g. enumerating pipeline names) pays nothing
+    lazy val n = docs.count()
     Seq(
     "d02x_minhash" -> (() =>
       MinHashLSH.nearDuplicates(docs, "doc_id", "text", 0.5)),

@@ -195,12 +195,21 @@ object TextAnalysis {
       // (step -1 inferred when start > stop), so greatest(…, 0) alone
       // cannot produce an empty gram list for short texts the way
       // DuckDB's generate_series(1, 0) does.
-      val grams = docs.select(col("doc_id"), col("lang"),
+      // ONE gram pass shared by both halves: profile reads the even docs,
+      // test the odd — disjoint doc sets, so without a materialization
+      // boundary each branch re-scans and re-explodes its half (the
+      // round-14 verdict measured x06 as the slowest headline query with
+      // the double derivation). localCheckpoint (not persist) so the
+      // bench's 8 runs don't accumulate CacheManager entries; ExecTimer
+      // keeps the eager materialization out of the planning column.
+      val grams = graft.ExecTimer.timed(docs.select(col("doc_id"),
+        col("lang"),
         explode(expr(
           """case when length(text) < 3 then cast(array() as array<string>)
             |else transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
             |end""".stripMargin))
           .as("g"))
+        .localCheckpoint(eager = true))
       val profW = Window.partitionBy("plang")
         .orderBy(col("cnt").desc, col("g").asc)
       val profile = grams.filter(col("doc_id") % 2 === 0)

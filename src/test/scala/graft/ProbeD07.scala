@@ -98,8 +98,10 @@ object ProbeD07 {
     // canonical ownership moves to the first agreeing table with a live
     // route (functions/EmbeddingKernels.SigKeepRouted)
     val cap = graft.ops.EmbeddingDedup.occupancyCapFor(n, planes)
-    val hotSet = graft.ops.EmbeddingDedup.hotKeys(base, planes, cap)
-    println(s"cap=$cap hotCells=${hotSet.length}")
+    val (hotSet, hotShare) = graft.ops.EmbeddingDedup
+      .occupancyProfile(base, planes, cap, armShare = 0.0)
+    println(f"cap=$cap hotCells=${hotSet.length} hotOcc2Share=$hotShare%.4f " +
+      s"armedAtDefault=${hotShare >= graft.ops.EmbeddingDedup.DefaultArmShare}")
     val hotLit = typedlit(hotSet)
     def liveSide(df: org.apache.spark.sql.DataFrame) =
       df.filter(!call_function("graft_key_in_set", col("__k"), hotLit))
@@ -112,7 +114,7 @@ object ProbeD07 {
     val capped = timed("full nearDuplicates CAPPED")(
       graft.ops.EmbeddingDedup.nearDuplicates(
         docsK, "doc_id", "text", 0.8, planes, tables,
-        maxOccupancy = cap).count())
+        maxOccupancy = cap, minHotShare = 0.0).count()) // forced armed
     println(f"  pairs: uncapped=$uncapped capped=$capped " +
       f"retained=${capped.toDouble / math.max(uncapped, 1)}%.4f")
     spark.stop()

@@ -217,7 +217,8 @@ class SigKeepRoutedSpec extends QueryAssertions {
     // path's empty-suppression-effect correctness (the loose-cap case
     // above never reaches the routed kernel).
     val routedEq = EmbeddingDedup
-      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 33)
+      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 33,
+        minHotShare = 0.0)
       .orderBy("id1", "id2").collect().map(_.toString).toSeq
     assert(routedEq == uncapped,
       s"routed path with one hot cell diverged: ${routedEq.size} vs ${uncapped.size}")
@@ -226,7 +227,7 @@ class SigKeepRoutedSpec extends QueryAssertions {
     // silently fall back to the uncapped form
     val shape = EmbeddingDedup
       .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 33,
-        materialize = false)
+        materialize = false, minHotShare = 0.0)
       .queryExecution.analyzed.toString
     assert(shape.contains("graft_sig_keep_routed") &&
       shape.contains("graft_key_in_set"),
@@ -238,7 +239,8 @@ class SigKeepRoutedSpec extends QueryAssertions {
     // most of the 8 tables, and a pair is lost only if EVERY agreeing
     // table's routes are hot on both sides)
     val tight = EmbeddingDedup
-      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12)
+      .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12,
+        minHotShare = 0.0)
       .orderBy("id1", "id2").collect().map(_.toString).toSeq
     val uncappedSet = uncapped.toSet
     assert(tight.forall(uncappedSet.contains),
@@ -253,9 +255,47 @@ class SigKeepRoutedSpec extends QueryAssertions {
     // modes pin in EmbeddingKernelsSpec)
     val tightExact = EmbeddingDedup
       .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12,
-        estimateFilter = false)
+        estimateFilter = false, minHotShare = 0.0)
       .orderBy("id1", "id2").collect().map(_.toString).toSeq
     assert(tightExact == tight,
       s"capped exact-verify diverged: ${tightExact.size} vs ${tight.size}")
+  }
+
+  test("adaptive arming: suppression engages only when over-cap cells " +
+      "carry the threshold share of sum(occ^2)") {
+    val base = EmbeddingDedup.featurize(docs, "doc_id", "text", 8, 8)
+      .persist()
+    try {
+      // share is monotone in the cap: a cap below the whole distribution
+      // marks everything hot (share 1.0), a cap above the max marks
+      // nothing (share 0.0)
+      val (allHot, shareAll) =
+        EmbeddingDedup.occupancyProfile(base, 8, 0, armShare = 0.0)
+      assert(shareAll == 1.0 && allHot.nonEmpty)
+      val (noneHot, shareNone) =
+        EmbeddingDedup.occupancyProfile(base, 8, 1000000, armShare = 0.0)
+      assert(shareNone == 0.0 && noneHot.isEmpty)
+      // the fixture's occupancy tail (mean 2.9 / p99 13 / max 34): cap 12
+      // marks real cells but their sum(occ^2) share is well below 1
+      val (keys12, share12) =
+        EmbeddingDedup.occupancyProfile(base, 8, 12, armShare = 0.0)
+      assert(keys12.nonEmpty && share12 > 0.0 && share12 < 1.0,
+        s"cap 12 share=$share12 hot=${keys12.length}")
+      // below-threshold share: the profile DECLINES to collect keys —
+      // the cost-based switch (the caller then runs the uncapped form)
+      val (declined, shareSame) =
+        EmbeddingDedup.occupancyProfile(base, 8, 12, armShare = share12 + 0.01)
+      assert(declined.isEmpty && shareSame == share12)
+      // and the pipeline-level wiring: a requested cap whose share sits
+      // below minHotShare must build the UNCAPPED plan
+      val disarmed = EmbeddingDedup
+        .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12,
+          materialize = false, minHotShare = share12 + 0.01)
+        .queryExecution.analyzed.toString
+      assert(disarmed.contains("graft_sig_keep") &&
+        !disarmed.contains("graft_sig_keep_routed") &&
+        !disarmed.contains("graft_key_in_set"),
+        "below-threshold share must fall back to the uncapped plan")
+    } finally base.unpersist(blocking = false)
   }
 }
