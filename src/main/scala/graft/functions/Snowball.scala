@@ -9,10 +9,12 @@ package graft.functions
   * word_stem('generally') is 'general', not Porter-1980's 'gener').
   *
   * Implemented languages: en, fr, es, pt, it, de (the German2 variant the
-  * reference maps 'de' to — ae/oe/ue recognized as umlaut spellings).
-  * The reference's other fourteen languages raise loudly (README
-  * divergence matrix) rather than stem wrongly; an UNKNOWN code raises
-  * the reference's own "Unknown stemmer language" error.
+  * reference maps 'de' to — ae/oe/ue recognized as umlaut spellings),
+  * and the second tier da, fi, nl, no, ru, sv (round 15). The
+  * reference's remaining eight languages (ca, eu, hu, hy, ir, lt, ro,
+  * tr) raise loudly (README divergence matrix) rather than stem wrongly;
+  * an UNKNOWN code raises the reference's own "Unknown stemmer language"
+  * error.
   *
   * Shared conventions: R1 = region after the first non-vowel following a
   * vowel; R2 = R1's R1; RV is per-language. Suffix checks are "in Rx"
@@ -72,10 +74,16 @@ object Snowball {
       case "pt" => Portuguese.stem(word)
       case "it" => Italian.stem(word)
       case "de" => German.stem(word)
+      case "sv" => Swedish.stem(word)
+      case "no" => Norwegian.stem(word)
+      case "da" => Danish.stem(word)
+      case "nl" => Dutch.stem(word)
+      case "ru" => Russian.stem(word)
+      case "fi" => Finnish.stem(word)
       case l if referenceLanguages(l) =>
         throw new UnsupportedOperationException(
           s"word_stem language '$l' is not implemented in this engine " +
-            "(implemented: de, en, es, fr, it, pt)")
+            "(implemented: da, de, en, es, fi, fr, it, nl, no, pt, ru, sv)")
       case l =>
         // reference error text (WordStemFunction.java:98)
         throw new IllegalArgumentException(s"Unknown stemmer language: $l")
@@ -99,6 +107,18 @@ object Snowball {
     * to a shorter suffix). */
   private def longestSuffix(w: String, sufs: Seq[String]): Option[String] =
     sufs.sortBy(-_.length).find(w.endsWith)
+
+  /** Longest suffix whose match fits entirely within the region —
+    * Snowball `setlimit tomark pX for ([substring])` semantics (the
+    * Scandinavian, Finnish and Russian stemmers): a pattern reaching
+    * past the region start CANNOT match, so shorter candidates are
+    * still tried. (The Dutch/German family instead tests the region
+    * inside the among action — longest first, then test, no fallback —
+    * which is what [[longestSuffix]] + an explicit region check gives.) */
+  private def longestSuffixIn(
+      w: String, region: Int, sufs: Seq[String]): Option[String] =
+    sufs.sortBy(-_.length)
+      .find(s => w.endsWith(s) && w.length - s.length >= region)
 
   // ==================================================================
   // English (Porter2) — snowballstem.org/algorithms/english/stemmer.html
@@ -1041,6 +1061,533 @@ object Snowball {
         case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'
         case c => c
       }
+    }
+  }
+
+  // ==================================================================
+  // Swedish — snowballstem.org/algorithms/swedish/stemmer.html
+  // (the classic algorithm the reference's org.tartarus SwedishStemmer
+  // implements; the reference ships no test vectors for it, so the spec
+  // pins hand-traces of the published description)
+  // ==================================================================
+  object Swedish {
+    private val vowels = "aeiouyäåö"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+    private val sEnding = "bcdfghjklmnoprtvy"
+    private val step1 = Seq(
+      "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+      "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+      "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+      "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+      "ast")
+
+    def stem(word0: String): String = {
+      var w = word0
+      var r1 = regionAfterVC(w, 0, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def in(suf: String): Boolean = w.length - suf.length >= r1
+
+      // step 1: longest d-suffix matched WITHIN R1 deleted; s only after
+      // a valid s-ending (the s-ending char itself may sit before R1 —
+      // only the matched substring is region-limited)
+      longestSuffixIn(w, r1, step1 :+ "s") match {
+        case Some("s") =>
+          if (w.length >= 2 && sEnding.indexOf(w(w.length - 2)) >= 0)
+            w = w.dropRight(1)
+        case Some(suf) => w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      // step 2: shorten a double-consonant cluster in R1
+      for (suf <- Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt"))
+        if (w.endsWith(suf) && in(suf)) w = w.dropRight(1)
+
+      // step 3
+      longestSuffixIn(w, r1, Seq("lig", "ig", "els", "löst", "fullt")) match {
+        case Some(suf @ ("lig" | "ig" | "els")) => w = w.dropRight(suf.length)
+        case Some("löst") => w = w.dropRight(1)
+        case Some("fullt") => w = w.dropRight(1)
+        case _ =>
+      }
+      w
+    }
+  }
+
+  // ==================================================================
+  // Norwegian — snowballstem.org/algorithms/norwegian/stemmer.html
+  // ==================================================================
+  object Norwegian {
+    private val vowels = "aeiouyæåø"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+    private val sEnding = "bcdfghjlmnoprtvyz"
+    private val step1 = Seq(
+      "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+      "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+      "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast")
+
+    def stem(word0: String): String = {
+      var w = word0
+      var r1 = regionAfterVC(w, 0, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def in(suf: String): Boolean = w.length - suf.length >= r1
+
+      // step 1: d-suffixes; s after a valid s-ending (which includes k
+      // only when the k is not preceded by a vowel); erte/ert → er
+      longestSuffixIn(w, r1, step1 ++ Seq("s", "erte", "ert")) match {
+        case Some("s") =>
+          val prev = if (w.length >= 2) w(w.length - 2) else ' '
+          val validS = sEnding.indexOf(prev) >= 0 ||
+            (prev == 'k' && (w.length < 3 || !isV(w(w.length - 3))))
+          if (validS) w = w.dropRight(1)
+        case Some(suf @ ("erte" | "ert")) =>
+          w = w.dropRight(suf.length) + "er"
+        case Some(suf) => w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      // step 2: dt / vt lose the t
+      for (suf <- Seq("dt", "vt"))
+        if (w.endsWith(suf) && in(suf)) w = w.dropRight(1)
+
+      // step 3
+      longestSuffixIn(w, r1, Seq("leg", "eleg", "ig", "eig", "lig",
+        "elig", "els", "lov", "elov", "slov", "hetslov")) match {
+        case Some(suf) => w = w.dropRight(suf.length)
+        case _ =>
+      }
+      w
+    }
+  }
+
+  // ==================================================================
+  // Danish — snowballstem.org/algorithms/danish/stemmer.html
+  // ==================================================================
+  object Danish {
+    private val vowels = "aeiouyæåø"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+    private val sEnding = "abcdfghjklmnoprtvyzå"
+    private val step1 = Seq(
+      "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+      "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
+      "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
+      "erens", "ers", "ets", "erets", "et", "eret")
+
+    def stem(word0: String): String = {
+      var w = word0
+      var r1 = regionAfterVC(w, 0, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def in(suf: String): Boolean = w.length - suf.length >= r1
+
+      // step 1
+      longestSuffixIn(w, r1, step1 :+ "s") match {
+        case Some("s") =>
+          if (w.length >= 2 && sEnding.indexOf(w(w.length - 2)) >= 0)
+            w = w.dropRight(1)
+        case Some(suf) => w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      // step 2: consonant-cluster shortening
+      def step2(): Unit =
+        for (suf <- Seq("gd", "dt", "gt", "kt"))
+          if (w.endsWith(suf) && in(suf)) w = w.dropRight(1)
+      step2()
+
+      // step 3: igst loses st unconditionally; then the d-suffixes in R1
+      // (deleting one repeats step 2); løst → løs
+      if (w.endsWith("igst")) w = w.dropRight(2)
+      longestSuffixIn(w, r1, Seq("ig", "lig", "elig", "els", "løst")) match {
+        case Some("løst") => w = w.dropRight(1)
+        case Some(suf) =>
+          w = w.dropRight(suf.length)
+          step2()
+        case _ =>
+      }
+
+      // step 4: undouble a final double consonant in R1
+      if (w.length >= 2 && w.last == w(w.length - 2) && !isV(w.last) &&
+          w.length - 1 >= r1)
+        w = w.dropRight(1)
+      w
+    }
+  }
+
+  // ==================================================================
+  // Dutch — snowballstem.org/algorithms/dutch/stemmer.html
+  // ==================================================================
+  object Dutch {
+    private val vowels = "aeiouyè"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    /** kk / dd / tt at the end lose a letter (runs after en/e removal). */
+    private def undouble(w: String): String =
+      if (Seq("kk", "dd", "tt").exists(w.endsWith)) w.dropRight(1) else w
+
+    def stem(word0: String): String = {
+      // prelude: strip umlauts and acutes; mark y (initial or after a
+      // vowel) and i-between-vowels upper case so they read as consonants
+      val unaccented = word0.map {
+        case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+        case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+      }
+      val sb = new StringBuilder(unaccented)
+      for (j <- 0 until sb.length) {
+        val c = sb(j)
+        if (c == 'y' && (j == 0 || isV(sb(j - 1)))) sb(j) = 'Y'
+        else if (c == 'i' && j > 0 && j + 1 < sb.length &&
+            isV(sb(j - 1)) && isV(sb(j + 1))) sb(j) = 'I'
+      }
+      var w = sb.toString
+
+      var r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      if (r1 < 3) r1 = math.min(3, w.length)
+      def in(region: Int, suf: String): Boolean =
+        w.length - suf.length >= region
+
+      // a valid en-ending: preceded by a non-vowel, and not gem(en)
+      def validEn(suf: String): Boolean = {
+        val stemEnd = w.length - suf.length
+        stemEnd >= 1 && !isV(w(stemEnd - 1)) &&
+          !w.substring(0, stemEnd).endsWith("gem")
+      }
+      def removeEn(suf: String): Unit = {
+        w = w.dropRight(suf.length)
+        w = undouble(w)
+      }
+
+      // step 1
+      longestSuffix(w, Seq("heden", "ene", "en", "se", "s")) match {
+        case Some("heden") if in(r1, "heden") =>
+          w = w.dropRight(5) + "heid"
+        case Some(suf @ ("ene" | "en")) if in(r1, suf) && validEn(suf) =>
+          removeEn(suf)
+        case Some(suf @ ("se" | "s"))
+            if in(r1, suf) && w.length - suf.length >= 1 && {
+              val p = w(w.length - suf.length - 1)
+              !isV(p) && p != 'j'
+            } =>
+          w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      // step 2: a final e after a non-vowel, then undouble
+      var eFound = false
+      if (w.endsWith("e") && in(r1, "e") && w.length >= 2 &&
+          !isV(w(w.length - 2))) {
+        eFound = true
+        w = undouble(w.dropRight(1))
+      }
+
+      // step 3a: heid (not after c), then another en
+      if (w.endsWith("heid") && in(r2, "heid") &&
+          (w.length < 5 || w(w.length - 5) != 'c')) {
+        w = w.dropRight(4)
+        if (w.endsWith("en") && in(r1, "en") && validEn("en"))
+          removeEn("en")
+      }
+
+      // step 3b: derivational suffixes in R2
+      longestSuffix(w, Seq("end", "ing", "ig", "lijk", "baar", "bar")) match {
+        case Some(suf @ ("end" | "ing")) if in(r2, suf) =>
+          w = w.dropRight(suf.length)
+          if (w.endsWith("ig") && in(r2, "ig") &&
+              (w.length < 3 || w(w.length - 3) != 'e'))
+            w = w.dropRight(2)
+          else w = undouble(w)
+        case Some("ig") if in(r2, "ig") &&
+            (w.length < 3 || w(w.length - 3) != 'e') =>
+          w = w.dropRight(2)
+        case Some("lijk") if in(r2, "lijk") =>
+          w = w.dropRight(4)
+          // repeat step 2
+          if (w.endsWith("e") && in(r1, "e") && w.length >= 2 &&
+              !isV(w(w.length - 2)))
+            w = undouble(w.dropRight(1))
+        case Some("baar") if in(r2, "baar") => w = w.dropRight(4)
+        case Some("bar") if in(r2, "bar") && eFound => w = w.dropRight(3)
+        case _ =>
+      }
+
+      // step 4: undouble vowel — ...CVVD with D a non-vowel other than
+      // I and VV one of aa/ee/oo/uu loses one vowel
+      if (w.length >= 4) {
+        val d = w(w.length - 1)
+        val v1 = w(w.length - 2)
+        val v2 = w(w.length - 3)
+        val c = w(w.length - 4)
+        if (!isV(d) && d != 'I' && v1 == v2 && "aeou".indexOf(v1) >= 0 &&
+            !isV(c))
+          w = w.substring(0, w.length - 2) + d
+      }
+
+      // postlude
+      w.map { case 'Y' => 'y'; case 'I' => 'i'; case c => c }
+    }
+  }
+
+  // ==================================================================
+  // Russian — snowballstem.org/algorithms/russian/stemmer.html
+  // (Cyrillic; ё reads as е per the published description)
+  // ==================================================================
+  object Russian {
+    private val vowels = "аеиоуыэюя"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    // group-1 endings match only after а or я (the а/я stays); group-2
+    // endings are unconditional. Matching is longest-first across the
+    // UNION, condition by membership — among semantics, no fallback.
+    private val perfGerund1 = Seq("в", "вши", "вшись")
+    private val perfGerund2 = Seq("ив", "ивши", "ившись", "ыв", "ывши",
+      "ывшись")
+    private val adjective = Seq("ее", "ие", "ые", "ое", "ими", "ыми",
+      "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "его", "ого",
+      "ему", "ому", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+    private val participle1 = Seq("ем", "нн", "вш", "ющ", "щ")
+    private val participle2 = Seq("ивш", "ывш", "ующ")
+    private val verb1 = Seq("ла", "на", "ете", "йте", "ли", "й", "л",
+      "ем", "н", "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно")
+    private val verb2 = Seq("ила", "ыла", "ена", "ейте", "уйте", "ите",
+      "или", "ыли", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило",
+      "ыло", "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть",
+      "ишь", "ую", "ю")
+    private val noun = Seq("а", "ев", "ов", "ие", "ье", "е", "иями",
+      "ями", "ами", "еи", "ии", "и", "ией", "ей", "ой", "ий", "й",
+      "иям", "ям", "ием", "ем", "ам", "ом", "о", "у", "ах", "иях",
+      "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я")
+
+    def stem(word0: String): String = {
+      var w = word0.replace('ё', 'е')
+      // RV = after the first vowel; R2 = the standard R1-of-R1
+      val n = w.length
+      var rv = n
+      var i = 0
+      var break = false
+      while (i < n && !break) {
+        if (isV(w(i))) { rv = i + 1; break = true }
+        i += 1
+      }
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+
+      def inRv(suf: String): Boolean = w.length - suf.length >= rv
+      // a group-1 suffix needs а/я immediately before it, inside RV
+      def group1Ok(suf: String): Boolean = {
+        val p = w.length - suf.length - 1
+        p >= rv && (w(p) == 'а' || w(p) == 'я')
+      }
+      // longest match across both groups that satisfies RV (group-1
+      // membership adds the а/я test); Some(suf) on success
+      def matchGroups(g1: Seq[String], g2: Seq[String]): Option[String] =
+        longestSuffix(w, (g1 ++ g2).filter(inRv)) match {
+          case Some(suf) if g2.contains(suf) => Some(suf)
+          case Some(suf) if group1Ok(suf) => Some(suf)
+          case _ => None
+        }
+
+      // step 1: perfective gerund, else (reflexive then adjectival |
+      // verb | noun)
+      matchGroups(perfGerund1, perfGerund2) match {
+        case Some(suf) => w = w.dropRight(suf.length)
+        case None =>
+          // reflexive: plain longest of ся/сь in RV
+          longestSuffix(w, Seq("ся", "сь").filter(inRv)) match {
+            case Some(refl) => w = w.dropRight(refl.length)
+            case None =>
+          }
+          matchGroups(Nil, adjective) match {
+            case Some(adj) =>
+              w = w.dropRight(adj.length)
+              matchGroups(participle1, participle2) match {
+                case Some(part) => w = w.dropRight(part.length)
+                case None =>
+              }
+            case None =>
+              matchGroups(verb1, verb2) match {
+                case Some(v) => w = w.dropRight(v.length)
+                case None =>
+                  matchGroups(Nil, noun) match {
+                    case Some(nn) => w = w.dropRight(nn.length)
+                    case None =>
+                  }
+              }
+          }
+      }
+
+      // step 2: a final и in RV
+      if (w.endsWith("и") && inRv("и")) w = w.dropRight(1)
+
+      // step 3: derivational ость/ост in R2
+      longestSuffix(w, Seq("ость", "ост")) match {
+        case Some(suf) if w.length - suf.length >= r2 =>
+          w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      // step 4: undouble н; or drop a superlative then undouble н; or
+      // drop a final ь — all in RV
+      if (w.endsWith("нн") && inRv("нн")) w = w.dropRight(1)
+      else longestSuffix(w, Seq("ейше", "ейш").filter(inRv)) match {
+        case Some(sup) =>
+          w = w.dropRight(sup.length)
+          if (w.endsWith("нн") && inRv("нн")) w = w.dropRight(1)
+        case None =>
+          if (w.endsWith("ь") && inRv("ь")) w = w.dropRight(1)
+      }
+      w
+    }
+  }
+
+  // ==================================================================
+  // Finnish — snowballstem.org/algorithms/finnish/stemmer.html
+  // (v = any vowel; V = a restricted vowel, excluding y; LV = a long
+  // vowel pair; every "preceded by" test is region-restricted like the
+  // among it belongs to)
+  // ==================================================================
+  object Finnish {
+    private val vowels = "aeiouyäö"
+    private val restrictedV = "aeiouäö"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+    private val longV = Seq("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+    def stem(word0: String): String = {
+      var w = word0
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def in(region: Int, suf: String): Boolean =
+        w.length - suf.length >= region
+      def endsLV(s: String): Boolean = longV.exists(s.endsWith)
+
+      // step 1: particles — the substring match is limited to R1; the
+      // preceded-by tests are not. kin-family deleted after n, t or a
+      // vowel; sti deleted if (also) in R2.
+      longestSuffixIn(w, r1, Seq("kin", "kaan", "kään", "ko", "kö",
+        "han", "hän", "pa", "pä", "sti")) match {
+        case Some("sti") =>
+          if (in(r2, "sti")) w = w.dropRight(3)
+        case Some(suf) =>
+          val p = w.length - suf.length - 1
+          if (p >= 0 && (w(p) == 'n' || w(p) == 't' || isV(w(p))))
+            w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      // step 2: possessives
+      longestSuffixIn(w, r1, Seq("si", "ni", "nsa", "nsä", "mme", "nne",
+        "an", "än", "en")) match {
+        case Some("si") =>
+          val p = w.length - 3
+          if (p < 0 || w(p) != 'k') w = w.dropRight(2)
+        case Some("ni") =>
+          w = w.dropRight(2)
+          if (w.endsWith("kse")) w = w.dropRight(1) + "i"
+        case Some(suf @ ("nsa" | "nsä" | "mme" | "nne")) =>
+          w = w.dropRight(suf.length)
+        case Some("an") if {
+          val stem = w.dropRight(2)
+          Seq("ta", "ssa", "sta", "lla", "lta", "na").exists(stem.endsWith)
+        } => w = w.dropRight(2)
+        case Some("än") if {
+          val stem = w.dropRight(2)
+          Seq("tä", "ssä", "stä", "llä", "ltä", "nä").exists(stem.endsWith)
+        } => w = w.dropRight(2)
+        case Some("en") if {
+          val stem = w.dropRight(2)
+          Seq("lle", "ine").exists(stem.endsWith)
+        } => w = w.dropRight(2)
+        case _ =>
+      }
+
+      // step 3: cases
+      val hFamily = Map("han" -> 'a', "hen" -> 'e', "hin" -> 'i',
+        "hon" -> 'o', "hun" -> 'u', "hyn" -> 'y', "hän" -> 'ä',
+        "hön" -> 'ö')
+      val plainCases = Set("ta", "tä", "ssa", "ssä", "sta", "stä", "lla",
+        "llä", "lta", "ltä", "lle", "na", "nä", "ksi", "ine")
+      var endingRemoved = false
+      longestSuffixIn(w, r1, hFamily.keys.toSeq ++
+        Seq("siin", "den", "tten", "seen", "a", "ä", "tta", "ttä", "n") ++
+        plainCases.toSeq) match {
+        case Some(suf) if hFamily.contains(suf) =>
+          val p = w.length - suf.length - 1
+          if (p >= 0 && w(p) == hFamily(suf)) {
+            w = w.dropRight(suf.length); endingRemoved = true
+          }
+        case Some(suf @ ("siin" | "den" | "tten")) =>
+          // preceded by Vi (a restricted vowel then i)
+          val stem = w.dropRight(suf.length)
+          if (stem.length >= 2 && stem.last == 'i' &&
+              restrictedV.indexOf(stem(stem.length - 2)) >= 0) {
+            w = stem; endingRemoved = true
+          }
+        case Some("seen") =>
+          val stem = w.dropRight(4)
+          if (endsLV(stem)) { w = stem; endingRemoved = true }
+        case Some(suf @ ("a" | "ä")) =>
+          // preceded by cv: a non-vowel then a vowel
+          val p = w.length - 2
+          if (p >= 1 && isV(w(p)) && !isV(w(p - 1))) {
+            w = w.dropRight(1); endingRemoved = true
+          }
+        case Some(suf @ ("tta" | "ttä")) =>
+          val p = w.length - suf.length - 1
+          if (p >= 0 && w(p) == 'e') {
+            w = w.dropRight(suf.length); endingRemoved = true
+          }
+        case Some(suf) if plainCases.contains(suf) =>
+          w = w.dropRight(suf.length); endingRemoved = true
+        case Some("n") =>
+          w = w.dropRight(1)
+          endingRemoved = true
+          if (endsLV(w) || w.endsWith("ie")) w = w.dropRight(1)
+        case _ =>
+      }
+
+      // step 4: other endings, matched within R2 (the i-forms and
+      // eja/ejä are unconditional; the bare comparatives not after po)
+      longestSuffixIn(w, r2, Seq("mpi", "mpa", "mpä", "mmi", "mma",
+        "mmä", "impi", "impa", "impä", "immi", "imma", "immä", "eja",
+        "ejä")) match {
+        case Some(suf @ ("impi" | "impa" | "impä" | "immi" | "imma" |
+            "immä" | "eja" | "ejä")) =>
+          w = w.dropRight(suf.length)
+        case Some(suf) =>
+          if (!w.dropRight(suf.length).endsWith("po"))
+            w = w.dropRight(suf.length)
+        case _ =>
+      }
+
+      // step 5: plurals
+      if (endingRemoved) {
+        if ((w.endsWith("i") || w.endsWith("j")) && in(r1, "i"))
+          w = w.dropRight(1)
+      } else if (w.endsWith("t") && in(r1, "t") && w.length >= 2 &&
+          isV(w(w.length - 2))) {
+        w = w.dropRight(1)
+        longestSuffixIn(w, r2, Seq("imma", "mma")) match {
+          case Some("imma") => w = w.dropRight(4)
+          case Some("mma") if !w.dropRight(3).endsWith("po") =>
+            w = w.dropRight(3)
+          case _ =>
+        }
+      }
+
+      // step 6: tidy — (a)-(d) restricted to R1 (whole pattern inside),
+      // (e) on the whole word
+      def lastTwoInR1: Boolean = w.length - 2 >= r1
+      if (endsLV(w) && lastTwoInR1) w = w.dropRight(1)
+      if (w.length >= 2 && "aäei".indexOf(w.last) >= 0 &&
+          !isV(w(w.length - 2)) && lastTwoInR1) w = w.dropRight(1)
+      if ((w.endsWith("oj") || w.endsWith("uj")) && lastTwoInR1)
+        w = w.dropRight(1)
+      if (w.endsWith("jo") && lastTwoInR1) w = w.dropRight(1)
+      // (e): a double consonant followed by zero or more vowels loses
+      // the second consonant of the pair
+      var k = w.length - 1
+      while (k >= 0 && isV(w(k))) k -= 1
+      if (k >= 1 && !isV(w(k)) && w(k) == w(k - 1))
+        w = w.substring(0, k) + w.substring(k + 1)
+      w
     }
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Interleaved capped-vs-uncapped d07x measurement at one stress scale
+  * (round-15 plan #10): both modes alternate in ONE session (U, C, U, C)
+  * with a per-leg CPU canary pair, so the capped win/loss at this scale
+  * is measured without host-state caveats, and the adaptive arming
+  * decision (EmbeddingDedup.DefaultArmShare) is checked against what it
+  * would choose. Pair counts ride along — the cap's retention contract
+  * (1.0 at every measured scale) is re-asserted in the same artifact.
+  * Run: `SPARK_GRAFT_PROBE_SCALE=100 sbt "Test/runMain graft.ProbeCapAB"
+  * > BENCH_r15_ab.json`.
+  */
+object ProbeCapAB {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "100").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "2").toInt
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    def canary(): Double = {
+      def pass(): Long = {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        x
+      }
+      pass()
+      val t0 = System.nanoTime()
+      if (pass() == 42L) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val docsK = graft.ops.ScaleStress.multiplyDocs(docs, scale).persist(lvl)
+    val n = docsK.count()
+    val (planes, tables) = graft.ops.ScaleStress.geometryFor(n)
+    val cap = graft.ops.EmbeddingDedup.occupancyCapFor(n, planes)
+
+    // what the adaptive rule would decide at this scale (audit fact)
+    val base = graft.ops.EmbeddingDedup
+      .featurize(docsK, "doc_id", "text", planes, tables).persist(lvl)
+    val (_, hotShare) = graft.ops.EmbeddingDedup
+      .occupancyProfile(base, planes, cap, armShare = 0.0)
+    base.unpersist(blocking = false)
+    val armed = hotShare >= graft.ops.EmbeddingDedup.DefaultArmShare
+
+    // one leg: the full pipeline (ends in an eager checkpoint, so the
+    // construction wall IS the execution wall) + the pair count
+    def leg(capped: Boolean): (Double, Long, Double, Double) = {
+      val cPre = canary()
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.EmbeddingDedup.nearDuplicates(
+        docsK, "doc_id", "text", 0.8, planes, tables,
+        maxOccupancy = if (capped) cap else 0,
+        minHotShare = 0.0) // forced: this probe measures both modes
+      val nPairs = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cPost = canary()
+      (sec, nPairs, cPre, cPost)
+    }
+    leg(capped = false) // one untimed prewarm leg (JIT + page cache)
+
+    val legs = (1 to rounds).flatMap { r =>
+      Seq(false, true).map { capped =>
+        val (sec, pairs, cPre, cPost) = leg(capped)
+        val mode = if (capped) "capped" else "uncapped"
+        System.err.println(f"round $r $mode%-8s $sec%8.2f s pairs=$pairs " +
+          f"canary=[$cPre%.3f,$cPost%.3f]")
+        s"""{"round":$r,"mode":"$mode","sec":$sec,"pairs":$pairs,""" +
+          s""""canary_sec":[$cPre,$cPost]}"""
+      }
+    }
+    docsK.unpersist(blocking = false)
+    println(s"""{"metric":"d07x_cap_ab","scale":$scale,"rows":$n,""" +
+      s""""planes":$planes,"tables":$tables,"cap":$cap,""" +
+      s""""hot_share":$hotShare,"adaptive_would_arm":$armed,""" +
+      s""""legs":[${legs.mkString(",")}]}""")
+    spark.stop()
+  }
+}
