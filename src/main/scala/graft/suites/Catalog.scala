@@ -289,6 +289,46 @@ object Catalog {
         .orderBy("word")
     },
 
+    // Snowball tier 2 (round 15): the six languages the reference's map
+    // serves next by corpus frequency — da, fi, nl, no, ru, sv
+    // (WordStemFunction.java:57-76). DuckDB's fts stem() is unavailable
+    // offline and the reference ships no vectors for these languages, so
+    // the oracle pins hand-traces of the published snowballstem.org
+    // descriptions (incl. the published Dutch licham cluster and the
+    // Danish bestemmelse undouble chain) — same policy as k11.
+    Qdef(
+      "k36_word_stem_tier2",
+      """SELECT * FROM (VALUES
+        |  ('sv', 'klubbarna', 'klubb'), ('sv', 'skrattade', 'skratt'),
+        |  ('sv', 'verkligt', 'verk'), ('sv', 'husens', 'hus'),
+        |  ('no', 'havnedistriktene', 'havnedistrikt'),
+        |  ('no', 'sikkerhetene', 'sikker'), ('no', 'kattens', 'katt'),
+        |  ('da', 'bestemmelse', 'bestem'), ('da', 'indtagelsen', 'indtag'),
+        |  ('da', 'kattens', 'kat'),
+        |  ('nl', 'lichamen', 'licham'), ('nl', 'lichamelijkheden', 'licham'),
+        |  ('nl', 'bakken', 'bak'),
+        |  ('ru', 'книгами', 'книг'), ('ru', 'важная', 'важн'),
+        |  ('ru', 'значимость', 'значим'),
+        |  ('fi', 'taloissa', 'talo'), ('fi', 'talot', 'talo'),
+        |  ('fi', 'edeltäjien', 'edeltäj')
+        |) AS t(lang, word, stemmed)
+        |ORDER BY lang, word""".stripMargin) { (s, dir) =>
+      graft.Engine.registerFunctions(s)
+      val rows = Seq(
+        ("sv", "klubbarna"), ("sv", "skrattade"), ("sv", "verkligt"),
+        ("sv", "husens"),
+        ("no", "havnedistriktene"), ("no", "sikkerhetene"), ("no", "kattens"),
+        ("da", "bestemmelse"), ("da", "indtagelsen"), ("da", "kattens"),
+        ("nl", "lichamen"), ("nl", "lichamelijkheden"), ("nl", "bakken"),
+        ("ru", "книгами"), ("ru", "важная"), ("ru", "значимость"),
+        ("fi", "taloissa"), ("fi", "talot"), ("fi", "edeltäjien"))
+      import s.implicits._
+      rows.toDF("lang", "word")
+        .select(col("lang"), col("word"),
+          expr("word_stem(word, lang)").as("stemmed"))
+        .orderBy("lang", "word")
+    },
+
     // url_extract_* / url_encode / url_decode under their reference names
     // (UrlFunctions.java), exercised THROUGH Engine.sql on a URL covering
     // every component; exact literal oracle.

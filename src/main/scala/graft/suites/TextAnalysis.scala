@@ -195,30 +195,34 @@ object TextAnalysis {
       // (step -1 inferred when start > stop), so greatest(…, 0) alone
       // cannot produce an empty gram list for short texts the way
       // DuckDB's generate_series(1, 0) does.
-      // ONE gram pass shared by both halves: profile reads the even docs,
-      // test the odd — disjoint doc sets, so without a materialization
-      // boundary each branch re-scans and re-explodes its half (the
-      // round-14 verdict measured x06 as the slowest headline query with
-      // the double derivation). localCheckpoint (not persist) so the
-      // bench's 8 runs don't accumulate CacheManager entries; ExecTimer
-      // keeps the eager materialization out of the planning column.
-      val grams = graft.ExecTimer.timed(docs.select(col("doc_id"),
-        col("lang"),
-        explode(expr(
-          """case when length(text) < 3 then cast(array() as array<string>)
-            |else transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
-            |end""".stripMargin))
-          .as("g"))
-        .localCheckpoint(eager = true))
+      // Explode each parity half exactly ONCE (round-14 verdict: x06 was
+      // the slowest headline query because both halves re-scanned and
+      // re-exploded the WHOLE corpus — the parity filter sat above the
+      // explode, and the langs branch re-derived the profile subtree a
+      // third time). The filter moves below the explode, and the
+      // profile — langs × 50 rows after the rank filter, tiny — is
+      // eagerly checkpointed so its two consumers (overlap join, langs
+      // list) read 250 rows instead of re-running explode + groupBy +
+      // window. ExecTimer keeps that eager step out of the planning
+      // column.
+      def gramsOf(parity: Int) = docs
+        .filter(col("doc_id") % 2 === parity)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            """case when length(text) < 3 then cast(array() as array<string>)
+              |else transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+              |end""".stripMargin))
+            .as("g"))
       val profW = Window.partitionBy("plang")
         .orderBy(col("cnt").desc, col("g").asc)
-      val profile = grams.filter(col("doc_id") % 2 === 0)
+      val profile = graft.ExecTimer.timed(gramsOf(0)
         .groupBy(col("lang").as("plang"), col("g"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(profW))
         .filter(col("rn") <= 50)
         .select(col("plang"), col("g"))
-      val test = grams.filter(col("doc_id") % 2 === 1)
+        .localCheckpoint(eager = true))
+      val test = gramsOf(1)
         .select(col("doc_id"), col("lang").as("actual"), col("g")).distinct()
       val langs = profile.select(col("plang").as("cand")).distinct()
       val overlap = test.join(broadcast(profile),
