@@ -59,30 +59,10 @@ object Bench {
       }
     }
 
-    // Single-thread CPU canary: a fixed 200M-step xorshift loop, timed
-    // after one JIT warmup pass. The SAME COMMIT has measured 11.2 s and
-    // 18.3 s totals on this box hours apart while the canary moved
-    // 2.2 s → 3.2 s in step — the ratio against a reference canary
-    // normalizes totals across host-speed states the way load_average
-    // (which only sees runnable queue depth, not frequency/steal
-    // throttling) cannot.
-    def cpuCanary(): Double = {
-      def pass(): Long = {
-        var x = 0x9e3779b97f4a7c15L
-        var i = 0
-        while (i < 200000000) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-          i += 1
-        }
-        x
-      }
-      pass() // JIT warmup
-      val t0 = System.nanoTime()
-      val sink = pass()
-      val t = (System.nanoTime() - t0) / 1e9
-      if (sink == 42L) println("") // keep the loop un-elidable
-      t
-    }
+    // Single-thread CPU canary (shared protocol — graft.Measure): the
+    // ratio against a reference canary normalizes totals across
+    // host-speed states the way load_average cannot.
+    def cpuCanary(): Double = Measure.cpuCanary()
     val canaryPre = cpuCanary()
 
     // (name, min, median, max, planningMedian): the spread is the
@@ -156,22 +136,10 @@ object Bench {
     // shuffle-write/read and spill bytes captured from stage metrics.
     // The LSH contract rides along: candidate pairs at 10× must stay
     // ~linear vs 1× (quadratic growth = a hot-bucket/clique failure).
-    // Spark's listener bus is asynchronous: without a flush, stage events
-    // from the last measured run may not have been delivered when the
-    // counters are read (undercount), and prewarm events can land after
-    // reset() (overcount). waitUntilEmpty is private[spark], so reach it
-    // reflectively; fall back to a generous sleep if the internals move.
-    def flushListenerBus(): Unit = {
-      val sc = spark.sparkContext
-      try {
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethods
-          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-          .map(_.invoke(bus))
-          .getOrElse(Thread.sleep(1000))
-      } catch { case _: Throwable => Thread.sleep(1000) }
-      ()
-    }
+    // Stage events are delivered asynchronously — flush before reading
+    // or resetting listener counters (shared plumbing: graft.Measure).
+    def flushListenerBus(): Unit =
+      Measure.flushListenerBus(spark.sparkContext)
 
     def runStressBlock(scale: Int): String = {
       val docs = Tables.load(spark, sfDir, "documents")
@@ -307,8 +275,11 @@ object Bench {
           Option(e.getMessage).getOrElse(e.getClass.getName))
         (-1, -1.0)
       }
+      // "null" (JSON), not a fabricated false, when the profile errored —
+      // the arming decision was never computed
       val d07xCapArmed =
-        d07xHotShare >= graft.ops.EmbeddingDedup.DefaultArmShare
+        if (d07xHotShare < 0) "null"
+        else (d07xHotShare >= graft.ops.EmbeddingDedup.DefaultArmShare).toString
       val cPost = cpuCanary()
       docsK.unpersist(blocking = false)
       embK.unpersist(blocking = false)

@@ -126,7 +126,10 @@ object EmbeddingKernels {
     * otherwise die inside toIntArray with an opaque NPE. */
   private[functions] def foldableSortedInts(e: Expression): Array[Int] = {
     require(e.foldable, "key set must be a literal array<int>")
-    val ad = e.eval(null).asInstanceOf[ArrayData]
+    val evaled = e.eval(null)
+    if (evaled == null) throw new IllegalArgumentException(
+      "key set must not be NULL")
+    val ad = evaled.asInstanceOf[ArrayData]
     val n = ad.numElements()
     val a = new Array[Int](n)
     var i = 0

@@ -120,6 +120,13 @@ object Snowball {
     sufs.sortBy(-_.length)
       .find(s => w.endsWith(s) && w.length - s.length >= region)
 
+  /** [[longestSuffixIn]] over a table ALREADY sorted longest-first —
+    * the new-tier stemmers keep their suffix tables as object-level
+    * sorted vals so the per-row hot path allocates and sorts nothing. */
+  private def firstFitIn(
+      w: String, region: Int, sorted: Seq[String]): Option[String] =
+    sorted.find(s => w.endsWith(s) && w.length - s.length >= region)
+
   // ==================================================================
   // English (Porter2) — snowballstem.org/algorithms/english/stemmer.html
   // ==================================================================
@@ -1074,12 +1081,18 @@ object Snowball {
     private val vowels = "aeiouyäåö"
     private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
     private val sEnding = "bcdfghjklmnoprtvy"
-    private val step1 = Seq(
+    // all suffix lists pre-sorted longest-first ONCE (word_stem is a
+    // per-row SQL function — per-call sorts and allocations are hot-path
+    // work on corpus-scale stemming queries)
+    private val step1Sorted = (Seq(
       "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
       "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
       "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
       "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
-      "ast")
+      "ast") :+ "s").sortBy(-_.length)
+    private val step2 = Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+    private val step3Sorted =
+      Seq("lig", "ig", "els", "löst", "fullt").sortBy(-_.length)
 
     def stem(word0: String): String = {
       var w = word0
@@ -1090,7 +1103,7 @@ object Snowball {
       // step 1: longest d-suffix matched WITHIN R1 deleted; s only after
       // a valid s-ending (the s-ending char itself may sit before R1 —
       // only the matched substring is region-limited)
-      longestSuffixIn(w, r1, step1 :+ "s") match {
+      firstFitIn(w, r1, step1Sorted) match {
         case Some("s") =>
           if (w.length >= 2 && sEnding.indexOf(w(w.length - 2)) >= 0)
             w = w.dropRight(1)
@@ -1098,12 +1111,14 @@ object Snowball {
         case _ =>
       }
 
-      // step 2: shorten a double-consonant cluster in R1
-      for (suf <- Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt"))
-        if (w.endsWith(suf) && in(suf)) w = w.dropRight(1)
+      // step 2: shorten a double-consonant cluster in R1 — EXACTLY ONE
+      // deletion (an among applies once: '…gdd' loses one d and stops;
+      // looping would let the freshly exposed 'gd' fire a second time)
+      step2.find(suf => w.endsWith(suf) && in(suf))
+        .foreach(_ => w = w.dropRight(1))
 
       // step 3
-      longestSuffixIn(w, r1, Seq("lig", "ig", "els", "löst", "fullt")) match {
+      firstFitIn(w, r1, step3Sorted) match {
         case Some(suf @ ("lig" | "ig" | "els")) => w = w.dropRight(suf.length)
         case Some("löst") => w = w.dropRight(1)
         case Some("fullt") => w = w.dropRight(1)
@@ -1120,10 +1135,14 @@ object Snowball {
     private val vowels = "aeiouyæåø"
     private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
     private val sEnding = "bcdfghjlmnoprtvyz"
-    private val step1 = Seq(
+    private val step1Sorted = (Seq(
       "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
       "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
-      "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast")
+      "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast") ++
+      Seq("s", "erte", "ert")).sortBy(-_.length)
+    private val step2 = Seq("dt", "vt")
+    private val step3Sorted = Seq("leg", "eleg", "ig", "eig", "lig",
+      "elig", "els", "lov", "elov", "slov", "hetslov").sortBy(-_.length)
 
     def stem(word0: String): String = {
       var w = word0
@@ -1133,7 +1152,7 @@ object Snowball {
 
       // step 1: d-suffixes; s after a valid s-ending (which includes k
       // only when the k is not preceded by a vowel); erte/ert → er
-      longestSuffixIn(w, r1, step1 ++ Seq("s", "erte", "ert")) match {
+      firstFitIn(w, r1, step1Sorted) match {
         case Some("s") =>
           val prev = if (w.length >= 2) w(w.length - 2) else ' '
           val validS = sEnding.indexOf(prev) >= 0 ||
@@ -1145,13 +1164,12 @@ object Snowball {
         case _ =>
       }
 
-      // step 2: dt / vt lose the t
-      for (suf <- Seq("dt", "vt"))
-        if (w.endsWith(suf) && in(suf)) w = w.dropRight(1)
+      // step 2: dt / vt lose the t (one deletion, among semantics)
+      step2.find(suf => w.endsWith(suf) && in(suf))
+        .foreach(_ => w = w.dropRight(1))
 
       // step 3
-      longestSuffixIn(w, r1, Seq("leg", "eleg", "ig", "eig", "lig",
-        "elig", "els", "lov", "elov", "slov", "hetslov")) match {
+      firstFitIn(w, r1, step3Sorted) match {
         case Some(suf) => w = w.dropRight(suf.length)
         case _ =>
       }
@@ -1166,11 +1184,14 @@ object Snowball {
     private val vowels = "aeiouyæåø"
     private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
     private val sEnding = "abcdfghjklmnoprtvyzå"
-    private val step1 = Seq(
+    private val step1Sorted = (Seq(
       "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
       "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
       "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
-      "erens", "ers", "ets", "erets", "et", "eret")
+      "erens", "ers", "ets", "erets", "et", "eret") :+ "s").sortBy(-_.length)
+    private val step2List = Seq("gd", "dt", "gt", "kt")
+    private val step3Sorted =
+      Seq("ig", "lig", "elig", "els", "løst").sortBy(-_.length)
 
     def stem(word0: String): String = {
       var w = word0
@@ -1179,7 +1200,7 @@ object Snowball {
       def in(suf: String): Boolean = w.length - suf.length >= r1
 
       // step 1
-      longestSuffixIn(w, r1, step1 :+ "s") match {
+      firstFitIn(w, r1, step1Sorted) match {
         case Some("s") =>
           if (w.length >= 2 && sEnding.indexOf(w(w.length - 2)) >= 0)
             w = w.dropRight(1)
@@ -1187,16 +1208,18 @@ object Snowball {
         case _ =>
       }
 
-      // step 2: consonant-cluster shortening
+      // step 2: consonant-cluster shortening — ONE deletion per pass
+      // (an among applies once: '…gdt' loses the t and stops; looping
+      // would let the freshly exposed 'gd' fire in the same pass)
       def step2(): Unit =
-        for (suf <- Seq("gd", "dt", "gt", "kt"))
-          if (w.endsWith(suf) && in(suf)) w = w.dropRight(1)
+        step2List.find(suf => w.endsWith(suf) && in(suf))
+          .foreach(_ => w = w.dropRight(1))
       step2()
 
       // step 3: igst loses st unconditionally; then the d-suffixes in R1
       // (deleting one repeats step 2); løst → løs
       if (w.endsWith("igst")) w = w.dropRight(2)
-      longestSuffixIn(w, r1, Seq("ig", "lig", "elig", "els", "løst")) match {
+      firstFitIn(w, r1, step3Sorted) match {
         case Some("løst") => w = w.dropRight(1)
         case Some(suf) =>
           w = w.dropRight(suf.length)
@@ -1218,10 +1241,13 @@ object Snowball {
   object Dutch {
     private val vowels = "aeiouyè"
     private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+    private val doubles = Seq("kk", "dd", "tt")
+    private val step1List = Seq("heden", "ene", "en", "se", "s")
+    private val step3bList = Seq("end", "ing", "ig", "lijk", "baar", "bar")
 
     /** kk / dd / tt at the end lose a letter (runs after en/e removal). */
     private def undouble(w: String): String =
-      if (Seq("kk", "dd", "tt").exists(w.endsWith)) w.dropRight(1) else w
+      if (doubles.exists(w.endsWith)) w.dropRight(1) else w
 
     def stem(word0: String): String = {
       // prelude: strip umlauts and acutes; mark y (initial or after a
@@ -1257,7 +1283,7 @@ object Snowball {
       }
 
       // step 1
-      longestSuffix(w, Seq("heden", "ene", "en", "se", "s")) match {
+      longestSuffix(w, step1List) match {
         case Some("heden") if in(r1, "heden") =>
           w = w.dropRight(5) + "heid"
         case Some(suf @ ("ene" | "en")) if in(r1, suf) && validEn(suf) =>
@@ -1288,7 +1314,7 @@ object Snowball {
       }
 
       // step 3b: derivational suffixes in R2
-      longestSuffix(w, Seq("end", "ing", "ig", "lijk", "baar", "bar")) match {
+      longestSuffix(w, step3bList) match {
         case Some(suf @ ("end" | "ing")) if in(r2, suf) =>
           w = w.dropRight(suf.length)
           if (w.endsWith("ig") && in(r2, "ig") &&
@@ -1356,6 +1382,21 @@ object Snowball {
       "иям", "ям", "ием", "ем", "ам", "ом", "о", "у", "ах", "иях",
       "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я")
 
+    // pre-sorted unions + group-2 membership sets, built once (hot path)
+    private val perfGerundSorted = (perfGerund1 ++ perfGerund2).sortBy(-_.length)
+    private val perfGerund2Set = perfGerund2.toSet
+    private val adjectiveSorted = adjective.sortBy(-_.length)
+    private val adjectiveSet = adjective.toSet
+    private val nounSet = noun.toSet
+    private val participleSorted = (participle1 ++ participle2).sortBy(-_.length)
+    private val participle2Set = participle2.toSet
+    private val verbSorted = (verb1 ++ verb2).sortBy(-_.length)
+    private val verb2Set = verb2.toSet
+    private val nounSorted = noun.sortBy(-_.length)
+    private val reflexiveSorted = Seq("ся", "сь")
+    private val superlativeSorted = Seq("ейше", "ейш")
+    private val derivationalSorted = Seq("ость", "ост")
+
     def stem(word0: String): String = {
       var w = word0.replace('ё', 'е')
       // RV = after the first vowel; R2 = the standard R1-of-R1
@@ -1376,10 +1417,11 @@ object Snowball {
         val p = w.length - suf.length - 1
         p >= rv && (w(p) == 'а' || w(p) == 'я')
       }
-      // longest match across both groups that satisfies RV (group-1
+      // longest match across both groups that fits RV (group-1
       // membership adds the а/я test); Some(suf) on success
-      def matchGroups(g1: Seq[String], g2: Seq[String]): Option[String] =
-        longestSuffix(w, (g1 ++ g2).filter(inRv)) match {
+      def matchGroups(
+          sorted: Seq[String], g2: Set[String]): Option[String] =
+        firstFitIn(w, rv, sorted) match {
           case Some(suf) if g2.contains(suf) => Some(suf)
           case Some(suf) if group1Ok(suf) => Some(suf)
           case _ => None
@@ -1387,26 +1429,26 @@ object Snowball {
 
       // step 1: perfective gerund, else (reflexive then adjectival |
       // verb | noun)
-      matchGroups(perfGerund1, perfGerund2) match {
+      matchGroups(perfGerundSorted, perfGerund2Set) match {
         case Some(suf) => w = w.dropRight(suf.length)
         case None =>
           // reflexive: plain longest of ся/сь in RV
-          longestSuffix(w, Seq("ся", "сь").filter(inRv)) match {
+          firstFitIn(w, rv, reflexiveSorted) match {
             case Some(refl) => w = w.dropRight(refl.length)
             case None =>
           }
-          matchGroups(Nil, adjective) match {
+          matchGroups(adjectiveSorted, adjectiveSet) match {
             case Some(adj) =>
               w = w.dropRight(adj.length)
-              matchGroups(participle1, participle2) match {
+              matchGroups(participleSorted, participle2Set) match {
                 case Some(part) => w = w.dropRight(part.length)
                 case None =>
               }
             case None =>
-              matchGroups(verb1, verb2) match {
+              matchGroups(verbSorted, verb2Set) match {
                 case Some(v) => w = w.dropRight(v.length)
                 case None =>
-                  matchGroups(Nil, noun) match {
+                  matchGroups(nounSorted, nounSet) match {
                     case Some(nn) => w = w.dropRight(nn.length)
                     case None =>
                   }
@@ -1418,16 +1460,15 @@ object Snowball {
       if (w.endsWith("и") && inRv("и")) w = w.dropRight(1)
 
       // step 3: derivational ость/ост in R2
-      longestSuffix(w, Seq("ость", "ост")) match {
-        case Some(suf) if w.length - suf.length >= r2 =>
-          w = w.dropRight(suf.length)
+      firstFitIn(w, r2, derivationalSorted) match {
+        case Some(suf) => w = w.dropRight(suf.length)
         case _ =>
       }
 
       // step 4: undouble н; or drop a superlative then undouble н; or
       // drop a final ь — all in RV
       if (w.endsWith("нн") && inRv("нн")) w = w.dropRight(1)
-      else longestSuffix(w, Seq("ейше", "ейш").filter(inRv)) match {
+      else firstFitIn(w, rv, superlativeSorted) match {
         case Some(sup) =>
           w = w.dropRight(sup.length)
           if (w.endsWith("нн") && inRv("нн")) w = w.dropRight(1)
@@ -1449,6 +1490,28 @@ object Snowball {
     private val restrictedV = "aeiouäö"
     private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
     private val longV = Seq("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+    // suffix tables built and sorted ONCE (per-row hot path)
+    private val step1Sorted = Seq("kin", "kaan", "kään", "ko", "kö",
+      "han", "hän", "pa", "pä", "sti").sortBy(-_.length)
+    private val step2Sorted = Seq("si", "ni", "nsa", "nsä", "mme", "nne",
+      "an", "än", "en").sortBy(-_.length)
+    private val anPreceders = Seq("ta", "ssa", "sta", "lla", "lta", "na")
+    private val aenPreceders = Seq("tä", "ssä", "stä", "llä", "ltä", "nä")
+    private val enPreceders = Seq("lle", "ine")
+    private val hFamily = Map("han" -> 'a', "hen" -> 'e', "hin" -> 'i',
+      "hon" -> 'o', "hun" -> 'u', "hyn" -> 'y', "hän" -> 'ä',
+      "hön" -> 'ö')
+    private val plainCases = Set("ta", "tä", "ssa", "ssä", "sta", "stä",
+      "lla", "llä", "lta", "ltä", "lle", "na", "nä", "ksi", "ine")
+    private val step3Sorted = (hFamily.keys.toSeq ++
+      Seq("siin", "den", "tten", "seen", "a", "ä", "tta", "ttä", "n") ++
+      plainCases.toSeq).sortBy(-_.length)
+    private val step4Sorted = Seq("mpi", "mpa", "mpä", "mmi", "mma",
+      "mmä", "impi", "impa", "impä", "immi", "imma", "immä", "eja",
+      "ejä").sortBy(-_.length)
+    private val step4Unconditional = Set("impi", "impa", "impä", "immi",
+      "imma", "immä", "eja", "ejä")
+    private val step5Sorted = Seq("imma", "mma")
 
     def stem(word0: String): String = {
       var w = word0
@@ -1461,8 +1524,7 @@ object Snowball {
       // step 1: particles — the substring match is limited to R1; the
       // preceded-by tests are not. kin-family deleted after n, t or a
       // vowel; sti deleted if (also) in R2.
-      longestSuffixIn(w, r1, Seq("kin", "kaan", "kään", "ko", "kö",
-        "han", "hän", "pa", "pä", "sti")) match {
+      firstFitIn(w, r1, step1Sorted) match {
         case Some("sti") =>
           if (in(r2, "sti")) w = w.dropRight(3)
         case Some(suf) =>
@@ -1473,8 +1535,7 @@ object Snowball {
       }
 
       // step 2: possessives
-      longestSuffixIn(w, r1, Seq("si", "ni", "nsa", "nsä", "mme", "nne",
-        "an", "än", "en")) match {
+      firstFitIn(w, r1, step2Sorted) match {
         case Some("si") =>
           val p = w.length - 3
           if (p < 0 || w(p) != 'k') w = w.dropRight(2)
@@ -1485,29 +1546,22 @@ object Snowball {
           w = w.dropRight(suf.length)
         case Some("an") if {
           val stem = w.dropRight(2)
-          Seq("ta", "ssa", "sta", "lla", "lta", "na").exists(stem.endsWith)
+          anPreceders.exists(stem.endsWith)
         } => w = w.dropRight(2)
         case Some("än") if {
           val stem = w.dropRight(2)
-          Seq("tä", "ssä", "stä", "llä", "ltä", "nä").exists(stem.endsWith)
+          aenPreceders.exists(stem.endsWith)
         } => w = w.dropRight(2)
         case Some("en") if {
           val stem = w.dropRight(2)
-          Seq("lle", "ine").exists(stem.endsWith)
+          enPreceders.exists(stem.endsWith)
         } => w = w.dropRight(2)
         case _ =>
       }
 
       // step 3: cases
-      val hFamily = Map("han" -> 'a', "hen" -> 'e', "hin" -> 'i',
-        "hon" -> 'o', "hun" -> 'u', "hyn" -> 'y', "hän" -> 'ä',
-        "hön" -> 'ö')
-      val plainCases = Set("ta", "tä", "ssa", "ssä", "sta", "stä", "lla",
-        "llä", "lta", "ltä", "lle", "na", "nä", "ksi", "ine")
       var endingRemoved = false
-      longestSuffixIn(w, r1, hFamily.keys.toSeq ++
-        Seq("siin", "den", "tten", "seen", "a", "ä", "tta", "ttä", "n") ++
-        plainCases.toSeq) match {
+      firstFitIn(w, r1, step3Sorted) match {
         case Some(suf) if hFamily.contains(suf) =>
           val p = w.length - suf.length - 1
           if (p >= 0 && w(p) == hFamily(suf)) {
@@ -1545,11 +1599,8 @@ object Snowball {
 
       // step 4: other endings, matched within R2 (the i-forms and
       // eja/ejä are unconditional; the bare comparatives not after po)
-      longestSuffixIn(w, r2, Seq("mpi", "mpa", "mpä", "mmi", "mma",
-        "mmä", "impi", "impa", "impä", "immi", "imma", "immä", "eja",
-        "ejä")) match {
-        case Some(suf @ ("impi" | "impa" | "impä" | "immi" | "imma" |
-            "immä" | "eja" | "ejä")) =>
+      firstFitIn(w, r2, step4Sorted) match {
+        case Some(suf) if step4Unconditional.contains(suf) =>
           w = w.dropRight(suf.length)
         case Some(suf) =>
           if (!w.dropRight(suf.length).endsWith("po"))
@@ -1564,7 +1615,7 @@ object Snowball {
       } else if (w.endsWith("t") && in(r1, "t") && w.length >= 2 &&
           isV(w(w.length - 2))) {
         w = w.dropRight(1)
-        longestSuffixIn(w, r2, Seq("imma", "mma")) match {
+        firstFitIn(w, r2, step5Sorted) match {
           case Some("imma") => w = w.dropRight(4)
           case Some("mma") if !w.dropRight(3).endsWith("po") =>
             w = w.dropRight(3)

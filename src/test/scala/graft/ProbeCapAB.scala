@@ -20,18 +20,7 @@ object ProbeCapAB {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "2").toInt
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    def canary(): Double = {
-      def pass(): Long = {
-        var x = 0x9e3779b97f4a7c15L
-        var i = 0
-        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-        x
-      }
-      pass()
-      val t0 = System.nanoTime()
-      if (pass() == 42L) println("")
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canary(): Double = Measure.cpuCanary()
 
     val docs = Tables.load(spark, sfDir, "documents")
     val docsK = graft.ops.ScaleStress.multiplyDocs(docs, scale).persist(lvl)
@@ -61,7 +50,12 @@ object ProbeCapAB {
       val cPost = canary()
       (sec, nPairs, cPre, cPost)
     }
-    leg(capped = false) // one untimed prewarm leg (JIT + page cache)
+    // one untimed prewarm leg PER MODE: the routed kernel and hot-key
+    // filters only exist on the capped path, so an uncapped-only prewarm
+    // would bill their first-run JIT/codegen to the first capped leg —
+    // the exact warm-state bias this interleaved probe exists to remove
+    leg(capped = false)
+    leg(capped = true)
 
     val legs = (1 to rounds).flatMap { r =>
       Seq(false, true).map { capped =>

@@ -21,18 +21,25 @@ object ProbeShuffleStep {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.load(spark, sfDir, "documents")
 
+    // appended from the listener-bus thread, read from main after the
+    // flush — synchronize both sides for the happens-before edge
     final class StageLog extends SparkListener {
-      val rows = scala.collection.mutable.Buffer[(Int, String, Long, Long)]()
+      private val buf =
+        scala.collection.mutable.Buffer[(Int, String, Long, Long)]()
+      def rows: Seq[(Int, String, Long, Long)] =
+        buf.synchronized(buf.toVector)
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val tm = sc.stageInfo.taskMetrics
         if (tm != null && (tm.shuffleWriteMetrics.bytesWritten > 0 ||
             tm.shuffleReadMetrics.localBytesRead +
               tm.shuffleReadMetrics.remoteBytesRead > 0))
-          rows += ((sc.stageInfo.stageId,
-            sc.stageInfo.name.take(90),
-            tm.shuffleWriteMetrics.bytesWritten,
-            tm.shuffleReadMetrics.localBytesRead +
-              tm.shuffleReadMetrics.remoteBytesRead))
+          buf.synchronized {
+            buf += ((sc.stageInfo.stageId,
+              sc.stageInfo.name.take(90),
+              tm.shuffleWriteMetrics.bytesWritten,
+              tm.shuffleReadMetrics.localBytesRead +
+                tm.shuffleReadMetrics.remoteBytesRead))
+          }
       }
     }
 
@@ -54,14 +61,7 @@ object ProbeShuffleStep {
       spark.sparkContext.addSparkListener(log)
       graft.ops.MinHashLSH.nearDuplicates(docsK, "doc_id", "text", 0.5)
         .write.format("noop").mode("overwrite").save()
-      // listenerBus is private[spark] — same reflective flush as Bench
-      try {
-        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
-          .invoke(spark.sparkContext)
-        bus.getClass.getMethods
-          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-          .map(_.invoke(bus)).getOrElse(Thread.sleep(1000))
-      } catch { case _: Throwable => Thread.sleep(1000) }
+      Measure.flushListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(log)
       val totalW = log.rows.map(_._3).sum
       println(f"-- stages with shuffle traffic (total write ${totalW / 1e9}%.2f GB, ${totalW / n / 1024.0}%.1f KB/doc):")

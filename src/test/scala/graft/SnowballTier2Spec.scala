@@ -31,6 +31,9 @@ class SnowballTier2Spec extends QueryAssertions {
     assert(Snowball.stem("husens", "sv") == "hus")
     // short words: R1 floor of 3 protects the stem
     assert(Snowball.stem("en", "sv") == "en")
+    // step 2 deletes EXACTLY once (among semantics): dropping one d from
+    // 'dd' exposes 'gd', which must NOT fire in the same pass
+    assert(Snowball.stem("obygdd", "sv") == "obygd")
   }
 
   test("Norwegian: d-suffixes, erte→er, valid s-ending incl. the k rule") {
@@ -52,6 +55,9 @@ class SnowballTier2Spec extends QueryAssertions {
     assert(Snowball.stem("indtagelsen", "da") == "indtag")
     assert(Snowball.stem("kattens", "da") == "kat") // da undoubles
     assert(Snowball.stem("billigst", "da") == "bil") // igst→ig→(lig)
+    // step 2 deletes exactly once: 'dt' drops the t, the exposed 'gd'
+    // must not fire in the same pass (step 4 then undoubles nothing)
+    assert(Snowball.stem("bygdt", "da") == "bygd")
   }
 
   test("Dutch: the published licham example cluster and e/en handling") {
