@@ -195,16 +195,16 @@ object TextAnalysis {
       // (step -1 inferred when start > stop), so greatest(…, 0) alone
       // cannot produce an empty gram list for short texts the way
       // DuckDB's generate_series(1, 0) does.
-      // Explode each parity half exactly ONCE (round-14 verdict: x06 was
-      // the slowest headline query because both halves re-scanned and
-      // re-exploded the WHOLE corpus — the parity filter sat above the
-      // explode, and the langs branch re-derived the profile subtree a
-      // third time). The filter moves below the explode, and the
-      // profile — langs × 50 rows after the rank filter, tiny — is
-      // eagerly checkpointed so its two consumers (overlap join, langs
-      // list) read 250 rows instead of re-running explode + groupBy +
-      // window. ExecTimer keeps that eager step out of the planning
-      // column.
+      // Each parity half is exploded by its own branch (filter BELOW the
+      // explode): the profile subtree reads only the even docs, the test
+      // branch only the odd — vs the original shape where both branches
+      // exploded the WHOLE corpus and filtered after. Deliberately NO
+      // materialization barrier: an interleaved A/B (ProbeX06) measured
+      // the eager-checkpoint variant SLOWER (3.6 vs 2.5 s) — the barrier
+      // serializes the two halves' explodes, which the lazy composition
+      // overlaps across cores inside one job; the langs branch's
+      // re-derivation of the profile subtree is parallel slack, not
+      // critical path.
       def gramsOf(parity: Int) = docs
         .filter(col("doc_id") % 2 === parity)
         .select(col("doc_id"), col("lang"),
@@ -215,13 +215,17 @@ object TextAnalysis {
             .as("g"))
       val profW = Window.partitionBy("plang")
         .orderBy(col("cnt").desc, col("g").asc)
-      val profile = graft.ExecTimer.timed(gramsOf(0)
+      val profile = gramsOf(0)
         .groupBy(col("lang").as("plang"), col("g"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(profW))
         .filter(col("rn") <= 50)
         .select(col("plang"), col("g"))
-        .localCheckpoint(eager = true))
+      // Dedup BEFORE the profile join, exactly like the oracle: the
+      // join-first-then-countDistinct alternative measured 1.7× SLOWER
+      // interleaved (ProbeX06) — common grams match several languages'
+      // profiles, so joining non-deduped grams fans the aggregate input
+      // out by up to |langs| before any dedup can bite.
       val test = gramsOf(1)
         .select(col("doc_id"), col("lang").as("actual"), col("g")).distinct()
       val langs = profile.select(col("plang").as("cand")).distinct()
