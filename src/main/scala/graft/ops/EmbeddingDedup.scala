@@ -150,12 +150,18 @@ object EmbeddingDedup {
     * profile pass itself — one compact aggregation — is always paid when
     * a cap is requested; it is what makes the decision data-driven).
     * Measured over-cap Σocc² shares on the stress corpus under the
-    * geometry rule's cap (128): 0.233 at 10× (where the r14 artifacts
-    * put capped d07x at ~1.5× the uncapped wall), 0.392 at 40× (capped ≈
-    * 1.1× uncapped), 0.575 at 100× (capped = 0.46× uncapped — the 2.2×
-    * win). 0.48 splits the measured loss region from the measured win
-    * region with near-equal margin on both sides. */
-  val DefaultArmShare = 0.48
+    * geometry rule's cap (128): 0.233 at 10×, 0.392 at 40×, 0.575 at
+    * 100×. The threshold is set from INTERLEAVED same-session A/Bs
+    * (ProbeCapAB, modes alternating, per-leg canaries — the round-14
+    * cross-artifact comparisons that suggested a thin-tail loss did not
+    * survive interleaving): at 10× the three modes are indistinguishable
+    * at the host noise floor (medians uncapped 5.7 / capped 6.7 within a
+    * 5.3–7.3 within-mode spread), at 40× the capped form WINS both
+    * interleavings (34.7/35.0 vs 43.9/39.6), at 100× it wins 2.2×
+    * (91–121 s vs 144–208) — pair retention 1.0000 in every leg of
+    * every mode. 0.30 disarms only the one scale point where the win is
+    * not established, keeping the measured 40×/100× wins armed. */
+  val DefaultArmShare = 0.30
 
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, minCosine: Double,

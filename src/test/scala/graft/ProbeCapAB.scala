@@ -37,30 +37,35 @@ object ProbeCapAB {
     val armed = hotShare >= graft.ops.EmbeddingDedup.DefaultArmShare
 
     // one leg: the full pipeline (ends in an eager checkpoint, so the
-    // construction wall IS the execution wall) + the pair count
-    def leg(capped: Boolean): (Double, Long, Double, Double) = {
+    // construction wall IS the execution wall) + the pair count.
+    // Modes: "uncapped" (no cap requested), "capped" (cap FORCED armed),
+    // "adaptive" (cap requested, the shipped threshold decides — at
+    // thin-tail scales this measures the disarmed path's profile-pass
+    // overhead against pure uncapped).
+    def leg(mode: String): (Double, Long, Double, Double) = {
       val cPre = canary()
       val t0 = System.nanoTime()
       val pairs = graft.ops.EmbeddingDedup.nearDuplicates(
         docsK, "doc_id", "text", 0.8, planes, tables,
-        maxOccupancy = if (capped) cap else 0,
-        minHotShare = 0.0) // forced: this probe measures both modes
+        maxOccupancy = if (mode == "uncapped") 0 else cap,
+        minHotShare = if (mode == "capped") 0.0
+          else graft.ops.EmbeddingDedup.DefaultArmShare)
       val nPairs = pairs.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val cPost = canary()
       (sec, nPairs, cPre, cPost)
     }
+    val modes = sys.env.getOrElse("SPARK_GRAFT_PROBE_MODES",
+      "uncapped,capped").split(",").map(_.trim).toSeq
     // one untimed prewarm leg PER MODE: the routed kernel and hot-key
     // filters only exist on the capped path, so an uncapped-only prewarm
     // would bill their first-run JIT/codegen to the first capped leg —
     // the exact warm-state bias this interleaved probe exists to remove
-    leg(capped = false)
-    leg(capped = true)
+    modes.foreach(leg)
 
     val legs = (1 to rounds).flatMap { r =>
-      Seq(false, true).map { capped =>
-        val (sec, pairs, cPre, cPost) = leg(capped)
-        val mode = if (capped) "capped" else "uncapped"
+      modes.map { mode =>
+        val (sec, pairs, cPre, cPost) = leg(mode)
         System.err.println(f"round $r $mode%-8s $sec%8.2f s pairs=$pairs " +
           f"canary=[$cPre%.3f,$cPost%.3f]")
         s"""{"round":$r,"mode":"$mode","sec":$sec,"pairs":$pairs,""" +
