@@ -59,11 +59,14 @@ object Bench {
       }
     }
 
-    // Single-thread CPU canary (shared protocol — graft.Measure): the
-    // ratio against a reference canary normalizes totals across
-    // host-speed states the way load_average cannot.
+    // CPU canary PAIR (shared protocol — graft.Measure): the single-
+    // thread ratio against a reference canary normalizes totals across
+    // host-speed states the way load_average cannot, and the round-16
+    // multi-core leg makes the multi-core-only throttle (1.3–1.7× on
+    // untouched queries at a 1.1× single ratio, BASELINE.md round-15
+    // host-state note) self-flagging instead of folklore.
     def cpuCanary(): Double = Measure.cpuCanary()
-    val canaryPre = cpuCanary()
+    val (canaryPre, canaryPreM) = Measure.canaryPair()
 
     // (name, min, median, max, planningMedian): the spread is the
     // contention detector — on a quiet box min≈median; a loaded box shows
@@ -108,7 +111,7 @@ object Bench {
         case _ => r
       }
     }
-    val canaryPost = cpuCanary()
+    val (canaryPost, canaryPostM) = Measure.canaryPair()
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -153,7 +156,7 @@ object Bench {
       // suite, but the stress block runs minutes later — its own pair
       // lets a contended stress number (BENCH_r11's d07x 60.7 s vs
       // 39.4 s drained) be normalized without guessing host state.
-      val cPre = cpuCanary()
+      val (cPre, cPreM) = Measure.canaryPair()
       // ANN leg of the stress block: the embeddings corpus multiplied by
       // the same scale through per-replica orthogonal shifts, indexed
       // with the continuous √n-lists geometry; recall@5 and the scanned
@@ -193,7 +196,7 @@ object Bench {
       // every cross-artifact leg comparison is canary-attributable.
       def measurePipeline(name: String,
           build: () => org.apache.spark.sql.DataFrame)
-          : (Seq[Double], StressMetrics, (Double, Double)) = {
+          : (Seq[Double], StressMetrics, ((Double, Double), (Double, Double))) = {
         val m = new StressMetrics
         spark.sparkContext.addSparkListener(m)
         def once(): Option[Double] = {
@@ -212,9 +215,9 @@ object Bench {
         once() // prewarm
         flushListenerBus() // prewarm's stage events must land before reset
         m.reset()
-        val legPre = cpuCanary()
+        val legPre = Measure.canaryPair()
         val runs = (1 to 3).flatMap(_ => once()).sorted
-        val legPost = cpuCanary()
+        val legPost = Measure.canaryPair()
         flushListenerBus() // last run's stage events must land before read
         spark.sparkContext.removeSparkListener(m)
         (runs, m, (legPre, legPost))
@@ -243,13 +246,15 @@ object Bench {
           }
         (name, best)
       }
-      val entries = finalRuns.map { case (name, (runs, m, (cA, cB))) =>
+      val entries = finalRuns.map {
+        case (name, (runs, m, ((cA, cAM), (cB, cBM)))) =>
         val timing =
           if (runs.isEmpty) "null"
           else s"[${runs.head},${runs(runs.size / 2)},${runs.last}]"
         s"${jstr(name)}:{" +
           s""""sec_min_med_max":$timing,""" +
           s""""canary_sec":[$cA,$cB],""" +
+          s""""canary_multi_sec":[$cAM,$cBM],""" +
           s""""shuffle_write_bytes":${m.shuffleWrite.get},""" +
           s""""shuffle_read_bytes":${m.shuffleRead.get},""" +
           s""""mem_spill_bytes":${m.memSpill.get},""" +
@@ -280,7 +285,7 @@ object Bench {
       val d07xCapArmed =
         if (d07xHotShare < 0) "null"
         else (d07xHotShare >= graft.ops.EmbeddingDedup.DefaultArmShare).toString
-      val cPost = cpuCanary()
+      val (cPost, cPostM) = Measure.canaryPair()
       docsK.unpersist(blocking = false)
       embK.unpersist(blocking = false)
       (entries :+
@@ -298,7 +303,8 @@ object Bench {
           if (pairs1x == 0) -1.0 else pairsKx.toDouble / pairs1x},""" +
         s""""lsh_pair_ratio_per_scale":${
           if (pairs1x == 0) -1.0 else pairsKx.toDouble / pairs1x / scale},""" +
-        s""""cpu_canary_sec":[$cPre,$cPost]""")
+        s""""cpu_canary_sec":[$cPre,$cPost],""" +
+        s""""cpu_canary_multi_sec":[$cPreM,$cPostM]""")
         .mkString("{", ",", "}")
     }
 
@@ -318,8 +324,27 @@ object Bench {
     val errs = errors.reverse
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
 
+    // The full artifact goes to a FILE; stdout carries one COMPACT
+    // headline line. Round-15's driver record was `parsed: null` because
+    // the 6.5 KB single-line artifact (stress blocks inline) overflowed
+    // the driver's 2 000-char stdout capture tail — the compact line
+    // (queries + errors + canaries, no spread/planning/stress maps)
+    // stays well under that bound, and the file keeps everything.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"planning_sec":$planning,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"retried":$retriedJson,"stress_10x":$stressJson,"stress_hi":$stressHiJson,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost],"cpu_canary_multi_sec":[$canaryPreM,$canaryPostM]}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH.json write failed: ${e.getMessage}")
+      System.err.println(fullJson) // the full artifact must survive somewhere
+    }
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val qsCompact = results.map { case (k, _, med, _, _) => s"${jstr(k)}:${r3(med)}" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"planning_sec":$planning,"errors":$errs,"sf":${jstr(sfDir)},"total_min":$totalMin,"spread_min_med_max":$spread,"retried":$retriedJson,"stress_10x":$stressJson,"stress_hi":$stressHiJson,"available_processors":$procs,"load_average":$loadAvg,"cpu_canary_sec":[$canaryPre,$canaryPost]}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"errors":$errs,"sf":${jstr(sfDir)},"total_min":${r3(totalMin)},"retried":$retriedJson,"cpu_canary_sec":[${r3(canaryPre)},${r3(canaryPost)}],"cpu_canary_multi_sec":[${r3(canaryPreM)},${r3(canaryPostM)}],"artifact":${jstr(new java.io.File(outPath).getAbsolutePath)}}""")
     // SPARK_GRAFT_RULE_TIMES=1: per-rule planning attribution (Spark's
     // own RuleExecutor ledger, accumulated across the whole suite) to
     // STDERR so the stdout artifact stays one JSON line. This is how the

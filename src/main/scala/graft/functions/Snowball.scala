@@ -108,21 +108,16 @@ object Snowball {
   private def longestSuffix(w: String, sufs: Seq[String]): Option[String] =
     sufs.sortBy(-_.length).find(w.endsWith)
 
-  /** Longest suffix whose match fits entirely within the region —
-    * Snowball `setlimit tomark pX for ([substring])` semantics (the
-    * Scandinavian, Finnish and Russian stemmers): a pattern reaching
-    * past the region start CANNOT match, so shorter candidates are
-    * still tried. (The Dutch/German family instead tests the region
-    * inside the among action — longest first, then test, no fallback —
-    * which is what [[longestSuffix]] + an explicit region check gives.) */
-  private def longestSuffixIn(
-      w: String, region: Int, sufs: Seq[String]): Option[String] =
-    sufs.sortBy(-_.length)
-      .find(s => w.endsWith(s) && w.length - s.length >= region)
-
-  /** [[longestSuffixIn]] over a table ALREADY sorted longest-first —
-    * the new-tier stemmers keep their suffix tables as object-level
-    * sorted vals so the per-row hot path allocates and sorts nothing. */
+  /** Longest suffix (table pre-sorted longest-first) whose match fits
+    * entirely within the region — Snowball `setlimit tomark pX for
+    * ([substring])` semantics (the Scandinavian, Finnish and Russian
+    * stemmers): a pattern reaching past the region start CANNOT match,
+    * so shorter candidates are still tried. (The Dutch/German family
+    * instead tests the region inside the among action — longest first,
+    * then test, no fallback — which is what [[longestSuffix]] + an
+    * explicit region check gives.) The tier-2 stemmers keep their
+    * suffix tables as object-level sorted vals so the per-row hot path
+    * allocates and sorts nothing. */
   private def firstFitIn(
       w: String, region: Int, sorted: Seq[String]): Option[String] =
     sorted.find(s => w.endsWith(s) && w.length - s.length >= region)
@@ -1354,7 +1349,11 @@ object Snowball {
 
   // ==================================================================
   // Russian — snowballstem.org/algorithms/russian/stemmer.html
-  // (Cyrillic; ё reads as е per the published description)
+  // (Cyrillic. Snowball 2.0+ prescribes a ё→е prelude; the reference
+  // bundles Lucene 7.2.1's org.tartarus RussianStemmer, generated from
+  // PRE-2.0 Snowball, which performs no replacement and excludes ё
+  // from the vowel grouping — we match the reference: ё passes through
+  // untouched and is not a vowel, so e.g. ёлками → ёлкам, not елк.)
   // ==================================================================
   object Russian {
     private val vowels = "аеиоуыэюя"
@@ -1398,7 +1397,7 @@ object Snowball {
     private val derivationalSorted = Seq("ость", "ост")
 
     def stem(word0: String): String = {
-      var w = word0.replace('ё', 'е')
+      var w = word0 // no ё→е prelude: pre-2.0 port, see header comment
       // RV = after the first vowel; R2 = the standard R1-of-R1
       val n = w.length
       var rv = n

@@ -20,7 +20,7 @@ object ProbeCapAB {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "2").toInt
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    def canary(): Double = Measure.cpuCanary()
+    def canary(): (Double, Double) = Measure.canaryPair()
 
     val docs = Tables.load(spark, sfDir, "documents")
     val docsK = graft.ops.ScaleStress.multiplyDocs(docs, scale).persist(lvl)
@@ -42,7 +42,7 @@ object ProbeCapAB {
     // "adaptive" (cap requested, the shipped threshold decides — at
     // thin-tail scales this measures the disarmed path's profile-pass
     // overhead against pure uncapped).
-    def leg(mode: String): (Double, Long, Double, Double) = {
+    def leg(mode: String): (Double, Long, (Double, Double), (Double, Double)) = {
       val cPre = canary()
       val t0 = System.nanoTime()
       val pairs = graft.ops.EmbeddingDedup.nearDuplicates(
@@ -65,11 +65,12 @@ object ProbeCapAB {
 
     val legs = (1 to rounds).flatMap { r =>
       modes.map { mode =>
-        val (sec, pairs, cPre, cPost) = leg(mode)
+        val (sec, pairs, (cPre, cPreM), (cPost, cPostM)) = leg(mode)
         System.err.println(f"round $r $mode%-8s $sec%8.2f s pairs=$pairs " +
-          f"canary=[$cPre%.3f,$cPost%.3f]")
+          f"canary=[$cPre%.3f,$cPost%.3f] multi=[$cPreM%.3f,$cPostM%.3f]")
         s"""{"round":$r,"mode":"$mode","sec":$sec,"pairs":$pairs,""" +
-          s""""canary_sec":[$cPre,$cPost]}"""
+          s""""canary_sec":[$cPre,$cPost],""" +
+          s""""canary_multi_sec":[$cPreM,$cPostM]}"""
       }
     }
     docsK.unpersist(blocking = false)

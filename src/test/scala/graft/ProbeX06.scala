@@ -70,12 +70,14 @@ object ProbeX06 {
     val results = (1 to 3).map { r =>
       val o = time(() => oldShape())
       val n = time(() => newShape.run(spark, sfDir))
-      val c = Measure.cpuCanary()
-      System.err.println(f"round $r old=$o%.2f new=$n%.2f canary=$c%.3f")
-      (o, n, c)
+      val (c, cM) = Measure.canaryPair()
+      System.err.println(
+        f"round $r old=$o%.2f new=$n%.2f canary=$c%.3f multi=$cM%.3f")
+      (o, n, c, cM)
     }
-    println(s"""{"metric":"x06_ab","legs":[${results.map { case (o, n, c) =>
-      s"""{"old_sec":$o,"new_sec":$n,"canary_sec":$c}""" }.mkString(",")}]}""")
+    println(s"""{"metric":"x06_ab","legs":[${results.map { case (o, n, c, cM) =>
+      s"""{"old_sec":$o,"new_sec":$n,"canary_sec":$c,"canary_multi_sec":$cM}"""
+    }.mkString(",")}]}""")
     spark.stop()
   }
 }

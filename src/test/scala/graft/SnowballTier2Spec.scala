@@ -44,8 +44,14 @@ class SnowballTier2Spec extends QueryAssertions {
     assert(Snowball.stem("huset", "no") == "hus")
     assert(Snowball.stem("sikkerhetene", "no") == "sikker")
     assert(Snowball.stem("hans", "no") == "han")
-    // erte→er needs the whole suffix inside R1; here only e fits
+    // 'ærte' never textually matches the erte pattern — only e fires
     assert(Snowball.stem("lærte", "no") == "lært")
+    // region-fit fallback: 'snerte' DOES end in erte, but R1 starts at
+    // 4 so the 4-char suffix cannot fit (setlimit semantics) — shorter
+    // candidates are still tried and e fires
+    assert(Snowball.stem("snerte", "no") == "snert")
+    // with R1 satisfied the same suffix rewrites to er
+    assert(Snowball.stem("klamrerte", "no") == "klamrer")
   }
 
   test("Danish: d-suffixes, igst, els chain with the undouble step") {
@@ -78,7 +84,12 @@ class SnowballTier2Spec extends QueryAssertions {
     assert(Snowball.stem("делала", "ru") == "дела") // verb ла after а
     assert(Snowball.stem("остановиться", "ru") == "останов") // ся+ить
     assert(Snowball.stem("значимость", "ru") == "значим") // ь + ост(R2)
-    assert(Snowball.stem("ё", "ru") == "е") // ё reads as е
+    // pre-2.0 port behavior (the reference bundles Lucene 7.2.1's
+    // org.tartarus stemmer): no ё→е prelude and ё is NOT a vowel, so
+    // RV starts only at the first а — ами can't fit, и fires. Snowball
+    // 2.0+ would give елк; the reference gives ёлкам and so do we.
+    assert(Snowball.stem("ёлками", "ru") == "ёлкам")
+    assert(Snowball.stem("ё", "ru") == "ё") // untouched, not a vowel
   }
 
   test("Finnish: case endings, possessives, plural i, tidy steps") {
