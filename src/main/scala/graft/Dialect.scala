@@ -642,6 +642,66 @@ object Dialect {
             s"try_element_at(transform(array(${rewrite(args(0))}), " +
               s"${rewrite(args(1))}), 1)")
           i = after
+        } else if (lower == "row_number" && {
+          // row_number() OVER (…) with NO window ordering — the
+          // reference has a dedicated unordered RowNumberOperator
+          // (operator/RowNumberOperator.java, LEP:926: numbers in
+          // arrival order, "some arbitrary order" by contract); Spark's
+          // analyzer demands an ORDER BY. Order by a constant: every
+          // row ties and Spark numbers them in arrival order, exactly
+          // the reference's contract. (rank/dense_rank require an
+          // ordering in the reference too — untouched.)
+          unorderedRowNumberOver(q, k).isDefined
+        }) {
+          val (specTxt, after) = unorderedRowNumberOver(q, k).get
+          out.append("row_number() OVER (")
+            .append(rewrite(specTxt)).append(" ORDER BY 'g')")
+          i = after
+        } else if ((lower == "max_by" || lower == "min_by") &&
+            k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(3) == 0)) {
+          // N-variant min_by/max_by(x, y, n) (reference: operator/
+          // aggregation/minmaxby/ MinMaxByNAggregationFunction — the x
+          // values for the n smallest/largest y, ordered by y; NULL
+          // keys ignored; empty input → NULL). Spark's builtins are
+          // strictly 2-arg, so lower to a sorted struct collection
+          // (collect_list skips the NULL-key CASE rows; struct sort is
+          // lexicographic by field, key first).
+          val (args, after) = parseParenArgs(q, k).get
+          val x = rewrite(args(0))
+          val y = rewrite(args(1))
+          val nn = rewrite(args(2))
+          val sorted = s"array_sort(collect_list(CASE WHEN ($y) IS NOT " +
+            s"NULL THEN named_struct('k', $y, 'v', $x) END))"
+          val dir = if (lower == "max_by") s"reverse($sorted)" else sorted
+          out.append(s"CASE WHEN size($dir) > 0 THEN " +
+            s"transform(slice($dir, 1, $nn), __g -> __g.v) END")
+          i = after
+        } else if (lower == "if" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
+          // 2-arg IF(c, v) — the reference's short form of IF(c, v,
+          // NULL) (docs conditional.rst); Spark's `if` is strictly 3-arg
+          val (args, after) = parseParenArgs(q, k).get
+          out.append(s"if(${rewrite(args(0))}, ${rewrite(args(1))}, NULL)")
+          i = after
+        } else if (lower == "count" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.forall(_.trim.isEmpty))) {
+          // zero-argument count() — the reference accepts it as count(*)
+          // (AggregationFromAnnotationsParser zero-arity CountAggregation;
+          // its own corpus spells `select count() from …`); Spark requires
+          // the star
+          out.append("count(*)")
+          i = parseParenArgs(q, k).get._2
+        } else if (lower == "grouping" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists(_._1.lengthCompare(2) >= 0)) {
+          // multi-argument grouping(c1, …, cn) — the reference returns
+          // the bitmask with the FIRST argument most significant
+          // (sql/planner/GroupingOperationRewriter.java); Spark's
+          // grouping() is strictly 1-arg but grouping_id has exactly
+          // that multi-column contract
+          val (args, after) = parseParenArgs(q, k).get
+          out.append(args.map(rewrite).mkString("grouping_id(", ", ", ")"))
+          i = after
         } else if (lower == "regexp_replace" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
           // 2-arg regexp_replace(s, p) removes matches (reference:
@@ -668,7 +728,15 @@ object Dialect {
           //   (extremum, count(*), count(v)) merge into ONE aggregate
           //   pass under MergeScalarSubqueries — PlanSpec ds40 pins
           //   that behavior.
-          // = ALL and <> ANY are left verbatim (loud at Spark's parser).
+          //   = ALL / <> ANY (round 16) lower through the same
+          //   min/max+counts algebra: every row equals x iff min = x =
+          //   max over the non-null values — empty → TRUE/FALSE, a
+          //   definite unequal witness decides, remaining NULLs (or a
+          //   NULL left side) make the answer unknown. The left operand
+          //   text is duplicated into the guard (deterministic
+          //   expressions only — the corpus shapes; a volatile left
+          //   side would mis-evaluate, same narrowing as the extremum
+          //   forms).
           val (op, opIdx) = trailingComparisonOp(out).get
           val isAll = lower == "all"
           val (args, after) = parseParenArgs(q, k).get
@@ -683,6 +751,29 @@ object Dialect {
               out.delete(opIdx, out.length)
               out.append(s" NOT IN (SELECT * FROM ($sub) AS $alias)")
               true
+            case "=" | "<>" | "!=" if isAll == (op == "=") =>
+              // x = ALL (q)  /  x <> ANY (q)
+              leftOperandStart(out, opIdx) match {
+                case Some(xStart) =>
+                  val xTxt = out.substring(xStart, opIdx).trim
+                  val mn = s"(SELECT min(__graft_v) FROM ($sub) AS ${alias}l(__graft_v))"
+                  val mx = s"(SELECT max(__graft_v) FROM ($sub) AS ${alias}h(__graft_v))"
+                  val cnt = s"(SELECT count(*) FROM ($sub) AS ${alias}c(__graft_v))"
+                  val cntv = s"(SELECT count(__graft_v) FROM ($sub) AS ${alias}n(__graft_v))"
+                  val eqAll = op == "="
+                  val onEmpty = if (eqAll) "TRUE" else "FALSE"
+                  val witness =
+                    s"($cntv > 0 AND ((($xTxt) <> $mn) OR (($xTxt) <> $mx)))"
+                  out.delete(xStart, out.length)
+                  out.append(
+                    s"(CASE WHEN $cnt = 0 THEN $onEmpty " +
+                      s"WHEN ($xTxt) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                      s"WHEN $witness THEN ${if (eqAll) "FALSE" else "TRUE"} " +
+                      s"WHEN $cntv < $cnt THEN CAST(NULL AS BOOLEAN) " +
+                      s"ELSE $onEmpty END)")
+                  true
+                case None => false
+              }
             case "<" | "<=" | ">" | ">=" =>
               val fn =
                 if ((op.startsWith("<")) == isAll) "min" else "max"
@@ -1641,20 +1732,28 @@ object Dialect {
         if (cols.isEmpty) s"SELECT $gen"
         else if (cols.length == 1) s"SELECT $gen AS ${cols.head}"
         else s"SELECT $gen AS (${cols.mkString(", ")})"
-      if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
+      // the FROM-form drives the lateral off a one-row base relation;
+      // wrap it so the synthetic __graft_base column never reaches a
+      // SELECT * (the reference's standalone UNNEST relation exposes
+      // only the unnested columns)
+      if (fromForm)
+        out.append(s" FROM (SELECT $alias.* FROM (SELECT 1 AS __graft_base)")
       out.append(if (outer) " LEFT JOIN LATERAL (" else " JOIN LATERAL (")
         .append(sel).append(") ").append(alias)
       if (outer) out.append(" ON true")
+      if (fromForm) out.append(s") $alias")
       if (cols.isEmpty && j < q.length) out.append(' ')
     } else {
-      if (fromForm) out.append(" FROM (SELECT 1 AS __graft_base)")
+      if (fromForm)
+        out.append(s" FROM (SELECT $alias.* FROM (SELECT 1 AS __graft_base)")
       out.append(" LATERAL VIEW ")
       if (outer) out.append("OUTER ")
       out.append(gen).append(' ').append(alias)
       if (cols.nonEmpty) out.append(" AS ").append(cols.mkString(", "))
+      if (fromForm) out.append(s") $alias")
       // the no-column-list paths left `j` at the next token with its
       // leading whitespace already skipped — restore the separator
-      else if (j < q.length) out.append(' ')
+      if (cols.isEmpty && j < q.length) out.append(' ')
     }
     j
   }
@@ -1853,7 +1952,172 @@ object Dialect {
 
   def translate(query: String): String =
     injectNullOrdering(normalizeZonedValues(rewrite(rewriteUnnest(
-      rewriteCreateFunction(rewriteStatement(query))))))
+      rewriteValuesRows(rewriteEmptyGroupBy(
+        rewriteCreateFunction(rewriteStatement(query))))))))
+
+  /** `row_number \s* ( ) \s* OVER \s* ( spec )` where spec carries no
+    * ORDER BY: Some((spec text, index after the OVER group)); None for
+    * every other shape (ordered specs, named windows, non-window
+    * row_number — all left to their existing paths). */
+  private def unorderedRowNumberOver(
+      q: String, k: Int): Option[(String, Int)] = {
+    if (k >= q.length || q(k) != '(') return None
+    parseParenArgs(q, k) match {
+      case Some((args, afterCall)) if args.forall(_.trim.isEmpty) =>
+        var j = afterCall
+        while (j < q.length && q(j).isWhitespace) j += 1
+        if (!q.regionMatches(true, j, "OVER", 0, 4)) return None
+        j += 4
+        while (j < q.length && q(j).isWhitespace) j += 1
+        if (j >= q.length || q(j) != '(') return None
+        parseParenArgs(q, j).flatMap { case (specArgs, afterSpec) =>
+          val spec = specArgs.mkString(", ") // commas only inside PARTITION BY lists
+          if ("(?is).*\\bORDER\\s+BY\\b.*".r.matches(spec)) None
+          else Some((spec, afterSpec))
+        }
+      case _ => None
+    }
+  }
+
+  /** `GROUP BY ()` — the standard's empty grouping set, accepted by the
+    * reference as a global aggregate (SqlBase.g4 groupingSet allows an
+    * empty element); Spark rejects the bare form but accepts the same
+    * thing spelled through GROUPING SETS. */
+  private val EmptyGroupByRe = "(?i)GROUP\\s+BY\\s*\\(\\s*\\)".r
+  private def rewriteEmptyGroupBy(q: String): String =
+    EmptyGroupByRe.replaceAllIn(q, "GROUP BY GROUPING SETS (())")
+
+  // ---------------------------------------------------- VALUES row items
+
+  private val ValuesTermRe =
+    "(?is)^(ORDER|LIMIT|OFFSET|FETCH|UNION|EXCEPT|INTERSECT)\\b".r
+  private val RowCtorRe = "(?is)^ROW\\s*\\(".r
+  private val SubqueryHeadRe = "(?is)^(SELECT|WITH|VALUES|TABLE)\\b".r
+
+  /** Presto's VALUES unpacks a ROW-TYPED item into that row's fields as
+    * relation columns (reference: sql/analyzer/StatementAnalyzer.java:
+    * 1904-1911 — a RowType item contributes its type parameters, one
+    * column each): `VALUES ROW(a, b)` is a TWO-column relation, and
+    * `(VALUES (ROW(ROW(1,'a',true)))) v(r)` binds r to the INNER row.
+    * Spark's VALUES never unpacks, so this pre-pass sheds grouping
+    * parens and strips ONE explicit ROW(…) constructor level from each
+    * top-level item: `ROW (args…)` → `(args…)`; ROWs any deeper stay
+    * structs (the reference unpacks one level too). A row-typed item
+    * NOT spelled with the constructor (a bare CAST to a ROW type, a
+    * row-typed column reference) stays packed — README divergence
+    * matrix. */
+  private def rewriteValuesRows(q: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = q.length
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = q(i)
+      if (c == '\'') {
+        val e = literalEnd(q, i); sb.append(q.substring(i, e)); i = e
+      } else if (c == '"' || c == '`') { // quoted identifier, verbatim
+        var e = i + 1
+        var closed = false
+        while (e < n && !closed) {
+          if (q(e) == c) {
+            if (e + 1 < n && q(e + 1) == c) e += 2 else { closed = true; e += 1 }
+          } else e += 1
+        }
+        sb.append(q.substring(i, e)); i = e
+      } else if ((c == 'v' || c == 'V') && (i == 0 || !wordChar(q(i - 1))) &&
+          q.regionMatches(true, i, "VALUES", 0, 6) &&
+          (i + 6 >= n || !wordChar(q(i + 6)))) {
+        // `x IN (VALUES …)` — the reference accepts a VALUES body as the
+        // IN list (SqlBase.g4 inSubquery takes any query); Spark's IN
+        // needs a SELECT, so interpose one. The closing wrap paren is
+        // the original list's own ')', still appended by the outer loop.
+        val tail = sb.reverseIterator.dropWhile(_.isWhitespace).take(8).mkString.reverse
+        val inValues = tail.endsWith("(") && {
+          val beforeParen = tail.dropRight(1).reverse.dropWhile(_.isWhitespace)
+            .takeWhile(wordChar).reverse.toLowerCase
+          beforeParen == "in"
+        }
+        val mark = sb.length
+        if (inValues) sb.append("SELECT * FROM (")
+        sb.append(q.substring(i, i + 6)).append(' ')
+        i += 6
+        // item list: top-level commas split; the list ends at an
+        // unbalanced ')' or a set-op/ordering keyword at depth 0
+        val items = mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var depth = 0
+        var done = false
+        while (i < n && !done) {
+          val ch = q(i)
+          if (ch == '\'') {
+            val e = literalEnd(q, i); cur.append(q.substring(i, e)); i = e
+          } else if (ch == '(') { depth += 1; cur.append(ch); i += 1 }
+          else if (ch == ')') {
+            if (depth == 0) done = true
+            else { depth -= 1; cur.append(ch); i += 1 }
+          } else if (ch == ',' && depth == 0) {
+            items += cur.toString; cur.clear(); i += 1
+          } else if (depth == 0 && wordChar(ch) && !wordChar(q(i - 1)) &&
+              ValuesTermRe.findPrefixMatchOf(q.substring(i)).isDefined) {
+            done = true
+          } else { cur.append(ch); i += 1 }
+        }
+        if (cur.toString.trim.nonEmpty || items.nonEmpty) items += cur.toString
+        if (!inValues && items.lengthCompare(1) == 0 &&
+            items.head.contains("->")) {
+          // single-row VALUES holding a lambda: Spark's inline table
+          // cannot evaluate lambda expressions (INVALID_INLINE_TABLE
+          // CANNOT_EVALUATE_EXPRESSION_IN_INLINE_TABLE) — a one-row
+          // SELECT is the same relation, and trailing `t(cols)` aliases
+          // bind to a subquery the same way
+          val fields = unwrapRowItem(items.head).trim
+          val body =
+            if (fields.startsWith("(") && fields.endsWith(")") &&
+                SubqueryHeadRe.findPrefixMatchOf(
+                  fields.substring(1).trim).isEmpty)
+              fields.substring(1, fields.length - 1)
+            else fields
+          sb.delete(mark, sb.length)
+          sb.append("SELECT ").append(body).append(' ')
+        } else {
+          sb.append(items.map(unwrapRowItem).mkString(", ")).append(' ')
+          if (inValues) sb.append(')') // close the interposed SELECT*FROM(
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One VALUES item: shed grouping parens wrapping the WHOLE item,
+    * then turn a leading ROW constructor into a plain parenthesized
+    * row; recurse into argument texts so VALUES nested anywhere inside
+    * are processed too. */
+  private def unwrapRowItem(item0: String): String = {
+    val item = item0.trim
+    if (item.startsWith("(")) {
+      parseParenArgs(item, 0) match {
+        case Some((args, after)) if after == item.length =>
+          if (args.lengthCompare(1) == 0) {
+            // grouping parens (or a subquery, which must keep them):
+            // Presto's type-level unpack sees through grouping
+            if (SubqueryHeadRe.findPrefixMatchOf(args.head.trim).isDefined)
+              "(" + rewriteValuesRows(args.head) + ")"
+            else unwrapRowItem(args.head)
+          } else
+            // already an explicit (a, b, …) row item
+            "(" + args.map(rewriteValuesRows).mkString(", ") + ")"
+        case _ => rewriteValuesRows(item)
+      }
+    } else RowCtorRe.findPrefixMatchOf(item) match {
+      case Some(m) =>
+        parseParenArgs(item, m.end - 1) match {
+          case Some((args, after)) if after == item.length =>
+            "(" + args.map(rewriteValuesRows).mkString(", ") + ")"
+          case _ => rewriteValuesRows(item)
+        }
+      case None => rewriteValuesRows(item)
+    }
+  }
 
   // ------------------------------------------------------ TSWTZ post-pass
 

@@ -247,6 +247,10 @@ object Engine {
   private def sqlImpl(
       spark: SparkSession, dir: String, query: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // a session not minted by Engine.session (e.g. spark.newSession())
+    // must still see the whole function catalog — the reference exposes
+    // its registry to every query; memoized, so a no-op after the first
+    registerFunctions(spark)
     // shadow the object-level translate: every statement path in this
     // method first resolves the session's user-defined type names
     // (CREATE TYPE), then runs the dialect translation

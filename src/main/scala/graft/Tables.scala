@@ -120,4 +120,47 @@ object Tables {
         names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       }
     }
+
+  /** The reference's UNPREFIXED TPC-H `tiny` schema over the fixture —
+    * the schema its engine-level H2 corpus is written against
+    * (presto-tests/.../AbstractTestQueries.java et al.; the TPC-H
+    * connector exposes unprefixed column names and `tiny` = sf0.01,
+    * reference: presto-tpch/.../TpchMetadata.java:95-99). The fixture's
+    * prefixed columns are projected to the reference names and its
+    * timestamp-typed date columns cast to DATE (the reference schema's
+    * type). Registers the standard views first, then SHADOWS the seven
+    * TPC-H names, and claims the session's registration slot so a later
+    * registerAll for the same dir leaves the tiny views in place — use
+    * a dedicated session (spark.newSession()) since the standard
+    * prefixed names become unreachable there. */
+  def registerTinyViews(spark: SparkSession, dir: String): Unit =
+    registeredDir.synchronized {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
+      val tiny: Map[String, Seq[String]] = Map(
+        "orders" -> Seq("o_orderkey AS orderkey", "o_custkey AS custkey",
+          "o_orderstatus AS orderstatus", "o_totalprice AS totalprice",
+          "CAST(o_orderdate AS DATE) AS orderdate",
+          "o_orderpriority AS orderpriority"),
+        "lineitem" -> Seq("l_orderkey AS orderkey", "l_partkey AS partkey",
+          "l_suppkey AS suppkey", "l_linenumber AS linenumber",
+          "l_quantity AS quantity", "l_extendedprice AS extendedprice",
+          "l_discount AS discount", "l_tax AS tax",
+          "l_returnflag AS returnflag", "l_linestatus AS linestatus",
+          "CAST(l_shipdate AS DATE) AS shipdate"),
+        "customer" -> Seq("c_custkey AS custkey", "c_name AS name",
+          "c_nationkey AS nationkey", "c_acctbal AS acctbal",
+          "c_mktsegment AS mktsegment"),
+        "supplier" -> Seq("s_suppkey AS suppkey", "s_name AS name",
+          "s_nationkey AS nationkey", "s_acctbal AS acctbal"),
+        "part" -> Seq("p_partkey AS partkey", "p_name AS name",
+          "p_brand AS brand", "p_type AS type", "p_size AS size",
+          "p_retailprice AS retailprice"),
+        "nation" -> Seq("n_nationkey AS nationkey", "n_name AS name",
+          "n_regionkey AS regionkey"),
+        "region" -> Seq("r_regionkey AS regionkey", "r_name AS name"))
+      tiny.foreach { case (n, proj) =>
+        load(spark, dir, n).selectExpr(proj: _*).createOrReplaceTempView(n)
+      }
+    }
 }

@@ -128,6 +128,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => FloatCastRoundingRewrite)
     ext.injectResolutionRule(_ => DoubleToVarcharRewrite)
     ext.injectResolutionRule(_ => RaisingMapSubscriptRewrite)
+    ext.injectResolutionRule(_ => RowSubscriptRewrite)
+    ext.injectResolutionRule(_ => PlainGroupByGroupingRewrite)
+    ext.injectResolutionRule(_ => NullFilterConditionRewrite)
     ext.injectResolutionRule(_ => RuntimeLikeRewrite)
     ext.injectResolutionRule(_ => NullMapArgsRewrite)
     ext.injectResolutionRule(_ => ArrayJoinDoubleRewrite)

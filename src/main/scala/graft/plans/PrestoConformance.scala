@@ -65,6 +65,18 @@ object RaisingMapSubscriptRewrite extends Rule[LogicalPlan] {
     // facade-scope check above already short-circuits every non-facade
     // plan before any traversal happens
     else plan.resolveExpressions {
+      // the string-narrowed aggregates (map_agg/map_union/histogram —
+      // the flat UDF registry can't be type-generic, README narrowing)
+      // produce MAP<STRING,STRING>; a typed key from the same query
+      // (m[max(orderkey)]) must coerce to the narrowed key type instead
+      // of failing resolution
+      case ElementAt(m, k, None, fail)
+          if m.resolved && k.resolved &&
+            m.dataType.isInstanceOf[MapType] &&
+            m.dataType.asInstanceOf[MapType].keyType == StringType &&
+            k.dataType != StringType &&
+            !k.dataType.isInstanceOf[org.apache.spark.sql.types.NullType] =>
+        ElementAt(m, Cast(k, StringType), None, fail)
       case g @ ElementAt(m, k, None, true)
           if g.resolved && m.dataType.isInstanceOf[MapType] =>
         rewriteOne(m, k, g.dataType)
@@ -98,6 +110,89 @@ object RaisingMapSubscriptRewrite extends Rule[LogicalPlan] {
         If(ArrayContains(MapKeys(mr), kr),
           ElementAt(mr, kr, None, failOnError = false),
           raise))
+    }
+}
+
+/** The reference's ROW subscript — `row_expr[i]` with a constant
+  * 1-based ordinal (planner/DesugarRowSubscript.java lowers it to field
+  * access at analysis time) — has no Spark spelling: the facade's text
+  * pass lowers every subscript to `element_at`, which only accepts
+  * array/map operands, so a struct-typed base is left as an
+  * ill-typed ElementAt. This rule rewrites exactly that spelling to
+  * ordinal [[GetStructField]] access. Out-of-range or non-constant
+  * ordinals deliberately don't match — CheckAnalysis then reports the
+  * type error, mirroring the reference's compile-time rejection. */
+object RowSubscriptRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+    ShortType, StructType}
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveExpressions {
+      case ElementAt(r, k, None, _)
+          if r.resolved && r.dataType.isInstanceOf[StructType] &&
+            k.resolved && k.foldable && integral(k.dataType) &&
+            ordinal(r, k) >= 1 =>
+        val st = r.dataType.asInstanceOf[StructType]
+        val i = ordinal(r, k)
+        GetStructField(r, i - 1, Some(st(i - 1).name))
+    }
+
+  /** The constant 1-based ordinal if it addresses a field, else -1
+    * (non-matching ordinals fall through to CheckAnalysis, mirroring
+    * the reference's compile-time rejection). */
+  private def ordinal(r: Expression, k: Expression): Int = {
+    val n = k.eval() match {
+      case x: java.lang.Number => x.intValue()
+      case _ => -1
+    }
+    if (n >= 1 && n <= r.dataType.asInstanceOf[StructType].length) n else -1
+  }
+}
+
+/** `WHERE NULL` / `HAVING NULL` — the reference coerces a bare NULL
+  * predicate to BOOLEAN (unknown → every row rejected,
+  * `TestAggregations.testCountWithNullPredicate`); Spark's CheckAnalysis
+  * rejects the VOID-typed literal outright. Cast NullType filter
+  * conditions to BOOLEAN. */
+object NullFilterConditionRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.types.{BooleanType, NullType}
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveOperatorsUp {
+      case f @ Filter(cond, _)
+          if cond.resolved && cond.dataType == NullType =>
+        f.copy(condition = Cast(cond, BooleanType))
+    }
+}
+
+/** The reference allows `grouping(col)` under a PLAIN `GROUP BY` — the
+  * group key is always present there, so it evaluates to 0
+  * (GroupingOperationRewriter.java rewrites it against the grouping-set
+  * mask; with a single implicit set the mask is all-zeros). Spark's
+  * CheckAnalysis rejects grouping()/grouping_id() outside
+  * GroupingSets/Cube/Rollup, so fold them to 0 when the Aggregate's
+  * grouping expressions carry no grouping-set structure. Spark's own
+  * ResolveGroupingAnalytics has already replaced the functions when
+  * sets ARE present, so anything this rule sees over a plain Aggregate
+  * is exactly the reference's always-grouped case. */
+object PlainGroupByGroupingRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+  import org.apache.spark.sql.types.{ByteType, LongType}
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveOperatorsUp {
+      case a: Aggregate
+          if a.groupingExpressions.nonEmpty &&
+            !a.groupingExpressions.exists(_.isInstanceOf[BaseGroupingSets]) &&
+            a.aggregateExpressions.exists(_.exists(e =>
+              e.isInstanceOf[Grouping] || e.isInstanceOf[GroupingID])) =>
+        a.transformExpressions {
+          case _: Grouping => Literal(0.toByte, ByteType)
+          case _: GroupingID => Literal(0L, LongType)
+        }
     }
 }
 

@@ -750,7 +750,14 @@ object PrestoFunctions {
     // set_union composes scalar ops over an explicit AggregateExpression —
     // collect the arrays, flatten, dedup — staying generic over element
     // type, which a typed UDAF could not.
-    fd("set_agg") { a => CollectSet(a.head) },
+    // DISTINCT collect_list, not CollectSet: the reference guarantees
+    // set_agg(x) == array_agg(DISTINCT x) element-for-element (its own
+    // corpus asserts the equality over every orders group) — spelling
+    // both as the SAME distinct aggregate makes Spark evaluate them
+    // identically, where CollectSet's hash-set iteration order would
+    // diverge from the distinct-rewrite's order
+    fd("set_agg") { a =>
+      CollectList(a.head).toAggregateExpression(isDistinct = true) },
     // reduce_agg(x, s0, inputFn, combineFn) (reference: presto-main/.../
     // operator/aggregation/ReduceAggregationFunction.java): the registry
     // entry is a scalar-shaped HOF placeholder (ResolveFunctions rejects
@@ -760,7 +767,16 @@ object PrestoFunctions {
     // aggregation through the user's combine lambda.
     fd("reduce_agg") { a => ReduceAggCall(a(0), a(1), a(2), a(3)) },
     fd("set_union") { a =>
-      ArrayDistinct(Flatten(CollectList(a.head).toAggregateExpression()))
+      // empty input (no non-null rows) is NULL like the reference's
+      // default agg state, not [] — collect_list alone can't tell "no
+      // rows" from "rows of empty arrays". The NullType branch coerces
+      // to the array type during analysis.
+      CaseWhen(
+        Seq((EqualTo(
+          Count(Seq(a.head)).toAggregateExpression(), Literal(0L)),
+          Literal.create(null, org.apache.spark.sql.types.NullType))),
+        Some(ArrayDistinct(Flatten(
+          CollectList(a.head).toAggregateExpression()))))
     },
     fd("checksum") { a => graft.functions.ChecksumAgg(a.head) },
     fd("entropy") { a => graft.functions.EntropyAgg(a.head) },
