@@ -161,23 +161,33 @@ object ScaleStress {
 
   /** IVF geometry as a continuous function of corpus size: lists = ⌈√n⌉
     * (the classic IVF-Flat balance point — per-list size and list count
-    * both grow as √n) and nprobe = max(8, ⌈lists/8⌉), i.e. a fixed
-    * ~12.5% probed-list fraction. At the fixture scales: 2 000 rows →
-    * (45, 8); 20 000 → (142, 18); 200 000 → (448, 56).
+    * both grow as √n) and nprobe from a probed-list fraction that
+    * ASYMPTOTES to 1/8 but rises at small list counts:
     *
-    * Why a fixed fraction and not a fixed nprobe: the fixture embeddings
-    * are near-UNIFORM on the sphere — ANN's information-theoretic worst
+    *   nprobe = max(8, ⌈lists/8 + max(0, (512−lists)/512) · lists/16⌉)
+    *
+    * Why a fraction and not a fixed nprobe: the fixture embeddings are
+    * near-UNIFORM on the sphere — ANN's information-theoretic worst
     * case, where recall at a fixed probe COUNT decays as lists grow
     * (measured at 20 000 rows / 142 lists: recall@5 0.44 at nprobe 9,
-    * 0.57 at 16, 0.66 at 24). Holding the FRACTION keeps recall ~0.6 at
-    * every scale point while still cutting the scanned share 4× vs the
-    * 1× corpus entry (v04's 16 lists / 8 probes = 52% scanned → 12.5%).
-    * Real clustered corpora sit far from this worst case and hold
-    * higher recall at smaller fractions; the fraction is the knob a
-    * 100-TB deployment tunes against ITS data's clusteredness. */
+    * 0.57 at 16, 0.66 at 24). Why the small-count boost (round 16,
+    * r15 verdict #6): at the pure 1/8 fraction the 10× stress point
+    * read recall@5 0.58 against the 0.5 property floor — one bad
+    * fixture from red — exactly at the scale a first user tests, while
+    * 40×/100× read 0.69/0.81 (recall at a FIXED fraction rises with n
+    * as lists separate). The boost lifts the 10× point to the ~0.17
+    * fraction the measured ladder puts at recall ≈ 0.66, decays
+    * linearly, and is extinct past 512 lists — the 100-TB asymptote
+    * stays 1/8, scanned share ≤ ~0.2 at every scale. At the fixture
+    * scales: 2 000 rows → (45, 9); 20 000 → (142, 25); 80 000 →
+    * (283, 44); 200 000 → (448, 60). Real clustered corpora sit far
+    * from this worst case and hold higher recall at smaller fractions;
+    * the fraction is the knob a 100-TB deployment tunes against ITS
+    * data's clusteredness. */
   def ivfGeometryFor(rows: Long): (Int, Int) = {
     val lists = math.max(16, math.ceil(math.sqrt(rows.toDouble)).toInt)
-    val nprobe = math.max(8, math.ceil(lists / 8.0).toInt)
+    val smallBoost = math.max(0.0, (512.0 - lists) / 512.0) * lists / 16.0
+    val nprobe = math.max(8, math.ceil(lists / 8.0 + smallBoost).toInt)
     (lists, math.min(nprobe, lists))
   }
 

@@ -69,13 +69,25 @@ class ScaleStressSpec extends QueryAssertions {
   }
 
   test("ivfGeometryFor: sqrt(n) lists, bounded nprobe, monotone") {
-    assert(ScaleStress.ivfGeometryFor(2000) == (45, 8))
-    assert(ScaleStress.ivfGeometryFor(20000) == (142, 18))
-    assert(ScaleStress.ivfGeometryFor(200000) == (448, 56))
+    // nprobe carries the round-16 small-count boost (r15 verdict #6):
+    // the probed fraction is ~0.18 at 142 lists, decays linearly, and
+    // is extinct past 512 lists where the 1/8 asymptote rules
+    assert(ScaleStress.ivfGeometryFor(2000) == (45, 9))
+    assert(ScaleStress.ivfGeometryFor(20000) == (142, 25))
+    assert(ScaleStress.ivfGeometryFor(200000) == (448, 60))
+    // past the boost horizon the fraction is pure 1/8
+    val (bigLists, bigProbe) = ScaleStress.ivfGeometryFor(1000000)
+    assert(bigLists == 1000 && bigProbe == 125)
     val pts = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
       .map(ScaleStress.ivfGeometryFor)
     assert(pts.map(_._1) == pts.map(_._1).sorted, "lists must be monotone")
-    pts.foreach { case (l, p) => assert(p <= l) }
+    pts.foreach { case (l, p) =>
+      assert(p <= l)
+      // the fraction cap applies where the rule (not the nprobe=8
+      // floor, which dominates tiny corpora) decides
+      if (p > 8)
+        assert(p.toDouble / l <= 0.21, s"probed fraction $p/$l above the cap")
+    }
   }
 
   test("IVF bounded-sample training: deterministic, actually engages, " +
