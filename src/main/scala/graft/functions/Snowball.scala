@@ -10,11 +10,11 @@ package graft.functions
   *
   * Implemented languages: en, fr, es, pt, it, de (the German2 variant the
   * reference maps 'de' to — ae/oe/ue recognized as umlaut spellings),
-  * and the second tier da, fi, nl, no, ru, sv (round 15). The
-  * reference's remaining eight languages (ca, eu, hu, hy, ir, lt, ro,
-  * tr) raise loudly (README divergence matrix) rather than stem wrongly;
-  * an UNKNOWN code raises the reference's own "Unknown stemmer language"
-  * error.
+  * the second tier da, fi, nl, no, ru, sv (round 15), and ro (round
+  * 16). The reference's remaining seven languages (ca, eu, hu, hy, ir,
+  * lt, tr) raise loudly (README divergence matrix carries the written
+  * adjudication) rather than stem wrongly; an UNKNOWN code raises the
+  * reference's own "Unknown stemmer language" error.
   *
   * Shared conventions: R1 = region after the first non-vowel following a
   * vowel; R2 = R1's R1; RV is per-language. Suffix checks are "in Rx"
@@ -80,10 +80,12 @@ object Snowball {
       case "nl" => Dutch.stem(word)
       case "ru" => Russian.stem(word)
       case "fi" => Finnish.stem(word)
+      case "ro" => Romanian.stem(word)
       case l if referenceLanguages(l) =>
         throw new UnsupportedOperationException(
           s"word_stem language '$l' is not implemented in this engine " +
-            "(implemented: da, de, en, es, fi, fr, it, nl, no, pt, ru, sv)")
+            "(implemented: da, de, en, es, fi, fr, it, nl, no, pt, ro, " +
+            "ru, sv)")
       case l =>
         // reference error text (WordStemFunction.java:98)
         throw new IllegalArgumentException(s"Unknown stemmer language: $l")
@@ -1638,6 +1640,204 @@ object Snowball {
       if (k >= 1 && !isV(w(k)) && w(k) == w(k - 1))
         w = w.substring(0, k) + w.substring(k + 1)
       w
+    }
+  }
+
+  // ==================================================================
+  // Romanian — snowballstem.org/algorithms/romanian/stemmer.html
+  // (pre-2.0 Snowball: the reference bundles Lucene 7.2.1's
+  // org.tartarus RomanianStemmer, generated before Snowball 2.0 added
+  // comma-below normalization — the recognized letters are the CEDILLA
+  // forms ş U+015F / ţ U+0163; the modern comma-below ș U+0219 /
+  // ț U+021B pass through unrecognized, exactly as in the reference.
+  // README's divergence matrix records this spelling sensitivity.)
+  // ==================================================================
+  object Romanian {
+    private val vowels = "aeiouăâî"
+    private def isV(c: Char): Boolean = vowels.indexOf(c) >= 0
+
+    /** RV as in the other Romance stemmers: second letter a consonant →
+      * after the next vowel; first two letters vowels → after the next
+      * consonant; consonant-vowel start → after the third letter; end
+      * of the word when absent. */
+    private def rvOf(w: String): Int = {
+      val n = w.length
+      if (n < 3) return n
+      if (!isV(w(1))) {
+        var i = 2; while (i < n && !isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else if (isV(w(0)) && isV(w(1))) {
+        var i = 2; while (i < n && isV(w(i))) i += 1
+        if (i < n) i + 1 else n
+      } else 3
+    }
+
+    // step 0 (removal of plurals / articles), longest suffix in R1.
+    // Actions keyed per suffix below; 'ile' carries the not-after-'ab'
+    // guard that preserves 'abile' for the step-2 R2 deletion.
+    private val step0Sorted = Seq(
+      "iilor", "aţia", "aţie", "atei", "elor", "iile", "ilor", "ului",
+      "aua", "ele", "iei", "ile", "iua", "ea", "ii", "ul")
+      .sortBy(-_.length)
+
+    // step 1 (combining suffixes), longest suffix in R1, REPEATED until
+    // no replacement; each replacement also arms the removed flag that
+    // suppresses the verb step.
+    private val comboRepl: Seq[(String, String)] = (
+      Seq("abilitate", "abilitati", "abilităi", "abilităţi")
+        .map(_ -> "abil") ++
+      Seq("ibilitate").map(_ -> "ibil") ++
+      Seq("ivitate", "ivitati", "ivităi", "ivităţi").map(_ -> "iv") ++
+      Seq("icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+        "iciv", "iciva", "icive", "icivi", "icivă",
+        "ical", "icala", "icale", "icali", "icală").map(_ -> "ic") ++
+      Seq("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+        "atoare", "ator", "atori",
+        "ătoare", "ător", "ători").map(_ -> "at") ++
+      Seq("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+        "itoare", "itor", "itori").map(_ -> "it")
+    ).sortBy(-_._1.length)
+
+    // step 2 (standard suffixes), longest suffix in R2
+    private val stdDelete = Seq(
+      "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+      "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+      "abil", "abila", "abile", "abili", "abilă",
+      "ibil", "ibila", "ibile", "ibili", "ibilă",
+      "oasa", "oasă", "oase", "os", "osi", "oşi",
+      "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+      "itate", "itati", "ităi", "ităţi",
+      "iv", "iva", "ive", "ivi", "ivă")
+    private val stdIst =
+      Set("ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti")
+    private val stdSorted =
+      (stdDelete ++ stdIst ++ Seq("iune", "iuni")).sortBy(-_.length)
+
+    // step 3 (verb suffixes) in RV, `setlimit tomark pV` semantics: a
+    // suffix reaching past RV cannot match, so shorter entries still
+    // try (firstFitIn). true = delete only when the preceding char is
+    // ALSO inside RV and is a non-vowel or 'u'; false = plain delete.
+    private val verbCond = Seq(
+      "aserăţi", "iserăţi", "userăţi", "âserăţi",
+      "aserăm", "iserăm", "userăm", "âserăm",
+      "aseră", "iseră", "useră", "âseră",
+      "aseşi", "iseşi", "useşi", "âseşi",
+      "asem", "isem", "usem", "âsem",
+      "ează", "ească", "eşte", "ăşte", "eşti", "ăşti",
+      "ase", "ise", "use", "âse",
+      "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându",
+      "eze", "eam", "iam", "eai", "iai", "eau", "iau",
+      "esc", "ăsc", "ez", "ezi", "ea", "ia")
+    private val verbPlain = Seq(
+      "seserăţi", "seserăm", "seseră", "seseşi", "sesem",
+      "serăţi", "serăm", "seră", "seşi", "sese", "sei", "se",
+      "arăţi", "urăţi", "irăţi", "ârăţi",
+      "arăm", "urăm", "irăm", "ârăm",
+      "ară", "ură", "iră", "âră",
+      "aţi", "eţi", "iţi", "âţi",
+      "aşi", "işi", "uşi", "âşi",
+      "am", "au", "em", "im", "âm", "ăm",
+      "ai", "ui", "âi")
+    private val verbSorted: Seq[(String, Boolean)] =
+      (verbCond.map(_ -> true) ++ verbPlain.map(_ -> false))
+        .sortBy(-_._1.length)
+
+    // step 4 (residual vowel), longest suffix in RV — 'ie' beats the
+    // bare 'e' and there is NO fallback when its RV fit fails
+    private val vowelSorted = Seq("ie", "a", "e", "i", "ă").sortBy(-_.length)
+
+    def stem(word0: String): String = {
+      // prelude: u and i BETWEEN VOWELS are marked U/I (consonants for
+      // every later test); scanning left to right, an already-marked
+      // letter no longer counts as a vowel for the next position
+      val sb = new StringBuilder(word0)
+      var j = 1
+      while (j < sb.length - 1) {
+        if (isV(sb(j - 1)) && isV(sb(j + 1))) {
+          if (sb(j) == 'u') sb(j) = 'U'
+          else if (sb(j) == 'i') sb(j) = 'I'
+        }
+        j += 1
+      }
+      var w = sb.toString
+
+      val rv = rvOf(w)
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+
+      // step 0
+      longestSuffix(w, step0Sorted) match {
+        case Some(suf) if w.length - suf.length >= r1 =>
+          suf match {
+            case "ul" | "ului" => w = w.dropRight(suf.length)
+            case "aua" => w = w.dropRight(3) + "a"
+            case "ea" | "ele" | "elor" => w = w.dropRight(suf.length) + "e"
+            case "ile" =>
+              if (!w.dropRight(3).endsWith("ab")) w = w.dropRight(3) + "i"
+            case "atei" => w = w.dropRight(4) + "at"
+            case "aţia" | "aţie" => w = w.dropRight(4) + "aţi"
+            case _ => // ii iua iei iile ilor iilor
+              w = w.dropRight(suf.length) + "i"
+          }
+        case _ =>
+      }
+
+      // steps 1 + 2; either one arms the flag that suppresses step 3
+      var removed = false
+      var again = true
+      while (again) {
+        again = false
+        comboRepl.find { case (s, _) => w.endsWith(s) } match {
+          case Some((s, r)) if w.length - s.length >= r1 =>
+            w = w.dropRight(s.length) + r
+            removed = true
+            again = true
+          case _ =>
+        }
+      }
+      longestSuffix(w, stdSorted) match {
+        case Some(suf) if w.length - suf.length >= r2 =>
+          if (stdIst.contains(suf)) {
+            w = w.dropRight(suf.length) + "ist"
+            removed = true
+          } else if (suf == "iune" || suf == "iuni") {
+            // delete only when preceded by ţ, which becomes t
+            if (w.length > suf.length &&
+                w(w.length - suf.length - 1) == 'ţ') {
+              w = w.dropRight(suf.length + 1) + "t"
+              removed = true
+            }
+          } else {
+            w = w.dropRight(suf.length)
+            removed = true
+          }
+        case _ =>
+      }
+
+      // step 3
+      if (!removed) {
+        verbSorted.find { case (s, _) =>
+          w.endsWith(s) && w.length - s.length >= rv
+        } match {
+          case Some((s, cond)) =>
+            val start = w.length - s.length
+            val ok = !cond || (start - 1 >= rv && {
+              val p = w(start - 1)
+              !isV(p) || p == 'u'
+            })
+            if (ok) w = w.dropRight(s.length)
+          case None =>
+        }
+      }
+
+      // step 4
+      longestSuffix(w, vowelSorted) match {
+        case Some(s) if w.length - s.length >= rv => w = w.dropRight(s.length)
+        case _ =>
+      }
+
+      // postlude
+      w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
     }
   }
 }

@@ -329,6 +329,34 @@ object Catalog {
         .orderBy("lang", "word")
     },
 
+    // Snowball tier 3 (round 16): Romanian, from the published
+    // snowballstem.org description — hand-traces in SnowballTier3Spec
+    // (step-0 articles, repeated combining suffixes, the ţiune→t rule,
+    // the RV verb window, and the pre-2.0 cedilla-only spelling the
+    // reference's bundled org.tartarus port shares). Same oracle policy
+    // as k11/k36: the expected column pins the traced outputs.
+    Qdef(
+      "k37_word_stem_ro",
+      """SELECT * FROM (VALUES
+        |  ('copilului', 'copil'), ('florile', 'flor'),
+        |  ('capabile', 'capabil'), ('durabilitate', 'durabil'),
+        |  ('comunicativitate', 'comunic'), ('contribuţiune', 'contribut'),
+        |  ('acţiunile', 'acţiun'), ('lucrează', 'lucr'),
+        |  ('mergeam', 'merg'), ('cântaţi', 'cânt'),
+        |  ('copiii', 'copii'), ('zise', 'zis')
+        |) AS t(word, stemmed)
+        |ORDER BY word""".stripMargin) { (s, dir) =>
+      graft.Engine.registerFunctions(s)
+      val words = Seq(
+        "copilului", "florile", "capabile", "durabilitate",
+        "comunicativitate", "contribuţiune", "acţiunile", "lucrează",
+        "mergeam", "cântaţi", "copiii", "zise")
+      import s.implicits._
+      words.toDF("word")
+        .select(col("word"), expr("word_stem(word, 'ro')").as("stemmed"))
+        .orderBy("word")
+    },
+
     // url_extract_* / url_encode / url_decode under their reference names
     // (UrlFunctions.java), exercised THROUGH Engine.sql on a URL covering
     // every component; exact literal oracle.
