@@ -555,14 +555,29 @@ object Dialect {
         }) {
           // handled in the guard
         } else if ((lower == "ipaddress" || lower == "ipprefix" ||
-            lower == "json" || lower == "char") && k < q.length && q(k) == '\'') {
+            lower == "char" || lower == "varchar") &&
+            k < q.length && q(k) == '\'') {
           // typed literals for types narrowed to VARCHAR text forms
           // (SqlBase.g4 typeConstructor; SURVEY §1.2 narrowing): the
           // value IS the canonical string, so the constructor drops.
           // CHAR 'x' rides the same narrowing (README CHAR(n) divergence:
-          // unpadded semantics pass more reference rows than eager pads)
+          // unpadded semantics pass more reference rows than eager pads),
+          // and VARCHAR 'x' is Presto's plain varchar literal spelling
+          // (AbstractTestQueries testCoercions) — Spark has no STRING
+          // typed-literal form, so only the literal survives
           val end = literalEnd(q, k)
           out.append(preserveBackslashes(q.substring(k, end)))
+          i = end
+        } else if (lower == "json" && k < q.length && q(k) == '\'') {
+          // JSON 'txt' VALIDATES and canonicalizes at runtime in the
+          // reference (the literal is json_parse applied to the text —
+          // JsonOperators; TRY(JSON 'INVALID') is NULL because the parse
+          // failure is a runtime error). Outside the recognized CAST
+          // positions (rewriteJsonCast consumes the literal directly),
+          // lower to json_parse so invalid text raises — and TRY catches
+          val end = literalEnd(q, k)
+          out.append("json_parse(")
+            .append(preserveBackslashes(q.substring(k, end))).append(')')
           i = end
         } else if ((lower == "ipaddress" || lower == "ipprefix") &&
             (k >= q.length || q(k) != '(') && lastWordIs(out, "as")) {
@@ -702,6 +717,44 @@ object Dialect {
           val (args, after) = parseParenArgs(q, k).get
           out.append(args.map(rewrite).mkString("grouping_id(", ", ", ")"))
           i = after
+        } else if ((lower == "distinct" || lower == "all") &&
+            lastWordIs(out, "by") && {
+          // GROUP BY [ALL|DISTINCT] GROUPING SETS (…) — Presto's set
+          // quantifier on the grouping-element list (SqlBase.g4 groupBy;
+          // AbstractTestAggregations testGroupingSetsRepeatedSetsDistinct):
+          // ALL (the default) keeps duplicate sets, DISTINCT dedupes
+          // them. Spark parses neither quantifier, so ALL drops and
+          // DISTINCT dedupes textually (case/space-insensitive). Scoped
+          // to the GROUPING SETS form — a bare `GROUP BY ALL` is Spark's
+          // own all-non-aggregated-columns shorthand and stays verbatim.
+          val (w1, j1) = wordAt(q, k)
+          w1.equalsIgnoreCase("grouping") && {
+            val k1 = nextNonSpace(q, j1)
+            val (w2, j2) = wordAt(q, k1)
+            w2.equalsIgnoreCase("sets") && {
+              val k2 = nextNonSpace(q, j2)
+              k2 < q.length && q(k2) == '(' &&
+                parseParenArgs(q, k2).exists { case (sets, after) =>
+                  val kept =
+                    if (lower == "all") sets
+                    else {
+                      val seen =
+                        collection.mutable.LinkedHashMap[String, String]()
+                      sets.foreach { s =>
+                        val key = s.toLowerCase.filterNot(_.isWhitespace)
+                        if (!seen.contains(key)) seen(key) = s
+                      }
+                      seen.values.toSeq
+                    }
+                  out.append(
+                    kept.map(rewrite).mkString("GROUPING SETS (", ", ", ")"))
+                  i = after
+                  true
+                }
+            }
+          }
+        }) {
+          // handled in the guard
         } else if (lower == "regexp_replace" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists(_._1.lengthCompare(2) == 0)) {
           // 2-arg regexp_replace(s, p) removes matches (reference:
@@ -804,7 +857,7 @@ object Dialect {
           else { out.append(word); i = j }
         } else if ((lower == "cast" || lower == "try_cast") &&
             k < q.length && q(k) == '(') {
-          rewriteJsonCast(q, k) match {
+          rewriteJsonCast(q, k, isTry = lower == "try_cast") match {
             case Some((repl, after)) => out.append(repl); i = after
             case None                => out.append(word); i = j
           }
@@ -1234,7 +1287,8 @@ object Dialect {
     *
     * Returns the replacement text and the index past the CAST call, or
     * None for every cast this rewrite does not own. */
-  private def rewriteJsonCast(q: String, open: Int): Option[(String, Int)] = {
+  private def rewriteJsonCast(
+      q: String, open: Int, isTry: Boolean = false): Option[(String, Int)] = {
     val (args, after) = parseParenArgs(q, open).getOrElse(return None)
     // CAST has one logical argument, but the generic comma split doesn't
     // know angle-bracket type nesting (MAP<BIGINT, BIGINT> — '<' is also
@@ -1262,6 +1316,17 @@ object Dialect {
     val tpe = argText.substring(asAt + 2).trim
     if (tpe.equalsIgnoreCase("json"))
       return Some((s"graft_to_json(${rewrite(expr)})", after))
+    // VARCHAR(n): the length is semantic in the reference (truncation
+    // for varchar sources, raise-if-too-long for the rest) while Spark
+    // erases it at parse time — carry n through the facade marker
+    // (plans/PrestoConformance.scala VarcharLengthCastRewrite)
+    val varcharN = "(?is)^varchar\\s*\\(\\s*(\\d+)\\s*\\)$".r
+    tpe match {
+      case varcharN(n) =>
+        return Some(
+          (s"graft_varchar_n(${rewrite(expr)}, $n, $isTry)", after))
+      case _ =>
+    }
     val ddl = prestoTypeToDdl(tpe).getOrElse(return None)
     if (!tpe.takeWhile(_.isLetter).toLowerCase.matches("array|map|row"))
       return None

@@ -11,6 +11,27 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Presto-conformant string renderings/matches for the SQL facade —
   * the expression halves of the plans/PrestoConformance rewrites. */
 
+/** Type adapter for aggregates over a pure-NULL (UNKNOWN-typed) input
+  * column: the reference coerces unknown → array(unknown) where the
+  * composed set_union lowering needs an array operand
+  * (SetUnionFunction.java via testSetUnion's `values null,null,null`).
+  * Identity on every already-array input; a NullType child re-types as
+  * array<void> (its only value is NULL either way). */
+case class NullTypeAsArray(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, NullType}
+  override def dataType: DataType = child.dataType match {
+    case NullType => ArrayType(NullType)
+    case dt => dt
+  }
+  override def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "graft_null_as_array"
+}
+
 /** CAST(double|real AS VARCHAR) in the reference renders SCIENTIFIC
   * notation — `1.5` → `1.5E0`, `0.1` → `1.0E-1`, signed zeros as
   * `0E0`/`-0E0`, and bare `Infinity`/`-Infinity`/`NaN` — via a

@@ -127,6 +127,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => IntegerDivisionRewrite)
     ext.injectResolutionRule(_ => FloatCastRoundingRewrite)
     ext.injectResolutionRule(_ => DoubleToVarcharRewrite)
+    ext.injectResolutionRule(_ => VarcharLengthCastRewrite)
+    ext.injectResolutionRule(_ => RealDecimalComparisonRewrite)
     ext.injectResolutionRule(_ => RaisingMapSubscriptRewrite)
     ext.injectResolutionRule(_ => RowSubscriptRewrite)
     ext.injectResolutionRule(_ => PlainGroupByGroupingRewrite)

@@ -229,21 +229,32 @@ object IntegerDivisionRewrite extends Rule[LogicalPlan] {
     }
 }
 
-/** Presto CAST(float AS integral) ROUNDS half-up-away-from-zero
+/** Presto CAST(float|decimal AS integral) ROUNDS half-up-away-from-zero
   * (DoubleOperators.java:199-243 — `MathFunctions.round(value)` /
   * `DoubleMath.roundToLong(value, HALF_UP)`; TestDoubleOperators pins
-  * cast(37.7E0 as bigint) = 38 and cast(-37.7E0 as bigint) = -38),
+  * cast(37.7E0 as bigint) = 38 and cast(-37.7E0 as bigint) = -38;
+  * DecimalCasts.java:217-223 shortDecimalToBigint adds tenToScale/2
+  * before the division — the same rounding for decimal sources),
   * while Spark's cast truncates toward zero. Spark's own `round(x)` is
-  * the same HALF_UP-away-from-zero, so the lowering is
-  * Cast(Round(x, 0), target) — the outer ANSI cast's range check then
-  * raises out-of-range exactly like the reference's checkedCast.
+  * the same HALF_UP-away-from-zero (for decimals too), so the lowering
+  * is Cast(Round(x, 0), target) — the outer ANSI cast's range check
+  * then raises out-of-range exactly like the reference's checkedCast.
   * Scoped to [[graft.Engine.sql]] like integer division: DataFrame
   * `.cast` keeps Spark's truncation. */
 object FloatCastRoundingRewrite extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+  import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
   private val integral = Seq[org.apache.spark.sql.types.DataType](
     ByteType, ShortType, IntegerType, LongType)
+
+  private def rounds(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case DoubleType | FloatType => true
+      // a scale-0 decimal is already integral — rewriting it would
+      // churn the plan for nothing
+      case d: DecimalType => d.scale > 0
+      case _ => false
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!graft.Engine.prestoDialectActive) plan
@@ -254,12 +265,17 @@ object FloatCastRoundingRewrite extends Rule[LogicalPlan] {
       // user-written round(x) inside the cast is already the semantics)
       case c: Cast
           if c.child.resolved && integral.contains(c.dataType) &&
-            (c.child.dataType == DoubleType || c.child.dataType == FloatType) &&
-            !c.child.isInstanceOf[Round] =>
+            rounds(c.child.dataType) && !c.child.isInstanceOf[Round] =>
         // copy, not rebuild: the original cast's evalMode must survive —
         // a TRY_CAST (EvalMode.TRY) has the reference's TryCastFunction
         // null-on-error contract, and rebuilding as Cast(...) would
         // default to ANSI and raise on overflow/NaN instead
-        c.copy(child = Round(Cast(c.child, DoubleType), Literal(0)))
+        //
+        // decimal sources keep their type under Round (Spark's decimal
+        // round is HALF_UP); float sources go through double as before
+        if (c.child.dataType.isInstanceOf[DecimalType])
+          c.copy(child = Round(c.child, Literal(0)))
+        else
+          c.copy(child = Round(Cast(c.child, DoubleType), Literal(0)))
     }
 }

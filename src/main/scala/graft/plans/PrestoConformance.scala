@@ -113,6 +113,100 @@ object RaisingMapSubscriptRewrite extends Rule[LogicalPlan] {
     }
 }
 
+/** The reference's common super type of REAL and DECIMAL is REAL
+  * (type/TypeCoercer.java:236-239), so `real = decimal` compares at
+  * FLOAT precision — CAST(1.2 AS REAL) = CAST(1.2 AS DECIMAL(2,1)) is
+  * TRUE because both narrow to the same float
+  * (AbstractTestJoinQueries testJoinWithConstantTrueExpressionWith
+  * Coercion). Spark instead widens both sides to DOUBLE, where the
+  * float's representation error surfaces (1.2f as double ≠ 1.2) and
+  * the comparison is FALSE. Rewrites the coercion-inserted double
+  * casts back to a float-typed comparison; user-written casts are
+  * untouched. Fixpoint: the output carries no coercion double casts. */
+object RealDecimalComparisonRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.DecimalType
+
+  private def coerced(e: Expression): Option[Expression] = e match {
+    case c: Cast if c.dataType == DoubleType &&
+        c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => Some(c.child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveExpressions {
+      case cmp: BinaryComparison
+          if cmp.left.resolved && cmp.right.resolved =>
+        (coerced(cmp.left), coerced(cmp.right)) match {
+          case (Some(l), Some(r))
+              if l.dataType == FloatType &&
+                r.dataType.isInstanceOf[DecimalType] =>
+            cmp.withNewChildren(Seq(l, Cast(r, FloatType)))
+          case (Some(l), Some(r))
+              if l.dataType.isInstanceOf[DecimalType] &&
+                r.dataType == FloatType =>
+            cmp.withNewChildren(Seq(Cast(l, FloatType), r))
+          case _ => cmp
+        }
+    }
+}
+
+/** Resolution marker for Presto's length-carrying varchar cast: Spark
+  * erases VARCHAR(n) to STRING at parse time
+  * (spark.sql.preserveCharVarcharTypeInfo default), so the facade's
+  * text pass captures n and emits this marker, which
+  * [[VarcharLengthCastRewrite]] lowers once the child's type is
+  * known. */
+case class VarcharNMarker(
+    child: Expression, n: Int, nullOnError: Boolean)
+    extends UnaryExpression with Unevaluable {
+  override def dataType: org.apache.spark.sql.types.DataType = StringType
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "graft_varchar_n"
+}
+
+/** Presto CAST(x AS VARCHAR(n)) — the length is SEMANTIC:
+  *   - a varchar source TRUNCATES to the first n code points
+  *     (CharacterStringCasts.java:50 truncateToLength; AbstractTest
+  *     Queries testNestedCast pins cast('9898.122' as varchar(3)) =
+  *     '989'),
+  *   - every other source renders first, then RAISES when the rendered
+  *     string exceeds n ("Value %s cannot be represented as
+  *     varchar(%s)", BigintOperators.java:283 et al; TRY_CAST nulls
+  *     instead).
+  * Spark erases the length entirely, so the facade's marker carries n
+  * here; float-rooted sources render through the reference's
+  * scientific notation like every other cast-to-varchar. */
+object VarcharLengthCastRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!graft.Engine.prestoDialectActive) plan
+    else plan.resolveExpressions {
+      case m: VarcharNMarker if m.child.resolved =>
+        m.child.dataType match {
+          case _: StringType =>
+            Substring(m.child, Literal(1), Literal(m.n))
+          case dt =>
+            def rendered = dt match {
+              case DoubleType | FloatType =>
+                graft.functions.PrestoDoubleString(m.child)
+              case _ => Cast(m.child, StringType)
+            }
+            // NULL passes through (RETURN_NULL_ON_NULL) — without the
+            // guard the three-valued length test would fall into the
+            // raise branch with a NULL message
+            If(IsNull(m.child), Literal(null, StringType),
+              If(LessThanOrEqual(Length(rendered), Literal(m.n)),
+                rendered,
+                if (m.nullOnError) Literal(null, StringType)
+                else Cast(RaiseError(Concat(Seq(
+                  Literal("Value "), rendered,
+                  Literal(s" cannot be represented as varchar(${m.n})")))),
+                  StringType)))
+        }
+    }
+}
+
 /** The reference's ROW subscript — `row_expr[i]` with a constant
   * 1-based ordinal (planner/DesugarRowSubscript.java lowers it to field
   * access at analysis time) — has no Spark spelling: the facade's text

@@ -317,6 +317,18 @@ object PrestoFunctions {
 
   val all: Seq[FD] = Seq(
     fd("try") { args => TryEval(args.head) },
+    // facade-internal: length-carrying varchar cast (the Dialect emits
+    // graft_varchar_n(e, n, isTry) for CAST(e AS VARCHAR(n)) since
+    // Spark erases the length; VarcharLengthCastRewrite lowers it)
+    fd("graft_varchar_n") { a =>
+      def lit(e: Expression): Any = e match {
+        case Literal(v, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_varchar_n expects literal n/try flags, got $other")
+      }
+      VarcharNMarker(a(0), lit(a(1)).toString.toInt,
+        lit(a(2)).toString.toBoolean)
+    },
     fd("bitwise_and") { a => BitwiseAnd(long(a(0)), long(a(1))) },
     fd("bitwise_or") { a => BitwiseOr(long(a(0)), long(a(1))) },
     fd("bitwise_xor") { a => BitwiseXor(long(a(0)), long(a(1))) },
@@ -767,16 +779,20 @@ object PrestoFunctions {
     // aggregation through the user's combine lambda.
     fd("reduce_agg") { a => ReduceAggCall(a(0), a(1), a(2), a(3)) },
     fd("set_union") { a =>
-      // empty input (no non-null rows) is NULL like the reference's
-      // default agg state, not [] — collect_list alone can't tell "no
-      // rows" from "rows of empty arrays". The NullType branch coerces
-      // to the array type during analysis.
+      // ZERO ROWS is NULL like the reference's default agg state; rows
+      // that are all SQL NULL give [] (AbstractTestQueries testSetUnion
+      // pins both: `values null,null,null` → array[], `… where x !=
+      // null` → null) — so the gate is count(*), and collect_list's
+      // null-skipping provides the empty union. NullTypeAsArray lets a
+      // pure-NULL input column (type UNKNOWN) resolve as array<void>,
+      // like the reference's unknown→array(unknown) coercion.
       CaseWhen(
         Seq((EqualTo(
-          Count(Seq(a.head)).toAggregateExpression(), Literal(0L)),
+          Count(Seq(Literal(1))).toAggregateExpression(), Literal(0L)),
           Literal.create(null, org.apache.spark.sql.types.NullType))),
         Some(ArrayDistinct(Flatten(
-          CollectList(a.head).toAggregateExpression()))))
+          CollectList(graft.functions.NullTypeAsArray(a.head))
+            .toAggregateExpression()))))
     },
     fd("checksum") { a => graft.functions.ChecksumAgg(a.head) },
     fd("entropy") { a => graft.functions.EntropyAgg(a.head) },

@@ -183,11 +183,16 @@ class ReferenceQueriesSpec extends AnyFunSuite {
     // full failure detail for adjudication (the test log truncates)
     val dump = new java.io.PrintWriter("/tmp/refq_failures.txt", "UTF-8")
     try failures.foreach(dump.println) finally dump.close()
-    // measured 1008/1066 at the round-16 freeze; the 58-query tail is
-    // the adjudicated families in README's divergence matrix (correlated
-    // subqueries in exotic positions, empty-input grouping sets, oracle
-    // rounding, …). Floor leaves ~1% headroom for re-freeze drift.
-    assert(ok >= 995,
+    // measured 1021/1066 after the round-16 conformance pass (varchar(n)
+    // cast semantics, decimal HALF_UP, real=decimal coercion, DISTINCT
+    // GROUPING SETS, JSON literal validation, VARCHAR typed literals,
+    // set_union over all-NULL input); the 45-query tail is the
+    // adjudicated families in README's divergence matrix (correlated
+    // subqueries in exotic positions ~28, empty-input global grouping
+    // sets 4, projected-IN three-valued NULL 3, DuckDB half-even oracle
+    // rounding 2, reduce_agg distribution seeding 2, the rest singleton
+    // analyzer limits). Floor leaves ~1% headroom for re-freeze drift.
+    assert(ok >= 1010,
       s"pass floor broken: $ok of ${corpus.size}\n${failures.take(30).mkString("\n")}")
   }
 }
