@@ -579,6 +579,14 @@ object Dialect {
           out.append("json_parse(")
             .append(preserveBackslashes(q.substring(k, end))).append(')')
           i = end
+        } else if (lower == "uuid" && k < q.length && q(k) == '\'') {
+          // UUID 'x' validates + canonicalizes to lowercase text at
+          // runtime (UuidOperators castFromVarcharToUuid — the facade
+          // narrows UUID to its canonical string; functions/UuidCanon)
+          val end = literalEnd(q, k)
+          out.append("graft_uuid(")
+            .append(q.substring(k, end)).append(')')
+          i = end
         } else if ((lower == "ipaddress" || lower == "ipprefix") &&
             (k >= q.length || q(k) != '(') && lastWordIs(out, "as")) {
           // bare type token — only in a cast-target position (… AS
@@ -1327,20 +1335,57 @@ object Dialect {
           (s"graft_varchar_n(${rewrite(expr)}, $n, $isTry)", after))
       case _ =>
     }
-    val ddl = prestoTypeToDdl(tpe).getOrElse(return None)
-    if (!tpe.takeWhile(_.isLetter).toLowerCase.matches("array|map|row"))
-      return None
+    // the facade narrows UUID to canonical lowercase text
+    // (functions/UuidCanon — accepts varchar AND the reference's
+    // varbinary storage form)
+    if (tpe.equalsIgnoreCase("uuid"))
+      return Some((s"graft_uuid(${rewrite(expr)})", after))
     val el = expr.toLowerCase
     val jsonLit = "(?is)^json\\s*('.*')$".r.findFirstMatchIn(expr)
     // a source that is itself a cast TO JSON (CAST(x AS JSON) — rewritten
     // to graft_to_json below) is a JSON source like a literal is
     val castToJson =
       "(?is)^(?:try_)?cast\\s*\\(.*\\bas\\s+json\\s*\\)$".r.findFirstIn(expr)
-    val source =
+    val isJsonSource = jsonLit.isDefined || castToJson.isDefined ||
+      el.startsWith("json_parse") || el.startsWith("json_extract")
+    def jsonSourceText: String =
       if (jsonLit.isDefined) preserveBackslashes(jsonLit.get.group(1))
-      else if (el.startsWith("json_parse") || el.startsWith("json_extract") ||
-          castToJson.isDefined)
-        rewrite(expr)
+      else rewrite(expr)
+    // CAST(<json-source> AS <scalar>) applies the reference's JSON
+    // token coercions (JsonOperators; functions/JsonScalarValue) —
+    // `JSON '128.9'` is 129 as BIGINT, `1.289E2` as VARCHAR. DECIMAL
+    // goes through the numeric text + an outer decimal cast (ANSI
+    // rounds HALF_UP on scale narrowing like the reference's rescale).
+    if (isJsonSource) {
+      val scalarKind = tpe.toLowerCase.replaceAll("\\s+", " ") match {
+        case "bigint" => Some("bigint")
+        case "integer" | "int" => Some("integer")
+        case "smallint" => Some("smallint")
+        case "tinyint" => Some("tinyint")
+        case "double" | "double precision" => Some("double")
+        case "real" => Some("real")
+        case "boolean" => Some("boolean")
+        case "varchar" => Some("varchar")
+        case _ => None
+      }
+      val decimalT = "(?i)^decimal\\s*(\\([^)]*\\))?$".r.findFirstIn(tpe)
+      (scalarKind, decimalT) match {
+        case (Some(kind), _) =>
+          val call = s"graft_json_scalar($jsonSourceText, '$kind')"
+          return Some((if (isTry) s"try($call)" else call, after))
+        case (_, Some(_)) =>
+          val ddlDec = prestoTypeToDdl(tpe).getOrElse("decimal(38,0)")
+          val call =
+            s"CAST(graft_json_scalar($jsonSourceText, 'decimal') AS $ddlDec)"
+          return Some((if (isTry) s"try($call)" else call, after))
+        case _ =>
+      }
+    }
+    val ddl = prestoTypeToDdl(tpe).getOrElse(return None)
+    if (!tpe.takeWhile(_.isLetter).toLowerCase.matches("array|map|row"))
+      return None
+    val source =
+      if (isJsonSource) jsonSourceText
       else
         // non-JSON source with a recognized complex target: translate the
         // Presto type spelling to Spark DDL and keep it a plain cast

@@ -26,6 +26,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Hive-style ${var} substitution would rewrite regexp named-group
+      // replacement references (regexp_replace(s, p, '${name}')) out of
+      // the SQL TEXT before parsing — the reference has no such
+      // substitution surface, so turn it off
+      .config("spark.sql.variable.substitute", "false")
       // ObjectHashAggregate (typed Aggregators: vec_sum, sketches) falls
       // back to SORT-based aggregation after this many distinct keys per
       // partition — the 128 default turns a k-group centroid update into

@@ -43,13 +43,20 @@ object ScalarPack {
     // Seq.combinations dedups multisets, so combine indices instead
     else xs.indices.combinations(n).map(_.map(xs)).toSeq
 
-  def arrayNormalize(xs: Seq[Double], p: Double): Seq[Double] =
-    if (xs == null) null
+  // boxed elements: a NULL element makes the whole result NULL
+  // (reference ArrayNormalizeFunction.java returns null on the first
+  // null entry) — an unboxed Seq[Double] signature would instead fail
+  // the encoder's non-null assert before the function ever ran
+  def arrayNormalize(
+      xs: Seq[java.lang.Double], p: Double): Seq[java.lang.Double] =
+    if (xs == null || xs.contains(null)) null
     else if (p < 0) throw new IllegalArgumentException("p must be >= 0")
     else if (p == 0) xs
     else {
-      val norm = math.pow(xs.map(x => math.pow(math.abs(x), p)).sum, 1 / p)
-      if (norm == 0) xs else xs.map(_ / norm)
+      val norm =
+        math.pow(xs.map(x => math.pow(math.abs(x.doubleValue), p)).sum, 1 / p)
+      if (norm == 0) xs
+      else xs.map(x => java.lang.Double.valueOf(x.doubleValue / norm))
     }
 
   /** Sparse cosine over map term-vectors: only shared keys contribute to
@@ -105,7 +112,7 @@ object ScalarPack {
     spark.udf.register("combinations",
       (xs: Seq[String], n: Int) => combinations(xs, n))
     spark.udf.register("array_normalize",
-      (xs: Seq[Double], p: Double) => arrayNormalize(xs, p))
+      (xs: Seq[java.lang.Double], p: Double) => arrayNormalize(xs, p))
     spark.udf.register("cosine_similarity",
       (a: Map[String, Double], b: Map[String, Double]) => cosineSimilarity(a, b))
     // map_normalize (reference: scalar/MapNormalizeFunction.java): values
@@ -281,11 +288,15 @@ object ScalarPack {
             }
           }
         }.orNull)
+    // the reference canonicalizes through SORTED_MAPPER — object keys
+    // sort recursively (JsonFunctions.java:147; JsonUtil.java:104 "ordered
+    // by key is required in Presto"), making JSON '{"a":1,"b":2}' =
+    // JSON '{"b":2,"a":1}' true as plain text equality
     spark.udf.register("json_parse",
       (s: String) =>
         if (s == null) null
-        else jsonTree(s).getOrElse(
-          throw new IllegalArgumentException(s"Cannot convert to JSON: '$s'"))
+        else sortKeys(jsonTree(s).getOrElse(
+          throw new IllegalArgumentException(s"Cannot convert to JSON: '$s'")))
           .toString)
     // json_format renders the CANONICAL form (the reference formats the
     // parsed JSON value, never the source spelling — TestJsonFunctions
@@ -304,6 +315,26 @@ object ScalarPack {
       s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
     try Option(jsonMapper.readTree(s))
     catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+
+  /** Rebuild a tree with object keys sorted recursively (Java string
+    * order, matching the reference's ORDER_MAP_ENTRIES_BY_KEYS mapper). */
+  private def sortKeys(
+      n: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode =
+    n match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val out = jsonMapper.createObjectNode()
+        val names = new java.util.ArrayList[String]()
+        o.fieldNames().forEachRemaining(k => names.add(k))
+        names.sort(java.util.Comparator.naturalOrder[String]())
+        names.forEach(k => out.set[com.fasterxml.jackson.databind.JsonNode](
+          k, sortKeys(o.get(k))))
+        out
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val out = jsonMapper.createArrayNode()
+        a.forEach(el => out.add(sortKeys(el)))
+        out
+      case other => other
+    }
 
   /** Element rendered as JSON text: containers/strings via toString
     * (strings keep quotes — the reference returns JSON type), scalars

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, CollectList, CollectSet, Count, Kurtosis, Skewness}
-import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, ShortType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, IntegerType, LongType, NullType, ShortType, StringType, TimestampType}
 
 /** Presto functions Spark lacks, injected as NATIVE Catalyst expression
   * builders (stay inside whole-stage codegen — no UDF boundary):
@@ -303,16 +303,16 @@ object PrestoFunctions {
     Divide(Add(center, off), Add(Literal(1.0), Divide(zz, n)))
   }
 
-  /** sign(x) * floor(|x| * 10^n) / 10^n — truncation toward zero. */
+  /** Truncation toward zero: sign(x) * floor(|x|) for the 1-arg form;
+    * the 2-arg precision form is the reference's BigDecimal rescale
+    * (functions/TruncatePrecision.scala — the old pow(10, n) algebra
+    * over/underflowed at large |n|). */
   private def truncateExpr(x: Expression, n: Option[Expression]): Expression =
     n match {
       case None =>
         Multiply(Signum(dbl(x)), Cast(Floor(Abs(dbl(x))), DoubleType))
       case Some(nn) =>
-        val p = Pow(Literal(10.0), dbl(nn))
-        Multiply(
-          Signum(dbl(x)),
-          Divide(Cast(Floor(Multiply(Abs(dbl(x)), p)), DoubleType), p))
+        graft.functions.TruncatePrecision(dbl(x), Cast(nn, LongType))
     }
 
   val all: Seq[FD] = Seq(
@@ -329,6 +329,17 @@ object PrestoFunctions {
       VarcharNMarker(a(0), lit(a(1)).toString.toInt,
         lit(a(2)).toString.toBoolean)
     },
+    // facade-internal: CAST(json AS <scalar>) token coercions (Dialect
+    // emits graft_json_scalar(text, 'kind'); functions/JsonScalarValue)
+    fd("graft_json_scalar") {
+      case Seq(e, Literal(kind, StringType)) =>
+        graft.functions.JsonScalarValue(e, kind.toString)
+      case other => throw new IllegalArgumentException(
+        s"graft_json_scalar expects (expr, literal kind), got $other")
+    },
+    // facade-internal: UUID literal/cast canonicalizer (Dialect emits
+    // graft_uuid(expr) for UUID 'x' and CAST(x AS UUID))
+    fd("graft_uuid") { a => graft.functions.UuidCanon(a.head) },
     fd("bitwise_and") { a => BitwiseAnd(long(a(0)), long(a(1))) },
     fd("bitwise_or") { a => BitwiseOr(long(a(0)), long(a(1))) },
     fd("bitwise_xor") { a => BitwiseXor(long(a(0)), long(a(1))) },
@@ -427,14 +438,12 @@ object PrestoFunctions {
     // regexp_extract[_all] with the reference's defaults (reference:
     // scalar/JoniRegexpFunctions.java): the 2-arg forms extract group 0
     // (the whole match — Spark errors without an index), and
-    // regexp_extract returns NULL on no match where Spark's builtin
-    // returns ''. (An optional group that participates in a match but
-    // captures nothing still returns '' here — documented divergence.)
+    // regexp_extract returns NULL on no match AND on a group that did
+    // not participate in the match, where Spark's builtin returns ''
+    // (functions/PrestoRegexp.scala).
     fd("regexp_extract") { a =>
       val idx = if (a.lengthCompare(3) == 0) a(2) else Literal(0)
-      // single pass: group idx of the first match, NULL when the array
-      // of matches is empty (out-of-bounds access must not raise)
-      GetArrayItem(RegExpExtractAll(a(0), a(1), idx), Literal(0), failOnError = false)
+      graft.functions.PrestoRegexpExtract(a(0), a(1), Cast(idx, IntegerType))
     },
     fd("regexp_extract_all") { a =>
       val idx = if (a.lengthCompare(3) == 0) a(2) else Literal(0)
@@ -442,13 +451,22 @@ object PrestoFunctions {
     },
     // regexp_replace: 2-arg deletes matches, 3-arg with a lambda applies
     // the reference's capture-array replace (JoniRegexpReplaceLambda
-    // Function.java → functions/RegexpReplaceLambda), otherwise Spark's
-    // builtin ($g replacement syntax matches the reference's)
-    fd("regexp_replace") {
-      case Seq(s, p) => RegExpReplace(s, p, Literal(""))
-      case Seq(s, p, f: LambdaFunction) =>
-        RegexpReplaceLambda(s, p, f)
-      case a => RegExpReplace(a(0), a(1), a(2))
+    // Function.java → functions/RegexpReplaceLambda), otherwise the
+    // java.util.regex replacement grammar (functions/PrestoRegexp
+    // .scala — Spark's builtin resolves `${name}` references to '').
+    // A NULL literal argument arrives untyped and propagates NULL,
+    // so pin it to string for the type contract.
+    fd("regexp_replace") { args =>
+      def str(e: Expression): Expression =
+        if (e.resolved && e.dataType == NullType) Cast(e, StringType) else e
+      args match {
+        case Seq(s, p) =>
+          graft.functions.PrestoRegexpReplace(str(s), str(p), Literal(""))
+        case Seq(s, p, f: LambdaFunction) =>
+          RegexpReplaceLambda(str(s), str(p), f)
+        case a =>
+          graft.functions.PrestoRegexpReplace(str(a(0)), str(a(1)), str(a(2)))
+      }
     },
 
     // SQL-defined array helpers (reference: scalar/sql/ArraySqlFunctions

@@ -13,11 +13,15 @@ package graft
   *     files cited in the conformance pack; a regression in any wrapper
   *     or rewrite trips its sentinel by name.
   *
-  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 2403 frozen
+  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 2823 frozen
   *     simple-literal assertions in reference_assertions.tsv
-  *     (tools/extract_ref_asserts.py, 27 reference test files). Asserts
-  *     a pass FLOOR (≥ 2360 — measured 2368 after the round-14 closers;
-  *     2334 after round 13, 2261 after round 12) rather than exactness:
+  *     (tools/extract_ref_asserts.py, 39 reference test files). Asserts
+  *     a pass FLOOR (≥ 2780 — measured 2788 after the round-16 closers
+  *     over the +420-assertion extension: JSON scalar-cast token
+  *     coercions, the UUID facade type, java.util.regex replacement
+  *     grammar, sorted-key JSON canonicalization, BigDecimal truncate;
+  *     2368 of 2403 after round 14; 2334 after round 13) rather than
+  *     exactness:
   *     the remaining tail is documented divergence families (CHAR(n)
   *     padded semantics/comparisons, FILTER/JOIN-position array
   *     equality, varchar-length-blind typeof, reference-internal test
@@ -364,10 +368,47 @@ class ReferenceReplaySpec extends QueryAssertions {
     check("CASE WHEN true THEN 15 ELSE 2 END < ALL (VALUES 10, NULL)", false)
   }
 
+  test("sentinels: round-16 conformance families (JSON scalar casts, " +
+      "UUID, regexp replacement grammar, truncate, sorted-key JSON)") {
+    // CAST(json AS scalar) token coercions (TestJsonOperators.java)
+    check("cast(JSON '128.9' as BIGINT)", 129L)      // HALF_UP round
+    check("cast(JSON '\"128\"' as INTEGER)", 128)    // string token unquoted
+    check("cast(JSON 'true' as DOUBLE)", 1.0)
+    check("cast(JSON '\"True\"' as BOOLEAN)", true)  // varchar→boolean forms
+    check("cast(JSON '128.9' as VARCHAR)", "1.289E2") // scientific render
+    check("cast(JSON 'null' as BIGINT)", null)       // JSON null → typed NULL
+    // UUID narrowed to canonical lowercase text (TestUuidOperators.java)
+    check("CAST('12151FD2-7586-11E9-8F9E-2A86E4085A59' AS UUID)",
+      "12151fd2-7586-11e9-8f9e-2a86e4085a59")
+    // varbinary source is the reference's two-little-endian-longs storage
+    check("CAST(x'E9118675D21F1512595A08E4862A9E8F' AS UUID)",
+      "12151fd2-7586-11e9-8f9e-2a86e4085a59")
+    // java.util.regex replacement grammar: ${name} resolves, a group
+    // that did not participate substitutes '' (AbstractTestRegexp-
+    // Functions.java); needs spark.sql.variable.substitute OFF or the
+    // TEXT pass eats ${xyz} before the parser sees it
+    check("REGEXP_REPLACE('wxyz', '(?<xyz>[xyz])', '${xyz}${xyz}')",
+      "wxxyyzz")
+    check("REGEXP_REPLACE('wxyz', '(?<w>w)|(?<xyz>[xyz])', '[${w}](${xyz})')",
+      "[w]()[](x)[](y)[](z)")
+    // non-participating group extracts NULL (Spark builtin returns '')
+    check("REGEXP_EXTRACT('rat cat\nbat dog', 'ra(.)|blah(.)(.)', 2)", null)
+    // truncate(x, n) is a BigDecimal rescale — the old pow(10, n)
+    // algebra returned NaN at large |n| (TestTruncateWithPrecision.java)
+    check("truncate(DOUBLE '-1234.56', -500)", 0.0)
+    check("truncate(DOUBLE '1234.567', 2)", 1234.56)
+    // json_parse canonicalizes with recursively SORTED keys
+    // (JsonFunctions.java:147 SORTED_MAPPER)
+    check("JSON '{\"b\":2, \"a\":1}'", "{\"a\":1,\"b\":2}")
+    check("JSON '{\"a\":1, \"b\":2}' = JSON '{\"b\":2, \"a\":1}'", true)
+    // a NULL element nulls the whole array_normalize result
+    check("array_normalize(ARRAY[1.0, NULL, 3.0], 1)", null)
+  }
+
   test("full sweep (SPARK_GRAFT_REPLAY=1): frozen reference assertions " +
       "hold the pass floor") {
     assume(sys.env.get("SPARK_GRAFT_REPLAY").contains("1"),
-      "full 1458-case sweep is opt-in (minutes of runtime)")
+      "full 2823-case sweep is opt-in (minutes of runtime)")
     val dec = java.util.Base64.getDecoder
     def d(s: String) = new String(dec.decode(s), "UTF-8")
     val in = getClass.getResourceAsStream("/reference_assertions.tsv")
@@ -397,7 +438,7 @@ class ReferenceReplaySpec extends QueryAssertions {
       }
     }
     info(s"replay: $ok / ${lines.size} assertions match")
-    assert(ok >= 2360,
+    assert(ok >= 2780,
       s"pass floor broken: $ok of ${lines.size}\n${failures.take(20).mkString("\n")}")
   }
 }

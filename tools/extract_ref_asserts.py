@@ -52,6 +52,24 @@ FILES = [
     "type/TestDecimalOperators.java",
     "type/TestCharOperators.java",
     "type/TestRowOperators.java",
+    # round-16 extension: the next tranche of simple-literal corpora —
+    # JSON cast operators, decimal→integral casts (the HALF_UP family),
+    # regexp, the array HOF quartet, varchar/varbinary operators, IP
+    # prefix functions, uuid ordering, truncate-with-precision. The
+    # session-zone-dependent families (datetime base, TSWTZ/TIME bases,
+    # intervals) stay out — their expecteds encode the harness zone.
+    "type/TestJsonOperators.java",
+    "type/TestDecimalCasts.java",
+    "type/TestVarcharOperators.java",
+    "operator/scalar/AbstractTestRegexpFunctions.java",
+    "operator/scalar/TestVarbinaryFunctions.java",
+    "operator/scalar/TestArrayTransformFunction.java",
+    "operator/scalar/TestArrayFilterFunction.java",
+    "operator/scalar/TestArrayMatchFunctions.java",
+    "operator/scalar/TestArrayNormalizeFunction.java",
+    "operator/scalar/TestTruncateWithPrecision.java",
+    "operator/scalar/TestIpPrefixFunctions.java",
+    "type/TestUuidOperators.java",
 ]
 
 PAT = re.compile(
