@@ -554,8 +554,18 @@ object Dialect {
           }
         }) {
           // handled in the guard
-        } else if ((lower == "ipaddress" || lower == "ipprefix" ||
-            lower == "char" || lower == "varchar") &&
+        } else if ((lower == "ipaddress" || lower == "ipprefix") &&
+            k < q.length && q(k) == '\'') {
+          // IPADDRESS 'x' / IPPREFIX 'x' canonicalize on construction
+          // (IpAddressOperators castFromVarcharToIpAddress — compressed
+          // lowercase v6, dotted quad for v4/v4-mapped, masked network
+          // form for prefixes; functions/IpCanon)
+          val end = literalEnd(q, k)
+          out.append(if (lower == "ipaddress") "graft_ipaddress("
+            else "graft_ipprefix(")
+            .append(q.substring(k, end)).append(')')
+          i = end
+        } else if ((lower == "char" || lower == "varchar") &&
             k < q.length && q(k) == '\'') {
           // typed literals for types narrowed to VARCHAR text forms
           // (SqlBase.g4 typeConstructor; SURVEY §1.2 narrowing): the
@@ -607,6 +617,28 @@ object Dialect {
           // localtimestamp); the narrowed model renders the same wall
           // clock as current_timestamp (README "Time zone semantics")
           out.append("current_timestamp"); i = j
+        } else if (lower == "interval" && k < q.length && q(k) == '\'' && {
+          // Presto normalizes an overflowing month field in YEAR TO
+          // MONTH literals (INTERVAL '124-30' YEAR TO MONTH = 126-6,
+          // IntervalYearMonthType); Spark's parser requires month < 12,
+          // so canonicalize the literal text up front
+          val end = literalEnd(q, k)
+          val lit = q.substring(k + 1, end - 1).trim
+          val qual = "(?is)^\\s*year\\s+to\\s+month".r
+            .findFirstMatchIn(q.substring(end))
+          val ym = "^([+-]?)(\\d+)-(\\d+)$".r.findFirstMatchIn(lit)
+          (qual, ym) match {
+            case (Some(qm), Some(g)) if g.group(3).toInt > 11 =>
+              val total = g.group(2).toLong * 12 + g.group(3).toLong
+              out.append("INTERVAL '").append(g.group(1))
+                .append(total / 12).append('-').append(total % 12)
+                .append("' YEAR TO MONTH")
+              i = end + qm.end
+              true
+            case _ => false
+          }
+        }) {
+          // handled in the guard
         } else if (lower == "timestamp" && k < q.length && q(k) == '\'' && {
           // Presto accepts seconds-less zone-qualified timestamp literals
           // (`TIMESTAMP '2012-10-31 01:00 UTC'`); Spark's parser wants
@@ -1340,6 +1372,30 @@ object Dialect {
     // varbinary storage form)
     if (tpe.equalsIgnoreCase("uuid"))
       return Some((s"graft_uuid(${rewrite(expr)})", after))
+    // IPADDRESS / IPPREFIX narrow to canonical text; the canonicalizers
+    // also implement the cross-casts (prefix→network address,
+    // address→full-length prefix) by value shape — functions/IpCanon
+    if (tpe.equalsIgnoreCase("ipaddress") || tpe.equalsIgnoreCase("ipprefix")) {
+      val fn = if (tpe.equalsIgnoreCase("ipaddress")) "graft_ipaddress"
+        else "graft_ipprefix"
+      val call = s"$fn(${rewrite(expr)})"
+      return Some((if (isTry) s"try($call)" else call, after))
+    }
+    // bare CHAR = char(1): the cast truncates to the first code point
+    // (CharacterStringCasts.java truncateToLength; TestCharacterString-
+    // Casts pins cast('bar' as char) = 'b') — Spark rejects a bare CHAR
+    // token, and CHAR(n) itself stays adjudicated-unpadded
+    if (tpe.equalsIgnoreCase("char"))
+      return Some((s"substring(${rewrite(expr)}, 1, 1)", after))
+    // CAST(interval AS VARCHAR): the reference renders the bare value
+    // ('12 10:45:32.123' / '126-6', IntervalDayTimeType/
+    // IntervalYearMonthType formatters) where Spark renders the full
+    // INTERVAL '...' DAY TO SECOND literal — strip to the quoted body
+    if (tpe.equalsIgnoreCase("varchar") &&
+        "(?is)^interval\\s".r.findFirstIn(expr).isDefined)
+      return Some(
+        (s"regexp_extract(CAST(${rewrite(expr)} AS STRING), \"'(.+)'\", 1)",
+          after))
     val el = expr.toLowerCase
     val jsonLit = "(?is)^json\\s*('.*')$".r.findFirstMatchIn(expr)
     // a source that is itself a cast TO JSON (CAST(x AS JSON) — rewritten

@@ -179,6 +179,42 @@ object IpFunctions {
       maskLow(addr, bits, high = false), maskLow(candidate, bits, high = false))
   }
 
+  /** Canonical IPADDRESS text (reference: type/IpAddressOperators.java
+    * castFromVarcharToIpAddress + castToVarchar): parse any spelling —
+    * dotted quad, full/compressed v6, embedded dotted quad, v4-mapped —
+    * and render the reference's canonical form (dotted quad for v4 and
+    * v4-mapped, RFC 5952 for v6). A '/'-bearing input is a PREFIX value
+    * (the facade narrows IPPREFIX to canonical text), and
+    * CAST(ipprefix AS IPADDRESS) is the network address
+    * (IpPrefixOperators.castToIpAddress). */
+  def canonAddress(s: String): String =
+    if (s.indexOf('/') >= 0) subnetMin(s) else render(parse(s))
+
+  /** 4- or 16-byte varbinary form (IpAddressOperators
+    * castFromVarbinaryToIpAddress); a v4-mapped 16-byte value narrows
+    * to its dotted quad like the text parse does. */
+  def canonAddress(b: Array[Byte]): String = {
+    require(b.length == 4 || b.length == 16,
+      s"Invalid InetAddress length: ${b.length}")
+    val mapped = b.length == 16 && (0 until 10).forall(b(_) == 0) &&
+      b(10) == -1 && b(11) == -1
+    render(if (mapped) java.util.Arrays.copyOfRange(b, 12, 16) else b)
+  }
+
+  /** Canonical IPPREFIX text (reference: type/IpPrefixOperators.java):
+    * the NETWORK address — host bits masked off — plus '/len', with the
+    * v4 family masked and bounded at 32 bits. An input without '/' is
+    * an IPADDRESS value: CAST(ipaddress AS IPPREFIX) is the full-length
+    * prefix (castFromIpAddressToIpPrefix). */
+  def canonPrefix(s: String): String =
+    if (s.indexOf('/') >= 0) {
+      val (addr, bits) = splitPrefix(s)
+      render(maskLow(addr, bits, high = false)) + "/" + bits
+    } else {
+      val addr = parse(s)
+      render(addr) + "/" + (if (addr.length == 4) 32 else 128)
+    }
+
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("ip_prefix", (ip: String, bits: Long) =>
       if (ip == null) null else ipPrefix(ip, bits))

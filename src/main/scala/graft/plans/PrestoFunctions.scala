@@ -340,6 +340,47 @@ object PrestoFunctions {
     // facade-internal: UUID literal/cast canonicalizer (Dialect emits
     // graft_uuid(expr) for UUID 'x' and CAST(x AS UUID))
     fd("graft_uuid") { a => graft.functions.UuidCanon(a.head) },
+    // facade-internal: IPADDRESS/IPPREFIX literal + cast canonicalizers
+    // (Dialect emits these for IPADDRESS 'x' / IPPREFIX 'x' and the
+    // CAST family; functions/IpCanon)
+    fd("graft_ipaddress") { a => graft.functions.IpAddressCanon(a.head) },
+    fd("graft_ipprefix") { a => graft.functions.IpPrefixCanon(a.head) },
+    // array_except(NULL, …) returns NULL (reference: scalar/
+    // ArrayExceptFunction is @SqlNullable on both args); Spark's builtin
+    // rejects an untyped NULL literal at type check, so pin it to the
+    // least array type and let coercion reconcile elements
+    fd("array_except") { a =>
+      def arr(e: Expression): Expression = e match {
+        case Literal(null, NullType) =>
+          Literal.create(null, org.apache.spark.sql.types.ArrayType(NullType))
+        case other => other
+      }
+      ArrayExcept(arr(a(0)), arr(a(1)))
+    },
+    // reduce(array, s0, merge, finish): the reference coerces an
+    // integer-literal initial state to the state type the merge lambda
+    // needs (TestArrayReduceFunction: reduce(ARRAY[bigint…], 0,
+    // (s, x) -> s + coalesce(x, 0), s -> s) runs at bigint); Spark's
+    // ArrayAggregate pins the state to the zero's own type and rejects
+    // the mix, so widen a narrower integral literal to the element type
+    // when the array is a resolved literal
+    fd("reduce") {
+      case Seq(arrE, zero, merge, finish) =>
+        val z = zero match {
+          case l @ Literal(_, IntegerType) if arrE.resolved =>
+            arrE.dataType match {
+              case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+                Cast(l, LongType)
+              case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+                Cast(l, DoubleType)
+              case _ => l
+            }
+          case other => other
+        }
+        ArrayAggregate(arrE, z, merge, finish)
+      case other => throw new IllegalArgumentException(
+        s"reduce expects (array, state, merge, finish), got ${other.length} args")
+    },
     fd("bitwise_and") { a => BitwiseAnd(long(a(0)), long(a(1))) },
     fd("bitwise_or") { a => BitwiseOr(long(a(0)), long(a(1))) },
     fd("bitwise_xor") { a => BitwiseXor(long(a(0)), long(a(1))) },

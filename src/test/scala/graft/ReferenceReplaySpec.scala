@@ -13,15 +13,17 @@ package graft
   *     files cited in the conformance pack; a regression in any wrapper
   *     or rewrite trips its sentinel by name.
   *
-  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 2823 frozen
+  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 3093 frozen
   *     simple-literal assertions in reference_assertions.tsv
-  *     (tools/extract_ref_asserts.py, 39 reference test files). Asserts
-  *     a pass FLOOR (≥ 2780 — measured 2788 after the round-16 closers
-  *     over the +420-assertion extension: JSON scalar-cast token
+  *     (tools/extract_ref_asserts.py, 50 reference test files). Asserts
+  *     a pass FLOOR (≥ 3040 — measured 3046 after the two round-16
+  *     extensions: +420 assertions closing JSON scalar-cast token
   *     coercions, the UUID facade type, java.util.regex replacement
   *     grammar, sorted-key JSON canonicalization, BigDecimal truncate;
-  *     2368 of 2403 after round 14; 2334 after round 13) rather than
-  *     exactness:
+  *     then +270 closing the IPADDRESS/IPPREFIX canonical facade types,
+  *     interval literal normalization + varchar render, bare-CHAR
+  *     truncation, NULL-argument array_except, and reduce initial-state
+  *     widening; 2368 of 2403 after round 14) rather than exactness:
   *     the remaining tail is documented divergence families (CHAR(n)
   *     padded semantics/comparisons, FILTER/JOIN-position array
   *     equality, varchar-length-blind typeof, reference-internal test
@@ -405,10 +407,43 @@ class ReferenceReplaySpec extends QueryAssertions {
     check("array_normalize(ARRAY[1.0, NULL, 3.0], 1)", null)
   }
 
+  test("sentinels: round-16 second tranche (IPADDRESS/IPPREFIX canon, " +
+      "interval normalization/render, bare CHAR, reduce state)") {
+    // IPADDRESS canonicalizes on construction (TestIpAddressOperators
+    // .java): RFC 5952 compression, lowercase, v4-mapped → dotted quad
+    check("CAST('2001:0db8:0000:0000:0000:ff00:0042:8329' AS IPADDRESS)",
+      "2001:db8::ff00:42:8329")
+    check("CAST('::ffff:1.2.3.4' AS IPADDRESS)", "1.2.3.4")
+    check("IPADDRESS '64:ff9b::10.0.0.0'", "64:ff9b::a00:0")
+    check("CAST(x'00000000000000000000ffff01020304' AS IPADDRESS)", "1.2.3.4")
+    check("IPADDRESS '10.0.0.0' = IPADDRESS '::ffff:a00:0'", true)
+    // IPPREFIX masks host bits to the canonical network form
+    // (TestIpPrefixOperators.java)
+    check("CAST('255.2.3.4/1' AS IPPREFIX)", "128.0.0.0/1")
+    check("CAST('ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff/48' AS IPPREFIX)",
+      "ffff:ffff:ffff::/48")
+    check("CAST(IPPREFIX '2001:db8::ff00:42:8329/64' AS IPADDRESS)",
+      "2001:db8::")
+    check("CAST(IPADDRESS '::ffff:102:304' AS IPPREFIX)", "1.2.3.4/32")
+    // interval literal month overflow normalizes, and CAST(interval AS
+    // VARCHAR) renders the bare value (TestIntervalYearMonth/DayTime)
+    check("cast(INTERVAL '124-30' YEAR TO MONTH as varchar)", "126-6")
+    check("cast(INTERVAL '12 10:45:32.123' DAY TO SECOND as varchar)",
+      "12 10:45:32.123")
+    // bare CHAR = char(1) truncates to the first code point
+    check("cast('bar' as char)", "b")
+    // reduce widens an int-literal initial state to the bigint element
+    // type like the reference's function resolution does
+    check("reduce(ARRAY [123456789012345, NULL, 54321], 0, " +
+      "(s, x) -> s + coalesce(x, 0), s -> s)", 123456789066666L)
+    // array_except propagates a NULL argument
+    check("array_except(NULL, ARRAY[NULL])", null)
+  }
+
   test("full sweep (SPARK_GRAFT_REPLAY=1): frozen reference assertions " +
       "hold the pass floor") {
     assume(sys.env.get("SPARK_GRAFT_REPLAY").contains("1"),
-      "full 2823-case sweep is opt-in (minutes of runtime)")
+      "full 3093-case sweep is opt-in (minutes of runtime)")
     val dec = java.util.Base64.getDecoder
     def d(s: String) = new String(dec.decode(s), "UTF-8")
     val in = getClass.getResourceAsStream("/reference_assertions.tsv")
@@ -438,7 +473,7 @@ class ReferenceReplaySpec extends QueryAssertions {
       }
     }
     info(s"replay: $ok / ${lines.size} assertions match")
-    assert(ok >= 2780,
+    assert(ok >= 3040,
       s"pass floor broken: $ok of ${lines.size}\n${failures.take(20).mkString("\n")}")
   }
 }
