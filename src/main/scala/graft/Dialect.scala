@@ -1056,6 +1056,35 @@ object Dialect {
         } else if (lower == "extract" && k < q.length && q(k) == '(' &&
             parseParenArgs(q, k).exists { case (args, _) =>
               args.lengthCompare(1) == 0 &&
+                ExtractFromRe.findFirstMatchIn(args.head).exists { m =>
+                  val field = m.group(1).trim.toLowerCase
+                  val op = m.group(2).trim
+                  (Set("day", "hour", "minute", "second")(field) &&
+                    "(?is)^interval\\s+'[^']*'\\s+(second|minute|hour|day)$"
+                      .r.findFirstIn(op).isDefined) ||
+                  (Set("year", "month")(field) &&
+                    "(?is)^interval\\s+'[^']*'\\s+(month|year)$"
+                      .r.findFirstIn(op).isDefined) } }) {
+          // EXTRACT over a single-unit interval literal reads the
+          // NORMALIZED field (extract(minute FROM INTERVAL '247'
+          // SECOND) = 4, TestDateTimeFunctionsBase — the reference
+          // normalizes into day-time / year-month form first); Spark
+          // refuses a field outside the literal's declared unit, so
+          // widen the literal to its full family type
+          val (args, after) = parseParenArgs(q, k).get
+          val m = ExtractFromRe.findFirstMatchIn(args.head).get
+          val field = m.group(1).trim
+          val target =
+            if (Set("year", "month")(field.toLowerCase))
+              "INTERVAL YEAR TO MONTH"
+            else "INTERVAL DAY TO SECOND"
+          out.append(s"EXTRACT($field FROM CAST(")
+            .append(rewrite(m.group(2).trim))
+            .append(s" AS $target))")
+          i = after
+        } else if (lower == "extract" && k < q.length && q(k) == '(' &&
+            parseParenArgs(q, k).exists { case (args, _) =>
+              args.lengthCompare(1) == 0 &&
                 ExtractFromRe.findFirstMatchIn(args.head).exists(m =>
                   ZoneSensitiveFns(extractFieldFn(m.group(1))) &&
                     wtzLiteralParts(m.group(2)).isDefined) }) {
@@ -1396,6 +1425,29 @@ object Dialect {
       return Some(
         (s"regexp_extract(CAST(${rewrite(expr)} AS STRING), \"'(.+)'\", 1)",
           after))
+    // CAST(TIMESTAMP '…' AS VARCHAR) renders with fixed millisecond
+    // precision ('2001-01-22 03:04:05.000' — TimestampType
+    // printTimestampWithoutTimeZone); Spark drops trailing zeros.
+    // Literal shape only: a COLUMN cast keeps Spark's render (the
+    // engine-corpus oracles froze that form).
+    if (tpe.equalsIgnoreCase("varchar") &&
+        "(?is)^timestamp\\s+'".r.findFirstIn(expr).isDefined)
+      return Some(
+        (s"date_format(${rewrite(expr)}, 'yyyy-MM-dd HH:mm:ss.SSS')", after))
+    // CAST(TIME '…' AS VARCHAR) renders 'HH:mm:ss.SSS' — the facade's
+    // TIME narrowing is an epoch-day timestamp (k23), whose plain cast
+    // would leak the 1970-01-01 date prefix
+    if (tpe.equalsIgnoreCase("varchar") &&
+        "(?is)^time\\s+'".r.findFirstIn(expr).isDefined)
+      return Some(
+        (s"date_format(${rewrite(expr)}, 'HH:mm:ss.SSS')", after))
+    // CAST(x AS TIME) parses the text onto the TIME narrowing's epoch
+    // day (TimeOperators castFromSlice); Spark has no runtime TIME type
+    if (tpe.equalsIgnoreCase("time")) {
+      val call =
+        s"CAST(CONCAT('1970-01-01 ', ${rewrite(expr)}) AS TIMESTAMP)"
+      return Some((if (isTry) s"try($call)" else call, after))
+    }
     val el = expr.toLowerCase
     val jsonLit = "(?is)^json\\s*('.*')$".r.findFirstMatchIn(expr)
     // a source that is itself a cast TO JSON (CAST(x AS JSON) — rewritten

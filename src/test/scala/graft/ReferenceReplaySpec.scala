@@ -13,17 +13,22 @@ package graft
   *     files cited in the conformance pack; a regression in any wrapper
   *     or rewrite trips its sentinel by name.
   *
-  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 3093 frozen
+  *  2. FULL SWEEP (opt-in, SPARK_GRAFT_REPLAY=1): all 3259 frozen
   *     simple-literal assertions in reference_assertions.tsv
-  *     (tools/extract_ref_asserts.py, 50 reference test files). Asserts
-  *     a pass FLOOR (≥ 3040 — measured 3046 after the two round-16
-  *     extensions: +420 assertions closing JSON scalar-cast token
-  *     coercions, the UUID facade type, java.util.regex replacement
-  *     grammar, sorted-key JSON canonicalization, BigDecimal truncate;
-  *     then +270 closing the IPADDRESS/IPPREFIX canonical facade types,
-  *     interval literal normalization + varchar render, bare-CHAR
-  *     truncation, NULL-argument array_except, and reduce initial-state
-  *     widening; 2368 of 2403 after round 14) rather than exactness:
+  *     (tools/extract_ref_asserts.py, 55 reference test files; datetime
+  *     files replay under the session zone the reference harness pinned
+  *     — TSV column 6). Asserts a pass FLOOR (≥ 3200 — measured 3212
+  *     after the three round-16 extensions: +420 assertions closing
+  *     JSON scalar-cast token coercions, the UUID facade type,
+  *     java.util.regex replacement grammar, sorted-key JSON
+  *     canonicalization, BigDecimal truncate; +270 closing the
+  *     IPADDRESS/IPPREFIX canonical facade types, interval literal
+  *     normalization + varchar render, bare-CHAR truncation,
+  *     NULL-argument array_except, reduce initial-state widening; +166
+  *     datetime rows closing interval-field rollover EXTRACT,
+  *     millisecond TIMESTAMP/TIME varchar renders and CAST(x AS TIME) —
+  *     all 166 green; 2368 of 2403 after round 14) rather than
+  *     exactness:
   *     the remaining tail is documented divergence families (CHAR(n)
   *     padded semantics/comparisons, FILTER/JOIN-position array
   *     equality, varchar-length-blind typeof, reference-internal test
@@ -440,19 +445,47 @@ class ReferenceReplaySpec extends QueryAssertions {
     check("array_except(NULL, ARRAY[NULL])", null)
   }
 
+  test("sentinels: round-16 datetime tranche (interval-field rollover " +
+      "extract, ms renders, CAST AS TIME, zone-pinned replay)") {
+    // EXTRACT over a single-unit interval literal reads the normalized
+    // field (TestDateTimeFunctionsBase)
+    check("extract(minute FROM INTERVAL '247' SECOND)", 4L)
+    check("extract(year FROM INTERVAL '29' MONTH)", 2L)
+    // TIMESTAMP / TIME literal → varchar renders fixed millisecond
+    // precision (TestTimestampBase / TestTimeBase)
+    check("cast(TIMESTAMP '2001-1-22 03:04' as varchar)",
+      "2001-01-22 03:04:00.000")
+    check("cast(TIME '03:04:05.321' as varchar)", "03:04:05.321")
+    check("cast(TIME '03:04' as varchar)", "03:04:00.000")
+    // CAST(varchar AS TIME) lands on the TIME narrowing's epoch day
+    check("cast('03:04:05.321' as time) = TIME '03:04:05.321'", true)
+    // the zone-pinned replay protocol itself: this is deterministic in
+    // UTC (the spec's default) — the Apia/Berlin pins live in the TSV
+    check("hour(TIMESTAMP '2001-08-22 03:04:05.321')", 3L)
+  }
+
   test("full sweep (SPARK_GRAFT_REPLAY=1): frozen reference assertions " +
       "hold the pass floor") {
     assume(sys.env.get("SPARK_GRAFT_REPLAY").contains("1"),
-      "full 3093-case sweep is opt-in (minutes of runtime)")
+      "full 3259-case sweep is opt-in (minutes of runtime)")
     val dec = java.util.Base64.getDecoder
     def d(s: String) = new String(dec.decode(s), "UTF-8")
     val in = getClass.getResourceAsStream("/reference_assertions.tsv")
     val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     var ok = 0
     val failures = collection.mutable.Buffer[String]()
+    var activeZone = "UTC"
     for (line <- lines) {
-      val Array(_, exprB, _, kind, expB) = line.split("\t", 5)
+      val parts = line.split("\t", 6)
+      val Array(_, exprB, _, kind, expB) = parts.take(5)
       val expr = d(exprB); val expected = d(expB)
+      // zone-pinned rows (column 6) replay under the session zone the
+      // reference harness ran their file with
+      val zone = if (parts.length > 5 && parts(5).nonEmpty) parts(5) else "UTC"
+      if (zone != activeZone) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        activeZone = zone
+      }
       try {
         val v = one(expr)
         val got = if (v == null) "null" else v.toString
@@ -472,8 +505,10 @@ class ReferenceReplaySpec extends QueryAssertions {
         failures += s"$expr ERR ${String.valueOf(e.getMessage).take(80)}"
       }
     }
+    // the session is shared across tests — put the zone back
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     info(s"replay: $ok / ${lines.size} assertions match")
-    assert(ok >= 3040,
+    assert(ok >= 3200,
       s"pass floor broken: $ok of ${lines.size}\n${failures.take(20).mkString("\n")}")
   }
 }

@@ -16,9 +16,18 @@ object ReplayAudit {
     val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     var ok = 0
     val failures = collection.mutable.Buffer[String]()
+    var activeZone = "UTC"
     for (line <- lines) {
-      val Array(src, exprB, _, kind, expB) = line.split("\t", 5)
+      val parts = line.split("\t", 6)
+      val Array(src, exprB, _, kind, expB) = parts.take(5)
       val expr = d(exprB); val expected = d(expB)
+      // zone-pinned rows (column 6) replay under the session zone the
+      // reference harness ran their file with
+      val zone = if (parts.length > 5 && parts(5).nonEmpty) parts(5) else "UTC"
+      if (zone != activeZone) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        activeZone = zone
+      }
       try {
         val v = {
           val rows = Engine.sql(spark, sfDir, s"SELECT $expr AS v").collect()

@@ -9,10 +9,12 @@ expression carries no \\uXXXX escapes (the TSV is UTF-8 text; exotic
 codepoint round-trips are the reference's own unicode tests, not
 dialect-conformance signal). Each kept case becomes one TSV row:
 
-    <source file>\t<b64 expr>\t<java type expr>\t<kind>\t<b64 expected>
+    <source file>\t<b64 expr>\t<java type expr>\t<kind>\t<b64 expected>\t<zone>
 
 kind ∈ {null, bool, num, str}. Expressions and expectations are
-base64-encoded so tabs/quotes/newlines can't corrupt the framing.
+base64-encoded so tabs/quotes/newlines can't corrupt the framing. zone
+is the session time zone the reference harness ran the file under
+(empty = UTC, the replay default).
 
 The frozen output lives at src/test/resources/reference_assertions.tsv
 and is replayed by ReferenceReplaySpec (sentinels always; the full
@@ -92,7 +94,35 @@ FILES = [
     "type/TestUnknownOperators.java",
     "type/TestIntervalDayTime.java",
     "type/TestIntervalYearMonth.java",
+    # round-16 third tranche: the datetime corpora. These files are NOT
+    # zone-independent — the reference harness pins a session zone per
+    # file (TestingSession.DEFAULT_TIME_ZONE_KEY = Pacific/Apia, or an
+    # explicit Europe/Berlin), so ZONES below carries the pin into the
+    # TSV and the replay sets spark.sql.session.timeZone to match.
+    # Rows reading the fixed session START TIME (now/current_*/local*)
+    # are screened out — the replay has no query-start injection.
+    "operator/scalar/TestDateTimeFunctionsBase.java",
+    "type/TestTimestampBase.java",
+    "type/TestTimeBase.java",
+    "type/TestDateBase.java",
+    "type/TestDateTimeOperatorsBase.java",
 ]
+
+# session zone the reference harness runs the file under ('' = the
+# replay default, UTC)
+ZONES = {
+    "operator/scalar/TestDateTimeFunctionsBase.java": "Pacific/Apia",
+    "type/TestTimestampBase.java": "Pacific/Apia",
+    "type/TestTimeBase.java": "Pacific/Apia",
+    "type/TestDateBase.java": "Europe/Berlin",
+    "type/TestDateTimeOperatorsBase.java": "Europe/Berlin",
+}
+
+# expressions bound to the harness's fixed session start time cannot
+# replay (Engine has no query-start injection)
+START_TIME_BOUND = re.compile(
+    r"(?i)\b(now|current_date|current_time|current_timestamp|"
+    r"localtime|localtimestamp)\b")
 
 PAT = re.compile(
     r'assertFunction\("((?:[^"\\]|\\.)*)",\s*([A-Za-z_().,0-9 ]+),\s*(.+?)\);\s*$')
@@ -118,11 +148,14 @@ def main(out_path: str) -> None:
     with open(out_path, "w") as out:
         for f in FILES:
             src = open(REF + f).read()
+            zone = ZONES.get(f, "")
             for line in src.splitlines():
                 m = PAT.search(line.strip())
                 if not m or not simple(m.group(3)) or "\\u" in m.group(1):
                     continue
                 expr, typ, exp = m.group(1), m.group(2).strip(), m.group(3).strip()
+                if zone and START_TIME_BOUND.search(expr):
+                    continue
                 if exp in ("null", "true", "false"):
                     kind, val = ("null" if exp == "null" else "bool"), exp
                 elif exp.startswith('"'):
@@ -133,7 +166,8 @@ def main(out_path: str) -> None:
                 def b(s: str) -> str:
                     return base64.b64encode(s.encode()).decode()
 
-                out.write(f"{f}\t{b(unesc(expr))}\t{typ}\t{kind}\t{b(val)}\n")
+                out.write(
+                    f"{f}\t{b(unesc(expr))}\t{typ}\t{kind}\t{b(val)}\t{zone}\n")
                 n += 1
     print(f"wrote {n} cases to {out_path}")
 
