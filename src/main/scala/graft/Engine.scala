@@ -101,6 +101,7 @@ object Engine {
     graft.functions.VecSum.register(spark)
     graft.functions.NearestList.register(spark)
     graft.functions.EmbeddingKernels.registerAll(spark)
+    graft.functions.TextKernelsRegistry.registerAll(spark)
     graft.functions.GraftFunctions.registerAll(spark)
     graft.functions.HyperLogLog.registerAll(spark)
     graft.functions.QuantileSketch.registerAll(spark)

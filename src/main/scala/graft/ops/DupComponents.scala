@@ -44,16 +44,24 @@ object DupComponents {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // r16 (guide §2.4, remove shuffles outright): the node's OWN label
+      // rides through the min-aggregation as a second column (own is
+      // non-null on exactly the one labels row per node, null on
+      // neighbor rows, so min(own) = the previous label), which makes
+      // the convergence check a FILTER over the just-checkpointed round
+      // result — the previous shape re-joined next against labels,
+      // paying one extra shuffle of the whole label set per round.
       val viaNeighbor = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lbl"))
+        .select(col("dst").as("node"), col("lbl"),
+          lit(null).cast("long").as("own"))
       val next = graft.ExecTimer.timed(
-        labels.union(viaNeighbor)
-          .groupBy("node").agg(min("lbl").as("lbl"))
+        labels.select(col("node"), col("lbl"), col("lbl").as("own"))
+          .union(viaNeighbor)
+          .groupBy("node").agg(min("lbl").as("lbl"), min("own").as("own"))
           .localCheckpoint())
       changed = graft.ExecTimer.timed(
-        next.join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
-          .filter(col("lbl") < col("prev")).count())
-      labels = next
+        next.filter(col("lbl") < col("own")).count())
+      labels = next.select("node", "lbl")
       iter += 1
     }
     // Fail loud rather than return partially-propagated labels: a chain

@@ -107,9 +107,17 @@ object EmbeddingDedup {
       df: DataFrame, idCol: String, textCol: String,
       planes: Int, tables: Int): DataFrame = {
     graft.functions.EmbeddingKernels.registerAll(df.sparkSession)
+    graft.functions.TextKernelsRegistry.registerAll(df.sparkSession)
+    // r16: shingling + md5 histogram run FUSED in one native kernel
+    // (graft_shingle_hist_text ≡ graft_shingle_hist ∘ shingles,
+    // TextKernelsSpec) — no intermediate shingle-string array, no
+    // interpreted HOF lambdas. Featurization stays a zero-shuffle
+    // narrow projection at every corpus size (an input-spread
+    // repartition for the 2-split fixture scan was A/B'd interleaved
+    // and rejected — OPTIMIZATION_r16.md).
     df.select(col(idCol).as("__id"),
-        call_function("graft_shingle_hist",
-          MinHashLSH.shingles(col(textCol)), lit(Dim)).as("__v"))
+        call_function("graft_shingle_hist_text",
+          col(textCol), lit(Dim)).as("__v"))
       .select(col("__id"), col("__v"),
         call_function("graft_lsh_sig",
           col("__v"), lit(planes), lit(tables)).as("__sigs"))

@@ -47,28 +47,47 @@ object MinHashLSH {
     * shingles of xxhash64(baseHash, i). Hashing the 8-byte base hash per
     * index instead of the shingle string cuts the inner-loop bytes ~3×;
     * minima over the hash multiset equal minima over the distinct set, so
-    * correctness is unchanged. Computed in codegen, no shuffle. */
+    * correctness is unchanged. Computed in codegen, no shuffle.
+    *
+    * This is the declarative REFERENCE form (specs replay it); the
+    * pipeline itself runs the bit-identical native kernel
+    * [[graft.functions.MinHashSig]] (r16: the nested transform/array_min
+    * lambdas are HigherOrderFunctions, which Catalyst evaluates
+    * INTERPRETED — per-element lambda dispatch + boxing in the hottest
+    * loop; TextKernelsSpec pins kernel ≡ this expression). */
   def signature(hashCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(hashCol, h => xxhash64(h, i))))
 
-  /** (__id, __sh, __sig) with shingles + base hashes materialized exactly
-    * once: round-robin repartition spreads the CPU-heavy work across cores
-    * AND acts as the first lineage barrier, and persist() stops downstream
-    * projections from re-inlining the expensive expressions (Catalyst's
-    * CollapseProject would otherwise recompute the signature input per
-    * hash index — a measured 64× blow-up). */
+  /** (__id, __sh, __sig) computed in ONE whole-stage-codegen projection,
+    * ZERO shuffles: shingles, base hashes and the signature all come
+    * from the native kernels (graft_word_shingles / graft_xxhash64_arr /
+    * graft_minhash_sig — bit-identical to the declarative forms,
+    * TextKernelsSpec). The kernels evaluate their children exactly once
+    * per row, so the CollapseProject re-inlining hazard the old shape
+    * guarded against with an arrays-then-repartition barrier (a
+    * measured 64× recompute of the signature input) cannot arise:
+    * codegen subexpression elimination shares the single __sh subtree
+    * between the output column and the signature chain. That removes
+    * the unconditional repartition the old shape paid — a full shuffle
+    * of the shingle+hash arrays at EVERY corpus size (the 40× stress
+    * leg shuffled those arrays once per run for barrier reasons alone).
+    * An input-spread variant (round-robin repartition of the raw text
+    * when the scan has fewer splits than cores) was A/B'd interleaved
+    * and REJECTED: with the kernels the per-row work no longer repays
+    * the shuffle + sort-before-repartition even on the 2-split fixture
+    * scan (d07 2.8–3.3 s spread vs 1.6–2.1 s unspread; x06 3.0 vs 1.7 —
+    * OPTIMIZATION_r16.md). persist() still pins the result for the
+    * multiple downstream consumers. */
   def prepare(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // Shingles AND their base hashes BEFORE the repartition: the shuffle
-    // materializes both arrays, so the signature lambda reads an 8-byte
-    // hash per element instead of re-deriving split()+concat per index.
-    df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
-      .withColumn("__hs", expr("transform(__sh, s -> xxhash64(s))"))
-      .repartition(parallelism)
-      .withColumn("__sig", signature(col("__hs"), numHashes))
+    graft.functions.TextKernelsRegistry.registerAll(df.sparkSession)
+    df.select(col(idCol).as("__id"),
+        call_function("graft_word_shingles", col(textCol)).as("__sh"))
+      .withColumn("__sig",
+        call_function("graft_minhash_sig",
+          call_function("graft_xxhash64_arr", col("__sh")), lit(numHashes)))
       .select("__id", "__sh", "__sig")
       .persist()
   }
@@ -83,16 +102,14 @@ object MinHashLSH {
   def candidatePairs(
       prepared: DataFrame, numHashes: Int = 64,
       rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numHashes / rowsPerBand
+    // band keys through the native kernel (bit-identical to the
+    // transform/named_struct/xxhash64 expression it replaced —
+    // TextKernelsSpec pins it; the expression form evaluated the
+    // per-band lambda interpreted with try_element_at boxing)
     val bands = prepared.select(
       col("__id"),
-      explode(expr(
-        s"""transform(sequence(0, ${numBands - 1}),
-           |  j -> named_struct(
-           |    'band_idx', j,
-           |    'band_val', xxhash64(${(0 until rowsPerBand).map(r =>
-                  s"try_element_at(__sig, $rowsPerBand * j + ${r + 1})").mkString(", ")}, j)))
-           |""".stripMargin)).as("b"))
+      explode(call_function("graft_lsh_bands",
+        col("__sig"), lit(rowsPerBand))).as("b"))
       .select(col("__id"), col("b.band_idx"), col("b.band_val"))
     // One shuffle on the band key, then pairs expand WITHIN each bucket —
     // vs a band self-join this drops a whole shuffle side, and the

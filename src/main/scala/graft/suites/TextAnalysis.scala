@@ -205,14 +205,19 @@ object TextAnalysis {
       // overlaps across cores inside one job; the langs branch's
       // re-derivation of the profile subtree is parallel slack, not
       // critical path.
+      // r16: grams through the native graft_char_grams kernel (≡ the
+      // guarded substring/transform expression it replaced —
+      // TextKernelsSpec). The expression form re-scanned the string
+      // from index 0 at every position (substring(text, i, 3) is
+      // O(i) on UTF-8 bytes → O(len²) per document) under an
+      // interpreted HOF lambda; the kernel walks code-point offsets
+      // once. An input-spread repartition of the 2-split fixture scan
+      // was ALSO tried and rejected by interleaved A/B (x06 3.0 s
+      // spread vs 1.7 s unspread — OPTIMIZATION_r16.md).
       def gramsOf(parity: Int) = docs
         .filter(col("doc_id") % 2 === parity)
         .select(col("doc_id"), col("lang"),
-          explode(expr(
-            """case when length(text) < 3 then cast(array() as array<string>)
-              |else transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
-              |end""".stripMargin))
-            .as("g"))
+          explode(call_function("graft_char_grams", col("text"))).as("g"))
       val profW = Window.partitionBy("plang")
         .orderBy(col("cnt").desc, col("g").asc)
       val profile = gramsOf(0)
@@ -226,8 +231,16 @@ object TextAnalysis {
       // interleaved (ProbeX06) — common grams match several languages'
       // profiles, so joining non-deduped grams fans the aggregate input
       // out by up to |langs| before any dedup can bite.
-      val test = gramsOf(1)
-        .select(col("doc_id"), col("lang").as("actual"), col("g")).distinct()
+      // r16: the dedup moved INTO the row (graft_char_gram_set emits
+      // per-doc DISTINCT grams — ≡ array_distinct of the gram array,
+      // TextKernelsSpec), and since doc_id is unique per row, per-doc
+      // distinct IS the oracle's global DISTINCT (doc_id, lang, g) —
+      // the .distinct() exchange + final dedup stage are gone outright
+      // (guide §2.4: a distinct on data that is already unique).
+      val test = docs
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang").as("actual"),
+          explode(call_function("graft_char_gram_set", col("text"))).as("g"))
       val langs = profile.select(col("plang").as("cand")).distinct()
       val overlap = test.join(broadcast(profile),
           test("g") === profile("g"), "inner")
