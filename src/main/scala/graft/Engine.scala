@@ -55,6 +55,17 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
       // Tables.load (Spark has no nanos timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's per-checkpoint-file checksum writer (new in 4.1;
+      // 4.0 and earlier had no such file) funnels every stateful task's
+      // store commit through ChecksumCheckpointFileManager.awaitResult —
+      // a thread dump of st05 showed all 32 join tasks parked there
+      // (132 task-run-seconds vs 2.1 CPU-seconds in one micro-batch),
+      // and the interleaved A/B (ProbeStreamChecksum) measured st05
+      // 8.3 → 4.9 s, st02 3.65 → 2.6, st01 1.58 → 1.27 with it off.
+      // Off restores the ≤4.0 checkpoint durability semantics (the
+      // checksum only adds corruption DETECTION); a deployment that
+      // wants the extra check re-enables it per session.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // NOTE on string literals: Presto's are standard SQL ('' doubling
       // only; backslash is an ordinary character — SqlBase.g4 STRING
       // rule). The facade preserves that inside translation

@@ -86,6 +86,8 @@ object EmbeddingKernels {
       exprs => ShingleHistogram(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_sig",
       exprs => LshSignature(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_sig_vec",
+      exprs => LshSignatureVec(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_pack_ints",
       exprs => PackInts(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_match",
@@ -250,6 +252,82 @@ case class LshSignature(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lshSig", this, classOf[LshSignature].getName)
+    nullSafeCodeGen(ctx, ev, (a, _, _) => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** graft_lsh_sig_vec(vec, planes, tables): the [[LshSignature]] family
+  * for FLOAT/DOUBLE vectors (r16) — the native form of
+  * [[graft.ops.VectorSearch.bucketOf]]'s declarative
+  * aggregate(zip_with(v, plane, (p, q) -> CAST(p AS DOUBLE) * q), …)
+  * spelling, which Catalyst evaluates interpreted (two nested HOF
+  * lambdas per (row, plane)). Bit-identical: the same left-to-right
+  * double accumulation (multiplying by the ±1 sign is an exact
+  * negation), the same `> 0` bit test, the same
+  * [[graft.ops.VectorSearch.planeSigns]] matrices via
+  * [[EmbeddingKernels.signMatrix]]. */
+case class LshSignatureVec(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+        if second.foldable && third.foldable &&
+          second.dataType == IntegerType && third.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_lsh_sig_vec expects (array<float|double>, literal int, " +
+        s"literal int), got ${first.dataType.simpleString}")
+  }
+
+  private lazy val planes = EmbeddingKernels.foldableInt(second, "planes")
+  private lazy val tables = EmbeddingKernels.foldableInt(third, "tables")
+  private def isFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_sig_vec"
+
+  def compute(v: ArrayData): ArrayData = {
+    require(planes > 0 && planes < 31, s"planes must be in [1, 30]: $planes")
+    val dim = v.numElements()
+    val signs = EmbeddingKernels.signMatrix(planes, tables, dim)
+    val fl = isFloat
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < planes) {
+        val row = signs(t * planes + j)
+        var p = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = if (fl) v.getFloat(d).toDouble else v.getDouble(d)
+          p += (if (row(d) > 0) x else -x)
+          d += 1
+        }
+        if (p > 0) bucket |= 1 << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSigVec", this, classOf[LshSignatureVec].getName)
     nullSafeCodeGen(ctx, ev, (a, _, _) => s"${ev.value} = $ref.compute($a);")
   }
 

@@ -129,22 +129,72 @@ object MlFunctions {
 
   /** Fold one (target, y, features) observation into the state. For a
     * classifier y = 1.0 and `target` is the label; for a regressor y is the
-    * label and `target` is "". */
+    * label and `target` is "".
+    *
+    * r16 (guide §1.2 step 2, per-task work): the steady-state path —
+    * feature dimension unchanged, target already seen — mutates the
+    * state's backing arrays IN PLACE instead of re-allocating and
+    * copying the whole (k+1)² Gram matrix plus every per-target vector
+    * on EVERY row (ml01 paid ~20 allocations per lineitem row for a
+    * 2×2 Gram). Arithmetic is bit-identical: each Gram/rhs cell
+    * receives exactly one `+=` per observation (entry keys are unique
+    * within a row), so per-cell accumulation order over rows is
+    * unchanged. The typed-Aggregator contract explicitly permits
+    * mutating and returning the buffer. Dimension growth and unseen
+    * targets take the old copy path; observe always returns
+    * ArraySeq-backed state so the next row hits the fast path. */
+  // immutable.ArraySeq is a zero-copy wrapper over the backing array;
+  // the fast path below mutates that array THROUGH the wrapper. That is
+  // deliberate and contained: the wrapper only ever wraps aggregation
+  // buffers this object itself created, which nothing else can observe
+  // mid-aggregation (the Aggregator contract hands the buffer to exactly
+  // one reduce/merge call at a time).
+  private def wrap(a: Array[Double]): Seq[Double] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+
   private def observe(
       b: LearnState, target: String, y: Double,
       features: Map[Long, Double]): LearnState = {
     val k2 = math.max(b.k, dimOf(features))
     val aug = k2 + 1
-    val xtx = growGram(b.xtx, b.k, k2)
+    val sameK = b.k == k2
+    val (xtxArr, xtxSeq) = b.xtx match {
+      case w: scala.collection.immutable.ArraySeq.ofDouble
+          if sameK && w.length == aug * aug => (w.unsafeArray, w: Seq[Double])
+      case _ =>
+        val a = growGram(b.xtx, b.k, k2)
+        (a, wrap(a))
+    }
     // sparse rank-1 update on the nonzero entries + the implicit 1-column
-    val entries = features.toSeq.filter(_._2 != 0.0) :+ (k2.toLong -> 1.0)
-    for ((i, vi) <- entries; (j, vj) <- entries)
-      xtx(i.toInt * aug + j.toInt) += vi * vj
-    val xty = b.xty.map { case (t, v) => t -> growVec(v, b.k, k2).toSeq }
-    val rhs = growVec(xty.getOrElse(target, Vector.empty),
-      if (xty.contains(target)) k2 else 0, k2)
-    for ((i, vi) <- entries) rhs(i.toInt) += y * vi
-    LearnState(k2, b.n + 1, xtx.toSeq, xty + (target -> rhs.toSeq))
+    val idx = new Array[Int](features.size + 1)
+    val vs = new Array[Double](features.size + 1)
+    var cnt = 0
+    features.foreach { case (i, v) =>
+      if (v != 0.0) { idx(cnt) = i.toInt; vs(cnt) = v; cnt += 1 }
+    }
+    idx(cnt) = k2; vs(cnt) = 1.0; cnt += 1
+    var a = 0
+    while (a < cnt) {
+      val base = idx(a) * aug
+      val va = vs(a)
+      var c = 0
+      while (c < cnt) { xtxArr(base + idx(c)) += va * vs(c); c += 1 }
+      a += 1
+    }
+    val xty =
+      if (sameK) b.xty
+      else b.xty.map { case (t, v) => t -> wrap(growVec(v, b.k, k2)) }
+    val (rhsArr, rhsInPlace) = xty.get(target) match {
+      case Some(w: scala.collection.immutable.ArraySeq.ofDouble)
+          if w.length == aug => (w.unsafeArray, true)
+      case Some(v) => (growVec(v, k2, k2), false)
+      case None => (new Array[Double](aug), false)
+    }
+    a = 0
+    while (a < cnt) { rhsArr(idx(a)) += y * vs(a); a += 1 }
+    val xtyOut =
+      if (rhsInPlace) xty else xty + (target -> wrap(rhsArr))
+    LearnState(k2, b.n + 1, xtxSeq, xtyOut)
   }
 
   private def mergeStates(b1: LearnState, b2: LearnState): LearnState = {

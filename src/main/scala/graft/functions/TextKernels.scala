@@ -379,6 +379,76 @@ case class CharGramSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_word_grams(text, n): ALL word n-grams joined by single spaces,
+  * empty when the text has fewer than n words — the native form of
+  * x09's `transform(sequence(1, size(words) - n + 1),
+  * i -> concat_ws(' ', slice(words, i, n)))` over
+  * `words = split(text, ' ')`. KEY IDENTITY: splitting on every single
+  * 0x20 byte and rejoining a slice with single spaces reconstructs the
+  * ORIGINAL byte span from the start of word i to the end of word
+  * i+n−1 (consecutive spaces become empty words which rejoin as the
+  * same consecutive spaces) — so each gram is a zero-copy byte-range
+  * view, no per-gram string assembly at all. */
+case class WordGrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.foldable && right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_word_grams expects (string, literal int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private lazy val n = {
+    val v = EmbeddingKernels.foldableInt(right, "n")
+    require(v >= 1, s"graft_word_grams: n must be >= 1, got $v")
+    v
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_grams"
+
+  def compute(t: UTF8String): ArrayData = {
+    val bytes = t.getBytes
+    val nBytes = bytes.length
+    // word-start offsets: one word before every ' ' boundary + the last
+    var words = 1
+    var i = 0
+    while (i < nBytes) { if (bytes(i) == ' '.toByte) words += 1; i += 1 }
+    if (words < n) return new GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](words + 1)
+    var w = 1
+    i = 0
+    while (i < nBytes) {
+      if (bytes(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = nBytes + 1 // virtual separator past the end
+    val out = new Array[Any](words - n + 1)
+    i = 0
+    while (i < words - n + 1) {
+      val s = starts(i)
+      // gram ends one byte before word (i+n)'s separator-start
+      out(i) = UTF8String.fromBytes(bytes, s, starts(i + n) - 1 - s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGrams", this, classOf[WordGrams].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $ref.compute($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_char_grams(text): ALL character trigrams (not distinct) as
   * array<string>, empty when the text is shorter than 3 chars — the
   * native form of x06's guarded gram expression
@@ -432,5 +502,7 @@ object TextKernelsRegistry {
       exprs => CharGrams(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_char_gram_set",
       exprs => CharGramSet(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_grams",
+      exprs => WordGrams(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -379,11 +379,23 @@ object EmbeddingDedup {
           .select(least(col("id1"), col("id2")).as("id1"),
             greatest(col("id1"), col("id2")).as("id2"))
       }
+    // verify-join strategy (r16 A/B knob): the shuffle_hash hint was
+    // copied from the candidate join, where it is load-bearing (SMJ
+    // would sort the giant probe side). Here it also FORCES both
+    // vector-attach joins through exchanges — the (id1, id2, __v1)
+    // intermediate then carries one dense vector PER PAIR through a
+    // second exchange (measured 163 MB at sf0.1 for 155k candidates).
+    // Un-hinted, AQE broadcasts the base side when it fits and the
+    // whole verify chain collapses into the candidate stage.
+    val verifyHint = base.sparkSession.conf
+      .get("graft.d07.verifyHint", "none")
+    def hinted(df: DataFrame): DataFrame =
+      if (verifyHint == "none") df else df.hint(verifyHint)
     cands
-      .join(base.select(col("__id").as("id1"), col("__v").as("__v1"))
-        .hint("shuffle_hash"), "id1")
-      .join(base.select(col("__id").as("id2"), col("__v").as("__v2"))
-        .hint("shuffle_hash"), "id2")
+      .join(hinted(base.select(col("__id").as("id1"), col("__v").as("__v1"))),
+        "id1")
+      .join(hinted(base.select(col("__id").as("id2"), col("__v").as("__v2"))),
+        "id2")
       .withColumn("cosine", VectorSearch.cosine(col("__v1"), col("__v2")))
       .filter(col("cosine") >= minCosine)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))

@@ -23,6 +23,12 @@ object StreamingOps {
     * is value-preserving), via the file stream source. */
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
+    // record the replayed input's size for the state-partition sizing
+    // rule in runToCompletion (the file length is already known to the
+    // local filesystem; on an object store this would be the listing's
+    // aggregate size)
+    val len = new java.io.File(path).length()
+    if (len > 0) spark.conf.set("graft.stream.inputBytes", len.toString)
     val schema = spark.read.parquet(path).schema
     // The file stream source wants a directory; narrow it to the events
     // file with a glob filter.
@@ -38,20 +44,54 @@ object StreamingOps {
     }
   }
 
+  /** Stateful-shuffle sizing from the replayed input's size (r16, the
+    * scale-adaptive-partitioning rule): every stateful operator mints
+    * one state-store PROVIDER per shuffle partition (a stream-stream
+    * join mints FOUR), each paying per-batch checkpoint files and a
+    * serialized turn through the global StateStore.loadedProviders
+    * lock (thread-dump evidence: all 32 st05 join tasks parked in
+    * getStateStoreProvider). A fixed partition count is wrong at one
+    * end of the scale or the other — 32 partitions for a 2 MB replay
+    * is 128 providers of overhead (interleaved A/B: st05 4.8 → 2.2 s,
+    * st02 2.35 → 1.36, st01 1.16 → 0.85 at 8), while a 100-TB stream
+    * needs many more than the core count. Target ~64 MB of input per
+    * state partition, floored at 8, capped at 32× parallelism. */
+  def statePartitionsFor(spark: SparkSession, inputBytes: Long): Int = {
+    val byInput = math.ceil(inputBytes.toDouble / (64L * 1024 * 1024)).toInt
+    math.max(8,
+      math.min(byInput, 32 * spark.sparkContext.defaultParallelism))
+  }
+
   /** Run a streaming query to completion over the available data and
     * return the final result (memory sink; complete mode for
-    * aggregations, append for joins/projections). */
+    * aggregations, append for joins/projections). The stateful shuffle
+    * is sized by [[statePartitionsFor]] from the input size recorded by
+    * [[streamEvents]] (shuffle-partition conf is read at stream START,
+    * so it is set for the stream's lifetime and restored after — the
+    * corpus runs one query at a time, so no concurrent planner sees
+    * the temporary value). */
   def runToCompletion(
       df: DataFrame, spark: SparkSession,
       mode: String = "complete"): DataFrame = {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partKey)
+    spark.conf.getOption("graft.stream.inputBytes").foreach { bytes =>
+      spark.conf.set(partKey,
+        statePartitionsFor(spark, bytes.toLong).toString)
+    }
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partKey, v)
+      case None    => spark.conf.unset(partKey)
+    }
     spark.table(name)
   }
 

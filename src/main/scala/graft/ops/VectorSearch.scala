@@ -64,7 +64,11 @@ object VectorSearch {
     }
   }
 
-  /** LSH bucket id (0 until 2^planes) for a vector column. */
+  /** LSH bucket id (0 until 2^planes) for a vector column — the
+    * declarative REFERENCE form (specs replay it); the pipeline runs the
+    * bit-identical native kernel below (r16: the aggregate/zip_with
+    * lambdas are interpreted HOFs — two lambda dispatches per (row,
+    * plane, dimension); EmbeddingKernelsSpec pins kernel ≡ this). */
   def bucketOf(vec: Column, signs: Array[Array[Double]]): Column = {
     val bits = signs.zipWithIndex.map { case (plane, j) =>
       val planeLit = array(plane.map(lit): _*)
@@ -77,11 +81,13 @@ object VectorSearch {
   }
 
   /** Bucket assignments for one vector column across `tables` independent
-    * LSH tables: array of per-table bucket ids (0 until 2^planes). */
+    * LSH tables: array of per-table bucket ids (0 until 2^planes),
+    * through the native graft_lsh_sig_vec kernel (same planeSigns
+    * matrices, same left-to-right double accumulation — see
+    * [[graft.functions.LshSignatureVec]]). */
   private def bucketsOf(
       vec: Column, planes: Int, dim: Int, tables: Int): Column =
-    array((0 until tables).map(t =>
-      bucketOf(vec, planeSigns(planes, dim, t))): _*)
+    call_function("graft_lsh_sig_vec", vec, lit(planes), lit(tables))
 
   /** Approximate top-k via multi-table sign-random-projection LSH:
     * `tables` independent plane sets; a candidate qualifies by sharing the
@@ -95,6 +101,7 @@ object VectorSearch {
   def annCandidates(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       planes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
+    graft.functions.EmbeddingKernels.registerAll(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nb", bucketsOf(col("nv"), planes, dim, tables))
       .select(col("nid"), col("nv"),

@@ -102,9 +102,25 @@ object Joins {
         |WHERE l_suppkey NOT IN (SELECT nullif(s_suppkey, 3) FROM supplier)""".stripMargin) { (s, dir) =>
       val sub = t(s, dir, "supplier")
         .select(nullif(col("s_suppkey"), lit(3)).as("maybe_key"))
+      // r16 (guide §3.1): the hand-encoded null-aware form
+      // (anti join ON key = maybe_key OR maybe_key IS NULL) can only
+      // plan as a nested-loop join — the OR disjunction has no equi
+      // key, so every lineitem row scanned the broadcast list
+      // (measured ~1.5 s at sf0.1). The null-awareness factors out of
+      // the join instead: NOT IN is UNKNOWN for every row when the
+      // subquery contains ANY null (zero rows), and a plain equi ANTI
+      // join otherwise — so a broadcast 1-row has-null flag gates the
+      // stream and the join becomes a hash-planable equi anti join.
+      // Empty subquery: max(...) over zero rows is NULL → coalesce
+      // false → all rows kept, and the anti join keeps them too —
+      // exactly NOT IN over an empty list. Same count for every input.
+      val hasNull = sub.agg(
+        coalesce(max(col("maybe_key").isNull), lit(false)).as("has_null"))
       t(s, dir, "lineitem")
-        .join(sub, col("l_suppkey") === col("maybe_key") || col("maybe_key").isNull,
-          "left_anti")
+        .crossJoin(broadcast(hasNull))
+        .filter(!col("has_null"))
+        .join(sub.filter(col("maybe_key").isNotNull),
+          col("l_suppkey") === col("maybe_key"), "left_anti")
         .agg(count(lit(1)).as("n"))
     },
 

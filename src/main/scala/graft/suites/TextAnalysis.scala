@@ -399,14 +399,14 @@ object TextAnalysis {
         |GROUP BY source
         |ORDER BY source""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      // whole-expression short-doc guard — Spark sequence(1, 0) is [1, 0]
+      // r16: grams through the native graft_word_grams kernel (≡ the
+      // guarded split/slice/concat_ws expression it replaced —
+      // TextKernelsSpec; each gram is a zero-copy byte-range view of
+      // the text, where the expression form re-assembled every 5-word
+      // window through an interpreted HOF lambda).
       def withGrams(df: DataFrame): DataFrame = df
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("grams", expr(
-          """case when size(words) < 5 then cast(array() as array<string>)
-            |else transform(sequence(1, size(words) - 4),
-            |  i -> concat_ws(' ', slice(words, i, 5)))
-            |end""".stripMargin))
+        .withColumn("grams",
+          call_function("graft_word_grams", col("text"), lit(5)))
       val evalGrams = withGrams(docs.filter(col("doc_id") % 20 === 0))
         .select(explode(col("grams")).as("gram")).distinct()
       val train = docs.filter(col("doc_id") % 20 =!= 0)

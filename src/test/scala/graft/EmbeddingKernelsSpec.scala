@@ -56,6 +56,22 @@ class EmbeddingKernelsSpec extends QueryAssertions {
       "kernel signatures diverged from the declarative projection")
   }
 
+  test("graft_lsh_sig_vec equals the declarative float-vector buckets") {
+    val (planes, tables, dim) = (8, 3, 64)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val viaKernel = emb.select(col("vec_id"),
+      posexplode(call_function("graft_lsh_sig_vec",
+        col("v"), lit(planes), lit(tables))).as(Seq("t", "b")))
+    val viaSql = (0 until tables).map { t =>
+      emb.select(col("vec_id"), lit(t).as("t"),
+        VectorSearch.bucketOf(col("v"),
+          VectorSearch.planeSigns(planes, dim, t)).as("b"))
+    }.reduce(_ unionAll _)
+    assert(viaSql.exceptAll(viaKernel).isEmpty && viaKernel.exceptAll(viaSql).isEmpty,
+      "float-vector kernel buckets diverged from the declarative projection")
+  }
+
   test("graft_pack_ints / graft_sig_match: agreement count and canonical table") {
     for (w <- Seq(2, 4)) {
       val rows = spark.sql(

@@ -104,6 +104,20 @@ class TextKernelsSpec extends QueryAssertions {
       "char_gram_set")
   }
 
+  test("graft_word_grams equals x09's guarded slice/concat_ws transform") {
+    val withWords = corpus.withColumn("words", split(col("text"), " "))
+    for (n <- Seq(2, 5)) {
+      assertColsEqual(withWords,
+        call_function("graft_word_grams", col("text"), lit(n)),
+        expr(
+          s"""case when size(words) < $n then cast(array() as array<string>)
+             |else transform(sequence(1, size(words) - ${n - 1}),
+             |  i -> concat_ws(' ', slice(words, i, $n)))
+             |end""".stripMargin),
+        s"word_grams($n)")
+    }
+  }
+
   test("graft_char_grams equals x06's guarded substring transform") {
     assertColsEqual(corpus,
       call_function("graft_char_grams", col("text")),
