@@ -25,7 +25,13 @@ object ProbePlans {
     outDir.mkdirs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session(cores = cpus, shufflePartitions = cpus)
-    for (q <- SparkEntry.benchDefs if keep(q.name)) {
+    // default scope: the headline bench set; SPARK_GRAFT_PLANS_ALL=1
+    // widens to the whole corpus (for plan evidence on non-headline
+    // entries an optimization touched)
+    val defs =
+      if (sys.env.get("SPARK_GRAFT_PLANS_ALL").contains("1")) SparkEntry.allDefs
+      else SparkEntry.benchDefs
+    for (q <- defs if keep(q.name)) {
       try {
         val df = q.run(spark, sfDir)
         val txt = df.queryExecution.explainString(
