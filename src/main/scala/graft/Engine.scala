@@ -64,8 +64,11 @@ object Engine {
       // 8.3 → 4.9 s, st02 3.65 → 2.6, st01 1.58 → 1.27 with it off.
       // Off restores the ≤4.0 checkpoint durability semantics (the
       // checksum only adds corruption DETECTION); a deployment that
-      // wants the extra check re-enables it per session.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // wants the extra check re-enables it with
+      // SPARK_GRAFT_STREAM_CHECKSUM=true (or per session) — the trade
+      // is documented in BASELINE.md's streaming-durability note.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_CHECKSUM", "false"))
       // NOTE on string literals: Presto's are standard SQL ('' doubling
       // only; backslash is an ordinary character — SqlBase.g4 STRING
       // rule). The facade preserves that inside translation

@@ -61,6 +61,11 @@ object SparkEntry {
     allDefs.filter(q => headline(q.name))
   }
 
+  /** The streaming corpus entries — the bench's streaming block times
+    * them separately from the headline set (additions-only: they never
+    * enter the headline `queries` map or its total). */
+  def streamingDefs: Seq[Qdef] = suites.Streaming.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")

@@ -87,13 +87,18 @@ object EmbeddingKernels {
     reg.createOrReplaceTempFunction("graft_lsh_sig",
       exprs => LshSignature(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_sig_vec",
-      exprs => LshSignatureVec(exprs(0), exprs(1), exprs(2)), "built-in")
+      exprs => LshSignatureVec(exprs(0), exprs(1), exprs(2),
+        if (exprs.length >= 4) exprs(3)
+        else org.apache.spark.sql.catalyst.expressions.Literal(-1)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_pack_ints",
       exprs => PackInts(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_match",
       exprs => SigMatch(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_keep",
       exprs => SigKeep(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_probe_keys",
+      exprs => LshProbeKeys(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_key_in_set",
       exprs => KeyInSortedSet(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sig_keep_routed",
@@ -272,21 +277,29 @@ case class LshSignature(
   * [[graft.ops.VectorSearch.planeSigns]] matrices via
   * [[EmbeddingKernels.signMatrix]]. */
 case class LshSignatureVec(
-    first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    first: Expression, second: Expression, third: Expression,
+    fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-        if second.foldable && third.foldable &&
-          second.dataType == IntegerType && third.dataType == IntegerType =>
+        if second.foldable && third.foldable && fourth.foldable &&
+          second.dataType == IntegerType && third.dataType == IntegerType &&
+          fourth.dataType == IntegerType =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_lsh_sig_vec expects (array<float|double>, literal int, " +
-        s"literal int), got ${first.dataType.simpleString}")
+        s"literal int[, literal int dim]), got ${first.dataType.simpleString}")
   }
 
   private lazy val planes = EmbeddingKernels.foldableInt(second, "planes")
   private lazy val tables = EmbeddingKernels.foldableInt(third, "tables")
+  // expected vector length; < 0 means "derive per row" (the 3-arg SQL
+  // form). Pipeline callers pass their configured dim so a stray vector
+  // of a different length FAILS instead of silently bucketing under an
+  // unintended plane geometry (and growing signMatrix's cache unbounded
+  // — ADVICE r16).
+  private lazy val expectDim = EmbeddingKernels.foldableInt(fourth, "dim")
   private def isFloat: Boolean = first.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -298,9 +311,19 @@ case class LshSignatureVec(
   def compute(v: ArrayData): ArrayData = {
     require(planes > 0 && planes < 31, s"planes must be in [1, 30]: $planes")
     val dim = v.numElements()
+    require(expectDim < 0 || dim == expectDim,
+      s"graft_lsh_sig_vec: vector length $dim != configured dim $expectDim")
+    val out = new Array[Int](tables)
+    // a null element poisons every plane's dot product (the declarative
+    // aggregate/zip_with form propagates NULL through the running sum,
+    // and `d > 0` over NULL is false) — ALL buckets collapse to 0. Keep
+    // that exact semantics rather than unboxing null to 0.0 silently.
+    var hasNull = false
+    var d0 = 0
+    while (d0 < dim && !hasNull) { hasNull = v.isNullAt(d0); d0 += 1 }
+    if (hasNull) return UnsafeArrayData.fromPrimitiveArray(out)
     val signs = EmbeddingKernels.signMatrix(planes, tables, dim)
     val fl = isFloat
-    val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0
@@ -323,18 +346,19 @@ case class LshSignatureVec(
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
     compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lshSigVec", this, classOf[LshSignatureVec].getName)
-    nullSafeCodeGen(ctx, ev, (a, _, _) => s"${ev.value} = $ref.compute($a);")
+    nullSafeCodeGen(ctx, ev, (a, _, _, _) => s"${ev.value} = $ref.compute($a);")
   }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
-      newThird: Expression): Expression =
-    copy(first = newFirst, second = newSecond, third = newThird)
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 /** graft_pack_ints(arr, width): array<int> → binary, `width` (2 or 4)
@@ -561,6 +585,120 @@ case class SigKeep(
       third = newThird, fourth = newFourth)
 }
 
+/** graft_lsh_probe_keys(sigs, params): the candidate join's per-document
+  * key array in ONE kernel call — own-bucket keys plus the requested
+  * 1-bit multiprobe flips across all tables, packed as
+  * (table << planes) | bucket. Replaces the r16 two-level
+  * posexplode(__sigs) → explode(array(own ± flips)) probe expansion
+  * (one Generate instead of two, no (table, bucket) intermediate rows).
+  * `params` packs planes | mode << 8:
+  *
+  *  - mode 0 — own + ALL planes 1-bit flips per table (the r16 probe
+  *    set: tables·(1+planes) keys);
+  *  - mode 1 — own + ZERO-bit flips only (halved multiprobe, r17): a
+  *    hamming-1 pair differs in exactly one bit position, so exactly
+  *    one side holds a 0 there and probes INTO the other's cell —
+  *    every hamming≤1 pair still collides in every agreeing table,
+  *    while the probe fan-out drops from 1+planes to 1+zeros(bucket)
+  *    (≈ 1+planes/2 expected: buckets are uniform hash bits). The
+  *    keep kernels' direction rules own the exactly-once guarantee
+  *    (see [[SigKeepRouted]]'s `halved` flag);
+  *  - mode 2 — own keys only (the build side: tables keys).
+  */
+case class LshProbeKeys(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, false), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "graft_lsh_probe_keys expects (array<int> containsNull=false, " +
+          s"literal int params), got $other")
+    }
+
+  private lazy val params = EmbeddingKernels.foldableInt(right, "params")
+  private lazy val planes = {
+    val p = params & 0xFF
+    require(p > 0 && p <= 30, s"planes must be in [1, 30], got $p")
+    p
+  }
+  private lazy val mode = {
+    val m = (params >> 8) & 0xFF
+    require(m >= 0 && m <= 2, s"probe mode must be 0, 1 or 2, got $m")
+    m
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_probe_keys"
+
+  def compute(sigs: ArrayData): ArrayData = {
+    val tables = sigs.numElements()
+    val p = planes
+    val out = mode match {
+      case 2 =>
+        val a = new Array[Int](tables)
+        var t = 0
+        while (t < tables) {
+          a(t) = (t << p) | sigs.getInt(t)
+          t += 1
+        }
+        a
+      case 0 =>
+        val a = new Array[Int](tables * (1 + p))
+        var k = 0
+        var t = 0
+        while (t < tables) {
+          val b = sigs.getInt(t)
+          val base = t << p
+          a(k) = base | b; k += 1
+          var j = 0
+          while (j < p) {
+            a(k) = base | (b ^ (1 << j)); k += 1
+            j += 1
+          }
+          t += 1
+        }
+        a
+      case _ => // mode 1: own + zero-bit flips
+        var n = 0
+        var t0 = 0
+        while (t0 < tables) {
+          n += 1 + p - Integer.bitCount(sigs.getInt(t0))
+          t0 += 1
+        }
+        val a = new Array[Int](n)
+        var k = 0
+        var t = 0
+        while (t < tables) {
+          val b = sigs.getInt(t)
+          val base = t << p
+          a(k) = base | b; k += 1
+          var j = 0
+          while (j < p) {
+            if (((b >> j) & 1) == 0) { a(k) = base | (b | (1 << j)); k += 1 }
+            j += 1
+          }
+          t += 1
+        }
+        a
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("probeKeys", this, classOf[LshProbeKeys].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_key_in_set(key, keySet): membership of an int key in a foldable
   * int-array literal via binary search — O(log |set|) per row where
   * `array_contains` on the same literal is O(|set|). Used by the
@@ -646,13 +784,29 @@ case class KeyInSortedSet(left: Expression, right: Expression)
   *    the surviving direction's probe key (hamming ≤ 1 into a live
   *    bucket) and build row both exist under the filters.
   *
-  * With an EMPTY hot set this reduces bit-for-bit to
+  * With an EMPTY hot set (and `halved` off) this reduces bit-for-bit to
   * `SigKeep(...) AND id1 < id2` (t* = first agreeing table, larger
   * always live), pinned by the equivalence property in
   * SigKeepRoutedSpec. `routed` packs (rowTable << 1) | (id1 < id2);
-  * `params` packs width | minAgree<<8 | hMax<<16 | planes<<32 as one
-  * bigint literal (planes sizes the (table << planes) | bucket key the
-  * hot set is expressed in). */
+  * `params` packs width | minAgree<<8 | hMax<<16 | planes<<32 |
+  * halved<<40 as one bigint literal (planes sizes the
+  * (table << planes) | bucket key the hot set is expressed in).
+  *
+  * The `halved` flag (r17) declares that the probe side emitted
+  * ZERO-BIT flips only ([[LshProbeKeys]] mode 1): at a hamming-1 table
+  * the pair's buckets differ in exactly one bit, so exactly ONE
+  * direction's probe row exists — the one whose probe doc holds the 0
+  * (it probes into the 1-holder's cell). The route-existence tests
+  * change accordingly: at a hamming-1 table the only route is through
+  * the 1-holder's cell (live(thatCell) decides — the other doc's cell
+  * is unreachable), at a hamming-0 table both docs share one cell and
+  * both directions exist as before. At t == rowT a hamming-1 row IS
+  * the unique direction, so it owns the pair outright; hamming-0 keeps
+  * the id1 < id2 convention. Exactly-once survives unchanged
+  * (SigKeepRoutedSpec simulates the halved row universe), and with an
+  * empty hot set the halved form keeps exactly [[SigKeep]]'s pair set
+  * (every agreeing table still surfaces ≥ 1 row; only the surviving
+  * DIRECTION can differ, normalized by least/greatest after the join). */
 case class SigKeepRouted(
     first: Expression, second: Expression, third: Expression,
     fourth: Expression, fifth: Expression)
@@ -689,12 +843,29 @@ case class SigKeepRouted(
     require(p > 0 && p <= 30, s"planes must be in [1, 30], got $p")
     p
   }
+  private lazy val halved = ((params >> 40) & 1L) == 1L
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_sig_keep_routed"
 
   private def live(t: Int, bucket: Int): Boolean =
     java.util.Arrays.binarySearch(hot, (t << planes) | bucket) < 0
+
+  /** Does ANY probe row exist for this pair at agreeing table t (the
+    * canonical-owner scan's existence test)? Under full multiprobe both
+    * directions route through (s1's cell, s2's cell) — any live one
+    * reaches. Under halved probes a hamming-1 table has ONE direction,
+    * through the 1-holder's cell. Hamming-0 tables share a single cell
+    * either way. Only called when anyHot. */
+  private def routeExists(t: Int, s1: Int, s2: Int): Boolean =
+    if (s1 == s2) live(t, s1)
+    else if (!halved) live(t, s1) || live(t, s2)
+    else live(t, if ((s1 & (s1 ^ s2)) != 0) s1 else s2)
+
+  private def unpack(b: Array[Byte], t: Int): Int =
+    if (width == 2) (b(2 * t) & 0xFF) | ((b(2 * t + 1) & 0xFF) << 8)
+    else (b(4 * t) & 0xFF) | ((b(4 * t + 1) & 0xFF) << 8) |
+      ((b(4 * t + 2) & 0xFF) << 16) | ((b(4 * t + 3) & 0xFF) << 24)
 
   def compute(b1: Array[Byte], b2: Array[Byte], routed: Int): Boolean = {
     val rowT = routed >>> 1
@@ -703,6 +874,22 @@ case class SigKeepRouted(
     val w = width
     val cap = hMax
     val anyHot = hot.length > 0
+    // Fast own-table pre-check (r17): the BULK matched row is a random
+    // pair meeting at its own table (hamming 0) in the wrong direction —
+    // under the legacy pipeline an external `id1 < id2` filter killed it
+    // before the kernel, but the routed form decides direction here, so
+    // without this check every such row pays the full accumulation loop.
+    // The ownership decision at rowT does not depend on the other
+    // tables, so evaluating it FIRST is a pure evaluation-order change:
+    // a row that cannot own the pair at its own table returns false
+    // either way (the loop's t == rowT branch or its h > cap exit both
+    // yield false). Halved hamming-1 rows own outright and skip this.
+    if (!probeSmaller && rowT < n) {
+      val s1r = unpack(b1, rowT)
+      val s2r = unpack(b2, rowT)
+      if (!(halved && s1r != s2r) && !(anyHot && !live(rowT, s1r)))
+        return false
+    }
     var h = 0
     var agree = 0
     // the ownership decision is made exactly once, at the first agreeing
@@ -731,24 +918,31 @@ case class SigKeepRouted(
           // The bulk case (a random pair agreeing only in its own table,
           // probeSmaller) therefore decides with ZERO searches.
           if (t < rowT) {
-            // a live route BEFORE rowT means an earlier table's row
+            // an existing route BEFORE rowT means an earlier table's row
             // canonically owns the pair — exit without scanning the rest
-            if (!anyHot || live(t, s1) || live(t, s2)) return false
-            // both buckets hot: not a valid canonical table, keep looking
+            if (!anyHot || routeExists(t, s1, s2)) return false
+            // no reachable live route here: not a valid canonical
+            // table, keep looking
           } else if (t == rowT) {
-            // the canonical direction: build = larger id iff the larger
-            // id's bucket here is live (sig1 is always the PROBE doc's,
-            // sig2 the BUILD doc's; probeSmaller says which id is larger;
-            // live2 = true by the precondition)
+            // the canonical direction. Halved probes: a hamming-1 row
+            // is the table's UNIQUE direction — owning it outright is
+            // what keeps the pair exactly-once (the opposite direction
+            // was never emitted). Hamming-0 (and the full-probe mode)
+            // keep the conventions: id1 < id2 when both directions
+            // exist; otherwise build = larger id iff the larger id's
+            // bucket here is live (sig1 is always the PROBE doc's,
+            // sig2 the BUILD doc's; probeSmaller says which id is
+            // larger; live2 = true by the precondition).
             owned =
-              if (probeSmaller) true // larger = build, live here
+              if (halved && (s1 != s2)) true // unique direction
+              else if (probeSmaller) true // larger = build, live here
               else anyHot && !live(t, s1) // larger = probe: owned iff hot
             if (!owned) return false // decision is final: not this row
           } else {
             // t > rowT and still undecided: rowT's table did not
-            // actually agree (synthetic input) — any live later route
-            // means some other row owns the pair, never rowT
-            if (!anyHot || live(t, s1) || live(t, s2)) return false
+            // actually agree (synthetic input) — any existing later
+            // route means some other row owns the pair, never rowT
+            if (!anyHot || routeExists(t, s1, s2)) return false
           }
         }
       }

@@ -171,12 +171,15 @@ case class XxHash64Array(child: Expression) extends UnaryExpression {
   * hashInt(i, 42)?  No — array_min of an empty array is NULL; the
   * declarative form never produces one because shingles() emits ≥1
   * shingle for any non-null text, so an empty input is a contract
-  * violation and fails loudly. */
+  * violation and fails loudly. Null ELEMENTS are rejected at analysis:
+  * the pipeline input ([[XxHash64Array]]) is containsNull=false, and a
+  * SQL caller's null slot would otherwise unbox to 0L and hash silently
+  * differently from xxhash64's documented skip-null semantics. */
 case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case ArrayType(LongType, _) if right.foldable &&
+    case ArrayType(LongType, false) if right.foldable &&
         right.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_minhash_sig expects (array<bigint>, literal int), got " +

@@ -141,6 +141,147 @@ case class UnnestGenerator(children: Seq[Expression], withOrdinality: Boolean)
     if (withOrdinality) "graft_unnest_ord" else "graft_unnest"
 }
 
+/** The positional zip of [[UnnestGenerator]]'s residual shapes
+  * (multi-argument, WITH ORDINALITY, maps) as ONE native codegen
+  * expression returning the row array `Inline` explodes — r17, the last
+  * interpreted hole in the generator path: the previous lowering built
+  * the same array with `transform(sequence(...), i -> struct(...))`,
+  * a HigherOrderFunction whose per-element lambda evaluates INTERPRETED
+  * (CodegenFallback + one lambda dispatch per output row per column).
+  * This kernel is the loop itself: children evaluate once (codegen),
+  * rows materialize in a single primitive pass.
+  *
+  * Semantics are [[UnnestGenerator.eval]]'s, element for element
+  * (UnnestGeneratorSpec pins the equivalence on adversarial shapes):
+  * shorter arguments NULL-pad to the longest, a NULL argument
+  * contributes all-NULL columns, all NULL/empty → empty array (zero
+  * rows after Inline), maps widen to (key, value), array-of-row fields
+  * flatten, ordinality is 1-based BIGINT. */
+case class ZipUnnestRows(children: Seq[Expression], withOrdinality: Boolean)
+    extends Expression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    UnnestGenerator(children, withOrdinality).checkInputDataTypes()
+
+  /** Positionally identical to [[UnnestGenerator.elementSchema]] —
+    * delegated so the two can never drift. */
+  private lazy val schema: StructType =
+    UnnestGenerator(children, withOrdinality).elementSchema
+
+  override def dataType: DataType = ArrayType(schema, containsNull = false)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "graft_zip_unnest_rows"
+
+  // per-child extraction plan, resolved once: how many output slots and
+  // which accessor the loop uses
+  private lazy val childTypes: Array[DataType] = children.map(_.dataType).toArray
+  private lazy val width = schema.length
+
+  def compute(vals: Array[Any]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+    val k = vals.length
+    val lens = new Array[Int](k)
+    var n = 0
+    var ci = 0
+    while (ci < k) {
+      val v = vals(ci)
+      if (v != null) {
+        val len = childTypes(ci) match {
+          case _: MapType => v.asInstanceOf[MapData].numElements()
+          case _          => v.asInstanceOf[ArrayData].numElements()
+        }
+        lens(ci) = len
+        if (len > n) n = len
+      }
+      ci += 1
+    }
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val buf = new Array[Any](width)
+      var col = 0
+      var c = 0
+      while (c < k) {
+        val inRange = vals(c) != null && i < lens(c)
+        childTypes(c) match {
+          case ArrayType(st: StructType, _) =>
+            val arr =
+              if (inRange) vals(c).asInstanceOf[ArrayData] else null
+            val row =
+              if (arr != null && !arr.isNullAt(i)) arr.getStruct(i, st.length)
+              else null
+            var j = 0
+            while (j < st.length) {
+              buf(col) =
+                if (row == null || row.isNullAt(j)) null
+                else row.get(j, st.fields(j).dataType)
+              col += 1
+              j += 1
+            }
+          case ArrayType(et, _) =>
+            val arr =
+              if (inRange) vals(c).asInstanceOf[ArrayData] else null
+            buf(col) =
+              if (arr == null || arr.isNullAt(i)) null else arr.get(i, et)
+            col += 1
+          case MapType(kt, vt, _) =>
+            val m = if (inRange) vals(c).asInstanceOf[MapData] else null
+            if (m == null) { buf(col) = null; buf(col + 1) = null }
+            else {
+              val keys = m.keyArray(); val values = m.valueArray()
+              buf(col) = if (keys.isNullAt(i)) null else keys.get(i, kt)
+              buf(col + 1) =
+                if (values.isNullAt(i)) null else values.get(i, vt)
+            }
+            col += 2
+          case _ => col += 1 // unreachable: checkInputDataTypes rejects
+        }
+        c += 1
+      }
+      if (withOrdinality) buf(width - 1) = (i + 1).toLong
+      rows(i) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(buf)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(children.map(_.eval(input)).toArray)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("zipUnnest", this,
+      classOf[ZipUnnestRows].getName)
+    val vals = ctx.freshName("zipVals")
+    val evals = children.zipWithIndex.map { case (c, i) =>
+      val g = c.genCode(ctx)
+      s"""${g.code}
+         |$vals[$i] = ${g.isNull} ? null : (Object) ${g.value};""".stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |Object[] $vals = new Object[${children.size}];
+        |$evals
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  $ref.compute($vals);
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 object UnnestGenerator {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

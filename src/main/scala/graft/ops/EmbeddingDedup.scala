@@ -299,24 +299,47 @@ object EmbeddingDedup {
     // — 4 bytes instead of 8 on every probe-side row.
     require(planes + 32 - Integer.numberOfLeadingZeros(tables) <= 31,
       s"(tables=$tables) << (planes=$planes) must fit an int key")
-    def keyOf(t: Column, bucket: Column): Column =
-      shiftleft(t, planes) + bucket
-    val assign = base.select(col("__id"), col("__sigp"),
-      posexplode(col("__sigs")).as(Seq("__t", "__lsh")))
     val hotLit = typedlit(hot)
     def dropHot(df: DataFrame): DataFrame =
       if (hot.isEmpty) df
       else df.filter(!call_function("graft_key_in_set", col("__k"), hotLit))
-    // 1-bit multiprobe on the probe side only: XOR distance is symmetric,
-    // so every hamming<=1 pair is found regardless of id order.
-    val probes = dropHot(assign.select(col("__id").as("id1"),
+    // 1-bit multiprobe on the probe side only. r17: ZERO-BIT flips only
+    // (graft_lsh_probe_keys mode 1): a hamming-1 pair differs in
+    // exactly one bit, so exactly one side holds a 0 there and probes
+    // into the other's cell — every hamming≤1 pair still collides in
+    // every agreeing table while the probe fan-out (the candidate
+    // join's dominant shuffle at stress scale: rows × payload) drops
+    // from 1+planes to 1+zeros ≈ 1+planes/2 per (doc, table). The keep
+    // kernels' direction rules make each pair survive exactly once
+    // (halved flag; see SigKeepRouted's scaladoc).
+    //
+    // Default = GEOMETRY-ADAPTIVE (`auto`): halving pays when probe
+    // volume is the candidate stage's wall, which grows with the
+    // geometry (rows · tables · planes/2 · payload) — interleaved A/B
+    // (ProbeProbeMode, OPTIMIZATION_r17.md): planes 12/16 (10×) 3.1 vs
+    // 3.5 s, planes 14/23 (40×) 14.0 vs 22.2 s for the halved form;
+    // but at the headline 1× geometry (planes 8, a 9-key probe set and
+    // a latency-bound sub-second stage) the legacy form's external
+    // `id1 < id2` pre-filter is the cheaper decision and halving
+    // measured ~0.1 s SLOWER (1.11 vs 0.97 medians over 6 interleaved
+    // rounds). The rule planes >= 10 puts the switch inside the
+    // measured gap; `graft.d07.probeMode = zero|all` pins either form
+    // for probes.
+    val halved = base.sparkSession.conf
+      .get("graft.d07.probeMode", "auto") match {
+      case "all" => false
+      case "zero" => true
+      case _ => planes >= 10
+    }
+    val probeMode = if (halved) 1 else 0
+    val probes = dropHot(base.select(col("__id").as("id1"),
       col("__sigp").as("__sp1"),
-      explode(array(
-        keyOf(col("__t"), col("__lsh")) +: (0 until planes)
-          .map(j => keyOf(col("__t"),
-            col("__lsh").bitwiseXOR(lit(1 << j)))): _*)).as("__k")))
-    val build = dropHot(assign.select(col("__id").as("id2"),
-      col("__sigp").as("__sp2"), keyOf(col("__t"), col("__lsh")).as("__k")))
+      explode(call_function("graft_lsh_probe_keys",
+        col("__sigs"), lit(planes | (probeMode << 8)))).as("__k")))
+    val build = dropHot(base.select(col("__id").as("id2"),
+      col("__sigp").as("__sp2"),
+      explode(call_function("graft_lsh_probe_keys",
+        col("__sigs"), lit(planes | (2 << 8)))).as("__k")))
     // Per (pair, table) at most one probe can match (the build side's
     // bucket is a single value and the probe set is distinct), so a
     // matched row exists for table t iff the pair's buckets are within
@@ -349,8 +372,15 @@ object EmbeddingDedup {
     // exits composition cannot express — see functions/EmbeddingKernels
     // .SigKeep). This row-decision is the pipeline's CPU center: the 40×
     // stress point runs it on 1.38e9 matched rows to keep 3.8e5.
+    //
+    // r17: under halved probes the canonical owner row's direction is
+    // bucket-bit-determined at hamming-1 tables (only one direction was
+    // emitted), so the id ordering moves INTO the kernel for the
+    // uncapped form too — graft_sig_keep_routed with an EMPTY hot set
+    // and the halved flag, pair normalized after. The legacy full-probe
+    // mode keeps the r16 graft_sig_keep + id1 < id2 form bit-for-bit.
     val cands =
-      if (hot.isEmpty)
+      if (hot.isEmpty && !halved)
         probes
           .join(build.hint("shuffle_hash"), Seq("__k"))
           .filter(col("id1") < col("id2") &&
@@ -359,16 +389,19 @@ object EmbeddingDedup {
               lit(width | (minAgree << 8) | (hMax << 16))))
           .select("id1", "id2")
       else {
-        // capped form: the canonical owner row may have id1 > id2 (when
-        // the larger id's route at the canonical table is hot), so the
-        // id ordering moves INTO the kernel (`routed` carries it) and
-        // the surviving pair is normalized after. Self-matches (exact
-        // key, id1 == id2) are excluded here — under suppression the
-        // kernel's direction rule alone would let them through.
-        // Fields widen through Long shifts (an Int-packed intermediate
-        // would sign-extend past bit 31 once hMax reaches 0x8000).
+        // routed form (capped, halved, or both): the canonical owner
+        // row may have id1 > id2 (when the larger id's route at the
+        // canonical table is hot, or when the hamming-1 direction goes
+        // the other way), so the id ordering moves INTO the kernel
+        // (`routed` carries it) and the surviving pair is normalized
+        // after. Self-matches (exact key, id1 == id2) are excluded
+        // here — the kernel's direction rule alone would let them
+        // through. Fields widen through Long shifts (an Int-packed
+        // intermediate would sign-extend past bit 31 once hMax reaches
+        // 0x8000).
         val params = width.toLong | (minAgree.toLong << 8) |
-          (hMax.toLong << 16) | (planes.toLong << 32)
+          (hMax.toLong << 16) | (planes.toLong << 32) |
+          ((if (halved) 1L else 0L) << 40)
         val routed = shiftleft(shiftright(col("__k"), planes), 1) +
           when(col("id1") < col("id2"), 1).otherwise(0)
         probes

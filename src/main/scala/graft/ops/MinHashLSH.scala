@@ -96,11 +96,16 @@ object MinHashLSH {
     * least one LSH band. rows=2 with numHashes=64 → 32 bands; the miss
     * probability for a true Jaccard-0.8 pair is (1-0.8²)^32 ≈ 7e-15 —
     * deterministic in practice, and fixed seeds make reruns identical.
-    * 64 hashes (not 128) is the default because the extra 32 bands buy
-    * nothing below the 1e-14 miss floor while doubling signature compute
-    * and band-shuffle bytes — the cost that scales with corpus size. */
+    * 64 hashes (not 128) is the prepare() default because the extra 32
+    * bands buy nothing below the 1e-14 miss floor while doubling
+    * signature compute and band-shuffle bytes — the cost that scales
+    * with corpus size. The band count derives from the ACTUAL signature
+    * length (graft_lsh_bands reads size(__sig)), so there is no
+    * numHashes parameter to drift out of sync with prepare()'s
+    * (ADVICE r16: the old parameter was dead — a mismatched value
+    * silently changed nothing). */
   def candidatePairs(
-      prepared: DataFrame, numHashes: Int = 64,
+      prepared: DataFrame,
       rowsPerBand: Int = 2): DataFrame = {
     // band keys through the native kernel (bit-identical to the
     // transform/named_struct/xxhash64 expression it replaced —
@@ -138,7 +143,7 @@ object MinHashLSH {
       materialize: Boolean = true): DataFrame = {
     val prepared = prepare(df, idCol, textCol, numHashes)
     try {
-      val cands = candidatePairs(prepared, numHashes)
+      val cands = candidatePairs(prepared)
       val left = prepared.select(col("__id").as("id1"), col("__sh").as("sh1"))
       val right = prepared.select(col("__id").as("id2"), col("__sh").as("sh2"))
       val pairs = cands.join(left, "id1").join(right, "id2")

@@ -24,10 +24,17 @@ object StreamingOps {
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     // record the replayed input's size for the state-partition sizing
-    // rule in runToCompletion (the file length is already known to the
-    // local filesystem; on an object store this would be the listing's
-    // aggregate size)
-    val len = new java.io.File(path).length()
+    // rule in runToCompletion. Through the Hadoop FileSystem API (not
+    // java.io.File, which silently returns 0 off the local filesystem —
+    // ADVICE/verdict r16 #5): getContentSummary aggregates a directory
+    // listing too, so an hdfs://… or s3a://… events source sizes the
+    // same way. Failure degrades to the un-sized fallback, never breaks
+    // the stream.
+    val len = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: java.io.IOException => 0L }
     if (len > 0) spark.conf.set("graft.stream.inputBytes", len.toString)
     val schema = spark.read.parquet(path).schema
     // The file stream source wants a directory; narrow it to the events
@@ -76,7 +83,12 @@ object StreamingOps {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val partKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(partKey)
-    spark.conf.getOption("graft.stream.inputBytes").foreach { bytes =>
+    // consume-once: clear the size marker as soon as it is read so a
+    // later stream NOT built by streamEvents (which would re-set it)
+    // cannot inherit a stale value (ADVICE r16 #3)
+    val inputBytes = spark.conf.getOption("graft.stream.inputBytes")
+    inputBytes.foreach(_ => spark.conf.unset("graft.stream.inputBytes"))
+    inputBytes.foreach { bytes =>
       spark.conf.set(partKey,
         statePartitionsFor(spark, bytes.toLong).toString)
     }

@@ -84,10 +84,12 @@ object VectorSearch {
     * LSH tables: array of per-table bucket ids (0 until 2^planes),
     * through the native graft_lsh_sig_vec kernel (same planeSigns
     * matrices, same left-to-right double accumulation — see
-    * [[graft.functions.LshSignatureVec]]). */
+    * [[graft.functions.LshSignatureVec]]). The configured `dim` rides
+    * along so a vector of a different length fails loudly instead of
+    * silently hashing under an unintended plane geometry (ADVICE r16). */
   private def bucketsOf(
       vec: Column, planes: Int, dim: Int, tables: Int): Column =
-    call_function("graft_lsh_sig_vec", vec, lit(planes), lit(tables))
+    call_function("graft_lsh_sig_vec", vec, lit(planes), lit(tables), lit(dim))
 
   /** Approximate top-k via multi-table sign-random-projection LSH:
     * `tables` independent plane sets; a candidate qualifies by sharing the

@@ -33,6 +33,62 @@ class EmbeddingKernelsSpec extends QueryAssertions {
       "kernel histogram diverged from the declarative formula")
   }
 
+  test("graft_lsh_probe_keys: mode 0 equals the r16 expression keys, " +
+      "mode 1 keeps own + zero-bit flips, mode 2 keeps own keys") {
+    val (planes, tables) = (6, 3)
+    val base = EmbeddingDedup.featurize(docs.limit(50), "doc_id", "text",
+      planes, tables).persist()
+    try {
+      def kernelKeys(mode: Int) = base.select(col("__id"),
+        explode(call_function("graft_lsh_probe_keys",
+          col("__sigs"), lit(planes | (mode << 8)))).as("k"))
+      // the r16 probe expression: per (table, bucket), own + ALL flips
+      val exprKeys = base
+        .select(col("__id"), posexplode(col("__sigs")).as(Seq("t", "lsh")))
+        .select(col("__id"), explode(array(
+          (shiftleft(col("t"), planes) + col("lsh")) +: (0 until planes)
+            .map(j => shiftleft(col("t"), planes) +
+              col("lsh").bitwiseXOR(lit(1 << j))): _*)).as("k"))
+      assert(exprKeys.exceptAll(kernelKeys(0)).isEmpty &&
+        kernelKeys(0).exceptAll(exprKeys).isEmpty,
+        "mode 0 diverged from the r16 probe expression")
+      // mode 2: exactly the own-bucket keys
+      val ownKeys = base
+        .select(col("__id"), posexplode(col("__sigs")).as(Seq("t", "lsh")))
+        .select(col("__id"),
+          (shiftleft(col("t"), planes) + col("lsh")).as("k"))
+      assert(ownKeys.exceptAll(kernelKeys(2)).isEmpty &&
+        kernelKeys(2).exceptAll(ownKeys).isEmpty,
+        "mode 2 diverged from the own-bucket keys")
+      // mode 1: own keys + flips that SET a zero bit (driver-side
+      // reference reconstruction per row)
+      val got = kernelKeys(1).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val want = base.select(col("__id"), col("__sigs")).collect().flatMap { r =>
+        val id = r.getLong(0)
+        val sigs = r.getSeq[Int](1)
+        sigs.zipWithIndex.flatMap { case (b, t) =>
+          val own = (t << planes) | b
+          own +: (0 until planes).collect {
+            case j if ((b >> j) & 1) == 0 => (t << planes) | (b | (1 << j))
+          }
+        }.map(k => (id, k))
+      }.sorted.toSeq
+      assert(got == want, "mode 1 diverged from the zero-bit reference")
+      // and mode 1 still finds every hamming<=1 pair: for any two
+      // buckets differing in exactly one bit, exactly one side's flip
+      // set contains the other's own key (checked exhaustively over the
+      // 6-plane bucket space)
+      for (b1 <- 0 until (1 << planes); j <- 0 until planes) {
+        val b2 = b1 ^ (1 << j)
+        val oneProbesTwo = ((b1 >> j) & 1) == 0 // b1 holds the 0
+        val twoProbesOne = ((b2 >> j) & 1) == 0
+        assert(oneProbesTwo != twoProbesOne,
+          s"exactly one direction must exist for $b1 vs $b2")
+      }
+    } finally base.unpersist(blocking = false)
+  }
+
   test("graft_lsh_sig equals the declarative sign-projection buckets") {
     val (planes, tables) = (6, 3)
     val base = EmbeddingDedup.featurize(docs.limit(40), "doc_id", "text",

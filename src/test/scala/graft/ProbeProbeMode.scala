@@ -2,20 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Interleaved A/B of the d07 verify-join strategy (graft.d07.verifyHint):
-  * `none` lets the planner/AQE pick (broadcast when the vector side fits,
-  * SMJ past broadcast reach) vs the old forced `shuffle_hash`. Runs the
-  * requested legs in both modes alternating, canary-bracketed.
+/** Interleaved A/B of the d07 probe expansion (graft.d07.probeMode):
+  * `zero` (r17 default — own + zero-bit flips, halved multiprobe) vs
+  * `all` (the r16 both-directions probe set). Candidate-pair sets are
+  * identical by construction (SigKeepRoutedSpec); this measures the
+  * join-input halving.
   *
-  * args: [rounds (default 3)] [scales... (default 0 10; 0 = the headline
-  * 1× leg at default geometry, k > 1 = the stress leg at k× with the
-  * geometry rule's planes/tables and occupancy cap)]
-  *
-  * r16 ran this at 1× and 10× only (none won both); r17 re-runs it at
-  * 40× and 100×, where the vector side (~110/275 MB) exceeds broadcast
-  * reach and AQE plans SMJ — the open question the r16 verdict ranked #1.
+  * args: [rounds (default 3)] [scales... (default 0 10; 0 = headline 1×)]
   */
-object ProbeVerifyHint {
+object ProbeProbeMode {
   def main(args: Array[String]): Unit = {
     val rounds = if (args.nonEmpty) args(0).toInt else 3
     val scales: Seq[Int] =
@@ -23,9 +18,9 @@ object ProbeVerifyHint {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session(cores = cpus, shufflePartitions = cpus)
-    val key = "graft.d07.verifyHint"
+    val key = "graft.d07.probeMode"
     val docs = Tables.load(spark, sfDir, "documents")
-    val modes = Seq("none", "shuffle_hash")
+    val modes = Seq("zero", "all")
     val (c0, c0m) = Measure.canaryPair()
     for (scale <- scales) {
       val (legName, leg, cleanup): (String, () => Double, () => Unit) =
@@ -43,7 +38,7 @@ object ProbeVerifyHint {
           val nK = docsK.count()
           val (p, t) = graft.ops.ScaleStress.geometryFor(nK)
           val cap = graft.ops.EmbeddingDedup.occupancyCapFor(nK, p)
-          println(s"[vhint] scale=$scale rows=$nK planes=$p tables=$t cap=$cap")
+          println(s"[pmode] scale=$scale rows=$nK planes=$p tables=$t cap=$cap")
           (s"d07x$scale", () => {
             val t0 = System.nanoTime()
             graft.ops.EmbeddingDedup.nearDuplicates(docsK, "doc_id", "text",
@@ -59,17 +54,17 @@ object ProbeVerifyHint {
         spark.conf.set(key, m)
         val (lc, _) = Measure.canaryPair()
         val w = leg()
-        println(f"[vhint] $legName hint=$m: $w%.3f (leg canary $lc%.3f)")
+        println(f"[pmode] $legName mode=$m: $w%.3f (leg canary $lc%.3f)")
         res(m) ::= w
       }
       for (m <- modes)
-        println(f"[vhint] $legName hint=$m: " +
+        println(f"[pmode] $legName mode=$m: " +
           res(m).reverse.map(x => f"$x%.3f").mkString(", "))
       cleanup()
     }
     val (c1, c1m) = Measure.canaryPair()
-    println(f"[vhint] canary pre=[$c0%.3f,$c0m%.3f] post=[$c1%.3f,$c1m%.3f]")
-    spark.conf.set(key, "none")
+    println(f"[pmode] canary pre=[$c0%.3f,$c0m%.3f] post=[$c1%.3f,$c1m%.3f]")
+    spark.conf.unset(key)
     spark.stop()
   }
 }

@@ -151,6 +151,169 @@ class SigKeepRoutedSpec extends QueryAssertions {
     assert(filteredOut > 0, "no agreement-filtered pairs generated")
   }
 
+  test("halved probes, empty hot set: exactly one direction survives " +
+      "per reportable pair on a randomized signature sweep") {
+    // r17 zero-bit multiprobe: the row universe at a hamming-1 table
+    // has ONE direction (the 0-holder probes into the 1-holder's cell);
+    // hamming-0 tables have both. With no suppression the kernel must
+    // keep exactly one existing row iff the pair is reportable
+    // (agree >= minAgree, hamming <= hMax) — the PAIR SET equals
+    // graft_sig_keep's, only the surviving direction may differ.
+    val planes = 6
+    val tables = 8
+    val minAgree = 2
+    val hMax = EmbeddingDedup.hammingCap(0.8, planes, tables)
+    val rnd = new scala.util.Random(20260819L)
+    val nBuckets = 1 << planes
+    val keepHalved = routedKernelHalved(Array.empty[Int], planes, minAgree, hMax)
+    val keepLegacy = routedKernel(Array.empty[Int], planes, minAgree, hMax)
+    var reportable = 0
+    for (_ <- 0 until 4000) {
+      val s1 = Array.fill(tables)(rnd.nextInt(nBuckets))
+      val s2 = s1.zipWithIndex.map { case (b, _) =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 => rnd.nextInt(nBuckets)
+          case 3 | 4 => b ^ (1 << rnd.nextInt(planes))
+          case _ => b
+        }
+      }
+      val agreeTables = (0 until tables).filter(t =>
+        Integer.bitCount(s1(t) ^ s2(t)) <= 1)
+      val totalH = (0 until tables).map(t =>
+        Integer.bitCount(s1(t) ^ s2(t))).sum
+      // halved row universe (doc1 = smaller id = sigs s1): at hamming 0
+      // both directions exist; at hamming 1 only the direction whose
+      // PROBE holds the 0 at the differing bit
+      val survivors = agreeTables.flatMap { t =>
+        val diff = s1(t) ^ s2(t)
+        val dirA = // probe = doc1 (smaller): exists iff doc1 holds the 0
+          if (diff == 0 || (s1(t) & diff) == 0)
+            Some(keepHalved(s1, s2, t, true)) else None
+        val dirB = // probe = doc2 (larger)
+          if (diff == 0 || (s2(t) & diff) == 0)
+            Some(keepHalved(s2, s1, t, false)) else None
+        Seq(dirA, dirB).flatten.filter(identity)
+      }.size
+      // reportability must equal the legacy (full-probe) kernel's: the
+      // legacy universe keeps the id1<id2 direction at the first
+      // agreeing table
+      val legacyKept = agreeTables.exists(t => keepLegacy(s1, s2, t, true))
+      val expected = if (agreeTables.size >= minAgree && totalH <= hMax) 1 else 0
+      assert(survivors == expected,
+        s"halved pair survived $survivors times (expected $expected)\n" +
+          s"s1=${s1.mkString(",")}\ns2=${s2.mkString(",")}")
+      assert((survivors == 1) == legacyKept,
+        s"halved pair set diverged from legacy\n" +
+          s"s1=${s1.mkString(",")}\ns2=${s2.mkString(",")}")
+      if (expected == 1) reportable += 1
+    }
+    assert(reportable > 100, s"only $reportable reportable pairs generated")
+  }
+
+  test("halved probes under suppression: exactly-once ownership in the " +
+      "halved row universe") {
+    // the halved analog of the full-probe simulation: rows at hamming-1
+    // tables exist only in the 0-holder→1-holder direction AND when the
+    // 1-holder's cell is live; hamming-0 rows exist in both directions
+    // when the shared cell is live. The kernel must keep exactly one
+    // existing row iff the pair is reportable and some agreeing table
+    // has an existing route.
+    val planes = 6
+    val tables = 8
+    val minAgree = 2
+    val hMax = planes * tables
+    val rnd = new scala.util.Random(20260820L)
+    val nBuckets = 1 << planes
+    // denser hot set than the full-probe sweep: a halved route dies when
+    // ONE cell is hot (vs both), but reaching "every agreeing table
+    // dead" still needs ~hotRate^agree — at 1/5 the 4000-pair sweep
+    // produced zero such pairs, so the regime went unexercised
+    val hot = (0 until nBuckets * tables)
+      .filter(_ => rnd.nextInt(2) == 0).map(identity).toArray
+    val keep = routedKernelHalved(hot, planes, minAgree, hMax)
+    val hotSet = hot.toSet
+    def live(t: Int, b: Int) = !hotSet.contains((t << planes) | b)
+    var reportable = 0
+    var unreachable = 0
+    for (_ <- 0 until 4000) {
+      val s1 = Array.fill(tables)(rnd.nextInt(nBuckets))
+      val s2 = s1.zipWithIndex.map { case (b, _) =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 => rnd.nextInt(nBuckets)
+          case 3 | 4 => b ^ (1 << rnd.nextInt(planes))
+          case _ => b
+        }
+      }
+      val agreeTables = (0 until tables).filter(t =>
+        Integer.bitCount(s1(t) ^ s2(t)) <= 1)
+      val totalH = (0 until tables).map(t =>
+        Integer.bitCount(s1(t) ^ s2(t))).sum
+      val survivors = agreeTables.flatMap { t =>
+        val diff = s1(t) ^ s2(t)
+        // direction exists iff the probe holds the 0 (or hamming 0) AND
+        // the BUILD doc's cell is live (probe key and build row are the
+        // same cell, so one liveness test covers both filters)
+        val dirA =
+          if ((diff == 0 || (s1(t) & diff) == 0) && live(t, s2(t)))
+            Some(keep(s1, s2, t, true)) else None
+        val dirB =
+          if ((diff == 0 || (s2(t) & diff) == 0) && live(t, s1(t)))
+            Some(keep(s2, s1, t, false)) else None
+        Seq(dirA, dirB).flatten.filter(identity)
+      }.size
+      // an agreeing table has an existing route iff the 1-holder's cell
+      // (or the shared cell) is live
+      val hasRoute = agreeTables.exists { t =>
+        val diff = s1(t) ^ s2(t)
+        if (diff == 0) live(t, s1(t))
+        else live(t, if ((s1(t) & diff) != 0) s1(t) else s2(t))
+      }
+      val expected =
+        if (agreeTables.size >= minAgree && totalH <= hMax && hasRoute) 1
+        else 0
+      assert(survivors == expected,
+        s"halved+capped pair survived $survivors times (expected $expected)\n" +
+          s"s1=${s1.mkString(",")}\ns2=${s2.mkString(",")}")
+      if (expected == 1) reportable += 1
+      else if (agreeTables.size >= minAgree && totalH <= hMax) unreachable += 1
+    }
+    assert(reportable > 100, s"only $reportable reportable pairs generated")
+    assert(unreachable > 0, "no all-routes-hot pairs generated")
+  }
+
+  test("pipeline: halved probes produce the identical pair set to the " +
+      "r16 full-probe mode, capped and uncapped") {
+    def pairs(mode: String, cap: Int): Seq[String] = {
+      spark.conf.set("graft.d07.probeMode", mode)
+      try EmbeddingDedup
+        .nearDuplicates(docs, "doc_id", "text", 0.8,
+          maxOccupancy = cap, minHotShare = 0.0)
+        .orderBy("id1", "id2").collect().map(_.toString).toSeq
+      finally spark.conf.unset("graft.d07.probeMode")
+    }
+    val allUncapped = pairs("all", 0)
+    assert(pairs("zero", 0) == allUncapped,
+      "uncapped: zero-bit probes diverged from full probes")
+    assert(allUncapped.nonEmpty)
+    // cap 12 engages the routed path inside the fixture's occupancy
+    // tail (the regime the 100× stress runs in)
+    val allCapped = pairs("all", 12)
+    assert(pairs("zero", 12) == allCapped,
+      "capped: zero-bit probes diverged from full probes")
+  }
+
+  private def routedKernelHalved(hot: Array[Int], planes: Int, minAgree: Int,
+      hMax: Int, width: Int = 2): (Array[Int], Array[Int], Int, Boolean) => Boolean = {
+    val params = (width | (minAgree << 8) | (hMax << 16)).toLong |
+      (planes.toLong << 32) | (1L << 40)
+    val k = SigKeepRouted(
+      Literal(Array.empty[Byte]), Literal(Array.empty[Byte]), Literal(0),
+      Literal.create(hot, ArrayType(IntegerType)), Literal(params))
+    (s1, s2, rowT, probeSmaller) =>
+      k.compute(pack(s1, width), pack(s2, width),
+        (rowT << 1) | (if (probeSmaller) 1 else 0))
+  }
+
   test("graft_key_in_set equals array_contains on a randomized sweep " +
       "and binary-searches an unsorted literal correctly") {
     val rnd = new scala.util.Random(7L)
@@ -287,7 +450,11 @@ class SigKeepRoutedSpec extends QueryAssertions {
         EmbeddingDedup.occupancyProfile(base, 8, 12, armShare = share12 + 0.01)
       assert(declined.isEmpty && shareSame == share12)
       // and the pipeline-level wiring: a requested cap whose share sits
-      // below minHotShare must build the UNCAPPED plan
+      // below minHotShare must build the UNCAPPED plan. r17: the
+      // geometry-adaptive probe default keeps the fixture's planes-8
+      // pipeline on the legacy full-probe form (graft_sig_keep, no
+      // routed kernel), while probeMode=zero builds the halved form
+      // (routed kernel, EMPTY hot set — still no suppression filters)
       val disarmed = EmbeddingDedup
         .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12,
           materialize = false, minHotShare = share12 + 0.01)
@@ -295,7 +462,19 @@ class SigKeepRoutedSpec extends QueryAssertions {
       assert(disarmed.contains("graft_sig_keep") &&
         !disarmed.contains("graft_sig_keep_routed") &&
         !disarmed.contains("graft_key_in_set"),
-        "below-threshold share must fall back to the uncapped plan")
+        "below-threshold share must fall back to the r16 uncapped plan " +
+          "at the fixture geometry (auto → full probes at planes 8)")
+      spark.conf.set("graft.d07.probeMode", "zero")
+      try {
+        val disarmedZero = EmbeddingDedup
+          .nearDuplicates(docs, "doc_id", "text", 0.8, maxOccupancy = 12,
+            materialize = false, minHotShare = share12 + 0.01)
+          .queryExecution.analyzed.toString
+        assert(disarmedZero.contains("graft_sig_keep_routed") &&
+          !disarmedZero.contains("graft_key_in_set"),
+          "zero mode must build the halved uncapped plan (routed kernel, " +
+            "no suppression filters)")
+      } finally spark.conf.unset("graft.d07.probeMode")
     } finally base.unpersist(blocking = false)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.UnnestGenerator
+import graft.functions.{UnnestGenerator, ZipUnnestRows}
 
 /** Direct coverage of the INTERPRETED UnnestGenerator.eval — the
   * optimizer (plans/UnnestRewrite.scala) lowers every resolved shape to
@@ -74,5 +74,57 @@ class UnnestGeneratorSpec extends AnyFunSuite {
   test("non-collection input fails type check") {
     val g = UnnestGenerator(Seq(Literal(1)), withOrdinality = false)
     assert(!g.checkInputDataTypes().isSuccess)
+  }
+
+  // ---- r17: the native ZipUnnestRows kernel (the codegen lowering of
+  // the residual multi-arg/ordinality/map shapes) must produce EXACTLY
+  // the interpreted generator's row sequence on every shape, including
+  // the adversarial ones (NULL argument, empty array, shorter-side
+  // padding, null elements, null struct fields, maps, ordinality).
+  private def kernelRows(
+      children: Seq[Literal], ord: Boolean): Seq[Seq[Any]] = {
+    val k = ZipUnnestRows(children, ord)
+    val schema = k.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val out = k.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    (0 until out.numElements()).map { i =>
+      val r = out.getStruct(i, schema.length)
+      (0 until schema.length).map(j =>
+        if (r.isNullAt(j)) null else r.get(j, schema(j).dataType))
+    }
+  }
+
+  test("ZipUnnestRows ≡ interpreted eval on every residual shape") {
+    val st = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val rowArr = Literal.create(
+      ArrayData.toArrayData(Array[Any](
+        InternalRow(1, UTF8String.fromString("x")),
+        null, // null struct element → all-NULL fields
+        InternalRow(2, null))), // null field stays null
+      ArrayType(st))
+    val m = Literal.create(
+      new ArrayBasedMapData(
+        ArrayData.toArrayData(Array(
+          UTF8String.fromString("k1"), UTF8String.fromString("k2"))),
+        ArrayData.toArrayData(Array[Any](7, null))),
+      MapType(StringType, IntegerType))
+    val nullArr = Literal.create(null, ArrayType(IntegerType))
+    val shapes: Seq[(Seq[Literal], Boolean)] = Seq(
+      (Seq(arr(1, 2, 3), arr(9)), false),           // zip, padding
+      (Seq(arr(1, 2, 3), arr(9)), true),            // zip + ordinality
+      (Seq(nullArr, arr(5)), false),                // NULL argument pads
+      (Seq(nullArr, nullArr), true),                // all NULL → no rows
+      (Seq(arr(), arr()), false),                   // all empty → no rows
+      (Seq(arr(10, 20)), true),                     // single + ordinality
+      (Seq(rowArr), true),                          // rows flatten + ord
+      (Seq(m, arr(1, 2, 3)), false),                // map zips with array
+      (Seq(rowArr, m, arr(4)), true))               // everything at once
+    for ((children, ord) <- shapes) {
+      val g = UnnestGenerator(children, ord)
+      val expected = rows(g)
+      assert(kernelRows(children, ord) == expected,
+        s"shape ${children.map(_.dataType.simpleString)} ord=$ord")
+    }
   }
 }
